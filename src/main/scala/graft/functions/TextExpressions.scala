@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for document fingerprinting — the hot
+  * path of corpus-scale dedup, so they implement `doGenCode` and stay
+  * inside whole-stage codegen (no UDF boxing, no Row materialization).
+  *
+  * The reference engine has no scalar-function surface of its own
+  * (SURVEY.md section 2.6) — these are north-star extensions.
+  */
+object TextHashing {
+  /** FNV-1a-style 64-bit polynomial hash over UTF-8 bytes. */
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def polyHash64(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
+    h
+  }
+
+  /** Minimum polynomial hash over all k-byte windows (winnowing-style
+    * content fingerprint: stable under prepend/append edits). */
+  def winnow(bytes: Array[Byte], k: Int): Long = {
+    if (bytes.length <= k) return polyHash64(bytes)
+    var best = Long.MaxValue
+    var start = 0
+    while (start + k <= bytes.length) {
+      var h = Offset
+      var i = start
+      while (i < start + k) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
+      if (h < best) best = h
+      start += 1
+    }
+    best
+  }
+}
+
+/** 64-bit content hash of a string; codegen'd tight byte loop. */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash64 requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashing.polyHash64(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.polyHash64($c.getBytes())")
+
+  override protected def withNewChildInternal(c: Expression): PolyHash64 =
+    copy(child = c)
+}
+
+/** Winnowing-style fingerprint: min hash over rolling k-byte windows. */
+case class WinnowFingerprint(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint requires (STRING, k > 0), got (${child.dataType.sql}, $k)")
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashing.winnow(v.asInstanceOf[UTF8String].getBytes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.winnow($c.getBytes(), $k)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
+object TextFunctions {
+  /** Column-level API. */
+  def poly_hash64(c: Column): Column =
+    GraftShim.column(PolyHash64(GraftShim.expression(c)))
+
+  def winnow_fingerprint(c: Column, k: Int): Column =
+    GraftShim.column(WinnowFingerprint(GraftShim.expression(c), k))
+
+  /** SQL registration (idempotent): poly_hash64(s), winnow_fingerprint(s, k). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash64", exprs => PolyHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+  }
+}

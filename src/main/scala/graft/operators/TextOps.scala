@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Text-pipeline operators over the `documents` table — the
+  * training-data-prep surface a 100 TB corpus needs (dedup, quality,
+  * language id, token accounting). The reference engine has no analog
+  * (SURVEY.md section 2.9); these are north-star extensions built as
+  * declarative Spark expressions so every one of them runs inside
+  * whole-stage codegen, shuffles at most once on an aggregation key,
+  * and never collects to the driver.
+  *
+  * Scale design notes:
+  *  - Exact dedup: single hash-shuffle on the text (or a 128-bit digest
+  *    of it at real scale to keep shuffle rows narrow).
+  *  - MinHash-LSH: the only near-dup approach that survives 100 TB —
+  *    candidate generation is a band-bucket shuffle (linear), never an
+  *    all-pairs product. Banding: 32 bands x 2 rows over a 64-perm
+  *    signature (catches jaccard >= ~0.3 with high probability).
+  *  - SimHash: 64-bit signatures; near-pairs via 4x16-bit block join
+  *    (pigeonhole guarantees hamming <= 3 pairs share a block).
+  */
+object TextOps {
+
+  /** Whitespace tokens of lower-cased text, empties dropped. */
+  private val toksExpr =
+    "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+  /** Word 3-gram shingles (falls back to the whole token list joined
+    * when a doc has < 3 tokens), deduplicated. */
+  private val shinglesExpr =
+    s"""array_distinct(CASE WHEN size(toks) >= 3
+       |  THEN transform(sequence(0, size(toks) - 3),
+       |       i -> concat(element_at(toks, i+1), ' ',
+       |                   element_at(toks, i+2), ' ',
+       |                   element_at(toks, i+3)))
+       |  ELSE array(array_join(toks, ' ')) END)""".stripMargin
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** documents + toks + shingles columns. */
+  def withShingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+
+  /** 64-permutation MinHash signature as array<bigint>: perm k is
+    * min over shingles of xxhash64(k, shingle). Pure codegen'd
+    * expressions — one pass per permutation over an already-dedup'd
+    * in-memory array, no UDF, no shuffle. */
+  def withMinhash(df: DataFrame, perms: Int = 64): DataFrame =
+    df.withColumn("minhash", array(
+      (0 until perms).map(k =>
+        expr(s"array_min(transform(shingles, s -> xxhash64($k, s)))")): _*))
+
+  /** LSH candidate pairs from banding the minhash signature:
+    * bands of `r` rows hashed together; docs sharing any band bucket
+    * are candidates. One explode + one shuffle on (band, bandHash). */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 32, r: Int = 2): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"), col("minhash"),
+      posexplode(array((0 until bands).map { b =>
+        val parts = (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
+        expr(s"xxhash64(${parts.mkString(", ")})")
+      }: _*)).as(Seq("band", "band_hash")))
+    // Guard against degenerate mega-buckets (constant columns at 100 TB
+    // would otherwise turn one bucket into an all-pairs explosion): cap
+    // each (band, bucket) at 64 members, keeping the smallest doc_ids
+    // deterministically.
+    val capped = banded
+      .withColumn("bucket_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+          .orderBy(col("doc_id"))))
+      .filter(col("bucket_rank") <= 64)
+    val a = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("minhash").as("sig_a"))
+    val b = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("minhash").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sig_a", "sig_b")
+      .distinct()
+  }
+
+  /** SimHash-64 per document: per-bit weighted token-hash majority,
+    * computed as 64 conditional aggregates in a single groupBy. */
+  def simhash(df: DataFrame): DataFrame = {
+    val tokens = df.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = tokens.groupBy("doc_id").agg(
+      expr("count(*)").as("n_toks"),
+      (0 until 64).map(i =>
+        sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1, -1)")).as(s"b$i")): _*)
+    val hashCol = (0 until 64).map(i =>
+      expr(s"IF(b$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))"))
+      .reduce(_ bitwiseOR _)
+    bitSums.select(col("doc_id"), hashCol.as("simhash"))
+  }
+
+  // ====================================================================
+  // Driver-gated queries
+  // ====================================================================
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: one shuffle on text, keep lowest doc_id per group.
+    Q("t01_exact_dedup",
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  min(n_chars) AS n_chars
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+      "exact dedup via hash groupBy on text, lowest-id survivor") { (s, d) =>
+      docs(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"))
+        .select("doc_id", "n_copies", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // N-gram Jaccard near-dup: exact word-set jaccard within each source
+    // partition (blocked all-pairs — the blocking key bounds the product;
+    // LSH below is the unblocked scale path).
+    Q("t02_jaccard_pairs",
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> x <> '')) AS words
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |    / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+        |    4) AS jaccard
+        |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, a_id, b_id
+        |LIMIT 100""".stripMargin,
+      "exact word-set jaccard, source-blocked all-pairs, top-100") { (s, d) =>
+      val w = docs(s, d).select(col("doc_id"), col("source"),
+        expr(s"array_distinct($toksExpr)").as("words"))
+      val a = w.select(col("doc_id").as("a_id"), col("source"),
+        col("words").as("wa"))
+      val b = w.select(col("doc_id").as("b_id"), col("source"),
+        col("words").as("wb"))
+      a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("wa")) + size(col("wb")) - col("inter")), 4))
+        .select("a_id", "b_id", "jaccard")
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    },
+
+    // MinHash + LSH near-dup (not SQL-expressible -> rows-only check;
+    // property-tested in MinHashSpec instead).
+    Q.noOracle("t03_minhash_lsh_pairs",
+      "MinHash-LSH candidate pairs with signature-estimated jaccard") { (s, d) =>
+      val sigs = withMinhash(withShingles(s, d))
+        .select("doc_id", "minhash")
+      lshCandidatePairs(sigs)
+        .withColumn("est_jaccard", round(
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
+            "0, (acc, v) -> acc + v)").cast("double") / 64.0, 4))
+        .select("a_id", "b_id", "est_jaccard")
+        .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+        .limit(200)
+    },
+
+    // SimHash signatures per doc (rows-only; spec-verified).
+    Q.noOracle("t04_simhash",
+      "64-bit SimHash per document from token-hash bit majority") { (s, d) =>
+      simhash(docs(s, d).withColumn("toks", expr(toksExpr)))
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-pairs via 16-bit block LSH, hamming <= 6.
+    Q.noOracle("t05_simhash_pairs",
+      "SimHash near-dup pairs: 4x16-bit block join + hamming filter") { (s, d) =>
+      val sh = simhash(docs(s, d).withColumn("toks", expr(toksExpr)))
+      val blocked = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          expr(s"shiftright(simhash, ${j * 16}) & 65535")): _*))
+          .as(Seq("blk", "blk_val")))
+      val a = blocked.select(col("blk"), col("blk_val"),
+        col("doc_id").as("a_id"), col("simhash").as("ha"))
+      val b = blocked.select(col("blk"), col("blk_val"),
+        col("doc_id").as("b_id"), col("simhash").as("hb"))
+      a.join(b, Seq("blk", "blk_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(ha ^ hb)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("a_id"), col("b_id"))
+        .limit(500)
+    },
+
+    // Language ID: marker-word scoring, identical CASE logic both sides.
+    Q("t06_lang_id",
+      """SELECT doc_id,
+        |  CASE WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0
+        |         OR position(' a ' IN ' ' || lower(text) || ' ') > 0 THEN 'en'
+        |       WHEN position(' le ' IN ' ' || lower(text) || ' ') > 0
+        |         OR position(' la ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
+        |       WHEN position(' der ' IN ' ' || lower(text) || ' ') > 0
+        |         OR position(' und ' IN ' ' || lower(text) || ' ') > 0 THEN 'de'
+        |       WHEN position(' el ' IN ' ' || lower(text) || ' ') > 0
+        |         OR position(' los ' IN ' ' || lower(text) || ' ') > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang,
+        |  lang AS true_lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+      "marker-word language-ID heuristic") { (s, d) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def has(w: String): Column = instr(padded, s" $w ") > 0
+      docs(s, d).select(
+        col("doc_id"),
+        when(has("the") || has("a"), "en")
+          .when(has("le") || has("la"), "fr")
+          .when(has("der") || has("und"), "de")
+          .when(has("el") || has("los"), "es")
+          .otherwise("und").as("pred_lang"),
+        col("lang").as("true_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: token stats + stopword ratio, one codegen'd pass.
+    Q("t07_quality_score",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> x <> '')) AS n_tokens,
+        |    list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> length(x))) AS tok_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4)    AS stop_ratio
+        |FROM q
+        |WHERE n_tokens > 0
+        |ORDER BY doc_id""".stripMargin,
+      "per-doc quality features: token counts, length, stopword ratio") { (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")))
+        .filter(col("n_tokens") > 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(expr("aggregate(transform(toks, x -> length(x)), 0, (acc, v) -> acc + v)")
+            .cast("double") / col("n_tokens"), 4).as("avg_tok_len"),
+          round(expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and')))")
+            .cast("double") / col("n_tokens"), 4).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Token accounting: whitespace + BPE-ish regex token counts.
+    Q("t08_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |       AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |       AS BIGINT) AS re_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+      "whitespace + regex (BPE-ish) token counts per doc") { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+          .cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting via native codegen'd Catalyst expressions
+    // (PolyHash64 / WinnowFingerprint — see graft.functions). Rows-only
+    // check here; algebraic properties are covered by TextExprSpec.
+    Q.noOracle("t10_fingerprint",
+      "64-bit content hash + winnowing fingerprint per doc (custom exprs)") { (s, d) =>
+      import graft.functions.TextFunctions._
+      docs(s, d).select(
+        col("doc_id"),
+        poly_hash64(col("text")).as("content_hash"),
+        winnow_fingerprint(col("text"), 16).as("winnow_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal/binary plumbing: opaque binary payload + typed metadata.
+    Q("t09_binary_metadata",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS digest
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+      "binary column metadata: byte length + content digest") { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+        md5(encode(col("text"), "UTF-8")).as("digest"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.queries.Q
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label). The reference stores vectors as FixedSizeList
+  * columns and delegates ANN to Lance's Rust vector indexes
+  * (SURVEY.md 1.2, docs/src/performance.md "Index Usage"); here the
+  * same capability is built Spark-native:
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    full table — one scan, no shuffle of the corpus, per-partition
+  *    codegen'd distance eval, then a per-query top-k window. At 100 TB
+  *    the corpus side stays partition-parallel; only k rows per query
+  *    per partition survive to the final shuffle.
+  *  - LSH-bucketed ANN (the IVF-style scale path): sign-of-projection
+  *    onto fixed random hyperplanes buckets the corpus once (a single
+  *    narrow shuffle key); queries only compare within their bucket.
+  */
+object VectorOps {
+
+  /** Elementwise double dot product of two float arrays — sequential
+    * fold, so bit-identical across engines that sum left-to-right. */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def cosineCol: Column =
+    (expr(dot("qe", "e")) /
+      (sqrt(expr(dot("qe", "qe"))) * sqrt(expr(dot("e", "e"))))).as("cos")
+
+  /** Fixed random hyperplanes (deterministic seed) for sign-LSH.
+    * 6 planes -> 64 buckets; at real scale raise planes with corpus
+    * size (buckets ~ corpus/expected-bucket-occupancy). */
+  private val Dim = 64
+  private val Planes = 6
+  private val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(Planes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id = sign bits of projections onto the fixed hyperplanes. */
+  def withLshBucket(df: DataFrame, embCol: String): DataFrame = {
+    val bucket = hyperplanes.zipWithIndex.map { case (h, k) =>
+      val hLit = h.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
+      expr(
+        s"""IF(aggregate(zip_with($embCol, $hLit,
+           |     (x, y) -> CAST(x AS DOUBLE) * y),
+           |     CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,
+           |   shiftleft(1, $k), 0)""".stripMargin)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact top-5 cosine neighbors for the first 20 vectors.
+    Q("v01_knn_bruteforce",
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings),
+        |pairs AS (
+        |  SELECT q.q_id, c.n_id,
+        |    list_dot_product(q.qe, c.e)
+        |      / (sqrt(list_dot_product(q.qe, q.qe))
+        |         * sqrt(list_dot_product(c.e, c.e))) AS cos
+        |  FROM q CROSS JOIN c WHERE c.n_id <> q.q_id)
+        |SELECT q_id, rn, n_id, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rn
+        |  FROM pairs)
+        |WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+      "exact cosine top-5 via broadcast cross product + top-k window") { (s, d) =>
+      val e = emb(s, d)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("e"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("n_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosineCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("q_id", "rn")
+    },
+
+    // LSH-bucketed ANN: same top-k but restricted to each query's
+    // multi-probe bucket set — the query side additionally probes every
+    // bucket at hamming distance 1 (7 probes for 6 planes), while the
+    // corpus is bucketed exactly once. Classic multi-probe LSH: recall
+    // rises steeply, corpus-side work is unchanged. (Rows-only; recall
+    // vs brute force is property-tested in VectorOpsSpec.)
+    Q.noOracle("v02_ann_lsh",
+      "approximate top-5 via multi-probe sign-LSH buckets") { (s, d) =>
+      val bucketed = withLshBucket(emb(s, d), "embedding")
+      val probes = (0 until Planes).map(k => expr(s"bucket ^ ${1 << k}")) :+
+        col("bucket")
+      val queries = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(array(probes: _*)).as("bucket"))
+      val corpus = bucketed
+        .select(col("vec_id").as("n_id"), col("embedding").as("e"),
+          col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("n_id"))
+      corpus.join(broadcast(queries), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosineCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("q_id", "rn")
+    },
+
+    // Embedding-cosine near-duplicate detection: all pairs above a
+    // similarity threshold, LSH-blocked so the product never
+    // materializes. (Threshold 0.35 is the ~99.9th percentile of this
+    // synthetic corpus; a real near-dup pipeline would use ~0.95+.)
+    Q.noOracle("v03_embedding_near_dup",
+      "high-similarity vector pairs (cos >= 0.35) within LSH buckets") { (s, d) =>
+      val bucketed = withLshBucket(emb(s, d), "embedding")
+      val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("qe"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("e"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_raw", cosineCol)
+        .filter(col("cos_raw") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cos"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Centroid distances per label: groupBy label mean vector, then each
+    // vector's distance to its own label centroid — aggregate + rejoin.
+    Q("v04_label_centroid_dist",
+      """WITH ex AS (
+        |  SELECT vec_id, label, t.i AS i,
+        |    CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) AS t(i)),
+        |cent AS (
+        |  SELECT label, i, sum(x) / count(*) AS m
+        |  FROM ex GROUP BY label, i)
+        |SELECT ex.vec_id, ex.label,
+        |  round(sqrt(sum((ex.x - cent.m) * (ex.x - cent.m))), 4) AS dist
+        |FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |GROUP BY ex.vec_id, ex.label
+        |ORDER BY ex.vec_id""".stripMargin,
+      "per-label mean centroid + euclidean distance of each member") { (s, d) =>
+      val e = emb(s, d)
+      // mean vector per label: elementwise sum via posexplode + re-agg
+      val cent = e.select(col("label"), posexplode(col("embedding"))
+          .as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("label"), expr("transform(im, s -> s.m)").as("c"))
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("dist", round(sqrt(expr(
+          """aggregate(zip_with(embedding, c,
+            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)), 4))
+        .select("vec_id", "label", "dist")
+        .orderBy("vec_id")
+    }
+  )
+}

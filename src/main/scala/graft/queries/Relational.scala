@@ -499,6 +499,44 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Sessionization in batch: 30-minute-gap sessions per user via
+    // lag + cumulative window sum (the batch analog of streaming
+    // session_window; see graft.streaming for the streaming form).
+    Q("q26_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           > 1800000000000 OR lag(epoch_ns(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+      "gap-based sessionization: lag + cumulative sum windows") { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cumul = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull
+            || col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cumul))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    // ------------------------------------------------------------------
     // UNION ALL + re-aggregate (U1).
     Q("q25_union_all_parts",
       """SELECT src, count(*) AS n FROM (
