@@ -1,0 +1,182 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.connector.GraftTable
+import graft.format.GraftFormat
+import graft.format.GraftFormat.Manifest
+
+/** Spark catalog plugin for graft-format tables (SURVEY.md section 2.7:
+  * D1/D2/D6/D7/D8). Register with
+  *
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * Namespaces are directories under the warehouse; a table named
+  * `ns.t` lives at `<warehouse>/ns/t.graft/`.
+  *
+  * Time travel (D7): `VERSION AS OF n` resolves an exact manifest
+  * version; `TIMESTAMP AS OF ts` resolves the latest version committed
+  * at-or-before ts (reference: getVersionAtTimestamp walking
+  * listVersions, LanceRuntime.java:361-388). Every loadTable pins the
+  * resolved manifest into the returned Table — snapshot isolation for
+  * the whole query (D8, LanceTableHandle.java:48,246-254).
+  *
+  * Parity notes: ALTER TABLE and RENAME are unsupported exactly like the
+  * reference (BaseLanceConnectorTest.java:89-96); schema change happens
+  * only through overwrite.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'")))
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_ resolve _)
+
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace()).resolve(ident.name() + ".graft")
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".graft") &&
+        GraftFormat.exists(p))
+      .map(p => Identifier.of(namespace,
+        p.getFileName.toString.stripSuffix(".graft")))
+      .toArray
+  }
+
+  private def load(ident: Identifier, pick: Path => Option[Manifest]): Table = {
+    val dir = tableDir(ident)
+    if (!GraftFormat.exists(dir)) throw new NoSuchTableException(ident)
+    val manifest = pick(dir).getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(ident.toString, dir, manifest)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, GraftFormat.readLatest)
+
+  /** SQL `VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, { dir =>
+      val v = try version.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid version '$version' for table $ident (expected integer)")
+      }
+      if (!GraftFormat.listVersions(dir).contains(v))
+        throw new IllegalArgumentException(
+          s"version $v does not exist for table $ident")
+      Some(GraftFormat.readManifest(dir, v))
+    })
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, { dir =>
+      GraftFormat.versionAtTimestamp(dir, timestampMicros / 1000L)
+        .map(GraftFormat.readManifest(dir, _))
+        .orElse(throw new IllegalArgumentException(
+          s"no version of $ident exists at or before timestamp " +
+            s"${timestampMicros}us"))
+    })
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are fragment-partitioned; explicit PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (GraftFormat.exists(dir)) throw new TableAlreadyExistsException(ident)
+    if (!Files.isDirectory(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
+    GraftFormat.init(dir)
+    val m = Manifest(1L, schema.json, Seq.empty, -1,
+      System.currentTimeMillis(), "Create")
+    GraftFormat.commit(dir, m)
+    new GraftTable(ident.toString, dir, m)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft (like the reference) does not support ALTER TABLE; " +
+        "use CREATE OR REPLACE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!GraftFormat.exists(dir)) return false
+    // recursive delete
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    true
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft (like the reference) does not support RENAME TABLE")
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.endsWith(".graft"))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.endsWith(".graft"))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    Files.createDirectories(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) return false
+    val empty = !Files.list(dir).iterator().hasNext
+    if (!empty && !cascade) throw new IllegalStateException(
+      s"namespace ${namespace.mkString(".")} is not empty")
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    true
+  }
+}

@@ -1,0 +1,240 @@
+package graft.connector
+
+import java.nio.file.Files
+import java.util.OptionalLong
+
+import org.apache.spark.sql.{GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, BoundReference, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.format.GraftFormat
+import graft.format.GraftFormat.FragmentMeta
+
+/** Pushdown negotiation (SURVEY.md section 2.2/2.4/2.5):
+  *  - projection pushdown incl. the `_row_address` metadata column (P1)
+  *  - V1 filter pushdown into parquet row-group/page skipping (P3/P6);
+  *    every filter is also reported back as a residual so Catalyst keeps
+  *    the Filter node — parquet skipping is best-effort, correctness
+  *    stays engine-side exactly like the reference's partial pushdown
+  *  - limit pushdown with fragment coalescing (O1/S5): with no filter,
+  *    only the fragment prefix covering `limit` live rows is planned
+  *  - COUNT(*) pushdown answered from the manifest with the reference's
+  *    guards: no filter, no grouping (A1/S4)
+  */
+class GraftScanBuilder(table: GraftTable)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
+
+  private var required: StructType = table.dataSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var countStar = false
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept the parquet-pushable subset for skipping; return ALL as
+    // residual -> Spark re-evaluates (partial pushdown, like the
+    // reference returning remaining domains from applyFilter)
+    pushed = filters.filter(f => f.references.forall(r =>
+      table.dataSchema.fieldNames.contains(r)))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    isPushableCountStar(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (isPushableCountStar(agg)) { countStar = true; true } else false
+  }
+
+  /** Reference guards (LanceMetadata.java:604-665): single COUNT(*)
+    * aggregate, no grouping, and no filter pushed. */
+  private def isPushableCountStar(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && pushed.isEmpty && limit.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+
+  override def build(): Scan =
+    new GraftScan(table, required, pushed, limit, countStar)
+}
+
+class GraftScan(
+    table: GraftTable,
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Option[Int],
+    countStar: Boolean)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType =
+    if (countStar) new StructType().add("count_star", LongType, nullable = false)
+    else required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +
+      s"fragments=${table.manifest.fragments.size}, " +
+      s"pushedFilters=[${pushed.mkString(", ")}], limit=$limit, " +
+      s"countStar=$countStar)"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      table.manifest.fragments.map { f =>
+        val p = table.dir.resolve(f.path)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(table.manifest.liveRows)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (countStar) {
+      // answered entirely from the manifest: one empty partition
+      // carrying the count (reference: LanceCountPageSource.java:90-95)
+      return Array(GraftCountPartition(table.manifest.liveRows))
+    }
+    val frags = table.manifest.fragments
+    // limit + no filter -> plan only the fragment prefix covering the
+    // limit in deletion-aware live rows (>= 1 fragment), mirroring the
+    // reference's split coalescing (LanceSplitManager.java:100-112)
+    val planned: Seq[FragmentMeta] = limit match {
+      case Some(l) if pushed.isEmpty && frags.nonEmpty =>
+        val acc = frags.scanLeft(0L)(_ + _.liveRows).tail
+        val keep = acc.indexWhere(_ >= l) match {
+          case -1 => frags.size
+          case i => i + 1
+        }
+        frags.take(keep)
+      case _ => frags
+    }
+    planned.map { f =>
+      GraftFragmentPartition(
+        fragId = f.id,
+        absPath = table.dir.resolve(f.path).toUri.getPath,
+        fileSize = Files.size(table.dir.resolve(f.path)),
+        deletionAbsPath =
+          f.deletionPath.map(p => table.dir.resolve(p).toUri.getPath),
+        // reader-side early stop is only safe when no residual filter
+        // runs above the scan (Catalyst only pushes the limit then, but
+        // keep the guard local too)
+        limit = limit.filter(_ => pushed.isEmpty)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val needsRowAddress = required.fieldNames.contains(GraftTable.RowAddressName)
+    val dataCols = StructType(required.fields.filterNot(
+      _.name == GraftTable.RowAddressName))
+    // physical parquet read schema: pruned data columns + row index
+    // nullable=true is load-bearing: the vectorized reader tolerates the
+    // column being absent from the file only for nullable columns, then
+    // its RowIndexGenerator fills the vector with physical row indexes
+    val parquetSchema = StructType(dataCols.fields :+
+      StructField(GraftShim.rowIndexColumnName, LongType, nullable = true))
+    val readFunc = GraftShim.parquetReaderFunc(
+      spark, table.dataSchema, parquetSchema, pushed.toIndexedSeq,
+      spark.sessionState.newHadoopConf())
+    new GraftReaderFactory(readFunc, dataCols, needsRowAddress, countStar)
+  }
+}
+
+case class GraftFragmentPartition(
+    fragId: Int,
+    absPath: String,
+    fileSize: Long,
+    deletionAbsPath: Option[String],
+    limit: Option[Int]) extends InputPartition
+
+case class GraftCountPartition(count: Long) extends InputPartition
+
+class GraftReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow],
+    dataCols: StructType,
+    needsRowAddress: Boolean,
+    countStar: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftCountPartition(n) => new CountReader(n)
+      case fp: GraftFragmentPartition => new FragmentReader(fp)
+    }
+
+  /** Single-row reader for manifest-answered COUNT(*). */
+  private class CountReader(n: Long) extends PartitionReader[InternalRow] {
+    private var emitted = false
+    private val row = InternalRow(n)
+    override def next(): Boolean = if (emitted) false else { emitted = true; true }
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
+  }
+
+  /** Per-fragment reader: Spark's vectorized parquet pipeline +
+    * deletion-vector filter + row-address projection, all inside one
+    * codegen'd UnsafeProjection. */
+  private class FragmentReader(fp: GraftFragmentPartition)
+    extends PartitionReader[InternalRow] {
+
+    private val iter = readFunc(GraftShim.partitionedFile(fp.absPath, fp.fileSize))
+
+    // deletion vector, loaded once per fragment (sorted -> binary search)
+    private val deleted: Array[Long] = fp.deletionAbsPath match {
+      case Some(p) =>
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s == "[]") Array.empty[Long]
+        else s.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
+      case None => Array.empty[Long]
+    }
+
+    private val n = dataCols.length
+    private val rowIdxOrdinal = n // appended last in the parquet schema
+    private val projExprs: Seq[Expression] = {
+      val base = dataCols.fields.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      }.toSeq
+      if (needsRowAddress)
+        base :+ BitwiseOr(Literal(fp.fragId.toLong << 32),
+          BoundReference(rowIdxOrdinal, LongType, nullable = false))
+      else base
+    }
+    private val proj = UnsafeProjection.create(projExprs.toArray)
+
+    private var current: InternalRow = _
+    private var emitted = 0L
+    private val maxRows = fp.limit.map(_.toLong).getOrElse(Long.MaxValue)
+
+    override def next(): Boolean = {
+      if (emitted >= maxRows) return false
+      while (iter.hasNext) {
+        val r = iter.next()
+        val idx = r.getLong(rowIdxOrdinal)
+        if (deleted.isEmpty ||
+            java.util.Arrays.binarySearch(deleted, idx) < 0) {
+          current = proj(r)
+          emitted += 1
+          return true
+        }
+      }
+      false
+    }
+    override def get(): InternalRow = current
+    override def close(): Unit = ()
+  }
+}

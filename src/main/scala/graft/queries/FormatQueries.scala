@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-gated queries that exercise the graft table format END TO END:
+  * each one (re)builds a graft table from the sf-dir parquet input via
+  * the DSv2 catalog, then answers a query whose oracle runs on the raw
+  * parquet — so CTAS/insert/commit, fragment scan, deletion vectors,
+  * time travel and manifest count(*) all sit inside the correctness
+  * gate, not just unit tests.
+  */
+object FormatQueries {
+
+  private def setup(s: SparkSession, d: String): Unit = {
+    val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_wh").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Full write -> read roundtrip through the format.
+    Q("g01_format_roundtrip",
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      "graft CTAS of lineitem + aggregate read-back") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.li_rt")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("li_rt_src")
+      s.sql("CREATE TABLE graft.db.li_rt AS SELECT * FROM li_rt_src")
+      s.table("graft.db.li_rt")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // MVCC time travel: v2 = first half only; latest = everything.
+    Q("g02_time_travel",
+      """SELECT 'v2' AS snap, count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'latest' AS snap, count(*) AS n FROM lineitem
+        |ORDER BY snap""".stripMargin,
+      "append creates versions; VERSION AS OF reads the older snapshot") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.li_tt")
+      val li = Tables.load(s, d, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0).createOrReplaceTempView("tt_even")
+      li.filter(col("l_orderkey") % 2 =!= 0).createOrReplaceTempView("tt_odd")
+      s.sql("CREATE TABLE graft.db.li_tt AS SELECT * FROM tt_even")
+      s.sql("INSERT INTO graft.db.li_tt SELECT * FROM tt_odd")
+      // versions: 1=create(empty), 2=ctas insert, 3=append
+      s.sql(
+        """SELECT 'v2' AS snap, count(*) AS n
+          |  FROM graft.db.li_tt VERSION AS OF 2
+          |UNION ALL
+          |SELECT 'latest' AS snap, count(*) AS n FROM graft.db.li_tt
+          |ORDER BY snap""".stripMargin)
+    },
+
+    // Merge-on-read DELETE with deletion vectors.
+    Q("g03_delete_vectors",
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+      "SQL DELETE writes per-fragment deletion vectors; scan applies them") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.li_del")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("li_del_src")
+      s.sql("CREATE TABLE graft.db.li_del AS SELECT * FROM li_del_src")
+      s.sql("DELETE FROM graft.db.li_del WHERE l_returnflag = 'R'")
+      s.sql("DELETE FROM graft.db.li_del WHERE l_quantity < 5")
+      s.table("graft.db.li_del")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // COUNT(*) answered from the manifest (zero data scan), minus
+    // deletion-vector counts.
+    Q("g04_manifest_count",
+      """SELECT count(*) AS n FROM lineitem WHERE NOT l_returnflag = 'A'""",
+      "manifest-served count(*) after DELETE (deletion-aware)") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.li_cnt")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("li_cnt_src")
+      s.sql("CREATE TABLE graft.db.li_cnt AS SELECT * FROM li_cnt_src")
+      s.sql("DELETE FROM graft.db.li_cnt WHERE l_returnflag = 'A'")
+      s.table("graft.db.li_cnt").agg(count(lit(1)).as("n"))
+    },
+
+    // Row addresses are unique across the table (fragment-scoped
+    // identity, like the reference's $row_address).
+    Q("g05_row_address",
+      "SELECT count(*) AS n_rows FROM orders",
+      "distinct _row_address count == table row count") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.ord_addr")
+      Tables.load(s, d, "orders").createOrReplaceTempView("ord_addr_src")
+      s.sql("CREATE TABLE graft.db.ord_addr AS SELECT * FROM ord_addr_src")
+      s.table("graft.db.ord_addr")
+        .agg(countDistinct(col("_row_address")).as("n_rows"))
+    }
+  )
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat
+
+class GraftConnectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.g", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    dir
+  }
+
+  private def li = Tables.load(spark, sf, "lineitem")
+
+  test("ctas + read back matches source") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.li")
+    li.limit(1000).createOrReplaceTempView("li_src")
+    spark.sql("CREATE TABLE g.db.li AS SELECT * FROM li_src")
+    val got = spark.table("g.db.li")
+    assert(got.count() == 1000)
+    assert(got.schema.fieldNames.sameElements(li.schema.fieldNames))
+    val a = got.agg(sum("l_quantity")).head.getDouble(0)
+    val b = li.limit(1000).agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("insert append creates a new version; time travel reads the old one") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.tt")
+    spark.sql("CREATE TABLE g.db.tt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.tt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO g.db.tt VALUES (3, 'c')")
+    assert(spark.table("g.db.tt").count() == 3)
+    // v1 = empty create, v2 = first insert, v3 = second insert
+    assert(spark.sql("SELECT * FROM g.db.tt VERSION AS OF 2").count() == 2)
+    assert(spark.sql("SELECT * FROM g.db.tt VERSION AS OF 1").count() == 0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.tt VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage.contains("99"))
+  }
+
+  test("count(*) is answered from the manifest (no fragment read)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.cnt")
+    li.limit(500).createOrReplaceTempView("cnt_src")
+    spark.sql("CREATE TABLE g.db.cnt AS SELECT * FROM cnt_src")
+    val df = spark.table("g.db.cnt").agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("countStar=true"), s"count(*) not pushed:\n$plan")
+    assert(df.head.getLong(0) == 500)
+  }
+
+  test("filter + projection pushdown reach the scan") {
+    wh
+    val df = spark.table("g.db.li")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushedFilters=[IsNotNull(l_quantity)"),
+      s"filters not pushed:\n$scanDesc")
+    val expected = li.limit(1000).filter(col("l_quantity") > 45).count()
+    assert(df.count() == expected)
+  }
+
+  test("DELETE writes deletion vectors, count and rows update, history preserved") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.del")
+    li.limit(2000).createOrReplaceTempView("del_src")
+    spark.sql("CREATE TABLE g.db.del AS SELECT * FROM del_src")
+    val before = spark.table("g.db.del").count()
+    val toDelete = spark.table("g.db.del")
+      .filter(col("l_returnflag") === "R").count()
+    spark.sql("DELETE FROM g.db.del WHERE l_returnflag = 'R'")
+    val after = spark.table("g.db.del")
+    assert(after.count() == before - toDelete)
+    assert(after.filter(col("l_returnflag") === "R").count() == 0)
+    // old version still sees deleted rows (merge-on-read, MVCC)
+    val versions = spark.sql("SELECT * FROM g.db.del VERSION AS OF 2")
+    assert(versions.count() == before)
+    // second delete on another predicate merges with existing vectors
+    val toDelete2 = after.filter(col("l_quantity") < 10).count()
+    spark.sql("DELETE FROM g.db.del WHERE l_quantity < 10")
+    assert(spark.table("g.db.del").count() == before - toDelete - toDelete2)
+  }
+
+  test("_row_address metadata column is selectable and unique") {
+    wh
+    val addrs = spark.table("g.db.cnt").select(col("_row_address")).collect()
+      .map(_.getLong(0))
+    assert(addrs.length == 500)
+    assert(addrs.distinct.length == 500)
+  }
+
+  test("INSERT OVERWRITE truncates and rewrites") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.ow")
+    spark.sql("CREATE TABLE g.db.ow (k BIGINT)")
+    spark.sql("INSERT INTO g.db.ow VALUES (1), (2), (3)")
+    spark.sql("INSERT OVERWRITE g.db.ow VALUES (9)")
+    val rows = spark.table("g.db.ow").collect().map(_.getLong(0))
+    assert(rows.sameElements(Array(9L)))
+  }
+
+  test("limit pushdown coalesces fragment partitions") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.lim")
+    li.limit(3000).repartition(6).write.format("noop") // force multi-fragment
+    li.limit(3000).repartition(6).createOrReplaceTempView("lim_src")
+    spark.sql("CREATE TABLE g.db.lim AS SELECT * FROM lim_src")
+    val m = GraftFormat.readLatest(
+      java.nio.file.Paths.get(wh, "db", "lim.graft")).get
+    assert(m.fragments.size > 1, "expected multiple fragments")
+    val df = spark.table("g.db.lim").limit(10)
+    assert(df.count() == 10)
+    val nParts = df.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.size
+    assert(nParts == 1, s"limit should plan 1 fragment, planned $nParts")
+  }
+
+  test("alter and rename are rejected like the reference") {
+    wh
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.cnt ADD COLUMN extra INT")
+    }.getMessage.toLowerCase.contains("alter"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.cnt RENAME TO cnt2")
+    }.getMessage.toLowerCase.contains("rename"))
+  }
+
+  test("manifest json roundtrip") {
+    import graft.format.GraftFormat._
+    val m = Manifest(7, """{"type":"struct","fields":[]}""",
+      Seq(FragmentMeta(0, "data/x.parquet", 100, Some("_deletions/0-1-z.json"), 3)),
+      0, 123456789L, "Update")
+    assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
+  }
+}
