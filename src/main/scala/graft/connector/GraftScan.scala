@@ -86,6 +86,10 @@ class GraftScan(
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(table)
+
   override def description(): String =
     s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +
       s"fragments=${table.manifest.fragments.size}, " +

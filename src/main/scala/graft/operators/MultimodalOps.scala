@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted inside
+  * `mapPartitions` (the Scala analog of a Pandas-UDF batch stage).
+  *
+  * The actual media codecs are NOT in this container, so the decode step
+  * is a DETERMINISTIC STUB (clearly marked below) — what is real and
+  * tested is everything Spark-side: the binary payload schema, the
+  * per-partition batch iteration (no row-at-a-time UDF boxing), the
+  * typed feature StructType output, and the partition-parallel shape
+  * that would hold with a real decoder at 100 TB (each partition decodes
+  * its own batch; nothing collects to the driver).
+  */
+object MultimodalOps {
+
+  /** Typed output of the fake decoder. */
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("fake_width", IntegerType, nullable = false),
+    StructField("fake_height", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** ======== DECODE STUB ========
+    * Stands in for image decode / resize / frame sampling. Deterministic
+    * pure function of the payload bytes so results are reproducible;
+    * a real implementation would call the codec here, per partition,
+    * reusing one decoder instance across the batch. */
+  private def fakeDecode(docId: Long, bytes: Array[Byte]): Row = {
+    val len = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += bytes(i) & 0xff; i += 1 }
+    val mean = if (len == 0) 0.0 else sum.toDouble / len
+    // "dimensions" derived from content hash; "frames" = 16-byte blocks
+    val h = graft.functions.TextHashing.polyHash64(bytes)
+    Row(docId, len.toLong,
+      (math.abs(h % 1920) + 1).toInt,
+      (math.abs((h >> 16) % 1080) + 1).toInt,
+      math.rint(mean * 10000) / 10000,
+      (len + 15) / 16)
+  }
+
+  /** Binary payload table: documents' text re-encoded as opaque bytes
+    * (the stand-in for an image/audio column with blob semantics). */
+  def payloads(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  val all: Seq[Q] = Seq(
+
+    // Batch feature extraction over binary payloads via mapPartitions.
+    Q.noOracle("m01_multimodal_features",
+      "binary decode stub -> typed features, partition-parallel") { (s, d) =>
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(featureSchema)
+      payloads(s, d)
+        .mapPartitions { rows =>
+          // one "decoder" per partition, reused across the batch —
+          // the shape a real codec integration needs
+          rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        }(enc)
+        .orderBy("doc_id")
+    },
+
+    // Blob-style virtual metadata columns without materializing content:
+    // byte length + content digest are computable from the payload
+    // column alone (the reference exposes <col>__blob_pos/__blob_size
+    // virtual columns the same way, BlobUtils.java:26-27).
+    Q("m02_blob_metadata",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blob_size,
+        |  substr(md5(text), 1, 8) AS digest8
+        |FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) > 200
+        |ORDER BY doc_id""".stripMargin,
+      "blob virtual metadata: size + digest, filtered without decode") { (s, d) =>
+      payloads(s, d)
+        .withColumn("blob_size", length(col("payload")).cast("long"))
+        .filter(col("blob_size") > 200)
+        .select(col("doc_id"), col("blob_size"),
+          substring(md5(col("payload")), 1, 8).as("digest8"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -537,6 +537,45 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // As-of join (an operator the reference lacks entirely; Spark has no
+    // built-in either). Composed from existing ops — union + ordered
+    // window with last_value(ignoreNulls) — per the custom-operator
+    // preference order: composition beats a custom SparkPlan when the
+    // semantics fit. One sort-shuffle total; at scale add a range-bucket
+    // pre-partition on time so the window never sees one giant partition.
+    Q("q27_asof_join",
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t_ns
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t_ns
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, c.event_id AS last_click_id
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND c.t_ns <= p.t_ns
+        |ORDER BY purchase_id""".stripMargin,
+      "as-of join: latest click at-or-before each purchase, per user") { (s, d) =>
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t_ns"), lit(0).as("kind"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t_ns"), lit(1).as("kind"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ns"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_click_id").isNotNull)
+        .select(col("purchase_id"), col("last_click_id"))
+        .orderBy("purchase_id")
+    },
+
+    // ------------------------------------------------------------------
     // UNION ALL + re-aggregate (U1).
     Q("q25_union_all_parts",
       """SELECT src, count(*) AS n FROM (

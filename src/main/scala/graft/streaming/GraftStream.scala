@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+import graft.connector.{GraftFragmentPartition, GraftTable}
+import graft.format.GraftFormat
+
+/** Structured Streaming source over a graft table: every committed
+  * manifest version is a natural micro-batch offset (SURVEY.md section
+  * 2.8 — absent from the reference, a designed-in extension here).
+  *
+  * A batch (fromVersion, toVersion] contains exactly the fragments that
+  * joined the table in those commits — appends stream through, while
+  * merge-on-read deletes and overwrites never rewrite an already-
+  * streamed fragment id (fragment ids are never reused), so replays are
+  * deterministic: offsets name manifest versions, data files are
+  * immutable.
+  *
+  * Scale: planInputPartitions is O(new fragments); each partition is one
+  * fragment read by the same vectorized reader as batch scans.
+  */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftOffset(GraftFormat.latestVersion(table.dir).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.replaceAll("[^0-9]", "")
+    GraftOffset(if (v.isEmpty) 0L else v.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val to = end.asInstanceOf[GraftOffset].version
+    if (to <= from) return Array.empty
+    val versions = GraftFormat.listVersions(table.dir)
+    val baseIds: Set[Int] =
+      if (from == 0L || !versions.contains(from)) Set.empty
+      else GraftFormat.readManifest(table.dir, from).fragments.map(_.id).toSet
+    val endManifest =
+      if (versions.contains(to)) GraftFormat.readManifest(table.dir, to)
+      else table.manifest
+    endManifest.fragments
+      .filterNot(f => baseIds.contains(f.id))
+      .map { f =>
+        GraftFragmentPartition(
+          fragId = f.id,
+          absPath = table.dir.resolve(f.path).toUri.getPath,
+          fileSize = java.nio.file.Files.size(table.dir.resolve(f.path)),
+          // streams see the fragment as appended (no deletion vector):
+          // deletes are table-state, not stream events
+          deletionAbsPath = None,
+          limit = None): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import org.apache.spark.sql.{GraftShim, SparkSession}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = SparkSession.active
+    val dataCols = table.dataSchema
+    val parquetSchema = StructType(dataCols.fields :+
+      StructField(GraftShim.rowIndexColumnName, LongType, nullable = true))
+    val readFunc = GraftShim.parquetReaderFunc(
+      spark, dataCols, parquetSchema, Seq.empty,
+      spark.sessionState.newHadoopConf())
+    new graft.connector.GraftReaderFactory(
+      readFunc, dataCols, needsRowAddress = false, countStar = false)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
