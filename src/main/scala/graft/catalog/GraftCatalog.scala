@@ -35,7 +35,8 @@ import graft.format.GraftFormat.Manifest
   * reference (BaseLanceConnectorTest.java:89-96); schema change happens
   * only through overwrite.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -119,6 +120,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftFormat.commit(dir, m)
     new GraftTable(ident.toString, dir, m)
   }
+
+  // ---------------------------------------------- atomic CTAS/RTAS (D3)
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (GraftFormat.exists(tableDir(ident)))
+      throw new TableAlreadyExistsException(ident)
+    new StagedGraftTable(ident.toString, tableDir(ident), schema,
+      replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!GraftFormat.exists(tableDir(ident)))
+      throw new NoSuchTableException(ident)
+    new StagedGraftTable(ident.toString, tableDir(ident), schema,
+      replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable =
+    new StagedGraftTable(ident.toString, tableDir(ident), schema,
+      replace = true)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

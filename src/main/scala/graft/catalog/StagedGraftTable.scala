@@ -1,0 +1,107 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+
+import graft.format.GraftFormat
+import graft.format.GraftFormat.{FragmentMeta, Manifest}
+
+/** Two-phase atomic CTAS / RTAS / CREATE OR REPLACE (SURVEY.md D3;
+  * reference: beginCreateTable -> workers write fragments ->
+  * finishCreateTable Overwrite-commit, LanceMetadata.java:886-1027).
+  *
+  * Fragments are written into `data/` during the write phase but stay
+  * invisible — no manifest references them — until
+  * `commitStagedChanges()` publishes ONE Overwrite manifest. A failed
+  * or aborted CTAS leaves the previous table version fully intact, and
+  * REPLACE with a different schema is the format's only schema-change
+  * mechanism, exactly like the reference
+  * (RTAS-with-different-schema test, BaseLanceConnectorSmokeTest.java:163-180).
+  */
+class StagedGraftTable(
+    ident: String,
+    dir: Path,
+    schema0: StructType,
+    replace: Boolean) extends StagedTable with SupportsWrite {
+
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  override def name(): String = ident
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // RTAS plans an overwrite of the (empty) staged table — both modes
+      // are no-ops here: nothing is visible until commitStagedChanges
+      override def truncate(): WriteBuilder = this
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = this
+      override def build(): Write = stagedWrite
+    }
+
+  private def stagedWrite: V1Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            GraftFormat.init(dir)
+            val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
+            data.write.parquet(staging.toUri.toString)
+            val conf = data.sparkSession.sessionState.newHadoopConf()
+            Files.list(staging).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toSeq.sortBy(_.getFileName.toString)
+              .foreach { p =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                val n = try r.getRecordCount finally r.close()
+                val nm = s"${UUID.randomUUID()}.parquet"
+                Files.move(p, GraftFormat.dataDir(dir).resolve(nm))
+                staged.synchronized { staged += ((s"data/$nm", n)) }
+              }
+            Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(staging)
+          }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    GraftFormat.init(dir)
+    GraftFormat.commitWithRetry(dir) { latestOpt =>
+      if (latestOpt.isDefined && !replace)
+        throw new IllegalStateException(
+          s"table $ident already exists (staged CREATE lost a race)")
+      var nextId = -1
+      val frags = staged.toSeq.map { case (rel, n) =>
+        nextId += 1
+        FragmentMeta(nextId, rel, n, None, 0L)
+      }
+      Manifest(
+        version = latestOpt.map(_.version + 1).getOrElse(1L),
+        schemaJson = schema0.json,
+        fragments = frags,
+        maxFragmentId = nextId,
+        createdAtMs = System.currentTimeMillis(),
+        operation = if (latestOpt.isDefined) "Overwrite" else "Create")
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach { case (rel, _) =>
+      Files.deleteIfExists(dir.resolve(rel))
+    }
+}

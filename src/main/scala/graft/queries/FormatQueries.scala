@@ -46,7 +46,7 @@ object FormatQueries {
 
     // MVCC time travel: v2 = first half only; latest = everything.
     Q("g02_time_travel",
-      """SELECT 'v2' AS snap, count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 0
+      """SELECT 'v1' AS snap, count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 0
         |UNION ALL
         |SELECT 'latest' AS snap, count(*) AS n FROM lineitem
         |ORDER BY snap""".stripMargin,
@@ -58,10 +58,10 @@ object FormatQueries {
       li.filter(col("l_orderkey") % 2 =!= 0).createOrReplaceTempView("tt_odd")
       s.sql("CREATE TABLE graft.db.li_tt AS SELECT * FROM tt_even")
       s.sql("INSERT INTO graft.db.li_tt SELECT * FROM tt_odd")
-      // versions: 1=create(empty), 2=ctas insert, 3=append
+      // versions: 1 = atomic CTAS (even rows), 2 = append (odd rows)
       s.sql(
-        """SELECT 'v2' AS snap, count(*) AS n
-          |  FROM graft.db.li_tt VERSION AS OF 2
+        """SELECT 'v1' AS snap, count(*) AS n
+          |  FROM graft.db.li_tt VERSION AS OF 1
           |UNION ALL
           |SELECT 'latest' AS snap, count(*) AS n FROM graft.db.li_tt
           |ORDER BY snap""".stripMargin)
@@ -99,6 +99,69 @@ object FormatQueries {
       s.sql("CREATE TABLE graft.db.li_cnt AS SELECT * FROM li_cnt_src")
       s.sql("DELETE FROM graft.db.li_cnt WHERE l_returnflag = 'A'")
       s.table("graft.db.li_cnt").agg(count(lit(1)).as("n"))
+    },
+
+    // Row-level UPDATE (merge-on-read delete + insert, one commit).
+    Q("g06_update",
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_totalprice < 10000
+        |                 THEN o_totalprice * 1.1
+        |                 ELSE o_totalprice END), 2) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+      "UPDATE applies assignments to matched rows via deletion+insert commit") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.ord_upd")
+      Tables.load(s, d, "orders").createOrReplaceTempView("ord_upd_src")
+      s.sql("CREATE TABLE graft.db.ord_upd AS SELECT * FROM ord_upd_src")
+      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+        "ord_upd.graft")
+      graft.ops.GraftOps.update(s, dir,
+        col("o_totalprice") < 10000,
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      s.table("graft.db.ord_upd")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // MERGE: upsert from a source snapshot into the table.
+    Q("g07_merge",
+      """WITH target AS (SELECT c_custkey, c_acctbal FROM customer
+        |                WHERE c_custkey <= 1000),
+        |src AS (SELECT c_custkey, c_acctbal * 2 AS new_bal FROM customer
+        |        WHERE c_custkey BETWEEN 500 AND 1500)
+        |SELECT c_custkey, round(bal, 2) AS bal FROM (
+        |  SELECT t.c_custkey,
+        |         coalesce(s.new_bal, t.c_acctbal) AS bal
+        |  FROM target t LEFT JOIN src s USING (c_custkey)
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.new_bal AS bal
+        |  FROM src s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM target))
+        |ORDER BY c_custkey""".stripMargin,
+      "MERGE upsert: matched rows replaced, unmatched source rows inserted") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.cust_mrg")
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 1000)
+        .select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("cust_mrg_src")
+      s.sql("CREATE TABLE graft.db.cust_mrg AS SELECT * FROM cust_mrg_src")
+      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+        "cust_mrg.graft")
+      val source = Tables.load(s, d, "customer")
+        .filter(col("c_custkey").between(500, 1500))
+        .select(col("c_custkey").as("sk"),
+          (col("c_acctbal") * 2).as("new_bal"))
+      graft.ops.GraftOps.merge(s, dir, source,
+        on = col("t.c_custkey") === col("s.sk"),
+        whenMatched = Some(Map("c_acctbal" -> col("s.new_bal"))),
+        whenNotMatched = Some(Map(
+          "c_custkey" -> col("s.sk"), "c_acctbal" -> col("s.new_bal"))))
+      s.table("graft.db.cust_mrg")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
     },
 
     // Row addresses are unique across the table (fragment-scoped

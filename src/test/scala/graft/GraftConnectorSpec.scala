@@ -84,8 +84,9 @@ class GraftConnectorSpec extends AnyFunSuite {
     val after = spark.table("g.db.del")
     assert(after.count() == before - toDelete)
     assert(after.filter(col("l_returnflag") === "R").count() == 0)
-    // old version still sees deleted rows (merge-on-read, MVCC)
-    val versions = spark.sql("SELECT * FROM g.db.del VERSION AS OF 2")
+    // old version still sees deleted rows (merge-on-read, MVCC);
+    // atomic CTAS commits data at version 1
+    val versions = spark.sql("SELECT * FROM g.db.del VERSION AS OF 1")
     assert(versions.count() == before)
     // second delete on another predicate merges with existing vectors
     val toDelete2 = after.filter(col("l_quantity") < 10).count()
@@ -136,6 +137,36 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE g.db.cnt RENAME TO cnt2")
     }.getMessage.toLowerCase.contains("rename"))
+  }
+
+  test("CREATE OR REPLACE swaps schema atomically; old version readable") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.cor")
+    spark.sql("CREATE TABLE g.db.cor AS SELECT 1 AS a, 'x' AS b")
+    assert(spark.table("g.db.cor").columns.sameElements(Array("a", "b")))
+    // replace with a DIFFERENT schema (the format's only schema change)
+    spark.sql("CREATE OR REPLACE TABLE g.db.cor AS SELECT CAST(2.5 AS DOUBLE) AS c")
+    val after = spark.table("g.db.cor")
+    assert(after.columns.sameElements(Array("c")))
+    assert(after.head.getDouble(0) == 2.5)
+    // previous version still has the old schema + data
+    val old = spark.sql("SELECT * FROM g.db.cor VERSION AS OF 1")
+    assert(old.columns.sameElements(Array("a", "b")))
+    assert(old.head.getInt(0) == 1)
+  }
+
+  test("REPLACE TABLE on missing table fails; CTAS on existing fails") {
+    wh
+    assert(intercept[Exception] {
+      spark.sql("REPLACE TABLE g.db.nope_missing AS SELECT 1 AS x")
+    }.getMessage.toLowerCase.contains("not"))
+    spark.sql("DROP TABLE IF EXISTS g.db.dup")
+    spark.sql("CREATE TABLE g.db.dup AS SELECT 1 AS x")
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE g.db.dup AS SELECT 2 AS y")
+    }.getMessage.toLowerCase.contains("exists"))
+    // original table untouched by the failed CTAS
+    assert(spark.table("g.db.dup").head.getInt(0) == 1)
   }
 
   test("manifest json roundtrip") {
