@@ -116,7 +116,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!Files.isDirectory(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     GraftFormat.init(dir)
     val m = Manifest(1L, schema.json, Seq.empty, -1,
-      System.currentTimeMillis(), "Create")
+      System.currentTimeMillis(), "Create",
+      GraftCatalog.userProperties(properties))
     GraftFormat.commit(dir, m)
     new GraftTable(ident.toString, dir, m)
   }
@@ -130,7 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (GraftFormat.exists(tableDir(ident)))
       throw new TableAlreadyExistsException(ident)
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = false)
+      replace = false, GraftCatalog.userProperties(properties))
   }
 
   override def stageReplace(
@@ -140,7 +141,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!GraftFormat.exists(tableDir(ident)))
       throw new NoSuchTableException(ident)
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = true)
+      replace = true, GraftCatalog.userProperties(properties))
   }
 
   override def stageCreateOrReplace(
@@ -148,7 +149,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable =
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = true)
+      replace = true, GraftCatalog.userProperties(properties))
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -209,4 +210,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     true
   }
+}
+
+object GraftCatalog {
+  /** Keep user-declared table properties, dropping Spark's bookkeeping. */
+  private val internalProps = Set(
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+
+  def userProperties(props: JMap[String, String]): Map[String, String] =
+    props.asScala.toMap.view.filterKeys(k => !internalProps.contains(k)).toMap
 }

@@ -30,7 +30,12 @@ class StagedGraftTable(
     ident: String,
     dir: Path,
     schema0: StructType,
-    replace: Boolean) extends StagedTable with SupportsWrite {
+    replace: Boolean,
+    tableProps: Map[String, String]) extends StagedTable with SupportsWrite {
+
+  private val blobCols: Seq[String] = tableProps.get("blob_columns")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq.empty)
 
   private val staged =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -59,7 +64,8 @@ class StagedGraftTable(
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
             GraftFormat.init(dir)
             val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
-            data.write.parquet(staging.toUri.toString)
+            graft.format.BlobStore.encode(data, blobCols, dir)
+              .write.parquet(staging.toUri.toString)
             val conf = data.sparkSession.sessionState.newHadoopConf()
             Files.list(staging).iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -96,7 +102,8 @@ class StagedGraftTable(
         fragments = frags,
         maxFragmentId = nextId,
         createdAtMs = System.currentTimeMillis(),
-        operation = if (latestOpt.isDefined) "Overwrite" else "Create")
+        operation = if (latestOpt.isDefined) "Overwrite" else "Create",
+        properties = tableProps)
     }
   }
 

@@ -41,9 +41,12 @@ class GraftScanBuilder(table: GraftTable)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept the parquet-pushable subset for skipping; return ALL as
     // residual -> Spark re-evaluates (partial pushdown, like the
-    // reference returning remaining domains from applyFilter)
+    // reference returning remaining domains from applyFilter).
+    // Blob columns are excluded: their physical type is a descriptor
+    // struct, so a binary predicate cannot reach the parquet reader.
+    val blobs = table.manifest.blobColumns.toSet
     pushed = filters.filter(f => f.references.forall(r =>
-      table.dataSchema.fieldNames.contains(r)))
+      table.dataSchema.fieldNames.contains(r) && !blobs.contains(r)))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -94,7 +97,7 @@ class GraftScan(
     s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +
       s"fragments=${table.manifest.fragments.size}, " +
       s"pushedFilters=[${pushed.mkString(", ")}], limit=$limit, " +
-      s"countStar=$countStar)"
+      s"countStar=$countStar, readSchema=${readSchema().catalogString})"
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
@@ -141,22 +144,74 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    import graft.format.BlobStore
     val spark = SparkSession.active
+    val blobCols = table.manifest.blobColumns
+    val virtualOf: Map[String, (String, Int)] = blobCols.flatMap { c =>
+      // descriptor struct ordinals: file=0, pos=1, size=2
+      Seq(BlobStore.posColumn(c) -> (c, 1), BlobStore.sizeColumn(c) -> (c, 2))
+    }.toMap
+
+    val outputFields = required.fields.filterNot(
+      _.name == GraftTable.RowAddressName)
     val needsRowAddress = required.fieldNames.contains(GraftTable.RowAddressName)
-    val dataCols = StructType(required.fields.filterNot(
-      _.name == GraftTable.RowAddressName))
-    // physical parquet read schema: pruned data columns + row index
+
+    // distinct physical columns the parquet read needs. Normal columns
+    // keep their REQUIRED (possibly nested-pruned) type — the projection
+    // must mirror exactly what the vectorized reader materializes.
+    // Directly-selected blob columns need no physical read at all (they
+    // project as empty bytes); virtual blob columns need the base
+    // column's descriptor struct.
+    val physicalFields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    outputFields.foreach { f =>
+      virtualOf.get(f.name) match {
+        case Some((base, _)) =>
+          physicalFields.getOrElseUpdate(base,
+            StructField(base, BlobStore.descriptorType, nullable = true))
+        case None if blobCols.contains(f.name) => // no physical read
+        case None => physicalFields.getOrElseUpdate(f.name, f)
+      }
+    }
+    val physIdx = physicalFields.keys.zipWithIndex.toMap
+
+    // per-output projection spec (serializable; the reader builds exprs)
+    val specs: Seq[ProjSpec] = outputFields.toSeq.map { f =>
+      virtualOf.get(f.name) match {
+        case Some((base, ord)) => BlobDescField(physIdx(base), ord)
+        case None if blobCols.contains(f.name) => EmptyBinary
+        case None => NormalField(physIdx(f.name), f.dataType.json, f.nullable)
+      }
+    } ++ (if (needsRowAddress) Seq(RowAddressField) else Seq.empty)
+
+    // physical parquet read schema: pruned base columns + row index.
     // nullable=true is load-bearing: the vectorized reader tolerates the
     // column being absent from the file only for nullable columns, then
     // its RowIndexGenerator fills the vector with physical row indexes
-    val parquetSchema = StructType(dataCols.fields :+
+    val parquetSchema = StructType(physicalFields.values.toArray :+
       StructField(GraftShim.rowIndexColumnName, LongType, nullable = true))
+    val physicalDataSchema = StructType(table.dataSchema.fields.map { f =>
+      if (blobCols.contains(f.name))
+        StructField(f.name, BlobStore.descriptorType, f.nullable)
+      else f
+    })
     val readFunc = GraftShim.parquetReaderFunc(
-      spark, table.dataSchema, parquetSchema, pushed.toIndexedSeq,
+      spark, physicalDataSchema, parquetSchema, pushed.toIndexedSeq,
       spark.sessionState.newHadoopConf())
-    new GraftReaderFactory(readFunc, dataCols, needsRowAddress, countStar)
+    new GraftReaderFactory(readFunc, physicalFields.size, specs, countStar)
   }
 }
+
+/** Serializable projection spec from physical parquet row to output row. */
+sealed trait ProjSpec extends Serializable
+/** Pass-through of physical column `physIdx` (dataTypeJson for rebuild). */
+case class NormalField(physIdx: Int, dataTypeJson: String, nullable: Boolean)
+  extends ProjSpec
+/** Blob content column: never materialized, reads as empty bytes. */
+case object EmptyBinary extends ProjSpec
+/** Blob descriptor virtual column: struct field `ord` of physical col. */
+case class BlobDescField(physIdx: Int, ord: Int) extends ProjSpec
+/** Synthesized (fragmentId << 32) | rowIndex. */
+case object RowAddressField extends ProjSpec
 
 case class GraftFragmentPartition(
     fragId: Int,
@@ -170,8 +225,8 @@ case class GraftCountPartition(count: Long) extends InputPartition
 class GraftReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
-    dataCols: StructType,
-    needsRowAddress: Boolean,
+    nPhysical: Int,
+    specs: Seq[ProjSpec],
     countStar: Boolean) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -207,16 +262,19 @@ class GraftReaderFactory(
       case None => Array.empty[Long]
     }
 
-    private val n = dataCols.length
-    private val rowIdxOrdinal = n // appended last in the parquet schema
-    private val projExprs: Seq[Expression] = {
-      val base = dataCols.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable): Expression
-      }.toSeq
-      if (needsRowAddress)
-        base :+ BitwiseOr(Literal(fp.fragId.toLong << 32),
-          BoundReference(rowIdxOrdinal, LongType, nullable = false))
-      else base
+    private val rowIdxOrdinal = nPhysical // appended last in parquet schema
+    private val projExprs: Seq[Expression] = specs.map {
+      case NormalField(i, dtJson, nullable) =>
+        BoundReference(i, DataType.fromJson(dtJson), nullable): Expression
+      case EmptyBinary =>
+        Literal(Array.empty[Byte], BinaryType): Expression
+      case BlobDescField(i, ord) =>
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          BoundReference(i, graft.format.BlobStore.descriptorType,
+            nullable = true), ord): Expression
+      case RowAddressField =>
+        BitwiseOr(Literal(fp.fragId.toLong << 32),
+          BoundReference(rowIdxOrdinal, LongType, nullable = false)): Expression
     }
     private val proj = UnsafeProjection.create(projExprs.toArray)
 

@@ -54,8 +54,18 @@ class GraftTable(
       "operation" -> manifest.operation,
       "fragments" -> manifest.fragments.size.toString).asJava
 
+  /** Hidden columns: `_row_address` always; per blob column the
+    * `<col>__blob_pos` / `<col>__blob_size` descriptor pair
+    * (reference: BlobUtils.java:26-27,70-78 — selectable by name,
+    * hidden from DESCRIBE). */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftTable.RowAddressColumn)
+    GraftTable.RowAddressColumn +: manifest.blobColumns.flatMap { c =>
+      Seq(
+        GraftTable.blobMetaColumn(graft.format.BlobStore.posColumn(c),
+          s"byte offset of $c content in its blob sidecar file"),
+        GraftTable.blobMetaColumn(graft.format.BlobStore.sizeColumn(c),
+          s"byte length of $c content"))
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
@@ -87,7 +97,11 @@ class GraftTable(
     if (byPath.isEmpty) return
 
     // distributed predicate evaluation over all fragments at once
-    val hits = spark.read.schema(dataSchema)
+    // (blob columns read as descriptor structs; predicates on them are
+    // rejected by canDeleteWhere's converter anyway)
+    val physSchema = graft.format.BlobStore.physicalSchema(
+      dataSchema, manifest.blobColumns)
+    val hits = spark.read.schema(physSchema)
       .parquet(byPath.keys.toSeq: _*)
       .where(cond)
       .select(col("_metadata.file_path"), col("_metadata.row_index"))
@@ -136,6 +150,14 @@ object GraftTable {
     override def comment(): String =
       "row address: (fragment_id << 32) | row_index"
   }
+
+  def blobMetaColumn(colName: String, doc: String): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String = doc
+    }
 }
 
 /** V1 sources.Filter -> Column translation for deleteWhere. */

@@ -45,7 +45,8 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          GraftWriter.write(table.dir, data, doTruncate || overwrite)
+          GraftWriter.write(table.dir, data, doTruncate || overwrite,
+            table.manifest.blobColumns, table.manifest.properties)
       }
   }
 }
@@ -53,11 +54,14 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 object GraftWriter {
 
   /** Distributed fragment write + atomic manifest commit. */
-  def write(dir: Path, data: Dataset[Row], overwrite: Boolean): Unit = {
+  def write(dir: Path, data: Dataset[Row], overwrite: Boolean,
+      blobCols: Seq[String] = Seq.empty,
+      tableProps: Map[String, String] = Map.empty): Unit = {
     GraftFormat.init(dir)
     val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
     try {
-      data.write.parquet(staging.toUri.toString)
+      graft.format.BlobStore.encode(data.toDF(), blobCols, dir)
+        .write.parquet(staging.toUri.toString)
       val files = Files.list(staging).iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.getFileName.toString)
@@ -89,7 +93,8 @@ object GraftWriter {
           createdAtMs = System.currentTimeMillis(),
           operation =
             if (latestOpt.isEmpty) "Create"
-            else if (overwrite) "Overwrite" else "Append")
+            else if (overwrite) "Overwrite" else "Append",
+          properties = latestOpt.map(_.properties).getOrElse(tableProps))
       }
     } finally {
       // best-effort staging cleanup

@@ -52,10 +52,16 @@ object GraftFormat {
       fragments: Seq[FragmentMeta],
       maxFragmentId: Int,
       createdAtMs: Long,
-      operation: String) {    // Append | Overwrite | Update | Create
+      operation: String,      // Append | Overwrite | Update | Create
+      properties: Map[String, String] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def liveRows: Long = fragments.map(_.liveRows).sum
+    /** Columns declared blob (out-of-line binary) via table property
+      * `blob_columns` — reference: LanceTableProperties.java:32,44-48. */
+    def blobColumns: Seq[String] = properties.get("blob_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
   }
 
   final class CommitConflictException(msg: String)
@@ -117,11 +123,14 @@ object GraftFormat {
       s""""deletionPath":$del,"deletedCount":${f.deletedCount}}"""
   }
 
-  def toJson(m: Manifest): String =
+  def toJson(m: Manifest): String = {
+    val props = m.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     s"""{"version":${m.version},"operation":"${esc(m.operation)}",""" +
       s""""createdAtMs":${m.createdAtMs},"maxFragmentId":${m.maxFragmentId},""" +
-      s""""schemaJson":"${esc(m.schemaJson)}",""" +
+      s""""schemaJson":"${esc(m.schemaJson)}","properties":{$props},""" +
       s""""fragments":[${m.fragments.map(fragJson).mkString(",")}]}"""
+  }
 
   def fromJson(s: String): Manifest = {
     // minimal recursive-descent JSON parser (objects/arrays/strings/
@@ -143,7 +152,11 @@ object GraftFormat {
       fragments = frags,
       maxFragmentId = root("maxFragmentId").asInstanceOf[Double].toInt,
       createdAtMs = root("createdAtMs").asInstanceOf[Double].toLong,
-      operation = root("operation").asInstanceOf[String])
+      operation = root("operation").asInstanceOf[String],
+      properties = root.get("properties")
+        .map(_.asInstanceOf[Map[String, Any]].map {
+          case (k, v) => k -> v.asInstanceOf[String]
+        }).getOrElse(Map.empty))
   }
 
   def readManifest(table: Path, version: Long): Manifest =

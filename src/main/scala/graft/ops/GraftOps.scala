@@ -130,7 +130,8 @@ object GraftOps {
       .filter(_.deletionPath.isDefined)
       .map(f => dir.resolve(f.path).toUri.getPath ->
         GraftFormat.readDeletionFile(dir, f.deletionPath.get).toSet)
-    val raw = spark.read.schema(manifest.schema).parquet(paths: _*)
+    val raw = spark.read.schema(graft.format.BlobStore.physicalSchema(
+        manifest.schema, manifest.blobColumns)).parquet(paths: _*)
       .withColumn("__frag_path", col("_metadata.file_path"))
       .withColumn("__row_index", col("_metadata.row_index"))
     // apply deletion vectors so updates never resurrect deleted rows

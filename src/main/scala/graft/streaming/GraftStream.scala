@@ -72,8 +72,12 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
     val readFunc = GraftShim.parquetReaderFunc(
       spark, dataCols, parquetSchema, Seq.empty,
       spark.sessionState.newHadoopConf())
+    val specs: Seq[graft.connector.ProjSpec] =
+      dataCols.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        graft.connector.NormalField(i, f.dataType.json, f.nullable)
+      }
     new graft.connector.GraftReaderFactory(
-      readFunc, dataCols, needsRowAddress = false, countStar = false)
+      readFunc, dataCols.length, specs, countStar = false)
   }
 
   override def commit(end: Offset): Unit = ()

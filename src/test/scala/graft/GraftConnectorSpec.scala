@@ -169,6 +169,52 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(spark.table("g.db.dup").head.getInt(0) == 1)
   }
 
+  test("struct columns roundtrip with nested projection pushdown (P2)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.structs")
+    spark.sql(
+      """CREATE TABLE g.db.structs AS
+        |SELECT id,
+        |  named_struct('name', concat('n', CAST(id AS STRING)),
+        |               'value', id * 10,
+        |               'inner', named_struct('flag', id % 2 = 0)) AS metadata
+        |FROM range(100)""".stripMargin)
+    val df = spark.table("g.db.structs")
+      .select(col("id"), col("metadata.name"), col("metadata.inner.flag"))
+      .orderBy("id")
+    val r = df.collect()
+    assert(r.length == 100)
+    assert(r(5).getString(1) == "n5")
+    assert(r(4).getBoolean(2))
+    // nested schema pruning: the scan must not read metadata.value
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = scan.split("readSchema=")(1).split("\\)\n")(0)
+    assert(!readSchema.contains("value"),
+      s"nested pruning failed, scan reads: $readSchema")
+    // filter on a nested field
+    assert(spark.table("g.db.structs")
+      .filter(col("metadata.inner.flag")).count() == 50)
+  }
+
+  test("array and map columns roundtrip (map exceeds reference parity)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.complex")
+    spark.sql(
+      """CREATE TABLE g.db.complex AS
+        |SELECT id,
+        |  array(id, id + 1, id + 2) AS arr,
+        |  map('k', id) AS m
+        |FROM range(50)""".stripMargin)
+    val df = spark.table("g.db.complex")
+    val arrSum = df
+      .select(expr("aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x)").as("s"))
+      .agg(sum(col("s"))).head.getLong(0)
+    assert(arrSum == (0 until 50).map(i => 3L * i + 3).sum)
+    val mapSum = df.select(expr("m['k']").as("mv"))
+      .agg(sum(col("mv"))).head.getLong(0)
+    assert(mapSum == (0 until 50).sum)
+  }
+
   test("manifest json roundtrip") {
     import graft.format.GraftFormat._
     val m = Manifest(7, """{"type":"struct","fields":[]}""",
