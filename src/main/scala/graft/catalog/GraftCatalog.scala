@@ -114,10 +114,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (GraftFormat.exists(dir)) throw new TableAlreadyExistsException(ident)
     if (!Files.isDirectory(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
+    val userProps = GraftCatalog.userProperties(properties)
+    graft.format.VectorColumns.validate(schema,
+      graft.format.VectorColumns.fromProperties(userProps))
     GraftFormat.init(dir)
     val m = Manifest(1L, schema.json, Seq.empty, -1,
-      System.currentTimeMillis(), "Create",
-      GraftCatalog.userProperties(properties))
+      System.currentTimeMillis(), "Create", userProps)
     GraftFormat.commit(dir, m)
     new GraftTable(ident.toString, dir, m)
   }

@@ -37,6 +37,10 @@ class StagedGraftTable(
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Seq.empty)
 
+  private val vectorCols: Seq[(String, Int)] =
+    graft.format.VectorColumns.fromProperties(tableProps)
+  graft.format.VectorColumns.validate(schema0, vectorCols)
+
   private val staged =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
@@ -64,7 +68,9 @@ class StagedGraftTable(
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
             GraftFormat.init(dir)
             val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
-            graft.format.BlobStore.encode(data, blobCols, dir)
+            graft.format.BlobStore.encode(
+              graft.format.VectorColumns.enforce(data, vectorCols),
+              blobCols, dir)
               .write.parquet(staging.toUri.toString)
             val conf = data.sparkSession.sessionState.newHadoopConf()
             Files.list(staging).iterator().asScala

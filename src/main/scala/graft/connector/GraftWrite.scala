@@ -60,7 +60,11 @@ object GraftWriter {
     GraftFormat.init(dir)
     val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
     try {
-      graft.format.BlobStore.encode(data.toDF(), blobCols, dir)
+      val vectorCols = graft.format.VectorColumns.fromProperties(
+        GraftFormat.readLatest(dir).map(_.properties).getOrElse(tableProps))
+      graft.format.BlobStore.encode(
+        graft.format.VectorColumns.enforce(data.toDF(), vectorCols),
+        blobCols, dir)
         .write.parquet(staging.toUri.toString)
       val files = Files.list(staging).iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -87,7 +91,10 @@ object GraftWriter {
         }
         Manifest(
           version = latestOpt.map(_.version + 1).getOrElse(1L),
-          schemaJson = schemaJson,
+          // appends preserve the TABLE schema (a non-null batch must not
+          // narrow column nullability); only create/overwrite adopt the
+          // incoming schema
+          schemaJson = base.map(_.schemaJson).getOrElse(schemaJson),
           fragments = base.map(_.fragments).getOrElse(Seq.empty) ++ newFrags,
           maxFragmentId = nextId,
           createdAtMs = System.currentTimeMillis(),

@@ -84,3 +84,72 @@ class BlobSpec extends AnyFunSuite {
     assert(spark.table("b.db.media").count() == 20)
   }
 }
+
+/** Mirrors the reference's vector column feature tests
+  * (TestLanceVectorColumns.java:38-157; FIXTURES.md "Vector column"). */
+class VectorColumnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-vec-wh").toString
+    spark.conf.set("spark.sql.catalog.v", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.v.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS v.db")
+    dir
+  }
+
+  test("vector column: valid declaration + in-dimension writes succeed") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS v.db.emb")
+    spark.sql(
+      """CREATE TABLE v.db.emb (id BIGINT, embedding ARRAY<FLOAT>)
+        |TBLPROPERTIES ('vector_columns' = 'embedding:3')""".stripMargin)
+    spark.sql(
+      """INSERT INTO v.db.emb VALUES
+        |  (1, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))),
+        |  (2, NULL)""".stripMargin)
+    assert(spark.table("v.db.emb").count() == 2)
+  }
+
+  test("wrong-dimension write fails with a clear error") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO v.db.emb VALUES (3, array(CAST(1.0 AS FLOAT)))")
+    }
+    def allMsgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + allMsgs(t.getCause)
+    assert(allMsgs(e).contains("requires dimension 3"))
+    // failed insert must not commit a new version
+    assert(spark.table("v.db.emb").count() == 2)
+  }
+
+  test("invalid declarations are rejected (reference parity)") {
+    wh
+    // non-array column
+    assert(intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE v.db.bad1 (id BIGINT, embedding BIGINT)
+          |TBLPROPERTIES ('vector_columns' = 'embedding:3')""".stripMargin)
+    }.getMessage.contains("ARRAY(FLOAT) or ARRAY(DOUBLE)"))
+    // array of wrong element type
+    assert(intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE v.db.bad2 (id BIGINT, embedding ARRAY<BIGINT>)
+          |TBLPROPERTIES ('vector_columns' = 'embedding:3')""".stripMargin)
+    }.getMessage.contains("ARRAY(FLOAT) or ARRAY(DOUBLE)"))
+    // missing column
+    assert(intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE v.db.bad3 (id BIGINT)
+          |TBLPROPERTIES ('vector_columns' = 'nope:3')""".stripMargin)
+    }.getMessage.contains("not found"))
+    // multi-vector declaration works (reference: 'e1:2, e2:3')
+    spark.sql("DROP TABLE IF EXISTS v.db.multi")
+    spark.sql(
+      """CREATE TABLE v.db.multi
+        |  (id BIGINT, e1 ARRAY<FLOAT>, e2 ARRAY<DOUBLE>)
+        |TBLPROPERTIES ('vector_columns' = 'e1:2, e2:3')""".stripMargin)
+    assert(spark.table("v.db.multi").count() == 0)
+  }
+}
