@@ -47,8 +47,26 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(table.dir, to)
       else table.manifest
+    // Compaction commits are data-neutral: the fragments they introduce
+    // carry only already-streamed rows, so re-delivering them would
+    // duplicate the stream. Walk the intermediate versions and exclude
+    // fragments first introduced by a Compact commit. If history was
+    // vacuumed away we cannot attribute provenance and fall back to
+    // delivering (at-least-once rather than silent loss).
+    val inRange = versions.filter(v => v > from && v <= to)
+    val compactIds: Set[Int] = {
+      var prev: Set[Int] = baseIds
+      val acc = Set.newBuilder[Int]
+      inRange.foreach { v =>
+        val m = GraftFormat.readManifest(table.dir, v)
+        val ids = m.fragments.map(_.id).toSet
+        if (m.operation == "Compact") acc ++= (ids diff prev)
+        prev = ids
+      }
+      acc.result()
+    }
     endManifest.fragments
-      .filterNot(f => baseIds.contains(f.id))
+      .filterNot(f => baseIds.contains(f.id) || compactIds.contains(f.id))
       .map { f =>
         GraftFragmentPartition(
           fragId = f.id,

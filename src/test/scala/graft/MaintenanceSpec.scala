@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat
+import graft.ops.Maintenance
+
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-maint-wh").toString
+    spark.conf.set("spark.sql.catalog.mt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mt.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mt.db")
+    dir
+  }
+
+  test("compact folds small fragments + deletion vectors; data unchanged") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.c")
+    spark.sql("CREATE TABLE mt.db.c (k BIGINT)")
+    // 5 small appends -> 5+ fragments
+    (0 until 5).foreach(i =>
+      spark.sql(s"INSERT INTO mt.db.c SELECT id + ${i * 100} FROM range(100)"))
+    spark.sql("DELETE FROM mt.db.c WHERE k < 45")
+    val dir = Paths.get(wh, "db", "c.graft")
+    val before = GraftFormat.readLatest(dir).get
+    assert(before.fragments.size >= 5)
+    assert(before.fragments.exists(_.deletedCount > 0))
+    val checksum = spark.table("mt.db.c").agg(sum("k"), count(lit(1))).head
+
+    val n = Maintenance.compact(spark, dir, minRows = 1000)
+    assert(n >= 5)
+    val after = GraftFormat.readLatest(dir).get
+    assert(after.operation == "Compact")
+    assert(after.fragments.size < before.fragments.size)
+    assert(after.fragments.forall(_.deletedCount == 0), "deletes not folded")
+    assert(spark.table("mt.db.c").agg(sum("k"), count(lit(1))).head == checksum)
+    // pre-compact version still time-travelable
+    assert(spark.sql(
+      s"SELECT count(*) FROM mt.db.c VERSION AS OF ${before.version}")
+      .head.getLong(0) == checksum.getLong(1))
+  }
+
+  test("vacuum drops old versions and unreferenced files; recent history intact") {
+    wh
+    val dir = Paths.get(wh, "db", "c.graft")
+    val nVersionsBefore = GraftFormat.listVersions(dir).size
+    val dataFilesBefore = Files.list(dir.resolve("data"))
+      .filter(Files.isRegularFile(_)).count()
+    val (dropped, deleted) = Maintenance.vacuum(dir, keepVersions = 2)
+    assert(dropped == nVersionsBefore - 2)
+    assert(deleted > 0, "expected unreferenced pre-compaction files removed")
+    val dataFilesAfter = Files.list(dir.resolve("data"))
+      .filter(Files.isRegularFile(_)).count()
+    assert(dataFilesAfter < dataFilesBefore)
+    // latest still reads fine
+    assert(spark.table("mt.db.c").count() == 455)
+    // dropped versions now fail cleanly
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM mt.db.c VERSION AS OF 1").collect()
+    }.getMessage.contains("does not exist"))
+  }
+}
