@@ -164,6 +164,38 @@ object FormatQueries {
         .orderBy("c_custkey")
     },
 
+    // Compaction + vacuum: small multi-append table with deletes is
+    // compacted (deletion vectors folded) and vacuumed; results must
+    // still be byte-exact vs the relational oracle.
+    Q("g08_compact_vacuum",
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier
+        |WHERE NOT s_acctbal < 0
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+      "compact folds fragments+deletes, vacuum drops history; data exact") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.supp_cmp")
+      s.sql("CREATE TABLE graft.db.supp_cmp (s_suppkey BIGINT, s_name STRING, " +
+        "s_nationkey INT, s_acctbal DOUBLE)")
+      val supp = Tables.load(s, d, "supplier")
+      // several small appends -> many fragments
+      (0 until 4).foreach { i =>
+        supp.filter(col("s_suppkey") % 4 === i)
+          .createOrReplaceTempView(s"supp_cmp_$i")
+        s.sql(s"INSERT INTO graft.db.supp_cmp SELECT * FROM supp_cmp_$i")
+      }
+      s.sql("DELETE FROM graft.db.supp_cmp WHERE s_acctbal < 0")
+      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+        "supp_cmp.graft")
+      graft.ops.Maintenance.compact(s, dir, minRows = 1000000L)
+      graft.ops.Maintenance.vacuum(dir, keepVersions = 1)
+      s.table("graft.db.supp_cmp")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy("s_nationkey")
+    },
+
     // Row addresses are unique across the table (fragment-scoped
     // identity, like the reference's $row_address).
     Q("g05_row_address",
