@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat
+import graft.format.GraftFormat._
+
+/** Format-core unit tests: CAS commit semantics, version/timestamp
+  * resolution, deletion-file roundtrips (mirrors the reference's
+  * metadata-layer unit tests, TestLanceMetadata / TestLanceTableHandle). */
+class GraftFormatSpec extends AnyFunSuite {
+
+  private def manifest(v: Long, op: String = "Append",
+      ts: Long = -1L): Manifest =
+    Manifest(v, """{"type":"struct","fields":[]}""", Seq.empty, -1,
+      if (ts == -1L) 1000L * v else ts, op)
+
+  test("CAS commit: second commit of the same version conflicts") {
+    val dir = Files.createTempDirectory("fmt")
+    GraftFormat.commit(dir, manifest(1))
+    intercept[CommitConflictException] {
+      GraftFormat.commit(dir, manifest(1))
+    }
+    GraftFormat.commit(dir, manifest(2))
+    assert(GraftFormat.listVersions(dir) == Seq(1L, 2L))
+  }
+
+  test("commitWithRetry rebuilds from the freshest base after losing a race") {
+    val dir = Files.createTempDirectory("fmt")
+    GraftFormat.commit(dir, manifest(1))
+    var attempts = 0
+    val m = GraftFormat.commitWithRetry(dir) { latest =>
+      attempts += 1
+      // simulate a concurrent writer sneaking in before our 1st attempt
+      if (attempts == 1) GraftFormat.commit(dir, manifest(2))
+      manifest(latest.get.version + 1)
+    }
+    assert(attempts == 2)
+    assert(m.version == 3)
+    assert(GraftFormat.listVersions(dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("commitWithRetry gives up after maxAttempts") {
+    val dir = Files.createTempDirectory("fmt")
+    GraftFormat.commit(dir, manifest(1))
+    intercept[CommitConflictException] {
+      GraftFormat.commitWithRetry(dir, maxAttempts = 3) { _ =>
+        manifest(1) // always stale -> always conflicts
+      }
+    }
+  }
+
+  test("versionAtTimestamp resolves latest version at-or-before ts") {
+    val dir = Files.createTempDirectory("fmt")
+    GraftFormat.commit(dir, manifest(1, ts = 1000))
+    GraftFormat.commit(dir, manifest(2, ts = 2000))
+    GraftFormat.commit(dir, manifest(3, ts = 3000))
+    assert(GraftFormat.versionAtTimestamp(dir, 999).isEmpty)
+    assert(GraftFormat.versionAtTimestamp(dir, 1000).contains(1L))
+    assert(GraftFormat.versionAtTimestamp(dir, 2500).contains(2L))
+    assert(GraftFormat.versionAtTimestamp(dir, 99999).contains(3L))
+  }
+
+  test("deletion file roundtrip: sorted, deduplicated") {
+    val dir = Files.createTempDirectory("fmt")
+    GraftFormat.init(dir)
+    val rel = GraftFormat.writeDeletionFile(dir, 7, 2,
+      Array(5L, 1L, 5L, 3L, 1L))
+    assert(GraftFormat.readDeletionFile(dir, rel).sameElements(
+      Array(1L, 3L, 5L)))
+    val empty = GraftFormat.writeDeletionFile(dir, 8, 2, Array.empty[Long])
+    assert(GraftFormat.readDeletionFile(dir, empty).isEmpty)
+  }
+
+  test("row address packs fragment id and row index") {
+    assert(GraftFormat.rowAddress(0, 0) == 0L)
+    assert(GraftFormat.rowAddress(1, 0) == (1L << 32))
+    assert(GraftFormat.rowAddress(3, 42) == ((3L << 32) | 42L))
+  }
+
+  test("manifest json handles special characters and properties") {
+    val m = Manifest(1, """{"k":"v\n\t\"quoted\""}""",
+      Seq(FragmentMeta(0, "data/a b.parquet", 10, None, 0)),
+      0, 123, "Create", Map("blob_columns" -> "a,b", "note" -> "x\"y"))
+    assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
+  }
+}
