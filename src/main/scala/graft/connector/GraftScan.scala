@@ -1,8 +1,8 @@
 package graft.connector
 
-import java.nio.file.Files
 import java.util.OptionalLong
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, BoundReference, Expression, Literal, UnsafeProjection}
@@ -12,7 +12,7 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.format.GraftFormat
+import graft.format.{GraftFormat, ZoneMaps}
 import graft.format.GraftFormat.FragmentMeta
 
 /** Pushdown negotiation (SURVEY.md section 2.2/2.4/2.5):
@@ -99,12 +99,11 @@ class GraftScan(
       s"pushedFilters=[${pushed.mkString(", ")}], limit=$limit, " +
       s"countStar=$countStar, readSchema=${readSchema().catalogString})"
 
+  // All statistics are manifest-served: no data-file I/O at plan time
+  // (FragmentMeta.sizeBytes is harvested from parquet footers at write).
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      table.manifest.fragments.map { f =>
-        val p = table.dir.resolve(f.path)
-        if (Files.exists(p)) Files.size(p) else 0L
-      }.sum)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(table.manifest.fragments.map(_.sizeBytes).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(table.manifest.liveRows)
   }
@@ -115,7 +114,14 @@ class GraftScan(
       // carrying the count (reference: LanceCountPageSource.java:90-95)
       return Array(GraftCountPartition(table.manifest.liveRows))
     }
-    val frags = table.manifest.fragments
+    val qualDir = table.fs.makeQualified(table.dir)
+    // zone-map fragment pruning: drop fragments whose manifest min/max
+    // statistics exclude every pushed predicate (native analog of the
+    // reference's scalar-index scan skipping,
+    // LanceFragmentPageSource.java:126 useScalarIndex(true))
+    val schema = table.dataSchema
+    val frags = table.manifest.fragments.filter(f =>
+      pushed.forall(p => ZoneMaps.mayMatch(p, schema, f)))
     // limit + no filter -> plan only the fragment prefix covering the
     // limit in deletion-aware live rows (>= 1 fragment), mirroring the
     // reference's split coalescing (LanceSplitManager.java:100-112)
@@ -132,10 +138,12 @@ class GraftScan(
     planned.map { f =>
       GraftFragmentPartition(
         fragId = f.id,
-        absPath = table.dir.resolve(f.path).toUri.getPath,
-        fileSize = Files.size(table.dir.resolve(f.path)),
+        absPath = new Path(qualDir, f.path).toString,
+        fileSize =
+          if (f.sizeBytes > 0) f.sizeBytes
+          else table.fs.getFileStatus(new Path(qualDir, f.path)).getLen,
         deletionAbsPath =
-          f.deletionPath.map(p => table.dir.resolve(p).toUri.getPath),
+          f.deletionPath.map(p => new Path(qualDir, p).toString),
         // reader-side early stop is only safe when no residual filter
         // runs above the scan (Catalyst only pushes the limit then, but
         // keep the guard local too)
@@ -194,10 +202,12 @@ class GraftScan(
         StructField(f.name, BlobStore.descriptorType, f.nullable)
       else f
     })
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val readFunc = GraftShim.parquetReaderFunc(
       spark, physicalDataSchema, parquetSchema, pushed.toIndexedSeq,
-      spark.sessionState.newHadoopConf())
-    new GraftReaderFactory(readFunc, physicalFields.size, specs, countStar)
+      hadoopConf)
+    new GraftReaderFactory(readFunc, physicalFields.size, specs, countStar,
+      new SerializableConfiguration(hadoopConf))
   }
 }
 
@@ -227,7 +237,8 @@ class GraftReaderFactory(
       Iterator[InternalRow],
     nPhysical: Int,
     specs: Seq[ProjSpec],
-    countStar: Boolean) extends PartitionReaderFactory {
+    countStar: Boolean,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -254,11 +265,7 @@ class GraftReaderFactory(
 
     // deletion vector, loaded once per fragment (sorted -> binary search)
     private val deleted: Array[Long] = fp.deletionAbsPath match {
-      case Some(p) =>
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s == "[]") Array.empty[Long]
-        else s.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
+      case Some(p) => GraftFormat.readDeletionFileAbs(p, conf.value)
       case None => Array.empty[Long]
     }
 

@@ -1,14 +1,13 @@
 package graft.connector
 
-import java.nio.file.{Path, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
@@ -16,7 +15,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.format.GraftFormat
-import graft.format.GraftFormat.{FragmentMeta, Manifest}
+import graft.format.GraftFormat.Manifest
 
 /** DSv2 Table over a graft-format directory, pinned to one manifest
   * version (snapshot isolation — the reference pins the dataset version
@@ -24,18 +23,24 @@ import graft.format.GraftFormat.{FragmentMeta, Manifest}
   *
   * Capabilities mirror SURVEY.md section 2: batch read with
   * filter/projection/limit/count(*) pushdown (P1/P3/O1/A1), batch
-  * append/truncate writes (D2-D4), merge-on-read DELETE via deletion
-  * vectors (D5), `_row_address` metadata column, and statistics for the
-  * CBO (D9).
+  * append/truncate writes (D2-D4), and SQL row-level DELETE / UPDATE /
+  * MERGE INTO via delta-based [[SupportsRowLevelOperations]] (D5):
+  * executors write per-fragment deletion vectors and replacement
+  * fragments; the driver commits O(fragments) metadata only. The
+  * remaining [[SupportsDelete]] surface is the metadata-only fast path
+  * for unconditional `DELETE FROM t` (drop all fragments, no scan).
   */
 class GraftTable(
     tableName: String,
     val dir: Path,
-    val manifest: Manifest)
+    val manifest: Manifest,
+    @transient val conf: Configuration)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsMetadataColumns {
+  with SupportsMetadataColumns with SupportsRowLevelOperations {
 
   val dataSchema: StructType = manifest.schema
+
+  def fs: FileSystem = dir.getFileSystem(conf)
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
@@ -73,66 +78,38 @@ class GraftTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)
 
-  // ---------------------------------------------------------------- DELETE
-  // Merge-on-read row-level delete (reference: LanceMergeSink +
-  // finishMerge, LanceMetadata.java:1116-1271): evaluate the predicate
-  // distributed with parquet row indexes, merge new deletions with
-  // existing ones PER FRAGMENT (the reference guards exactly this
-  // last-writer-wins trap at LanceMetadata.java:1199-1235), drop
-  // fully-deleted fragments, commit one Update version.
+  // ---------------------------------------------- row-level DML (D5)
+  // SQL DELETE/UPDATE/MERGE rewrite to a delta write: the scan carries
+  // `_row_address` as the row id, executors buffer per-fragment deletions
+  // and stream replacement rows to new parquet fragments, and ONE
+  // manifest version commits both (reference: LanceMergeSink.java:85-196
+  // + finishMerge LanceMetadata.java:1175-1271 — same paradigm, but the
+  // coordinator here never sees row positions, only file metadata).
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (manifest.blobColumns.nonEmpty &&
+        info.command() != RowLevelOperation.Command.DELETE)
+      throw new UnsupportedOperationException(
+        "UPDATE/MERGE on tables with blob columns is not supported " +
+          "(replacement rows cannot carry blob content); DELETE is")
+    () => new GraftRowLevelOperation(this, info.command())
+  }
+
+  // ------------------------------------------------- metadata-only DELETE
+  // Unconditional DELETE FROM t short-circuits to a manifest commit with
+  // no fragments (no scan). Every conditional delete goes through the
+  // row-level delta path above.
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterToColumn.convert(f).isDefined)
+    filters.forall(_.isInstanceOf[AlwaysTrue])
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    import org.apache.spark.sql.functions.col
-    val spark = SparkSession.active
-    val cond = filters.map(f => FilterToColumn.convert(f).getOrElse(
-      throw new UnsupportedOperationException(s"unsupported delete filter $f")))
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-
-    val byPath: Map[String, FragmentMeta] =
-      manifest.fragments.map(f => dir.resolve(f.path).toUri.getPath -> f).toMap
-    if (byPath.isEmpty) return
-
-    // distributed predicate evaluation over all fragments at once
-    // (blob columns read as descriptor structs; predicates on them are
-    // rejected by canDeleteWhere's converter anyway)
-    val physSchema = graft.format.BlobStore.physicalSchema(
-      dataSchema, manifest.blobColumns)
-    val hits = spark.read.schema(physSchema)
-      .parquet(byPath.keys.toSeq: _*)
-      .where(cond)
-      .select(col("_metadata.file_path"), col("_metadata.row_index"))
-      .collect()
-      .groupBy(r => r.getString(0))
-      .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
-
-    GraftFormat.commitWithRetry(dir) { latestOpt =>
+    require(canDeleteWhere(filters), s"non-trivial delete filters: ${filters.mkString(",")}")
+    GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
       val latest = latestOpt.getOrElse(
         throw new IllegalStateException(s"table vanished under delete: $dir"))
-      val v = latest.version + 1
-      val newFrags = latest.fragments.flatMap { f =>
-        val abs = "file://" + dir.resolve(f.path).toUri.getPath
-        val abs2 = dir.resolve(f.path).toUri.getPath
-        val newDels = hits.collectFirst {
-          case (p, idxs) if p == abs || p == abs2 || p.endsWith("/" + f.path) => idxs
-        }.getOrElse(Array.empty[Long])
-        if (newDels.isEmpty) Some(f)
-        else {
-          val existing = f.deletionPath
-            .map(GraftFormat.readDeletionFile(dir, _)).getOrElse(Array.empty[Long])
-          val merged = (existing ++ newDels).distinct.sorted
-          if (merged.length >= f.rowCount) None // fragment fully deleted
-          else {
-            val delPath = GraftFormat.writeDeletionFile(dir, f.id, v, merged)
-            Some(f.copy(deletionPath = Some(delPath),
-              deletedCount = merged.length.toLong))
-          }
-        }
-      }
-      latest.copy(version = v, fragments = newFrags,
+      latest.copy(version = latest.version + 1, fragments = Seq.empty,
         createdAtMs = System.currentTimeMillis(), operation = "Update")
     }
   }
@@ -158,32 +135,4 @@ object GraftTable {
       override def isNullable: Boolean = true
       override def comment(): String = doc
     }
-}
-
-/** V1 sources.Filter -> Column translation for deleteWhere. */
-object FilterToColumn {
-  import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.sources._
-
-  def convert(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case And(l, r) => for (lc <- convert(l); rc <- convert(r)) yield lc && rc
-    case Or(l, r) => for (lc <- convert(l); rc <- convert(r)) yield lc || rc
-    case Not(c) => convert(c).map(!_)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case AlwaysTrue() => Some(lit(true))
-    case AlwaysFalse() => Some(lit(false))
-    case _ => None
-  }
 }

@@ -1,12 +1,12 @@
 package graft.format
 
-import java.nio.ByteBuffer
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Out-of-line blob storage (reference: `lance-encoding:blob=true`
   * columns, BlobUtils.java:23-57; declared via table property
@@ -22,6 +22,7 @@ import org.apache.spark.sql.types._
   * BlobUtils.java:26-27,70-78). Content access is explicit random I/O
   * via [[fetch]] — the point of the design at 100 TB: analytic scans
   * stay columnar and small, media bytes are fetched per-row on demand.
+  * All I/O goes through Hadoop [[FileSystem]] (object-store ready).
   */
 object BlobStore {
 
@@ -55,18 +56,21 @@ object BlobStore {
     val schema = df.schema
     val physical = physicalSchema(schema, blobCols)
     val blobIdx = blobCols.map(schema.fieldIndex).toSet
-    val blobDirStr = tableDir.resolve(BlobDirName).toString
+    val blobDirStr = new Path(tableDir, BlobDirName).toString
+    val sconf = new SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     val enc = RowEncoder.encoderFor(physical)
     df.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
-        Files.createDirectories(Paths.get(blobDirStr))
+        val blobDir = new Path(blobDirStr)
+        val fs = blobDir.getFileSystem(sconf.value)
+        fs.mkdirs(blobDir)
         val name = java.util.UUID.randomUUID().toString + ".bin"
         val rel = s"$BlobDirName/$name"
-        val ch = Files.newByteChannel(Paths.get(blobDirStr, name),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        val out = fs.create(new Path(blobDir, name), false)
         Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => ch.close()))
+          _.addTaskCompletionListener[Unit](_ => out.close()))
         var pos = 0L
         rows.map { r =>
           val vals = new Array[Any](r.length)
@@ -78,7 +82,7 @@ object BlobStore {
                 if (bytes == null) Row(null, null, null)
                 else {
                   val start = pos
-                  ch.write(ByteBuffer.wrap(bytes))
+                  out.write(bytes)
                   pos += bytes.length
                   Row(rel, start, bytes.length.toLong)
                 }
@@ -92,15 +96,13 @@ object BlobStore {
   }
 
   /** Random-access content fetch by descriptor. */
-  def fetch(tableDir: Path, file: String, pos: Long, size: Long): Array[Byte] = {
-    val ch = Files.newByteChannel(tableDir.resolve(file),
-      StandardOpenOption.READ)
+  def fetch(fs: FileSystem, tableDir: Path, file: String, pos: Long,
+      size: Long): Array[Byte] = {
+    val in = fs.open(new Path(tableDir, file))
     try {
-      ch.position(pos)
-      val buf = ByteBuffer.allocate(size.toInt)
-      var read = 0
-      while (read < size && ch.read(buf) > 0) read = buf.position()
-      buf.array()
-    } finally ch.close()
+      val buf = new Array[Byte](size.toInt)
+      in.readFully(pos, buf)
+      buf
+    } finally in.close()
   }
 }

@@ -1,0 +1,207 @@
+package graft.format
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.format.GraftFormat.ColStats
+
+/** Fragment-level column statistics (zone maps), harvested from parquet
+  * footers at write time and persisted in the manifest — the native
+  * analog of the reference's scalar-index scan skipping
+  * (LanceFragmentPageSource.java:126 useScalarIndex(true),
+  * docs performance.md "Index Usage"). Planning reads ONLY the manifest:
+  * no data-file footer I/O on the query path.
+  */
+object FragmentStats {
+
+  /** One footer read: (rowCount, sizeBytes, per-column zone maps).
+    * Stats cover top-level primitive columns with footer statistics in
+    * every row group; anything else is conservatively absent. */
+  def readFooter(fs: FileSystem, conf: Configuration, file: Path)
+      : (Long, Long, Map[String, ColStats]) = {
+    val size = fs.getFileStatus(file).getLen
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // column -> per-block stats; drop the column if any block lacks them
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Ordering[String], List[(Option[String], Option[String], Long)])]
+      var dropped = Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1) {
+          val name = pathParts(0)
+          val st = c.getStatistics
+          render(c.getPrimitiveType.getPrimitiveTypeName,
+            c.getPrimitiveType.getLogicalTypeAnnotation, st) match {
+            case Some((minMax, ord)) if st != null && !st.isEmpty =>
+              val prev = acc.getOrElse(name, (ord, Nil))
+              acc(name) = (ord, (minMax._1, minMax._2, st.getNumNulls) :: prev._2)
+            case _ => dropped += name
+          }
+        }
+      }
+      val stats = acc.collect {
+        case (name, (ord, perBlock)) if !dropped.contains(name) && perBlock.nonEmpty =>
+          val mins = perBlock.flatMap(_._1)
+          val maxs = perBlock.flatMap(_._2)
+          val nulls = perBlock.map(_._3).sum
+          // all-null column: no min/max but nulls is meaningful
+          name -> ColStats(
+            if (mins.size == perBlock.size) Some(mins.min(ord)) else None,
+            if (maxs.size == perBlock.size) Some(maxs.max(ord)) else None,
+            nulls)
+      }.toMap
+      (rows, size, stats)
+    } finally reader.close()
+  }
+
+  /** Canonical rendering of one row group's min/max + the ordering used
+    * to merge across row groups. None = unsupported type (no stats). */
+  private def render(
+      t: PrimitiveTypeName,
+      logical: org.apache.parquet.schema.LogicalTypeAnnotation,
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[((Option[String], Option[String]), Ordering[String])] = {
+    if (st == null || st.isEmpty) return None
+    val hasMinMax = st.hasNonNullValue
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    t match {
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+        // covers integral Spark types + DATE (days) + TIMESTAMP (micros)
+        val mm =
+          if (hasMinMax) (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
+          else (None, None)
+        Some((mm, Ordering.by[String, Long](_.toLong)))
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+        val mm =
+          if (hasMinMax) (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
+          else (None, None)
+        Some((mm, Ordering.by[String, Double](_.toDouble)))
+      case PrimitiveTypeName.BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
+        val mm =
+          if (hasMinMax)
+            (Some(st.minAsString()), Some(st.maxAsString()))
+          else (None, None)
+        Some((mm, Ordering.String))
+      case _ => None // boolean/decimal/binary/int96: no pruning
+    }
+  }
+
+  /** Move staged parquet files into `data/` with UUID fragment names,
+    * harvesting (relPath, rowCount, sizeBytes, stats) for each in the
+    * same footer open. Files are invisible until a manifest references
+    * them, so a lost commit race never re-moves data. */
+  def adoptStaged(fs: FileSystem, conf: Configuration, tableDir: Path,
+      staging: Path): Seq[(String, Long, Long, Map[String, ColStats])] = {
+    if (!fs.exists(staging)) return Seq.empty
+    val files = fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val out = files.map { f =>
+      val (rows, size, stats) = readFooter(fs, conf, f.getPath)
+      val name = s"${UUID.randomUUID()}.parquet"
+      val dest = new Path(GraftFormat.dataDir(tableDir), name)
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(s"failed to move ${f.getPath} -> $dest")
+      (s"data/$name", rows, size, stats)
+    }.filter(_._2 > 0)
+    fs.delete(staging, true)
+    out
+  }
+}
+
+/** Manifest zone-map pruning: decide whether a fragment can possibly
+  * contain rows matching a pushed filter. Conservative: any uncertainty
+  * (no stats, unsupported type/filter) keeps the fragment. */
+object ZoneMaps {
+
+  /** True iff the fragment may contain matching rows. */
+  def mayMatch(filter: Filter, schema: StructType, f: GraftFormat.FragmentMeta): Boolean =
+    filter match {
+      case EqualTo(a, v) => inRange(a, v, schema, f)
+      case EqualNullSafe(a, null) => mayHaveNulls(a, f)
+      case EqualNullSafe(a, v) => inRange(a, v, schema, f)
+      case In(a, vs) => vs == null || vs.isEmpty || vs.exists(v => v == null || inRange(a, v, schema, f))
+      case GreaterThan(a, v) => cmpMax(a, v, schema, f).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpMax(a, v, schema, f).forall(_ >= 0)
+      case LessThan(a, v) => cmpMin(a, v, schema, f).forall(_ < 0)
+      case LessThanOrEqual(a, v) => cmpMin(a, v, schema, f).forall(_ <= 0)
+      case IsNull(a) => mayHaveNulls(a, f)
+      case IsNotNull(a) => f.stats.get(a).forall(_.nulls < f.rowCount)
+      case And(l, r) => mayMatch(l, schema, f) && mayMatch(r, schema, f)
+      case Or(l, r) => mayMatch(l, schema, f) || mayMatch(r, schema, f)
+      case StringStartsWith(a, v) => prefixInRange(a, v, f)
+      case _ => true // Not, StringContains, ... : no pruning
+    }
+
+  private def mayHaveNulls(a: String, f: GraftFormat.FragmentMeta): Boolean =
+    f.stats.get(a).forall(_.nulls > 0)
+
+  private def toLongV(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+  private def toDoubleV(v: Any): Option[Double] = v match {
+    case fl: Float => Some(fl.toDouble)
+    case d: Double => Some(d)
+    case b: Byte => Some(b.toDouble)
+    case s: Short => Some(s.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case _ => None
+  }
+
+  /** compare(stat, v): Some(sign) or None when not comparable. */
+  private def cmp(a: String, v: Any, schema: StructType, stat: Option[String]): Option[Int] = {
+    val field = schema.fields.find(_.name == a).getOrElse(return None)
+    val s = stat.getOrElse(return None)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        toLongV(v).map(x => java.lang.Long.compare(s.toLong, x))
+      case FloatType | DoubleType =>
+        toDoubleV(v).map(x => java.lang.Double.compare(s.toDouble, x))
+      case StringType => v match {
+        case str: String => Some(s.compareTo(str).sign)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def cmpMin(a: String, v: Any, schema: StructType,
+      f: GraftFormat.FragmentMeta): Option[Int] =
+    f.stats.get(a).flatMap(cs => cmp(a, v, schema, cs.min))
+  private def cmpMax(a: String, v: Any, schema: StructType,
+      f: GraftFormat.FragmentMeta): Option[Int] =
+    f.stats.get(a).flatMap(cs => cmp(a, v, schema, cs.max))
+
+  /** v within [min, max]? Unknown -> true. */
+  private def inRange(a: String, v: Any, schema: StructType,
+      f: GraftFormat.FragmentMeta): Boolean =
+    cmpMin(a, v, schema, f).forall(_ <= 0) && cmpMax(a, v, schema, f).forall(_ >= 0)
+
+  /** Any string in [min, max] can start with prefix v? */
+  private def prefixInRange(a: String, v: String, f: GraftFormat.FragmentMeta): Boolean =
+    f.stats.get(a) match {
+      case Some(GraftFormat.ColStats(Some(min), Some(max), _)) if v != null =>
+        // strings >= min, <= max; a string with prefix v exists in range
+        // unless max < v, or min > all strings with that prefix (min's
+        // prefix of v.length is already > v)
+        !(max < v || min.take(v.length) > v)
+      case _ => true
+    }
+}

@@ -1,11 +1,11 @@
 package graft.format
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
-import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The graft table format: a Lance-semantics versioned columnar layout
@@ -21,19 +21,36 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   _deletions/<frag>-<v>-<uuid>.json
   *                                 merge-on-read deletion vectors
   *
+  * All I/O goes through the Hadoop [[FileSystem]] API, so a table
+  * directory may live on any Hadoop-supported store (file://, hdfs://,
+  * s3a://, ...) — the reference's storage-options plumbing
+  * (LanceMetadata.java:1319-1354) maps to the Hadoop configuration that
+  * resolves the FileSystem.
+  *
   * Concurrency: commits are optimistic-CAS — a manifest file is created
-  * with CREATE_NEW (atomic on POSIX); losing a race throws
+  * with create-exclusive semantics (CREATE_NEW via java.nio on local
+  * filesystems, `FileSystem.create(path, overwrite=false)` elsewhere;
+  * HDFS makes that atomic, S3A needs a DynamoDB/conditional-put layer
+  * which slots in behind [[createExclusive]]). Losing a race throws
   * [[CommitConflictException]] and the caller re-reads + retries. This is
   * deliberately stronger than the reference, which detects conflicts by
   * matching exception message strings (LanceMetadata.java:1492-1513).
   *
-  * Scale notes: the manifest holds O(fragments) metadata only; deletion
-  * vectors are per-fragment sidecars (at 100 TB they'd be roaring
-  * bitmaps — the JSON encoding here is an encoding detail behind
-  * [[DeletionVector]], not a design constraint). Fragment data files are
-  * the unit of parallelism: one Spark InputPartition each.
+  * Scale notes: the manifest holds O(fragments) metadata only — including
+  * per-fragment byte size and column min/max zone maps, so planning never
+  * stats data files. Deletion vectors are per-fragment sidecars (at
+  * 100 TB they'd be roaring bitmaps — the JSON encoding here is an
+  * encoding detail behind the read/write helpers, not a design
+  * constraint). Fragment data files are the unit of parallelism: one
+  * Spark InputPartition each.
   */
 object GraftFormat {
+
+  /** Per-column fragment statistics (zone map entry): canonical string
+    * renderings of min/max plus the null count. Absent entries mean "no
+    * stats, never prune". The native analog of the reference's scalar
+    * index skipping (LanceFragmentPageSource.java:126 useScalarIndex). */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
   /** One immutable data fragment + its (optional) deletion vector. */
   final case class FragmentMeta(
@@ -41,7 +58,9 @@ object GraftFormat {
       path: String,           // relative to table dir
       rowCount: Long,         // physical rows in the parquet file
       deletionPath: Option[String],
-      deletedCount: Long) {
+      deletedCount: Long,
+      sizeBytes: Long = 0L,   // parquet file size (0 = unknown, legacy)
+      stats: Map[String, ColStats] = Map.empty) {
     def liveRows: Long = rowCount - deletedCount
   }
 
@@ -52,7 +71,7 @@ object GraftFormat {
       fragments: Seq[FragmentMeta],
       maxFragmentId: Int,
       createdAtMs: Long,
-      operation: String,      // Append | Overwrite | Update | Create
+      operation: String,      // Append | Overwrite | Update | Create | Compact
       properties: Map[String, String] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -62,45 +81,99 @@ object GraftFormat {
     def blobColumns: Seq[String] = properties.get("blob_columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    /** Writer format version (S9; reference: LanceTableProperties.java:34-58).
+      * 1 = round-1 manifests without sizeBytes/stats; 2 = current. */
+    def formatVersion: Int =
+      properties.get(FormatVersionProp).map(_.toInt).getOrElse(CurrentFormatVersion)
   }
+
+  val FormatVersionProp = "format_version"
+  val CurrentFormatVersion = 2
 
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
-  private def versionsDir(table: Path): Path = table.resolve("_versions")
-  def dataDir(table: Path): Path = table.resolve("data")
-  def deletionsDir(table: Path): Path = table.resolve("_deletions")
+  /** A concurrent commit invalidated a row-level operation's snapshot
+    * (the fragments it deletes from changed). Typed, non-retryable —
+    * the reference aborts these via message matching
+    * (LanceMetadata.java:1492-1513, TestLanceConnectorTest.java:393-410). */
+  final class ConcurrentModificationException(msg: String)
+      extends RuntimeException(msg)
+
+  def versionsDir(table: Path): Path = new Path(table, "_versions")
+  def dataDir(table: Path): Path = new Path(table, "data")
+  def deletionsDir(table: Path): Path = new Path(table, "_deletions")
+  def indicesDir(table: Path): Path = new Path(table, "_indices")
 
   private def manifestPath(table: Path, v: Long): Path =
-    versionsDir(table).resolve(s"$v.manifest.json")
+    new Path(versionsDir(table), s"$v.manifest.json")
 
-  def exists(table: Path): Boolean = Files.isDirectory(versionsDir(table))
+  def exists(fs: FileSystem, table: Path): Boolean =
+    try fs.getFileStatus(versionsDir(table)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
 
-  def init(table: Path): Unit = {
-    Files.createDirectories(versionsDir(table))
-    Files.createDirectories(dataDir(table))
-    Files.createDirectories(deletionsDir(table))
+  def init(fs: FileSystem, table: Path): Unit = {
+    fs.mkdirs(versionsDir(table))
+    fs.mkdirs(dataDir(table))
+    fs.mkdirs(deletionsDir(table))
   }
 
-  def listVersions(table: Path): Seq[Long] = {
+  def listVersions(fs: FileSystem, table: Path): Seq[Long] = {
     val dir = versionsDir(table)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    if (!exists(fs, table)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
       .filter(_.endsWith(".manifest.json"))
       .map(_.stripSuffix(".manifest.json").toLong)
-      .toSeq.sorted
+      .sorted
   }
 
-  def latestVersion(table: Path): Option[Long] = listVersions(table).lastOption
+  def latestVersion(fs: FileSystem, table: Path): Option[Long] =
+    listVersions(fs, table).lastOption
 
   /** Latest version whose commit time is <= tsMs (reference semantics:
     * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388). */
-  def versionAtTimestamp(table: Path, tsMs: Long): Option[Long] = {
-    val at = listVersions(table)
-      .map(v => v -> readManifest(table, v).createdAtMs)
+  def versionAtTimestamp(fs: FileSystem, table: Path, tsMs: Long): Option[Long] = {
+    val at = listVersions(fs, table)
+      .map(v => v -> readManifest(fs, table, v).createdAtMs)
       .filter(_._2 <= tsMs)
     at.lastOption.map(_._1)
+  }
+
+  // ------------------------------------------------------------- file I/O
+
+  def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** Create-exclusive write: fails (returns false) if the file already
+    * exists. On `file://` uses java.nio CREATE_NEW (atomic on POSIX);
+    * elsewhere Hadoop `create(path, overwrite=false)` (atomic on HDFS). */
+  private def createExclusive(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      if (fs.exists(p)) return false
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(p) => false
+      }
+    }
   }
 
   // ---------------------------------------------------------------- JSON
@@ -117,10 +190,18 @@ object GraftFormat {
     case c => c.toString
   }
 
+  private def statJson(cs: ColStats): String = {
+    def opt(o: Option[String]) = o.map(v => s""""${esc(v)}"""").getOrElse("null")
+    s"""{"min":${opt(cs.min)},"max":${opt(cs.max)},"nulls":${cs.nulls}}"""
+  }
+
   private def fragJson(f: FragmentMeta): String = {
     val del = f.deletionPath.map(p => s""""${esc(p)}"""").getOrElse("null")
+    val stats = f.stats.toSeq.sortBy(_._1)
+      .map { case (c, cs) => s""""${esc(c)}":${statJson(cs)}""" }.mkString(",")
     s"""{"id":${f.id},"path":"${esc(f.path)}","rowCount":${f.rowCount},""" +
-      s""""deletionPath":$del,"deletedCount":${f.deletedCount}}"""
+      s""""deletionPath":$del,"deletedCount":${f.deletedCount},""" +
+      s""""sizeBytes":${f.sizeBytes},"stats":{$stats}}"""
   }
 
   def toJson(m: Manifest): String = {
@@ -139,12 +220,23 @@ object GraftFormat {
     val root = p.parseValue().asInstanceOf[Map[String, Any]]
     val frags = root("fragments").asInstanceOf[Seq[Any]].map { fAny =>
       val f = fAny.asInstanceOf[Map[String, Any]]
+      val stats = f.get("stats").map(_.asInstanceOf[Map[String, Any]].map {
+        case (c, csAny) =>
+          val cs = csAny.asInstanceOf[Map[String, Any]]
+          c -> ColStats(
+            Option(cs("min")).map(_.asInstanceOf[String]),
+            Option(cs("max")).map(_.asInstanceOf[String]),
+            cs("nulls").asInstanceOf[Double].toLong)
+      }).getOrElse(Map.empty[String, ColStats])
       FragmentMeta(
         id = f("id").asInstanceOf[Double].toInt,
         path = f("path").asInstanceOf[String],
         rowCount = f("rowCount").asInstanceOf[Double].toLong,
         deletionPath = Option(f("deletionPath")).collect { case s: String => s },
-        deletedCount = f("deletedCount").asInstanceOf[Double].toLong)
+        deletedCount = f("deletedCount").asInstanceOf[Double].toLong,
+        // format_version 1 manifests lack these fields (S9 compatibility)
+        sizeBytes = f.get("sizeBytes").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+        stats = stats)
     }
     Manifest(
       version = root("version").asInstanceOf[Double].toLong,
@@ -159,35 +251,34 @@ object GraftFormat {
         }).getOrElse(Map.empty))
   }
 
-  def readManifest(table: Path, version: Long): Manifest =
-    fromJson(new String(Files.readAllBytes(manifestPath(table, version)), UTF_8))
+  def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
+    fromJson(new String(readBytes(fs, manifestPath(table, version)), UTF_8))
 
-  def readLatest(table: Path): Option[Manifest] =
-    latestVersion(table).map(readManifest(table, _))
+  def readLatest(fs: FileSystem, table: Path): Option[Manifest] =
+    latestVersion(fs, table).map(readManifest(fs, table, _))
 
-  /** Atomic CAS commit of version m.version; throws on lost race. */
-  def commit(table: Path, m: Manifest): Unit = {
-    init(table)
-    val target = manifestPath(table, m.version)
-    try {
-      Files.write(target, toJson(m).getBytes(UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"version ${m.version} already committed at $table")
-    }
+  /** Atomic CAS commit of version m.version; throws on lost race.
+    * format_version 1 tables are written without sizeBytes/stats content
+    * (the fields serialize as 0/empty) to stay readable by v1 readers. */
+  def commit(fs: FileSystem, table: Path, m: Manifest): Unit = {
+    init(fs, table)
+    val toWrite =
+      if (m.formatVersion >= 2) m
+      else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))
+    if (!createExclusive(fs, manifestPath(table, m.version), toJson(toWrite).getBytes(UTF_8)))
+      throw new CommitConflictException(
+        s"version ${m.version} already committed at $table")
   }
 
   /** Retry loop for append-style commits: rebuild the manifest from the
     * freshest base on each conflict. */
-  def commitWithRetry(table: Path, maxAttempts: Int = 10)(
+  def commitWithRetry(fs: FileSystem, table: Path, maxAttempts: Int = 10)(
       build: Option[Manifest] => Manifest): Manifest = {
     var attempt = 0
     while (true) {
       attempt += 1
-      val m = build(readLatest(table))
-      try { commit(table, m); return m }
+      val m = build(readLatest(fs, table))
+      try { commit(fs, table, m); return m }
       catch {
         case e: CommitConflictException if attempt < maxAttempts => // retry
         case NonFatal(e) => throw e
@@ -199,20 +290,30 @@ object GraftFormat {
   // ------------------------------------------------------- deletion files
 
   /** Write a deletion vector (sorted distinct row indexes) for fragment
-    * fragId at table version v. */
-  def writeDeletionFile(table: Path, fragId: Int, v: Long,
+    * fragId at table version v. Safe to call from executors: the name is
+    * UUID-unique and the file is invisible until a manifest references it. */
+  def writeDeletionFile(fs: FileSystem, table: Path, fragId: Int, v: Long,
       rowIndexes: Array[Long]): String = {
     val name = s"$fragId-$v-${java.util.UUID.randomUUID()}.json"
-    val path = deletionsDir(table).resolve(name)
+    val p = new Path(deletionsDir(table), name)
     val sorted = rowIndexes.distinct.sorted
-    Files.write(path,
-      sorted.mkString("[", ",", "]").getBytes(UTF_8),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    val out = fs.create(p, false)
+    try out.write(sorted.mkString("[", ",", "]").getBytes(UTF_8))
+    finally out.close()
     s"_deletions/$name"
   }
 
-  def readDeletionFile(table: Path, relPath: String): Array[Long] = {
-    val s = new String(Files.readAllBytes(table.resolve(relPath)), UTF_8).trim
+  def readDeletionFile(fs: FileSystem, table: Path, relPath: String): Array[Long] =
+    parseDeletionJson(new String(readBytes(fs, new Path(table, relPath)), UTF_8))
+
+  /** Executor-side deletion-vector load from an absolute path/URI. */
+  def readDeletionFileAbs(absPath: String, conf: Configuration): Array[Long] = {
+    val p = new Path(absPath)
+    parseDeletionJson(new String(readBytes(p.getFileSystem(conf), p), UTF_8))
+  }
+
+  private def parseDeletionJson(s0: String): Array[Long] = {
+    val s = s0.trim
     if (s == "[]") Array.empty[Long]
     else s.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
   }

@@ -1,19 +1,22 @@
 package org.apache.spark.sql
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** Bridge to `private[sql]` Spark internals the graft connector builds on.
   * Standard extension-library technique (Delta/Iceberg do the same): reuse
-  * Spark's battle-tested vectorized parquet reader and Column converters
-  * instead of reimplementing them.
+  * Spark's battle-tested vectorized parquet reader/writer and Column
+  * converters instead of reimplementing them.
   */
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
@@ -45,4 +48,45 @@ object GraftShim {
   def partitionedFile(absPath: String, fileSize: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(absPath),
       0L, fileSize, Array.empty, 0L, fileSize, Map.empty)
+
+  /** Driver-side: Hadoop conf primed for executor-side parquet writes of
+    * `schema` rows — mirrors ParquetFileFormat.prepareWrite (write
+    * support class, schema, timestamp/rebase modes, compression). */
+  def parquetWriteConf(spark: SparkSession, schema: StructType): Configuration = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val conf = session.sessionState.newHadoopConf()
+    val sqlConf = session.sessionState.conf
+    conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE))
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE))
+    conf.set("parquet.compression", sqlConf.parquetCompressionCodec)
+    conf
+  }
+
+  /** Executor-side: open Spark's parquet writer at an exact file path.
+    * `conf` must come from [[parquetWriteConf]]. */
+  def newParquetRowWriter(path: String, conf: Configuration): OutputWriter = {
+    val attemptId = new TaskAttemptID(
+      new TaskID(new JobID(java.util.UUID.randomUUID().toString, 0),
+        TaskType.MAP, 0), 0)
+    new ParquetOutputWriter(path, new TaskAttemptContextImpl(conf, attemptId))
+  }
+
+  /** Driver-side: a DataFrame over an arbitrary DSv2 Table instance
+    * (no catalog resolution) — used by maintenance jobs to scan a
+    * pinned fragment subset through the normal deletion-aware reader. */
+  def tableDF(spark: SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+        table, None, None))
 }
