@@ -1,10 +1,12 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -22,7 +24,11 @@ import graft.format.GraftFormat.Manifest
   *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
   *
   * Namespaces are directories under the warehouse; a table named
-  * `ns.t` lives at `<warehouse>/ns/t.graft/`.
+  * `ns.t` lives at `<warehouse>/ns/t.graft/`. The warehouse is any
+  * Hadoop-FS URI (file://, hdfs://, s3a://, ...) — the directory
+  * namespace backend of the reference's namespace matrix
+  * (LanceConfig.java:43-65); REST/Glue backends slot in behind the same
+  * TableCatalog seam.
   *
   * Time travel (D7): `VERSION AS OF n` resolves an exact manifest
   * version; `TIMESTAMP AS OF ts` resolves the latest version committed
@@ -40,45 +46,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  @transient private var hadoopConf: Configuration = _
+
+  private def conf: Configuration = {
+    if (hadoopConf == null)
+      hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    hadoopConf
+  }
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'")))
-    Files.createDirectories(warehouse)
+    fs.mkdirs(warehouse)
   }
 
   override def name(): String = catalogName
 
   private def nsDir(namespace: Array[String]): Path =
-    namespace.foldLeft(warehouse)(_ resolve _)
+    namespace.foldLeft(warehouse)(new Path(_, _))
 
   private def tableDir(ident: Identifier): Path =
-    nsDir(ident.namespace()).resolve(ident.name() + ".graft")
+    new Path(nsDir(ident.namespace()), ident.name() + ".graft")
+
+  private def isDir(p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
 
   // ------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".graft") &&
-        GraftFormat.exists(p))
-      .map(p => Identifier.of(namespace,
-        p.getFileName.toString.stripSuffix(".graft")))
-      .toArray
+    if (!isDir(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".graft") &&
+        GraftFormat.exists(fs, st.getPath))
+      .map(st => Identifier.of(namespace,
+        st.getPath.getName.stripSuffix(".graft")))
   }
 
   private def load(ident: Identifier, pick: Path => Option[Manifest]): Table = {
     val dir = tableDir(ident)
-    if (!GraftFormat.exists(dir)) throw new NoSuchTableException(ident)
+    if (!GraftFormat.exists(fs, dir)) throw new NoSuchTableException(ident)
     val manifest = pick(dir).getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(ident.toString, dir, manifest)
+    new GraftTable(ident.toString, dir, manifest, conf)
   }
 
   override def loadTable(ident: Identifier): Table =
-    load(ident, GraftFormat.readLatest)
+    load(ident, GraftFormat.readLatest(fs, _))
 
   /** SQL `VERSION AS OF <n>`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -88,17 +105,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"invalid version '$version' for table $ident (expected integer)")
       }
-      if (!GraftFormat.listVersions(dir).contains(v))
+      if (!GraftFormat.listVersions(fs, dir).contains(v))
         throw new IllegalArgumentException(
           s"version $v does not exist for table $ident")
-      Some(GraftFormat.readManifest(dir, v))
+      Some(GraftFormat.readManifest(fs, dir, v))
     })
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros from Spark). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, { dir =>
-      GraftFormat.versionAtTimestamp(dir, timestampMicros / 1000L)
-        .map(GraftFormat.readManifest(dir, _))
+      GraftFormat.versionAtTimestamp(fs, dir, timestampMicros / 1000L)
+        .map(GraftFormat.readManifest(fs, dir, _))
         .orElse(throw new IllegalArgumentException(
           s"no version of $ident exists at or before timestamp " +
             s"${timestampMicros}us"))
@@ -112,16 +129,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft tables are fragment-partitioned; explicit PARTITIONED BY is not supported")
     val dir = tableDir(ident)
-    if (GraftFormat.exists(dir)) throw new TableAlreadyExistsException(ident)
-    if (!Files.isDirectory(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
+    if (GraftFormat.exists(fs, dir)) throw new TableAlreadyExistsException(ident)
+    if (!isDir(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     val userProps = GraftCatalog.userProperties(properties)
     graft.format.VectorColumns.validate(schema,
       graft.format.VectorColumns.fromProperties(userProps))
-    GraftFormat.init(dir)
+    GraftFormat.init(fs, dir)
     val m = Manifest(1L, schema.json, Seq.empty, -1,
       System.currentTimeMillis(), "Create", userProps)
-    GraftFormat.commit(dir, m)
-    new GraftTable(ident.toString, dir, m)
+    GraftFormat.commit(fs, dir, m)
+    new GraftTable(ident.toString, dir, m, conf)
   }
 
   // ---------------------------------------------- atomic CTAS/RTAS (D3)
@@ -130,20 +147,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
-    if (GraftFormat.exists(tableDir(ident)))
+    if (GraftFormat.exists(fs, tableDir(ident)))
       throw new TableAlreadyExistsException(ident)
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = false, GraftCatalog.userProperties(properties))
+      replace = false, GraftCatalog.userProperties(properties), conf)
   }
 
   override def stageReplace(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
-    if (!GraftFormat.exists(tableDir(ident)))
+    if (!GraftFormat.exists(fs, tableDir(ident)))
       throw new NoSuchTableException(ident)
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = true, GraftCatalog.userProperties(properties))
+      replace = true, GraftCatalog.userProperties(properties), conf)
   }
 
   override def stageCreateOrReplace(
@@ -151,7 +168,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable =
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
-      replace = true, GraftCatalog.userProperties(properties))
+      replace = true, GraftCatalog.userProperties(properties), conf)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -160,10 +177,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!GraftFormat.exists(dir)) return false
-    // recursive delete
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    true
+    if (!GraftFormat.exists(fs, dir)) return false
+    fs.delete(dir, true)
   }
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
@@ -173,23 +188,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.endsWith(".graft"))
-      .map(p => Array(p.getFileName.toString))
-      .toArray
+    fs.listStatus(warehouse)
+      .filter(st => st.isDirectory && !st.getPath.getName.endsWith(".graft"))
+      .map(st => Array(st.getPath.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.endsWith(".graft"))
-      .map(p => namespace :+ p.getFileName.toString)
-      .toArray
+    if (!isDir(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && !st.getPath.getName.endsWith(".graft"))
+      .map(st => namespace :+ st.getPath.getName)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(nsDir(namespace))
+    isDir(nsDir(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -198,19 +211,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(
       namespace: Array[String], metadata: JMap[String, String]): Unit =
-    Files.createDirectories(nsDir(namespace))
+    fs.mkdirs(nsDir(namespace))
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) return false
-    val empty = !Files.list(dir).iterator().hasNext
+    if (!isDir(dir)) return false
+    val empty = fs.listStatus(dir).isEmpty
     if (!empty && !cascade) throw new IllegalStateException(
       s"namespace ${namespace.mkString(".")} is not empty")
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    true
+    fs.delete(dir, true)
   }
 }
 

@@ -1,18 +1,17 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, TableCapability}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 
-import graft.format.GraftFormat
-import graft.format.GraftFormat.{FragmentMeta, Manifest}
+import graft.format.{FragmentStats, GraftFormat}
+import graft.format.GraftFormat.{ColStats, FragmentMeta, Manifest}
 
 /** Two-phase atomic CTAS / RTAS / CREATE OR REPLACE (SURVEY.md D3;
   * reference: beginCreateTable -> workers write fragments ->
@@ -31,7 +30,10 @@ class StagedGraftTable(
     dir: Path,
     schema0: StructType,
     replace: Boolean,
-    tableProps: Map[String, String]) extends StagedTable with SupportsWrite {
+    tableProps: Map[String, String],
+    @transient conf: Configuration) extends StagedTable with SupportsWrite {
+
+  private def fs: FileSystem = dir.getFileSystem(conf)
 
   private val blobCols: Seq[String] = tableProps.get("blob_columns")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -41,8 +43,8 @@ class StagedGraftTable(
     graft.format.VectorColumns.fromProperties(tableProps)
   graft.format.VectorColumns.validate(schema0, vectorCols)
 
-  private val staged =
-    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val staged = scala.collection.mutable.ArrayBuffer
+    .empty[(String, Long, Long, Map[String, ColStats])]
 
   override def name(): String = ident
   override def schema(): StructType = schema0
@@ -66,41 +68,29 @@ class StagedGraftTable(
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-            GraftFormat.init(dir)
-            val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
+            GraftFormat.init(fs, dir)
+            val staging = new Path(dir, s".staging-${UUID.randomUUID()}")
             graft.format.BlobStore.encode(
               graft.format.VectorColumns.enforce(data, vectorCols),
               blobCols, dir)
               .write.parquet(staging.toUri.toString)
-            val conf = data.sparkSession.sessionState.newHadoopConf()
-            Files.list(staging).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .toSeq.sortBy(_.getFileName.toString)
-              .foreach { p =>
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                val n = try r.getRecordCount finally r.close()
-                val nm = s"${UUID.randomUUID()}.parquet"
-                Files.move(p, GraftFormat.dataDir(dir).resolve(nm))
-                staged.synchronized { staged += ((s"data/$nm", n)) }
-              }
-            Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
-            Files.deleteIfExists(staging)
+            val hconf = data.sparkSession.sessionState.newHadoopConf()
+            val adopted = FragmentStats.adoptStaged(fs, hconf, dir, staging)
+            staged.synchronized { staged ++= adopted }
           }
         }
     }
 
   override def commitStagedChanges(): Unit = {
-    GraftFormat.init(dir)
-    GraftFormat.commitWithRetry(dir) { latestOpt =>
+    GraftFormat.init(fs, dir)
+    GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
       if (latestOpt.isDefined && !replace)
         throw new IllegalStateException(
           s"table $ident already exists (staged CREATE lost a race)")
       var nextId = -1
-      val frags = staged.toSeq.map { case (rel, n) =>
+      val frags = staged.toSeq.map { case (rel, n, size, stats) =>
         nextId += 1
-        FragmentMeta(nextId, rel, n, None, 0L)
+        FragmentMeta(nextId, rel, n, None, 0L, size, stats)
       }
       Manifest(
         version = latestOpt.map(_.version + 1).getOrElse(1L),
@@ -114,7 +104,7 @@ class StagedGraftTable(
   }
 
   override def abortStagedChanges(): Unit =
-    staged.foreach { case (rel, _) =>
-      Files.deleteIfExists(dir.resolve(rel))
+    staged.foreach { case (rel, _, _, _) =>
+      fs.delete(new Path(dir, rel), false)
     }
 }

@@ -51,7 +51,9 @@ class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Command)
     new GraftScanBuilder(table)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    () => new GraftDeltaWrite(table, info)
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, info)
+    }
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(GraftTable.RowAddressName))

@@ -1,18 +1,13 @@
 package graft.connector
 
-import java.nio.file.{Files, Path}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
 
-import graft.format.GraftFormat
+import graft.format.{FragmentStats, GraftFormat}
 import graft.format.GraftFormat.{FragmentMeta, Manifest}
 
 /** Write path (reference sections 3.2: two-phase fragment write +
@@ -45,7 +40,7 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          GraftWriter.write(table.dir, data, doTruncate || overwrite,
+          GraftWriter.write(table.fs, table.dir, data, doTruncate || overwrite,
             table.manifest.blobColumns, table.manifest.properties)
       }
   }
@@ -54,40 +49,32 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 object GraftWriter {
 
   /** Distributed fragment write + atomic manifest commit. */
-  def write(dir: Path, data: Dataset[Row], overwrite: Boolean,
+  def write(fs: FileSystem, dir: Path, data: Dataset[Row], overwrite: Boolean,
       blobCols: Seq[String] = Seq.empty,
       tableProps: Map[String, String] = Map.empty): Unit = {
-    GraftFormat.init(dir)
-    val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
+    GraftFormat.init(fs, dir)
+    val staging = new Path(dir, s".staging-${UUID.randomUUID()}")
+    val conf = data.sparkSession.sessionState.newHadoopConf()
     try {
       val vectorCols = graft.format.VectorColumns.fromProperties(
-        GraftFormat.readLatest(dir).map(_.properties).getOrElse(tableProps))
+        GraftFormat.readLatest(fs, dir).map(_.properties).getOrElse(tableProps))
       graft.format.BlobStore.encode(
         graft.format.VectorColumns.enforce(data.toDF(), vectorCols),
         blobCols, dir)
         .write.parquet(staging.toUri.toString)
-      val files = Files.list(staging).iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
       val schemaJson = data.schema.json
-      val conf = data.sparkSession.sessionState.newHadoopConf()
       // move fragments into data/ ONCE, before the commit loop — they are
       // invisible until a manifest references them, so a lost commit race
       // only re-runs manifest construction, never file movement
-      val moved = files.map { p =>
-        val n = parquetRowCount(p, conf)
-        val name = s"${UUID.randomUUID()}.parquet"
-        Files.move(p, GraftFormat.dataDir(dir).resolve(name))
-        (s"data/$name", n)
-      }
+      val moved = FragmentStats.adoptStaged(fs, conf, dir, staging)
 
-      GraftFormat.commitWithRetry(dir) { latestOpt =>
+      GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
         val base = latestOpt.filter(_ => !overwrite)
         var nextId = base.map(_.maxFragmentId).getOrElse(
           latestOpt.map(_.maxFragmentId).getOrElse(-1))
-        val newFrags = moved.map { case (rel, n) =>
+        val newFrags = moved.map { case (rel, n, size, stats) =>
           nextId += 1
-          FragmentMeta(nextId, rel, n, None, 0L)
+          FragmentMeta(nextId, rel, n, None, 0L, size, stats)
         }
         Manifest(
           version = latestOpt.map(_.version + 1).getOrElse(1L),
@@ -104,17 +91,7 @@ object GraftWriter {
           properties = latestOpt.map(_.properties).getOrElse(tableProps))
       }
     } finally {
-      // best-effort staging cleanup
-      if (Files.exists(staging)) {
-        Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
-        Files.deleteIfExists(staging)
-      }
+      if (fs.exists(staging)) fs.delete(staging, true)
     }
-  }
-
-  private def parquetRowCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
-    val in = HadoopInputFile.fromPath(new HPath(p.toUri), conf)
-    val reader = ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
   }
 }

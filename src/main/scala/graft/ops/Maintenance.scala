@@ -1,13 +1,13 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
-import graft.format.{BlobStore, GraftFormat}
+import graft.format.{BlobStore, FragmentStats, GraftFormat}
 import graft.format.GraftFormat.{FragmentMeta, Manifest}
 
 /** Table-maintenance operations the reference does not ship but a
@@ -18,9 +18,13 @@ import graft.format.GraftFormat.{FragmentMeta, Manifest}
   *    and the rewrite are distributed; the commit is one manifest CAS.
   *    Untouched fragments keep their ids, so time travel and streaming
   *    offsets stay valid for them.
-  *  - [[vacuum]]: delete data/deletion files not referenced by any
+  *  - [[vacuum]]: delete data/deletion/blob files not referenced by any
   *    retained manifest version (after dropping history older than
   *    `keepVersions`). Time travel works within the retained window.
+  *    Blob sidecars are GC'd via a distributed descriptor scan over the
+  *    retained fragments.
+  *
+  * All paths are Hadoop-FS (file://, hdfs://, s3a://, ...).
   */
 object Maintenance {
 
@@ -32,52 +36,61 @@ object Maintenance {
       dir: Path,
       minRows: Long = 1000000L,
       foldDeletes: Boolean = true): Int = {
-    val manifest = GraftFormat.readLatest(dir).getOrElse(
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val qualDir = fs.makeQualified(dir)
+    val manifest = GraftFormat.readLatest(fs, qualDir).getOrElse(
       throw new IllegalArgumentException(s"not a graft table: $dir"))
-    val (small, keep) = manifest.fragments.partition(f =>
+    val (small, _) = manifest.fragments.partition(f =>
       f.liveRows < minRows || (foldDeletes && f.deletedCount > 0))
     if (small.size <= 1 && !small.exists(_.deletedCount > 0)) return 0
 
     // distributed rewrite of the small fragments' LIVE rows
     val physSchema = BlobStore.physicalSchema(
       manifest.schema, manifest.blobColumns)
-    val paths = small.map(f => dir.resolve(f.path).toUri.getPath)
-    val deleted = small.filter(_.deletionPath.isDefined).map(f =>
-      dir.resolve(f.path).toUri.getPath ->
-        GraftFormat.readDeletionFile(dir, f.deletionPath.get).toSet)
-    import org.apache.spark.sql.functions.col
-    val live = deleted.foldLeft(
-      spark.read.schema(physSchema).parquet(paths: _*)
-        .withColumn("__p", col("_metadata.file_path"))
-        .withColumn("__i", col("_metadata.row_index"))) {
-      case (df, (p, dels)) =>
-        df.filter(!(col("__p").endsWith(p) && col("__i").isin(dels.toSeq: _*)))
-    }.drop("__p", "__i")
+    val paths = small.map(f => new Path(qualDir, f.path).toString)
+    val raw = spark.read.schema(physSchema).parquet(paths: _*)
+      .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__i", col("_metadata.row_index"))
 
-    val staging = dir.resolve(s".staging-${UUID.randomUUID()}")
+    // deletion vectors applied via anti-join on (fragment file name,
+    // row index) — the sidecars are read executor-side, so a fragment
+    // with millions of deletions never becomes Catalyst literals
+    val delFiles = small.filter(_.deletionPath.isDefined)
+      .map(f => (f.path.split('/').last, f.deletionPath.get))
+    val live = (if (delFiles.isEmpty) raw else {
+      val sconf = new SerializableConfiguration(conf)
+      val dirStr = qualDir.toString
+      val delRdd = spark.sparkContext
+        .parallelize(delFiles, math.min(delFiles.size, 32))
+        .flatMap { case (fname, rel) =>
+          GraftFormat.readDeletionFileAbs(
+            new Path(dirStr, rel).toString, sconf.value)
+            .map(idx => (fname, idx))
+        }
+      val dels = spark.createDataFrame(delRdd.map {
+          case (f, i) => org.apache.spark.sql.Row(f, i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__df",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("__di",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      raw.join(broadcast(dels),
+        raw("__f") === dels("__df") && raw("__i") === dels("__di"),
+        "left_anti")
+    }).drop("__f", "__i")
+
+    val staging = new Path(qualDir, s".staging-${UUID.randomUUID()}")
     // coalesce toward target-size fragments: one output file per
     // minRows-worth of rows (>= 1)
     val total = small.map(_.liveRows).sum
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
     live.coalesce(nOut).write.parquet(staging.toUri.toString)
-    val conf = spark.sessionState.newHadoopConf()
-    val moved = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val n = try r.getRecordCount finally r.close()
-        val name = s"${UUID.randomUUID()}.parquet"
-        Files.move(p, GraftFormat.dataDir(dir).resolve(name))
-        (s"data/$name", n)
-      }.filter(_._2 > 0)
-    Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(staging)
+    val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
 
     val smallIds = small.map(_.id).toSet
-    GraftFormat.commitWithRetry(dir) { latestOpt =>
+    GraftFormat.commitWithRetry(fs, qualDir) { latestOpt =>
       val latest = latestOpt.getOrElse(
         throw new IllegalStateException(s"table vanished during compact: $dir"))
       // conflict safety: if a concurrent commit touched any compacted
@@ -88,9 +101,9 @@ object Maintenance {
         throw new GraftFormat.CommitConflictException(
           "concurrent modification of fragments being compacted")
       var nextId = latest.maxFragmentId
-      val newFrags = moved.map { case (rel, n) =>
+      val newFrags = moved.map { case (rel, n, size, stats) =>
         nextId += 1
-        FragmentMeta(nextId, rel, n, None, 0L)
+        FragmentMeta(nextId, rel, n, None, 0L, size, stats)
       }
       latest.copy(
         version = latest.version + 1,
@@ -106,30 +119,57 @@ object Maintenance {
   /** Drop manifest history beyond the latest `keepVersions` versions,
     * then delete any data/deletion/blob file not referenced by a
     * retained manifest. Returns (versionsDropped, filesDeleted). */
-  def vacuum(dir: Path, keepVersions: Int = 10): (Int, Int) = {
+  def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val versions = GraftFormat.listVersions(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val qualDir = fs.makeQualified(dir)
+    val versions = GraftFormat.listVersions(fs, qualDir)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val retained = keep.map(GraftFormat.readManifest(dir, _))
+    val retained = keep.map(GraftFormat.readManifest(fs, qualDir, _))
     val referenced: Set[String] = retained.flatMap { m =>
       m.fragments.flatMap(f => f.path +: f.deletionPath.toSeq)
     }.toSet
-    // blob sidecars stay referenced through fragment descriptors, which
-    // we cannot see from the manifest alone — conservatively retain the
-    // whole blobs dir (a full blob GC needs a descriptor scan).
-    drop.foreach(v => Files.deleteIfExists(
-      dir.resolve("_versions").resolve(s"$v.manifest.json")))
+    drop.foreach { v =>
+      val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
     var deleted = 0
     for (sub <- Seq("data", "_deletions")) {
-      val d = dir.resolve(sub)
-      if (Files.isDirectory(d)) {
-        Files.list(d).iterator().asScala.toSeq.foreach { p =>
-          if (Files.isRegularFile(p)) {
-            val rel = s"$sub/${p.getFileName}"
-            if (!referenced.contains(rel)) {
-              Files.delete(p)
-              deleted += 1
-            }
+      val d = new Path(qualDir, sub)
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        if (st.isFile) {
+          val rel = s"$sub/${st.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            fs.delete(st.getPath, false)
+            deleted += 1
+          }
+        }
+      }
+    }
+    // blob sidecar GC: a distributed descriptor scan over the retained
+    // fragments yields the set of live sidecar files; anything else in
+    // data/blobs is unreachable from any retained version
+    val blobDir = new Path(qualDir, BlobStore.BlobDirName)
+    if (fs.exists(blobDir)) {
+      val referencedBlobs: Set[String] = retained
+        .filter(m => m.blobColumns.nonEmpty && m.fragments.nonEmpty)
+        .flatMap { m =>
+          val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
+          val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
+          val df = spark.read.schema(phys).parquet(paths: _*)
+          m.blobColumns.flatMap { c =>
+            df.select(col(c).getField("file").as("f"))
+              .where(col("f").isNotNull).distinct()
+              .collect().map(_.getString(0))
+          }
+        }.toSet
+      fs.listStatus(blobDir).foreach { st =>
+        if (st.isFile) {
+          val rel = s"${BlobStore.BlobDirName}/${st.getPath.getName}"
+          if (!referencedBlobs.contains(rel)) {
+            fs.delete(st.getPath, false)
+            deleted += 1
           }
         }
       }

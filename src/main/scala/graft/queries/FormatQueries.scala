@@ -115,11 +115,11 @@ object FormatQueries {
       s.sql("DROP TABLE IF EXISTS graft.db.ord_upd")
       Tables.load(s, d, "orders").createOrReplaceTempView("ord_upd_src")
       s.sql("CREATE TABLE graft.db.ord_upd AS SELECT * FROM ord_upd_src")
-      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
-        "ord_upd.graft")
-      graft.ops.GraftOps.update(s, dir,
-        col("o_totalprice") < 10000,
-        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      // SQL UPDATE -> delta-based row-level write: executors write the
+      // deletion vectors + replacement fragments, one manifest commit
+      s.sql("""UPDATE graft.db.ord_upd
+              |SET o_totalprice = o_totalprice * 1.1
+              |WHERE o_totalprice < 10000""".stripMargin)
       s.table("graft.db.ord_upd")
         .groupBy(col("o_orderstatus"))
         .agg(round(sum(col("o_totalprice")), 2).as("total"))
@@ -148,17 +148,18 @@ object FormatQueries {
         .select("c_custkey", "c_acctbal")
         .createOrReplaceTempView("cust_mrg_src")
       s.sql("CREATE TABLE graft.db.cust_mrg AS SELECT * FROM cust_mrg_src")
-      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
-        "cust_mrg.graft")
-      val source = Tables.load(s, d, "customer")
+      Tables.load(s, d, "customer")
         .filter(col("c_custkey").between(500, 1500))
         .select(col("c_custkey").as("sk"),
           (col("c_acctbal") * 2).as("new_bal"))
-      graft.ops.GraftOps.merge(s, dir, source,
-        on = col("t.c_custkey") === col("s.sk"),
-        whenMatched = Some(Map("c_acctbal" -> col("s.new_bal"))),
-        whenNotMatched = Some(Map(
-          "c_custkey" -> col("s.sk"), "c_acctbal" -> col("s.new_bal"))))
+        .createOrReplaceTempView("cust_mrg_updates")
+      // SQL MERGE INTO -> delta-based row-level write (upsert)
+      s.sql("""MERGE INTO graft.db.cust_mrg t
+              |USING cust_mrg_updates s
+              |ON t.c_custkey = s.sk
+              |WHEN MATCHED THEN UPDATE SET c_acctbal = s.new_bal
+              |WHEN NOT MATCHED THEN
+              |  INSERT (c_custkey, c_acctbal) VALUES (s.sk, s.new_bal)""".stripMargin)
       s.table("graft.db.cust_mrg")
         .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
         .orderBy("c_custkey")
@@ -186,10 +187,11 @@ object FormatQueries {
         s.sql(s"INSERT INTO graft.db.supp_cmp SELECT * FROM supp_cmp_$i")
       }
       s.sql("DELETE FROM graft.db.supp_cmp WHERE s_acctbal < 0")
-      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
-        "supp_cmp.graft")
+      val dir = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "supp_cmp.graft").toUri)
       graft.ops.Maintenance.compact(s, dir, minRows = 1000000L)
-      graft.ops.Maintenance.vacuum(dir, keepVersions = 1)
+      graft.ops.Maintenance.vacuum(s, dir, keepVersions = 1)
       s.table("graft.db.supp_cmp")
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))

@@ -26,10 +26,13 @@ final case class GraftOffset(version: Long) extends Offset {
 
 class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
 
+  private def fs = table.fs
+  private def qualDir = fs.makeQualified(table.dir)
+
   override def initialOffset(): Offset = GraftOffset(0L)
 
   override def latestOffset(): Offset =
-    GraftOffset(GraftFormat.latestVersion(table.dir).getOrElse(0L))
+    GraftOffset(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = {
     val v = json.replaceAll("[^0-9]", "")
@@ -40,12 +43,12 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
-    val versions = GraftFormat.listVersions(table.dir)
+    val versions = GraftFormat.listVersions(fs, table.dir)
     val baseIds: Set[Int] =
       if (from == 0L || !versions.contains(from)) Set.empty
-      else GraftFormat.readManifest(table.dir, from).fragments.map(_.id).toSet
+      else GraftFormat.readManifest(fs, table.dir, from).fragments.map(_.id).toSet
     val endManifest =
-      if (versions.contains(to)) GraftFormat.readManifest(table.dir, to)
+      if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
       else table.manifest
     // Compaction commits are data-neutral: the fragments they introduce
     // carry only already-streamed rows, so re-delivering them would
@@ -58,7 +61,7 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
       var prev: Set[Int] = baseIds
       val acc = Set.newBuilder[Int]
       inRange.foreach { v =>
-        val m = GraftFormat.readManifest(table.dir, v)
+        val m = GraftFormat.readManifest(fs, table.dir, v)
         val ids = m.fragments.map(_.id).toSet
         if (m.operation == "Compact") acc ++= (ids diff prev)
         prev = ids
@@ -70,8 +73,13 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
       .map { f =>
         GraftFragmentPartition(
           fragId = f.id,
-          absPath = table.dir.resolve(f.path).toUri.getPath,
-          fileSize = java.nio.file.Files.size(table.dir.resolve(f.path)),
+          absPath = new org.apache.hadoop.fs.Path(qualDir, f.path).toString,
+          // manifest-served size; only legacy v1 manifests (sizeBytes=0)
+          // fall back to a driver-side stat
+          fileSize =
+            if (f.sizeBytes > 0) f.sizeBytes
+            else fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(qualDir, f.path)).getLen,
           // streams see the fragment as appended (no deletion vector):
           // deletes are table-state, not stream events
           deletionAbsPath = None,
@@ -87,15 +95,16 @@ class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
     val dataCols = table.dataSchema
     val parquetSchema = StructType(dataCols.fields :+
       StructField(GraftShim.rowIndexColumnName, LongType, nullable = true))
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val readFunc = GraftShim.parquetReaderFunc(
-      spark, dataCols, parquetSchema, Seq.empty,
-      spark.sessionState.newHadoopConf())
+      spark, dataCols, parquetSchema, Seq.empty, hadoopConf)
     val specs: Seq[graft.connector.ProjSpec] =
       dataCols.fields.toSeq.zipWithIndex.map { case (f, i) =>
         graft.connector.NormalField(i, f.dataType.json, f.nullable)
       }
     new graft.connector.GraftReaderFactory(
-      readFunc, dataCols.length, specs, countStar = false)
+      readFunc, dataCols.length, specs, countStar = false,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -65,9 +65,13 @@ object GraftShim {
     conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
       sqlConf.parquetFieldIdWriteEnabled.toString)
     conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE))
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
     conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE))
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    // Spark 4.1's SparkToParquetSchemaConverter(conf) reads this with a
+    // raw .toBoolean — unset means "null".toBoolean crashes
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
     conf.set("parquet.compression", sqlConf.parquetCompressionCodec)
     conf
   }

@@ -65,16 +65,18 @@ class BlobSpec extends AnyFunSuite {
 
   test("blob content fetch by descriptor returns the original bytes") {
     wh
-    val dir = Paths.get(wh, "db", "media.graft")
-    val manifest = GraftFormat.readLatest(dir).get
+    val dir = new org.apache.hadoop.fs.Path(
+      Paths.get(wh, "db", "media.graft").toUri)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val manifest = GraftFormat.readLatest(fs, dir).get
     // read descriptors from the physical fragment directly
     val phys = spark.read.schema(
       BlobStore.physicalSchema(manifest.schema, manifest.blobColumns))
       .parquet(manifest.fragments.map(f =>
-        dir.resolve(f.path).toUri.getPath): _*)
+        new org.apache.hadoop.fs.Path(dir, f.path).toString): _*)
     val r = phys.filter(col("id") === 7)
       .select("content.file", "content.pos", "content.size").head
-    val bytes = BlobStore.fetch(dir, r.getString(0), r.getLong(1), r.getLong(2))
+    val bytes = BlobStore.fetch(fs, dir, r.getString(0), r.getLong(1), r.getLong(2))
     assert(new String(bytes) == "payload-7" + "x" * 7)
   }
 

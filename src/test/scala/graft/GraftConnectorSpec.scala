@@ -119,7 +119,10 @@ class GraftConnectorSpec extends AnyFunSuite {
     li.limit(3000).repartition(6).createOrReplaceTempView("lim_src")
     spark.sql("CREATE TABLE g.db.lim AS SELECT * FROM lim_src")
     val m = GraftFormat.readLatest(
-      java.nio.file.Paths.get(wh, "db", "lim.graft")).get
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(wh, "db", "lim.graft").toUri)).get
     assert(m.fragments.size > 1, "expected multiple fragments")
     val df = spark.table("g.db.lim").limit(10)
     assert(df.count() == 10)

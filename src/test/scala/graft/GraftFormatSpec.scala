@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.format.GraftFormat
@@ -12,66 +14,71 @@ import graft.format.GraftFormat._
   * metadata-layer unit tests, TestLanceMetadata / TestLanceTableHandle). */
 class GraftFormatSpec extends AnyFunSuite {
 
+  private val fs: FileSystem = FileSystem.getLocal(new Configuration())
+
+  private def tmp(): Path =
+    new Path(Files.createTempDirectory("fmt").toUri)
+
   private def manifest(v: Long, op: String = "Append",
       ts: Long = -1L): Manifest =
     Manifest(v, """{"type":"struct","fields":[]}""", Seq.empty, -1,
       if (ts == -1L) 1000L * v else ts, op)
 
   test("CAS commit: second commit of the same version conflicts") {
-    val dir = Files.createTempDirectory("fmt")
-    GraftFormat.commit(dir, manifest(1))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, manifest(1))
     intercept[CommitConflictException] {
-      GraftFormat.commit(dir, manifest(1))
+      GraftFormat.commit(fs, dir, manifest(1))
     }
-    GraftFormat.commit(dir, manifest(2))
-    assert(GraftFormat.listVersions(dir) == Seq(1L, 2L))
+    GraftFormat.commit(fs, dir, manifest(2))
+    assert(GraftFormat.listVersions(fs, dir) == Seq(1L, 2L))
   }
 
   test("commitWithRetry rebuilds from the freshest base after losing a race") {
-    val dir = Files.createTempDirectory("fmt")
-    GraftFormat.commit(dir, manifest(1))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, manifest(1))
     var attempts = 0
-    val m = GraftFormat.commitWithRetry(dir) { latest =>
+    val m = GraftFormat.commitWithRetry(fs, dir) { latest =>
       attempts += 1
       // simulate a concurrent writer sneaking in before our 1st attempt
-      if (attempts == 1) GraftFormat.commit(dir, manifest(2))
+      if (attempts == 1) GraftFormat.commit(fs, dir, manifest(2))
       manifest(latest.get.version + 1)
     }
     assert(attempts == 2)
     assert(m.version == 3)
-    assert(GraftFormat.listVersions(dir) == Seq(1L, 2L, 3L))
+    assert(GraftFormat.listVersions(fs, dir) == Seq(1L, 2L, 3L))
   }
 
   test("commitWithRetry gives up after maxAttempts") {
-    val dir = Files.createTempDirectory("fmt")
-    GraftFormat.commit(dir, manifest(1))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, manifest(1))
     intercept[CommitConflictException] {
-      GraftFormat.commitWithRetry(dir, maxAttempts = 3) { _ =>
+      GraftFormat.commitWithRetry(fs, dir, maxAttempts = 3) { _ =>
         manifest(1) // always stale -> always conflicts
       }
     }
   }
 
   test("versionAtTimestamp resolves latest version at-or-before ts") {
-    val dir = Files.createTempDirectory("fmt")
-    GraftFormat.commit(dir, manifest(1, ts = 1000))
-    GraftFormat.commit(dir, manifest(2, ts = 2000))
-    GraftFormat.commit(dir, manifest(3, ts = 3000))
-    assert(GraftFormat.versionAtTimestamp(dir, 999).isEmpty)
-    assert(GraftFormat.versionAtTimestamp(dir, 1000).contains(1L))
-    assert(GraftFormat.versionAtTimestamp(dir, 2500).contains(2L))
-    assert(GraftFormat.versionAtTimestamp(dir, 99999).contains(3L))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, manifest(1, ts = 1000))
+    GraftFormat.commit(fs, dir, manifest(2, ts = 2000))
+    GraftFormat.commit(fs, dir, manifest(3, ts = 3000))
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 999).isEmpty)
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 1000).contains(1L))
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 2500).contains(2L))
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 99999).contains(3L))
   }
 
   test("deletion file roundtrip: sorted, deduplicated") {
-    val dir = Files.createTempDirectory("fmt")
-    GraftFormat.init(dir)
-    val rel = GraftFormat.writeDeletionFile(dir, 7, 2,
+    val dir = tmp()
+    GraftFormat.init(fs, dir)
+    val rel = GraftFormat.writeDeletionFile(fs, dir, 7, 2,
       Array(5L, 1L, 5L, 3L, 1L))
-    assert(GraftFormat.readDeletionFile(dir, rel).sameElements(
+    assert(GraftFormat.readDeletionFile(fs, dir, rel).sameElements(
       Array(1L, 3L, 5L)))
-    val empty = GraftFormat.writeDeletionFile(dir, 8, 2, Array.empty[Long])
-    assert(GraftFormat.readDeletionFile(dir, empty).isEmpty)
+    val empty = GraftFormat.writeDeletionFile(fs, dir, 8, 2, Array.empty[Long])
+    assert(GraftFormat.readDeletionFile(fs, dir, empty).isEmpty)
   }
 
   test("row address packs fragment id and row index") {
@@ -85,5 +92,28 @@ class GraftFormatSpec extends AnyFunSuite {
       Seq(FragmentMeta(0, "data/a b.parquet", 10, None, 0)),
       0, 123, "Create", Map("blob_columns" -> "a,b", "note" -> "x\"y"))
     assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
+  }
+
+  test("manifest json roundtrips sizeBytes and zone-map stats") {
+    val m = Manifest(3, """{"type":"struct","fields":[]}""",
+      Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,
+        Map("k" -> ColStats(Some("1"), Some("99"), 2),
+          "s" -> ColStats(Some("aa"), Some("zz"), 0),
+          "allnull" -> ColStats(None, None, 10)))),
+      0, 123, "Append")
+    assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
+  }
+
+  test("format_version 1 manifests are written without sizeBytes/stats") {
+    val m = Manifest(1, """{"type":"struct","fields":[]}""",
+      Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,
+        Map("k" -> ColStats(Some("1"), Some("9"), 0)))),
+      0, 123, "Create", Map(GraftFormat.FormatVersionProp -> "1"))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, m)
+    val back = GraftFormat.readManifest(fs, dir, 1)
+    assert(back.formatVersion == 1)
+    assert(back.fragments.head.sizeBytes == 0L)
+    assert(back.fragments.head.stats.isEmpty)
   }
 }

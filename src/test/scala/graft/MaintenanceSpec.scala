@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,6 +12,8 @@ import graft.ops.Maintenance
 
 class MaintenanceSpec extends AnyFunSuite {
   import TestSpark._
+
+  private val fs: FileSystem = FileSystem.getLocal(new Configuration())
 
   private lazy val wh: String = {
     val dir = Files.createTempDirectory("graft-maint-wh").toString
@@ -27,15 +31,15 @@ class MaintenanceSpec extends AnyFunSuite {
     (0 until 5).foreach(i =>
       spark.sql(s"INSERT INTO mt.db.c SELECT id + ${i * 100} FROM range(100)"))
     spark.sql("DELETE FROM mt.db.c WHERE k < 45")
-    val dir = Paths.get(wh, "db", "c.graft")
-    val before = GraftFormat.readLatest(dir).get
+    val dir = new Path(Paths.get(wh, "db", "c.graft").toUri)
+    val before = GraftFormat.readLatest(fs, dir).get
     assert(before.fragments.size >= 5)
     assert(before.fragments.exists(_.deletedCount > 0))
     val checksum = spark.table("mt.db.c").agg(sum("k"), count(lit(1))).head
 
     val n = Maintenance.compact(spark, dir, minRows = 1000)
     assert(n >= 5)
-    val after = GraftFormat.readLatest(dir).get
+    val after = GraftFormat.readLatest(fs, dir).get
     assert(after.operation == "Compact")
     assert(after.fragments.size < before.fragments.size)
     assert(after.fragments.forall(_.deletedCount == 0), "deletes not folded")
@@ -48,14 +52,14 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("vacuum drops old versions and unreferenced files; recent history intact") {
     wh
-    val dir = Paths.get(wh, "db", "c.graft")
-    val nVersionsBefore = GraftFormat.listVersions(dir).size
-    val dataFilesBefore = Files.list(dir.resolve("data"))
+    val dir = new Path(Paths.get(wh, "db", "c.graft").toUri)
+    val nVersionsBefore = GraftFormat.listVersions(fs, dir).size
+    val dataFilesBefore = Files.list(Paths.get(wh, "db", "c.graft", "data"))
       .filter(Files.isRegularFile(_)).count()
-    val (dropped, deleted) = Maintenance.vacuum(dir, keepVersions = 2)
+    val (dropped, deleted) = Maintenance.vacuum(spark, dir, keepVersions = 2)
     assert(dropped == nVersionsBefore - 2)
     assert(deleted > 0, "expected unreferenced pre-compaction files removed")
-    val dataFilesAfter = Files.list(dir.resolve("data"))
+    val dataFilesAfter = Files.list(Paths.get(wh, "db", "c.graft", "data"))
       .filter(Files.isRegularFile(_)).count()
     assert(dataFilesAfter < dataFilesBefore)
     // latest still reads fine
