@@ -77,6 +77,13 @@ object FragmentStats {
     val hasMinMax = st.hasNonNullValue
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     t match {
+      // timestamps are comparable as raw longs only in MICROS (what Spark
+      // writes); any other unit gets no stats rather than wrong pruning
+      case PrimitiveTypeName.INT64
+          if logical.isInstanceOf[TimestampLogicalTypeAnnotation] &&
+            logical.asInstanceOf[TimestampLogicalTypeAnnotation].getUnit !=
+              org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+        None
       case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
         // covers integral Spark types + DATE (days) + TIMESTAMP (micros)
         val mm =
@@ -165,6 +172,26 @@ object ZoneMaps {
     case _ => None
   }
 
+  /** Filter value -> days-since-epoch (parquet DATE physical form). */
+  private def toDays(v: Any): Option[Int] = v match {
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
+  }
+
+  /** Filter value -> micros-since-epoch (parquet TIMESTAMP(MICROS)). */
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case t: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(t))
+    case _ => None
+  }
+
   /** compare(stat, v): Some(sign) or None when not comparable. */
   private def cmp(a: String, v: Any, schema: StructType, stat: Option[String]): Option[Int] = {
     val field = schema.fields.find(_.name == a).getOrElse(return None)
@@ -178,6 +205,13 @@ object ZoneMaps {
         case str: String => Some(s.compareTo(str).sign)
         case _ => None
       }
+      // date/timestamp stats serialize as their parquet physical longs
+      // (days / micros), so predicates prune the most common analytic
+      // ranges too
+      case DateType =>
+        toDays(v).map(x => java.lang.Long.compare(s.toLong, x.toLong))
+      case TimestampType | TimestampNTZType =>
+        toMicros(v).map(x => java.lang.Long.compare(s.toLong, x))
       case _ => None
     }
   }

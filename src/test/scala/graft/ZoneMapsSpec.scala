@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat.{ColStats, FragmentMeta}
+import graft.format.ZoneMaps
+
+/** Zone-map fragment pruning: manifest min/max stats must skip fragments
+  * a pushed predicate excludes, while results stay identical — the
+  * native analog of the reference's scalar-index scan skipping
+  * (LanceFragmentPageSource.java:126 useScalarIndex(true)). */
+class ZoneMapsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-zm-wh").toString
+    spark.conf.set("spark.sql.catalog.zm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.zm.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS zm.db")
+    dir
+  }
+
+  private def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.inputPartitions.size
+    }.sum
+
+  test("disjoint long ranges: predicate plans only matching fragments") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.t")
+    spark.sql("CREATE TABLE zm.db.t (k BIGINT, s STRING)")
+    // 4 appends with disjoint k ranges -> 4+ fragments with disjoint stats
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO zm.db.t
+           |SELECT id + ${i * 1000}, concat('grp', ${i})
+           |FROM range(0, 1000, 1, 1)""".stripMargin)
+    }
+    val all = spark.table("zm.db.t")
+    val nFrags = plannedPartitions(all.filter(col("k") >= 0))
+    assert(nFrags == 4, s"expected 4 fragments, planned $nFrags")
+
+    val one = all.filter(col("k") === 1500)
+    assert(plannedPartitions(one) == 1,
+      "equality inside one fragment's range must plan exactly 1")
+    assert(one.count() == 1)
+
+    val range = all.filter(col("k") >= 900 && col("k") < 2100)
+    assert(plannedPartitions(range) == 3,
+      "range spanning 3 fragments must plan exactly 3")
+    assert(range.count() == 1200)
+
+    val none = all.filter(col("k") > 100000)
+    assert(plannedPartitions(none) == 0, "out-of-range predicate plans 0")
+    assert(none.count() == 0)
+
+    // string zone maps prune too
+    val str = all.filter(col("s") === "grp2")
+    assert(plannedPartitions(str) == 1)
+    assert(str.count() == 1000)
+  }
+
+  test("date predicates prune fragments (stats stored as epoch days)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.d")
+    spark.sql("CREATE TABLE zm.db.d (d DATE, v BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO zm.db.d
+           |SELECT date_add(DATE'2024-01-01', CAST(id + ${i * 30} AS INT)), id
+           |FROM range(0, 30, 1, 1)""".stripMargin)
+    }
+    val all = spark.table("zm.db.d")
+    val feb = all.filter(col("d").between(
+      java.sql.Date.valueOf("2024-02-01"), java.sql.Date.valueOf("2024-02-28")))
+    assert(plannedPartitions(feb) <= 2,
+      "february range must not plan the march fragment")
+    assert(feb.count() == 28)
+    val none = all.filter(col("d") > java.sql.Date.valueOf("2025-01-01"))
+    assert(plannedPartitions(none) == 0)
+  }
+
+  test("pruning is conservative: nulls, IN, StartsWith, unstatted columns") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    def frag(stats: Map[String, ColStats], rows: Long = 100) =
+      FragmentMeta(0, "data/x.parquet", rows, None, 0, 1L, stats)
+
+    val f = frag(Map("k" -> ColStats(Some("10"), Some("20"), 0),
+      "s" -> ColStats(Some("apple"), Some("mango"), 5)))
+    assert(!ZoneMaps.mayMatch(EqualTo("k", 5L), schema, f))
+    assert(ZoneMaps.mayMatch(EqualTo("k", 15L), schema, f))
+    assert(ZoneMaps.mayMatch(In("k", Array(1L, 15L)), schema, f))
+    assert(!ZoneMaps.mayMatch(In("k", Array(1L, 2L)), schema, f))
+    assert(!ZoneMaps.mayMatch(GreaterThan("k", 20L), schema, f))
+    assert(ZoneMaps.mayMatch(GreaterThanOrEqual("k", 20L), schema, f))
+    assert(ZoneMaps.mayMatch(IsNull("s"), schema, f))
+    assert(!ZoneMaps.mayMatch(IsNull("k"), schema, f))
+    assert(ZoneMaps.mayMatch(StringStartsWith("s", "ban"), schema, f))
+    assert(!ZoneMaps.mayMatch(StringStartsWith("s", "zebra"), schema, f))
+    // And/Or composition
+    assert(!ZoneMaps.mayMatch(
+      And(EqualTo("k", 15L), EqualTo("k", 5L)), schema, f))
+    assert(ZoneMaps.mayMatch(
+      Or(EqualTo("k", 5L), EqualTo("k", 15L)), schema, f))
+    // unknown column / missing stats -> never prune
+    val bare = frag(Map.empty)
+    assert(ZoneMaps.mayMatch(EqualTo("k", 5L), schema, bare))
+    assert(ZoneMaps.mayMatch(EqualTo("nope", 5L), schema, f))
+    // unsupported filter shape -> never prune
+    assert(ZoneMaps.mayMatch(StringContains("s", "zzz"), schema, f))
+    assert(ZoneMaps.mayMatch(Not(EqualTo("k", 15L)), schema, f))
+  }
+}
