@@ -132,6 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (GraftFormat.exists(fs, dir)) throw new TableAlreadyExistsException(ident)
     if (!isDir(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     val userProps = GraftCatalog.userProperties(properties)
+    GraftCatalog.validateColumnNames(schema)
     graft.format.VectorColumns.validate(schema,
       graft.format.VectorColumns.fromProperties(userProps))
     GraftFormat.init(fs, dir)
@@ -236,4 +237,15 @@ object GraftCatalog {
 
   def userProperties(props: JMap[String, String]): Map[String, String] =
     props.asScala.toMap.view.filterKeys(k => !internalProps.contains(k)).toMap
+
+  /** Reference parity: column names containing dots are rejected
+    * (BaseLanceConnectorTest.java:174-180 — "Lance does not support
+    * column names with special characters like dots"); a dot would also
+    * be ambiguous with nested-field access in SQL. */
+  def validateColumnNames(schema: StructType): Unit =
+    schema.fieldNames.filter(_.contains(".")).foreach { n =>
+      throw new IllegalArgumentException(
+        s"graft (like the reference) does not support column names " +
+          s"containing dots: '$n'")
+    }
 }

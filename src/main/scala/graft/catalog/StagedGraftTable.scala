@@ -39,6 +39,7 @@ class StagedGraftTable(
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Seq.empty)
 
+  GraftCatalog.validateColumnNames(schema0)
   private val vectorCols: Seq[(String, Int)] =
     graft.format.VectorColumns.fromProperties(tableProps)
   graft.format.VectorColumns.validate(schema0, vectorCols)
