@@ -68,10 +68,21 @@ object TextOps {
 
   /** LSH candidate pairs from banding the minhash signature:
     * bands of `r` rows hashed together; docs sharing any band bucket
-    * are candidates. One explode + one shuffle on (band, bandHash). */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int = 32, r: Int = 2): DataFrame = {
+    * are candidates. One explode + one shuffle on (band, bandHash).
+    *
+    * The candidate stream stays NARROW end to end: banding, the bucket
+    * cap, the self-join and the pair-dedup all carry (doc_id, band,
+    * band_hash) longs only; the 64-element signatures are re-attached by
+    * two doc_id joins AFTER `(a_id, b_id)` dedup, so duplicated
+    * candidates from multiple shared bands never shuffle signature
+    * payloads. `sigs` is persisted for the re-attach joins (at 100 TB:
+    * the signature table is ~0.5 KB/doc, the natural thing to keep in
+    * executor storage or a persisted `_indices/` sidecar). */
+  def lshCandidatePairs(sigs0: DataFrame, bands: Int = 32, r: Int = 2): DataFrame = {
+    val sigs = sigs0.select("doc_id", "minhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
-      col("doc_id"), col("minhash"),
+      col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         val parts = (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
         expr(s"xxhash64(${parts.mkString(", ")})")
@@ -86,14 +97,19 @@ object TextOps {
           .partitionBy(col("band"), col("band_hash"))
           .orderBy(col("doc_id"))))
       .filter(col("bucket_rank") <= 64)
-    val a = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("minhash").as("sig_a"))
-    val b = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("minhash").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+      .drop("bucket_rank")
+    val a = capped.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = capped.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sig_a", "sig_b")
+      .select("a_id", "b_id")
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("minhash").as("sig_a")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("minhash").as("sig_b")),
+        Seq("b_id"))
+      .select("a_id", "b_id", "sig_a", "sig_b")
   }
 
   /** SimHash-64 per document: per-bit weighted token-hash majority,

@@ -98,23 +98,34 @@ object VectorOps {
         .orderBy("q_id", "rn")
     },
 
-    // LSH-bucketed ANN: same top-k but restricted to each query's
-    // multi-probe bucket set — the query side additionally probes every
-    // bucket at hamming distance 1 (7 probes for 6 planes), while the
-    // corpus is bucketed exactly once. Classic multi-probe LSH: recall
-    // rises steeply, corpus-side work is unchanged. (Rows-only; recall
-    // vs brute force is property-tested in VectorOpsSpec.)
+    // LSH-bucketed ANN over a PERSISTED index: the corpus's bucket
+    // assignments live in a `_indices/` parquet sidecar of a graft table
+    // (built once per table version, reference analog: Lance `_indices/`
+    // vector indexes), so the query joins (vec_id, bucket) instead of
+    // re-bucketing the corpus per run. Queries are bucketed on the fly
+    // (20 rows) and multi-probe every bucket at hamming distance 1
+    // (7 probes for 6 planes): recall rises steeply, corpus-side work is
+    // one narrow join. (Rows-only; recall vs brute force and
+    // index-staleness semantics are property-tested in VectorOpsSpec.)
     Q.noOracle("v02_ann_lsh",
-      "approximate top-5 via multi-probe sign-LSH buckets") { (s, d) =>
-      val bucketed = withLshBucket(emb(s, d), "embedding")
-      val probes = (0 until Planes).map(k => expr(s"bucket ^ ${1 << k}")) :+
-        col("bucket")
-      val queries = bucketed.filter(col("vec_id") < 20)
+      "approximate top-5 via persisted multi-probe sign-LSH index") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_idx.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      // (re)materialize the corpus as a graft table + build its index
+      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+      graft.ops.VectorIndex.build(s, dir, "vec_id", "embedding")
+      val idx = graft.ops.VectorIndex.readCurrent(s, dir, "embedding")
+        .getOrElse(throw new IllegalStateException("index build did not land"))
+      val queries = withLshBucket(emb(s, d).filter(col("vec_id") < 20), "embedding")
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          explode(array(probes: _*)).as("bucket"))
-      val corpus = bucketed
-        .select(col("vec_id").as("n_id"), col("embedding").as("e"),
-          col("bucket"))
+          explode(array((0 until Planes).map(k =>
+            expr(s"bucket ^ ${1 << k}")) :+ col("bucket"): _*)).as("bucket"))
+      val corpus = emb(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .join(idx, Seq("vec_id"))
+        .select(col("vec_id").as("n_id"), col("e"), col("bucket"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("n_id"))
       corpus.join(broadcast(queries), Seq("bucket"))

@@ -110,6 +110,34 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall > 0.12, s"suspiciously low recall: $recall")
   }
 
+  test("persisted LSH index: versioned sidecar, stale after append, rebuildable") {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.VectorIndex
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-vidx").resolve("e.graft").toUri)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(fs, dir, e, overwrite = true)
+    val v1 = VectorIndex.build(spark, dir, "vec_id", "embedding")
+    assert(VectorIndex.indexedVersions(spark, dir, "embedding") == Seq(v1))
+    val idx = VectorIndex.readCurrent(spark, dir, "embedding").get
+    assert(idx.columns.toSeq == Seq("vec_id", "embedding").take(1) :+ "bucket")
+    assert(idx.count() == e.count())
+    // index buckets match scan-time bucketing exactly (same hyperplanes)
+    val live = graft.operators.VectorOps
+      .withLshBucket(e, "embedding").select("vec_id", "bucket")
+    assert(idx.except(live).isEmpty && live.except(idx).isEmpty)
+    // an append makes the index stale -> invisible, not wrong
+    graft.connector.GraftWriter.write(fs, dir,
+      e.limit(5).select(col("vec_id") + 100000, col("embedding"), col("label"))
+        .toDF("vec_id", "embedding", "label"), overwrite = false)
+    assert(VectorIndex.readCurrent(spark, dir, "embedding").isEmpty)
+    val v2 = VectorIndex.build(spark, dir, "vec_id", "embedding")
+    assert(v2 == v1 + 1)
+    assert(VectorIndex.readCurrent(spark, dir, "embedding").get.count() ==
+      e.count() + 5)
+  }
+
   test("brute-force knn: self excluded, cos in [-1,1], k rows per query") {
     val rows = SparkEntry.queries("v01_knn_bruteforce")(spark, sf).collect()
     assert(rows.nonEmpty)
