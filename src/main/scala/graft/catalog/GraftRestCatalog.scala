@@ -1,0 +1,301 @@
+package graft.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.connector.GraftTable
+import graft.format.{GraftFormat, JsonParser}
+import graft.format.GraftFormat.Manifest
+
+/** REST namespace backend (SURVEY.md S8): table NAMES and LOCATIONS are
+  * resolved by an external namespace service; table DATA stays on any
+  * Hadoop-FS store. Mirrors the reference's `lance.impl=rest` deployment
+  * (LanceConfig.java:43-65, BaseLanceRestConnectorTest) where the
+  * connector speaks the lance-namespace REST protocol and reads data
+  * directly from the returned locations.
+  *
+  *   spark.sql.catalog.graft            = graft.catalog.GraftRestCatalog
+  *   spark.sql.catalog.graft.uri        = http://namespace-service
+  *   spark.sql.catalog.graft.warehouse  = s3a://bucket/warehouse  (new-table data)
+  *
+  * Protocol (modeled on the public lance-namespace REST surface):
+  *   GET    /v1/namespaces                     -> {"namespaces":[...]}
+  *   POST   /v1/namespaces        {"name":ns}  -> 200 | 409
+  *   DELETE /v1/namespaces/<ns>                -> 200 | 404 | 409(not empty)
+  *   GET    /v1/namespaces/<ns>/tables         -> {"tables":[...]}
+  *   GET    /v1/namespaces/<ns>/tables/<t>     -> {"location": uri} | 404
+  *   POST   /v1/namespaces/<ns>/tables/<t> {"location":uri} -> 200 | 409
+  *   DELETE /v1/namespaces/<ns>/tables/<t>     -> 200 | 404   (deregister)
+  *
+  * Scale/HA notes: the service holds only O(tables) name->location rows;
+  * every data and manifest byte moves through Hadoop FS, so the REST
+  * hop is one metadata round-trip per table resolution, never on the
+  * per-task path (executors get absolute file paths in their splits).
+  * Namespaces are single-level, matching the reference's REST modes.
+  */
+class GraftRestCatalog extends TableCatalog with SupportsNamespaces
+  with StagingTableCatalog {
+
+  private var catalogName: String = _
+  private var baseUri: String = _
+  private var warehouse: Path = _
+  @transient private var http: HttpClient = _
+  @transient private var hadoopConf: Configuration = _
+
+  private def conf: Configuration = {
+    if (hadoopConf == null)
+      hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    hadoopConf
+  }
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    baseUri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires option 'uri'"))
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse' for new table data")))
+    http = HttpClient.newHttpClient()
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------ REST I/O
+
+  private def request(method: String, path: String, body: Option[String])
+      : (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}"), UTF_8))
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def jsonStrings(body: String, field: String): Seq[String] =
+    new JsonParser(body).parseValue().asInstanceOf[Map[String, Any]]
+      .get(field).map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
+      .getOrElse(Seq.empty)
+
+  private def jsonField(body: String, field: String): Option[String] =
+    new JsonParser(body).parseValue().asInstanceOf[Map[String, Any]]
+      .get(field).collect { case s: String => s }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def ns1(namespace: Array[String]): String = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    java.net.URLEncoder.encode(namespace.head, UTF_8)
+  }
+
+  /** DescribeTable: the table's data location, or None. */
+  private def lookupLocation(ident: Identifier): Option[Path] = {
+    val (code, body) = request("GET",
+      s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+        java.net.URLEncoder.encode(ident.name(), UTF_8), None)
+    if (code == 404) None
+    else if (code == 200) jsonField(body, "location").map(new Path(_))
+    else throw new IllegalStateException(
+      s"namespace service error $code for $ident: $body")
+  }
+
+  private def register(ident: Identifier, location: Path): Unit = {
+    val (code, body) = request("POST",
+      s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+        java.net.URLEncoder.encode(ident.name(), UTF_8),
+      Some(s"""{"location":"${esc(location.toString)}"}"""))
+    if (code == 409) throw new TableAlreadyExistsException(ident)
+    if (code == 404) throw new NoSuchNamespaceException(ident.namespace())
+    if (code != 200) throw new IllegalStateException(
+      s"namespace service error $code registering $ident: $body")
+  }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (code, body) = request("GET",
+      s"/v1/namespaces/${ns1(namespace)}/tables", None)
+    if (code == 404) throw new NoSuchNamespaceException(namespace)
+    jsonStrings(body, "tables").map(Identifier.of(namespace, _)).toArray
+  }
+
+  private def load(ident: Identifier, pick: Path => Option[Manifest]): Table = {
+    val dir = lookupLocation(ident).getOrElse(throw new NoSuchTableException(ident))
+    if (!GraftFormat.exists(dir.getFileSystem(conf), dir))
+      throw new NoSuchTableException(ident)
+    val manifest = pick(dir).getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(ident.toString, dir, manifest, conf)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, d => GraftFormat.readLatest(d.getFileSystem(conf), d))
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, { dir =>
+      val dfs = dir.getFileSystem(conf)
+      val v = try version.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid version '$version' for table $ident (expected integer)")
+      }
+      if (!GraftFormat.listVersions(dfs, dir).contains(v))
+        throw new IllegalArgumentException(
+          s"version $v does not exist for table $ident")
+      Some(GraftFormat.readManifest(dfs, dir, v))
+    })
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, { dir =>
+      val dfs = dir.getFileSystem(conf)
+      GraftFormat.versionAtTimestamp(dfs, dir, timestampMicros / 1000L)
+        .map(GraftFormat.readManifest(dfs, dir, _))
+        .orElse(throw new IllegalArgumentException(
+          s"no version of $ident exists at or before timestamp ${timestampMicros}us"))
+    })
+
+  private def newTableDir(ident: Identifier): Path =
+    new Path(new Path(warehouse, ident.namespace().mkString("/")),
+      ident.name() + ".graft")
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are fragment-partitioned; explicit PARTITIONED BY is not supported")
+    if (lookupLocation(ident).isDefined) throw new TableAlreadyExistsException(ident)
+    val userProps = GraftCatalog.userProperties(properties)
+    GraftCatalog.validateColumnNames(schema)
+    graft.format.VectorColumns.validate(schema,
+      graft.format.VectorColumns.fromProperties(userProps))
+    val dir = newTableDir(ident)
+    GraftFormat.init(fs, dir)
+    val m = Manifest(1L, schema.json, Seq.empty, -1,
+      System.currentTimeMillis(), "Create", userProps)
+    GraftFormat.commit(fs, dir, m)
+    try register(ident, fs.makeQualified(dir))
+    catch { case e: Throwable => fs.delete(dir, true); throw e }
+    new GraftTable(ident.toString, dir, m, conf)
+  }
+
+  // ------------------------------------------- atomic CTAS/RTAS (D3)
+  // Fragments stage invisibly under the new location; ONE manifest
+  // commit + ONE RegisterTable call publish the table.
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (lookupLocation(ident).isDefined) throw new TableAlreadyExistsException(ident)
+    val dir = newTableDir(ident)
+    new StagedGraftTable(ident.toString, dir, schema, replace = false,
+      GraftCatalog.userProperties(properties), conf) {
+      override def commitStagedChanges(): Unit = {
+        super.commitStagedChanges()
+        register(ident, fs.makeQualified(dir))
+      }
+    }
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    val dir = lookupLocation(ident).getOrElse(throw new NoSuchTableException(ident))
+    new StagedGraftTable(ident.toString, dir, schema, replace = true,
+      GraftCatalog.userProperties(properties), conf)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable =
+    lookupLocation(ident) match {
+      case Some(dir) =>
+        new StagedGraftTable(ident.toString, dir, schema, replace = true,
+          GraftCatalog.userProperties(properties), conf)
+      case None => stageCreate(ident, schema, partitions, properties)
+    }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft (like the reference) does not support ALTER TABLE; use CREATE OR REPLACE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    lookupLocation(ident) match {
+      case None => false
+      case Some(dir) =>
+        val (code, body) = request("DELETE",
+          s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+            java.net.URLEncoder.encode(ident.name(), UTF_8), None)
+        if (code != 200 && code != 404) throw new IllegalStateException(
+          s"namespace service error $code dropping $ident: $body")
+        dir.getFileSystem(conf).delete(dir, true)
+        code == 200
+    }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft (like the reference) does not support RENAME TABLE")
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (_, body) = request("GET", "/v1/namespaces", None)
+    jsonStrings(body, "namespaces").map(Array(_)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array.empty // single-level namespaces (reference REST modes)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit = {
+    val (code, body) = request("POST", "/v1/namespaces",
+      Some(s"""{"name":"${esc(namespace.mkString("."))}"}"""))
+    if (code != 200 && code != 409) throw new IllegalStateException(
+      s"namespace service error $code creating namespace: $body")
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (cascade)
+      listTables(namespace).foreach(dropTable)
+    else if (listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    val (code, _) = request("DELETE", s"/v1/namespaces/${ns1(namespace)}", None)
+    code == 200
+  }
+}

@@ -325,8 +325,9 @@ object GraftFormat {
 }
 
 /** Tiny JSON parser for the manifest grammar (numbers parsed as Double;
-  * manifest values stay under 2^53 so this is lossless). */
-private[format] final class JsonParser(s: String) {
+  * manifest values stay under 2^53 so this is lossless). Also reused by
+  * the REST namespace client for its small response envelopes. */
+private[graft] final class JsonParser(s: String) {
   private var i = 0
   private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
   def parseValue(): Any = {

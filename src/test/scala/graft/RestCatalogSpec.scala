@@ -1,0 +1,146 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-process namespace service implementing the REST protocol
+  * GraftRestCatalog speaks (lance-namespace-style: namespaces hold
+  * name->location table registrations; data stays on the filesystem) —
+  * the offline stand-in for the reference's REST deployment matrix
+  * (BaseLanceRestConnectorTest / BaseLanceRestSmokeTest). */
+object FakeNamespaceService {
+  // ns -> (table -> location)
+  val store = new TrieMap[String, TrieMap[String, String]]()
+
+  private var server: HttpServer = _
+
+  private def reply(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    x.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) x.getResponseBody.write(b)
+    x.close()
+  }
+
+  private def jsonArr(field: String, vals: Iterable[String]): String =
+    s"""{"$field":[${vals.toSeq.sorted.map(v => s""""$v"""").mkString(",")}]}"""
+
+  lazy val port: Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/namespaces", (x: HttpExchange) => {
+      val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces")
+        .split("/").filter(_.nonEmpty).map(
+          java.net.URLDecoder.decode(_, UTF_8))
+      val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      (x.getRequestMethod, parts.toList) match {
+        case ("GET", Nil) => reply(x, 200, jsonArr("namespaces", store.keys))
+        case ("POST", Nil) =>
+          val name = """"name"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+          if (store.contains(name)) reply(x, 409, "{}")
+          else { store.put(name, new TrieMap()); reply(x, 200, "{}") }
+        case ("DELETE", ns :: Nil) =>
+          store.get(ns) match {
+            case None => reply(x, 404, "{}")
+            case Some(ts) if ts.nonEmpty => reply(x, 409, "{}")
+            case Some(_) => store.remove(ns); reply(x, 200, "{}")
+          }
+        case ("GET", ns :: "tables" :: Nil) =>
+          store.get(ns) match {
+            case None => reply(x, 404, "{}")
+            case Some(ts) => reply(x, 200, jsonArr("tables", ts.keys))
+          }
+        case ("GET", ns :: "tables" :: t :: Nil) =>
+          store.get(ns).flatMap(_.get(t)) match {
+            case None => reply(x, 404, "{}")
+            case Some(loc) => reply(x, 200, s"""{"location":"$loc"}""")
+          }
+        case ("POST", ns :: "tables" :: t :: Nil) =>
+          store.get(ns) match {
+            case None => reply(x, 404, "{}")
+            case Some(ts) if ts.contains(t) => reply(x, 409, "{}")
+            case Some(ts) =>
+              val loc = """"location"\s*:\s*"([^"]*)"""".r
+                .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+              ts.put(t, loc); reply(x, 200, "{}")
+          }
+        case ("DELETE", ns :: "tables" :: t :: Nil) =>
+          store.get(ns) match {
+            case Some(ts) if ts.remove(t).isDefined => reply(x, 200, "{}")
+            case _ => reply(x, 404, "{}")
+          }
+        case _ => reply(x, 400, "{}")
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+}
+
+class RestCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ready: Unit = {
+    val wh = Files.createTempDirectory("graft-rest-wh").toString
+    spark.conf.set("spark.sql.catalog.rc", "graft.catalog.GraftRestCatalog")
+    spark.conf.set("spark.sql.catalog.rc.uri",
+      s"http://127.0.0.1:${FakeNamespaceService.port}")
+    spark.conf.set("spark.sql.catalog.rc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.db")
+  }
+
+  test("namespace CRUD against the REST service") {
+    ready
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.other")
+    val names = spark.sql("SHOW NAMESPACES IN rc").collect().map(_.getString(0))
+    assert(names.contains("db") && names.contains("other"))
+    spark.sql("DROP NAMESPACE rc.other")
+    assert(!spark.sql("SHOW NAMESPACES IN rc").collect()
+      .map(_.getString(0)).contains("other"))
+  }
+
+  test("create, insert, read, drop a table resolved via REST") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS rc.db.t")
+    spark.sql("CREATE TABLE rc.db.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO rc.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("rc.db.t").count() == 2)
+    // the service holds the registration; data location is on the FS
+    assert(FakeNamespaceService.store("db").contains("t"))
+    val loc = FakeNamespaceService.store("db")("t")
+    assert(loc.endsWith("t.graft"))
+    spark.sql("DROP TABLE rc.db.t")
+    assert(!FakeNamespaceService.store("db").contains("t"))
+  }
+
+  test("atomic CTAS registers only after the data commit; time travel works") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS rc.db.c")
+    spark.sql("CREATE TABLE rc.db.c AS SELECT id AS k FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO rc.db.c SELECT id + 50 FROM range(0, 50, 1, 1)")
+    assert(spark.table("rc.db.c").count() == 100)
+    assert(spark.sql("SELECT count(*) FROM rc.db.c VERSION AS OF 1")
+      .head.getLong(0) == 50)
+    // row-level DML rides the same Table implementation
+    spark.sql("DELETE FROM rc.db.c WHERE k < 10")
+    assert(spark.table("rc.db.c").count() == 90)
+    spark.sql("UPDATE rc.db.c SET k = k + 1000 WHERE k >= 90 AND k < 100")
+    assert(spark.table("rc.db.c").where("k >= 1000").count() == 10)
+  }
+
+  test("second CREATE of the same name conflicts via the service") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS rc.db.dup")
+    spark.sql("CREATE TABLE rc.db.dup (k BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE rc.db.dup (k BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+  }
+}
