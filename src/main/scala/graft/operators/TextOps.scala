@@ -165,17 +165,33 @@ object TextOps {
         |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY jaccard DESC, a_id, b_id
         |LIMIT 100""".stripMargin,
-      "exact word-set jaccard, source-blocked all-pairs, top-100") { (s, d) =>
+      "exact word-set jaccard via inverted token index, top-100") { (s, d) =>
+      // Inverted-index join instead of a blocked all-pairs array product:
+      // explode words once, self-join on (source, word) so ONLY pairs
+      // sharing a word materialize (identical top-k — a zero-overlap pair
+      // can never rank), and |A ∩ B| is a narrow count aggregate. Work is
+      // sum(df²) per (source, word), not |block|² array intersections —
+      // the standard exact set-similarity shape at 100 TB (plus a
+      // document-frequency cap on ultra-common tokens as the skew knob
+      // when corpora aren't synthetic).
       val w = docs(s, d).select(col("doc_id"), col("source"),
         expr(s"array_distinct($toksExpr)").as("words"))
-      val a = w.select(col("doc_id").as("a_id"), col("source"),
-        col("words").as("wa"))
-      val b = w.select(col("doc_id").as("b_id"), col("source"),
-        col("words").as("wb"))
-      a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
-        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      val sizes = w.select(col("doc_id"), size(col("words")).as("n"))
+      // 64-bit word hashes keep the exploded rows and the join key narrow
+      // (three longs + source instead of variable-length strings)
+      val tok = w.select(col("source"), col("doc_id"),
+        explode(expr("transform(words, t -> xxhash64(t))")).as("word"))
+      val inter = tok.alias("x").join(tok.alias("y"),
+          col("x.source") === col("y.source") &&
+            col("x.word") === col("y.word") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
         .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("wa")) + size(col("wb")) - col("inter")), 4))
+          (col("na") + col("nb") - col("inter")), 4))
         .select("a_id", "b_id", "jaccard")
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(100)
