@@ -46,11 +46,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  private var storageOptions: Map[String, String] = Map.empty
   @transient private var hadoopConf: Configuration = _
 
   private def conf: Configuration = {
-    if (hadoopConf == null)
+    if (hadoopConf == null) {
       hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+      storageOptions.foreach { case (k, v) => hadoopConf.set(k, v) }
+    }
     hadoopConf
   }
   private def fs: FileSystem = warehouse.getFileSystem(conf)
@@ -60,6 +63,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = new Path(Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'")))
+    // storage-options vending (reference: LanceMetadata.java:1319-1354):
+    // catalog options prefixed `hadoop.` become Hadoop configuration for
+    // every FileSystem this catalog resolves, e.g.
+    //   spark.sql.catalog.g.hadoop.fs.s3a.access.key = ...
+    storageOptions = GraftCatalog.hadoopOptions(options)
     fs.mkdirs(warehouse)
   }
 
@@ -237,6 +245,12 @@ object GraftCatalog {
 
   def userProperties(props: JMap[String, String]): Map[String, String] =
     props.asScala.toMap.view.filterKeys(k => !internalProps.contains(k)).toMap
+
+  /** Catalog options prefixed `hadoop.` -> Hadoop configuration pairs. */
+  def hadoopOptions(options: CaseInsensitiveStringMap): Map[String, String] =
+    options.asScala.toMap.collect {
+      case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v
+    }
 
   /** Reference parity: column names containing dots are rejected
     * (BaseLanceConnectorTest.java:174-180 — "Lance does not support

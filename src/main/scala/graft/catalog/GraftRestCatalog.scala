@@ -52,14 +52,30 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var baseUri: String = _
   private var warehouse: Path = _
+  private var storageOptions: Map[String, String] = Map.empty
   @transient private var http: HttpClient = _
   @transient private var hadoopConf: Configuration = _
 
   private def conf: Configuration = {
-    if (hadoopConf == null)
+    if (hadoopConf == null) {
       hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+      storageOptions.foreach { case (k, v) => hadoopConf.set(k, v) }
+    }
     hadoopConf
   }
+
+  /** Per-table configuration: catalog conf + the storage options the
+    * namespace service vended for this table (credential vending,
+    * reference: LanceMetadata.java:1319-1354 getStorageOptionsForTable —
+    * table-scoped options win over namespace-level ones). */
+  private def tableConf(vended: Map[String, String]): Configuration =
+    if (vended.isEmpty) conf
+    else {
+      val c = new Configuration(conf)
+      vended.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   private def fs: FileSystem = warehouse.getFileSystem(conf)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -69,6 +85,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     warehouse = new Path(Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse' for new table data")))
+    storageOptions = GraftCatalog.hadoopOptions(options)
     http = HttpClient.newHttpClient()
   }
 
@@ -106,16 +123,27 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     java.net.URLEncoder.encode(namespace.head, UTF_8)
   }
 
-  /** DescribeTable: the table's data location, or None. */
-  private def lookupLocation(ident: Identifier): Option[Path] = {
+  /** DescribeTable: the table's data location + any storage options the
+    * service vends for it (e.g. scoped credentials), or None. */
+  private def describeTable(ident: Identifier): Option[(Path, Map[String, String])] = {
     val (code, body) = request("GET",
       s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
         java.net.URLEncoder.encode(ident.name(), UTF_8), None)
     if (code == 404) None
-    else if (code == 200) jsonField(body, "location").map(new Path(_))
+    else if (code == 200) jsonField(body, "location").map { loc =>
+      val storage = new JsonParser(body).parseValue()
+        .asInstanceOf[Map[String, Any]].get("storage")
+        .map(_.asInstanceOf[Map[String, Any]].collect {
+          case (k, v: String) => k -> v
+        }).getOrElse(Map.empty[String, String])
+      (new Path(loc), storage)
+    }
     else throw new IllegalStateException(
       s"namespace service error $code for $ident: $body")
   }
+
+  private def lookupLocation(ident: Identifier): Option[Path] =
+    describeTable(ident).map(_._1)
 
   private def register(ident: Identifier, location: Path): Unit = {
     val (code, body) = request("POST",
@@ -137,20 +165,23 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     jsonStrings(body, "tables").map(Identifier.of(namespace, _)).toArray
   }
 
-  private def load(ident: Identifier, pick: Path => Option[Manifest]): Table = {
-    val dir = lookupLocation(ident).getOrElse(throw new NoSuchTableException(ident))
-    if (!GraftFormat.exists(dir.getFileSystem(conf), dir))
+  private def load(ident: Identifier,
+      pick: (Path, Configuration) => Option[Manifest]): Table = {
+    val (dir, vended) = describeTable(ident)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val tc = tableConf(vended)
+    if (!GraftFormat.exists(dir.getFileSystem(tc), dir))
       throw new NoSuchTableException(ident)
-    val manifest = pick(dir).getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(ident.toString, dir, manifest, conf)
+    val manifest = pick(dir, tc).getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(ident.toString, dir, manifest, tc)
   }
 
   override def loadTable(ident: Identifier): Table =
-    load(ident, d => GraftFormat.readLatest(d.getFileSystem(conf), d))
+    load(ident, (d, tc) => GraftFormat.readLatest(d.getFileSystem(tc), d))
 
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, { dir =>
-      val dfs = dir.getFileSystem(conf)
+    load(ident, { (dir, tc) =>
+      val dfs = dir.getFileSystem(tc)
       val v = try version.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"invalid version '$version' for table $ident (expected integer)")
@@ -162,8 +193,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     })
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    load(ident, { dir =>
-      val dfs = dir.getFileSystem(conf)
+    load(ident, { (dir, tc) =>
+      val dfs = dir.getFileSystem(tc)
       GraftFormat.versionAtTimestamp(dfs, dir, timestampMicros / 1000L)
         .map(GraftFormat.readManifest(dfs, dir, _))
         .orElse(throw new IllegalArgumentException(

@@ -94,7 +94,10 @@ class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
     // vectors into the snapshot vector and writes the final sidecar
     val dirStr = qualDir.toString
     val conf = sconf
-    val nextV = snapshot.version + 1
+    // DV filenames embed the SNAPSHOT version the operation read (the
+    // CAS retry may land the commit at a higher version; the UUID keeps
+    // names unique, the version field is provenance, not identity)
+    val baseV = snapshot.version
     val inputs = partialsByFrag.toSeq.map { case (fragId, partials) =>
       val f = snapByFrag.getOrElse(fragId, throw new IllegalStateException(
         s"row-level delta references unknown fragment $fragId"))
@@ -116,7 +119,7 @@ class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
             fragId -> (Option.empty[String], rowCount)
           else
             fragId -> (Some(GraftFormat.writeDeletionFile(
-              ffs, dir, fragId, nextV, all)), all.length.toLong)
+              ffs, dir, fragId, baseV, all)), all.length.toLong)
         }.collect().toMap
 
     GraftFormat.commitWithRetry(fs, qualDir) { latestOpt =>

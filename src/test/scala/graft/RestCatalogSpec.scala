@@ -58,7 +58,10 @@ object FakeNamespaceService {
         case ("GET", ns :: "tables" :: t :: Nil) =>
           store.get(ns).flatMap(_.get(t)) match {
             case None => reply(x, 404, "{}")
-            case Some(loc) => reply(x, 200, s"""{"location":"$loc"}""")
+            case Some(loc) => reply(x, 200,
+              // vend a per-table storage option with every DescribeTable
+              // (the credential-vending channel)
+              s"""{"location":"$loc","storage":{"graft.test.vended":"yes-$t"}}""")
           }
         case ("POST", ns :: "tables" :: t :: Nil) =>
           store.get(ns) match {
@@ -132,6 +135,29 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(spark.table("rc.db.c").count() == 90)
     spark.sql("UPDATE rc.db.c SET k = k + 1000 WHERE k >= 90 AND k < 100")
     assert(spark.table("rc.db.c").where("k >= 1000").count() == 10)
+  }
+
+  test("storage options: catalog hadoop.* options and service-vended " +
+      "per-table options reach the table's Hadoop configuration") {
+    ready
+    // catalog-level: hadoop.-prefixed options flow into every FS conf
+    val wh2 = Files.createTempDirectory("graft-rest-wh2").toString
+    spark.conf.set("spark.sql.catalog.rc2", "graft.catalog.GraftRestCatalog")
+    spark.conf.set("spark.sql.catalog.rc2.uri",
+      s"http://127.0.0.1:${FakeNamespaceService.port}")
+    spark.conf.set("spark.sql.catalog.rc2.warehouse", wh2)
+    spark.conf.set("spark.sql.catalog.rc2.hadoop.graft.test.catalog", "opt1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc2.db2")
+    spark.sql("DROP TABLE IF EXISTS rc2.db2.sv")
+    spark.sql("CREATE TABLE rc2.db2.sv (k BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog("rc2")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db2"), "sv")).asInstanceOf[graft.connector.GraftTable]
+    assert(t.conf.get("graft.test.catalog") == "opt1")
+    // per-table: DescribeTable's vended storage options win
+    assert(t.conf.get("graft.test.vended") == "yes-sv")
+    spark.sql("DROP NAMESPACE rc2.db2 CASCADE")
   }
 
   test("second CREATE of the same name conflicts via the service") {
