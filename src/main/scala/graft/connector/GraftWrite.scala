@@ -43,6 +43,12 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
           GraftWriter.write(table.fs, table.dir, data, doTruncate || overwrite,
             table.manifest.blobColumns, table.manifest.properties)
       }
+    // writeStream into a graft table: per-epoch idempotent Append commits
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "graft streaming sink supports append output mode only")
+      new graft.streaming.GraftStreamingWrite(table, info)
+    }
   }
 }
 
