@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, BoundReference, Expression, Literal, UnsafeProjection}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -36,7 +37,7 @@ class GraftScanBuilder(table: GraftTable)
   private var required: StructType = table.dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var countStar = false
+  private var aggs: Seq[PushedAgg] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept the parquet-pushable subset for skipping; return ALL as
@@ -58,34 +59,108 @@ class GraftScanBuilder(table: GraftTable)
   override def isPartiallyPushed: Boolean = true
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    isPushableCountStar(agg)
+    parseAggs(agg).isDefined
 
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (isPushableCountStar(agg)) { countStar = true; true } else false
+  override def pushAggregation(agg: Aggregation): Boolean =
+    parseAggs(agg) match {
+      case Some(a) => aggs = a; true
+      case None => false
+    }
+
+  /** Manifest-answerable aggregations: any combination of COUNT(*) and
+    * MIN/MAX over stats-covered primitive columns, with the reference's
+    * COUNT(*) guards (no grouping, no filter, no limit —
+    * LanceMetadata.java:604-665). MIN/MAX extends the reference: the
+    * zone maps already in the manifest answer them with ZERO data scan.
+    * Guards: exact-stat types only (strings excluded — parquet footers
+    * may truncate binary bounds), every fragment must carry stats for
+    * the column, and any deletion vector disables MIN/MAX (the deleted
+    * rows could be the extremes) while COUNT(*) stays deletion-aware. */
+  private def parseAggs(agg: Aggregation): Option[Seq[PushedAgg]] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+      limit.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+    val frags = table.manifest.fragments
+    val hasDeletes = frags.exists(_.deletedCount > 0)
+    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        val ok = table.dataSchema.fields.find(_.name == c).exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }) && !hasDeletes &&
+          frags.forall(f => f.stats.get(c).exists(cs =>
+            cs.min.isDefined && cs.max.isDefined || cs.nulls == f.rowCount))
+        if (ok) Some(c) else None
+      case _ => None
+    }
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => AggCountStar
+      case m: Min => AggMin(minMaxCol(m.column()).getOrElse(return None))
+      case m: Max => AggMax(minMaxCol(m.column()).getOrElse(return None))
+      case _ => return None
+    }
+    Some(out)
   }
 
-  /** Reference guards (LanceMetadata.java:604-665): single COUNT(*)
-    * aggregate, no grouping, and no filter pushed. */
-  private def isPushableCountStar(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && pushed.isEmpty && limit.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-
   override def build(): Scan =
-    new GraftScan(table, required, pushed, limit, countStar)
+    new GraftScan(table, required, pushed, limit, aggs)
 }
+
+/** One manifest-answerable aggregate. */
+sealed trait PushedAgg extends Serializable
+case object AggCountStar extends PushedAgg
+final case class AggMin(col: String) extends PushedAgg
+final case class AggMax(col: String) extends PushedAgg
 
 class GraftScan(
     table: GraftTable,
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int],
-    countStar: Boolean)
+    aggs: Seq[PushedAgg])
   extends Scan with Batch with SupportsReportStatistics {
 
+  private def countStar: Boolean = aggs.nonEmpty
+
+  private def fieldType(c: String): DataType =
+    table.dataSchema.fields.find(_.name == c).get.dataType
+
   override def readSchema(): StructType =
-    if (countStar) new StructType().add("count_star", LongType, nullable = false)
+    if (aggs.nonEmpty)
+      StructType(aggs.map {
+        case AggCountStar => StructField("count(*)", LongType, nullable = false)
+        case AggMin(c) => StructField(s"min($c)", fieldType(c), nullable = true)
+        case AggMax(c) => StructField(s"max($c)", fieldType(c), nullable = true)
+      })
     else required
+
+  /** Internal (Catalyst) value of a pushed MIN/MAX, folded across the
+    * manifest's per-fragment zone maps; null when no non-null values. */
+  private def foldMinMax(c: String, isMin: Boolean): Any = {
+    val stats = table.manifest.fragments.flatMap(f =>
+      if (isMin) f.stats(c).min else f.stats(c).max)
+    if (stats.isEmpty) return null
+    fieldType(c) match {
+      case ByteType => val l = stats.map(_.toLong); (if (isMin) l.min else l.max).toByte
+      case ShortType => val l = stats.map(_.toLong); (if (isMin) l.min else l.max).toShort
+      case IntegerType | DateType =>
+        val l = stats.map(_.toLong); (if (isMin) l.min else l.max).toInt
+      case LongType | TimestampType | TimestampNTZType =>
+        val l = stats.map(_.toLong); if (isMin) l.min else l.max
+      case FloatType => val d = stats.map(_.toFloat); if (isMin) d.min else d.max
+      case DoubleType => val d = stats.map(_.toDouble); if (isMin) d.min else d.max
+      case other => throw new IllegalStateException(
+        s"unexpected pushed min/max type $other for column $c")
+    }
+  }
+
+  private def aggValues: Seq[Any] = aggs.map {
+    case AggCountStar => table.manifest.liveRows
+    case AggMin(c) => foldMinMax(c, isMin = true)
+    case AggMax(c) => foldMinMax(c, isMin = false)
+  }
 
   override def toBatch: Batch = this
 
@@ -97,7 +172,8 @@ class GraftScan(
     s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +
       s"fragments=${table.manifest.fragments.size}, " +
       s"pushedFilters=[${pushed.mkString(", ")}], limit=$limit, " +
-      s"countStar=$countStar, readSchema=${readSchema().catalogString})"
+      s"pushedAggregates=[${aggs.mkString(", ")}], " +
+      s"readSchema=${readSchema().catalogString})"
 
   // All statistics are manifest-served: no data-file I/O at plan time
   // (FragmentMeta.sizeBytes is harvested from parquet footers at write).
@@ -109,10 +185,11 @@ class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (countStar) {
+    if (aggs.nonEmpty) {
       // answered entirely from the manifest: one empty partition
-      // carrying the count (reference: LanceCountPageSource.java:90-95)
-      return Array(GraftCountPartition(table.manifest.liveRows))
+      // carrying the aggregate row (count(*) like the reference's
+      // LanceCountPageSource.java:90-95; min/max from the zone maps)
+      return Array(GraftAggPartition(aggValues))
     }
     val qualDir = table.fs.makeQualified(table.dir)
     // zone-map fragment pruning: drop fragments whose manifest min/max
@@ -230,7 +307,7 @@ case class GraftFragmentPartition(
     deletionAbsPath: Option[String],
     limit: Option[Int]) extends InputPartition
 
-case class GraftCountPartition(count: Long) extends InputPartition
+case class GraftAggPartition(values: Seq[Any]) extends InputPartition
 
 class GraftReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
@@ -242,14 +319,14 @@ class GraftReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftCountPartition(n) => new CountReader(n)
+      case GraftAggPartition(vs) => new AggReader(vs)
       case fp: GraftFragmentPartition => new FragmentReader(fp)
     }
 
-  /** Single-row reader for manifest-answered COUNT(*). */
-  private class CountReader(n: Long) extends PartitionReader[InternalRow] {
+  /** Single-row reader for manifest-answered COUNT(*)/MIN/MAX. */
+  private class AggReader(vs: Seq[Any]) extends PartitionReader[InternalRow] {
     private var emitted = false
-    private val row = InternalRow(n)
+    private val row = InternalRow(vs: _*)
     override def next(): Boolean = if (emitted) false else { emitted = true; true }
     override def get(): InternalRow = row
     override def close(): Unit = ()

@@ -198,6 +198,27 @@ object FormatQueries {
         .orderBy("s_nationkey")
     },
 
+    // MIN/MAX/COUNT(*) answered from manifest zone maps (extends the
+    // reference's COUNT(*)-only metadata source): zero data scan.
+    Q("g09_stats_minmax",
+      """SELECT min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  count(*) AS n
+        |FROM orders""".stripMargin,
+      "min/max/count served by manifest fragment statistics") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.ord_mm")
+      Tables.load(s, d, "orders").createOrReplaceTempView("ord_mm_src")
+      s.sql("CREATE TABLE graft.db.ord_mm AS SELECT * FROM ord_mm_src")
+      s.table("graft.db.ord_mm").agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        count(lit(1)).as("n"))
+    },
+
     // Row addresses are unique across the table (fragment-scoped
     // identity, like the reference's $row_address).
     Q("g05_row_address",

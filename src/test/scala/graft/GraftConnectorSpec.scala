@@ -56,7 +56,8 @@ class GraftConnectorSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE g.db.cnt AS SELECT * FROM cnt_src")
     val df = spark.table("g.db.cnt").agg(count(lit(1)))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("countStar=true"), s"count(*) not pushed:\n$plan")
+    assert(plan.contains("pushedAggregates=[AggCountStar]"),
+      s"count(*) not pushed:\n$plan")
     assert(df.head.getLong(0) == 500)
   }
 
