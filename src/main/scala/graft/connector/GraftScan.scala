@@ -120,7 +120,30 @@ class GraftScan(
     pushed: Array[Filter],
     limit: Option[Int],
     aggs: Seq[PushedAgg])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+
+  // Runtime (dynamic-pruning) filters: Spark executes the small side of
+  // a join first and hands the key values here; zone maps then drop
+  // fact-table fragments that cannot contain those keys BEFORE tasks
+  // launch — the DSv2 analog of dynamic partition pruning, and the
+  // 100 TB join win (a selective dim filter prunes fact I/O, not just
+  // fact rows). Conservative like all zone-map decisions: unknown ->
+  // keep the fragment; the join itself still applies exact semantics.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggs.nonEmpty) Array.empty // agg row is manifest-served, never joined
+    else {
+      // restricted to the scan's pruned output: Spark resolves these
+      // against readSchema, and a pruned-away column can't be a join key
+      val statted = table.manifest.fragments.flatMap(_.stats.keys).toSet
+      required.fieldNames.filter(statted.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
 
   private def countStar: Boolean = aggs.nonEmpty
 
@@ -198,7 +221,7 @@ class GraftScan(
     // LanceFragmentPageSource.java:126 useScalarIndex(true))
     val schema = table.dataSchema
     val frags = table.manifest.fragments.filter(f =>
-      pushed.forall(p => ZoneMaps.mayMatch(p, schema, f)))
+      (pushed ++ runtimeFilters).forall(p => ZoneMaps.mayMatch(p, schema, f)))
     // limit + no filter -> plan only the fragment prefix covering the
     // limit in deletion-aware live rows (>= 1 fragment), mirroring the
     // reference's split coalescing (LanceSplitManager.java:100-112)
