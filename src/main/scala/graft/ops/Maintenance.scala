@@ -30,19 +30,29 @@ object Maintenance {
 
   /** Compact fragments with fewer than `minRows` live rows (or with any
     * deletions when `foldDeletes`). Returns number of fragments
-    * compacted. */
+    * compacted.
+    *
+    * `sortBy`: range-partition + sort the rewritten rows by these
+    * columns, so each output fragment covers a DISJOINT value range —
+    * the manifest zone maps then prune range/equality predicates down
+    * to single fragments (the lakehouse OPTIMIZE ... SORT BY / Z-ORDER
+    * play: clustering exists to make statistics selective). */
   def compact(
       spark: SparkSession,
       dir: Path,
       minRows: Long = 1000000L,
-      foldDeletes: Boolean = true): Int = {
+      foldDeletes: Boolean = true,
+      sortBy: Seq[String] = Seq.empty): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val manifest = GraftFormat.readLatest(fs, qualDir).getOrElse(
       throw new IllegalArgumentException(s"not a graft table: $dir"))
+    // sorted compaction is a re-clustering OPTIMIZE: every fragment is
+    // rewritten so the output covers disjoint sort-key ranges
     val (small, _) = manifest.fragments.partition(f =>
-      f.liveRows < minRows || (foldDeletes && f.deletedCount > 0))
+      sortBy.nonEmpty || f.liveRows < minRows ||
+        (foldDeletes && f.deletedCount > 0))
     if (small.size <= 1 && !small.exists(_.deletedCount > 0)) return 0
 
     // distributed rewrite of the small fragments' LIVE rows
@@ -82,11 +92,17 @@ object Maintenance {
     }).drop("__f", "__i")
 
     val staging = new Path(qualDir, s".staging-${UUID.randomUUID()}")
-    // coalesce toward target-size fragments: one output file per
-    // minRows-worth of rows (>= 1)
+    // toward target-size fragments: one output file per minRows-worth of
+    // rows (>= 1); sorted compaction range-partitions first so output
+    // fragments carry disjoint sort-key ranges
     val total = small.map(_.liveRows).sum
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
-    live.coalesce(nOut).write.parquet(staging.toUri.toString)
+    val shaped =
+      if (sortBy.isEmpty) live.coalesce(nOut)
+      else live
+        .repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    shaped.write.parquet(staging.toUri.toString)
     val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
 
     val smallIds = small.map(_.id).toSet

@@ -50,6 +50,37 @@ class MaintenanceSpec extends AnyFunSuite {
       .head.getLong(0) == checksum.getLong(1))
   }
 
+  test("sorted compaction: fragments carry disjoint ranges, zone maps prune to 1") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.srt")
+    spark.sql("CREATE TABLE mt.db.srt (k BIGINT, v STRING)")
+    // interleaved appends: every fragment spans the whole key range, so
+    // zone maps cannot prune anything
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO mt.db.srt SELECT id * 4 + $i, concat('v', id) FROM range(0, 1000, 1, 1)"))
+    val dir = new Path(Paths.get(wh, "db", "srt.graft").toUri)
+    def planned(f: org.apache.spark.sql.DataFrame): Int =
+      f.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    val q = () => spark.table("mt.db.srt").where(col("k") >= 1000 && col("k") < 2000)
+    assert(planned(q()) == 4, "interleaved fragments: no pruning possible")
+    val checksum = spark.table("mt.db.srt").agg(sum("k"), count(lit(1))).head
+
+    val n = Maintenance.compact(spark, dir, minRows = 1000, sortBy = Seq("k"))
+    assert(n == 4)
+    val after = GraftFormat.readLatest(fs, dir).get
+    assert(after.fragments.size == 4)
+    // fragments now cover disjoint k ranges -> the same query plans at
+    // most 2 (range-partitioner boundaries are sampled, so the filter
+    // window may straddle one boundary)
+    assert(planned(q()) <= 2,
+      "sorted compaction should let zone maps prune most fragments")
+    assert(q().count() == 1000)
+    assert(spark.table("mt.db.srt").agg(sum("k"), count(lit(1))).head == checksum)
+  }
+
   test("vacuum drops old versions and unreferenced files; recent history intact") {
     wh
     val dir = new Path(Paths.get(wh, "db", "c.graft").toUri)
