@@ -138,6 +138,53 @@ object VectorOps {
         .orderBy("q_id", "rn")
     },
 
+    // IVF ANN over a PERSISTED coarse-quantizer index: k-means lists in
+    // a `_indices/<col>.ivf/` sidecar (the Spark-native analog of
+    // Lance's IVF vector indexes); each query probes its nprobe=4
+    // nearest of 16 lists, so only ~1/4 of the corpus is ever compared
+    // — the scanned fraction is nprobe/nLists at any corpus size.
+    // (Rows-only; recall vs brute force and index lifecycle are
+    // property-tested in VectorOpsSpec.)
+    Q.noOracle("v05_ann_ivf",
+      "approximate top-5 via persisted IVF (k-means) index, nprobe=4") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_ivf.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+      graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      val (cents, assign) = graft.ops.VectorIndex.Ivf.readCurrent(s, dir, "embedding")
+        .getOrElse(throw new IllegalStateException("ivf build did not land"))
+      // probe: L2 distance query -> centroid, keep the 4 nearest lists
+      val wP = Window.partitionBy(col("q_id"))
+        .orderBy(col("l2").asc, col("cid"))
+      val probes = emb(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("l2", expr(
+          """aggregate(zip_with(qe, centroid,
+            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("pn", row_number().over(wP))
+        .filter(col("pn") <= 4)
+        .select(col("q_id"), col("qe"), col("cid"))
+      // candidates: rows of the probed lists only, exact cosine within
+      val corpus = emb(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .join(assign, Seq("vec_id"))
+        .select(col("vec_id").as("n_id"), col("e"), col("cid"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("n_id"))
+      corpus.join(broadcast(probes), Seq("cid"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosineCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("q_id", "rn")
+    },
+
     // Embedding-cosine near-duplicate detection: all pairs above a
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this

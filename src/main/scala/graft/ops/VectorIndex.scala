@@ -73,4 +73,120 @@ object VectorIndex {
       .map(_.getPath.getName.stripPrefix("v=").toLong)
       .sorted
   }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) coarse-quantizer index — the Spark-native
+    * analog of Lance's IVF vector indexes (reference
+    * docs/src/performance.md "Index Usage"): k-means centroids plus a
+    * (row id → list id) inverted assignment, persisted under
+    * `_indices/<col>.ivf/v=<tableVersion>/{centroids,assign}`.
+    *
+    * Scale shape (100 TB): centroids are trained on a driver-bounded
+    * SAMPLE (`trainCap` rows — k-means quality needs a sample, not the
+    * corpus), each Lloyd iteration is one linear pass with the k×dim
+    * centroid matrix broadcast (a few hundred KB), and the only
+    * full-corpus work is the final assignment pass — one narrow
+    * (id, cid) write. Queries probe `nprobe` of `nLists` lists, so the
+    * scanned fraction is nprobe/nLists of the corpus regardless of
+    * total size.
+    */
+  object Ivf {
+    def root(table: Path, col: String): Path =
+      new Path(GraftFormat.indicesDir(table), s"$col.ivf")
+    private def versionDir(table: Path, col: String, v: Long): Path =
+      new Path(root(table, col), s"v=$v")
+
+    /** Train + persist the IVF index at the table's latest version.
+      * Returns the indexed version. */
+    def build(spark: SparkSession, table: Path, idCol: String,
+        embCol: String, nLists: Int = 16, iters: Int = 4,
+        trainCap: Long = 100000L): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val qual = fs.makeQualified(table)
+      val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+        throw new IllegalArgumentException(s"not a graft table: $table"))
+      val df = GraftShim.tableDF(spark,
+        new GraftTable(s"index:$qual", qual, manifest, conf))
+        .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
+      import spark.implicits._
+
+      val liveRows = manifest.fragments.map(_.liveRows).sum
+      val train =
+        (if (liveRows <= trainCap) df
+         else df.sample(withReplacement = false,
+           trainCap.toDouble / liveRows, seed = 42L))
+          .select("__id", "__e").as[(Long, Seq[Float])]
+
+      // deterministic seeding: the nLists lowest-id vectors
+      var centroids: Array[Array[Double]] = train.orderBy("__id")
+        .limit(nLists).collect().map(_._2.map(_.toDouble).toArray)
+      val k = centroids.length
+      require(k > 0, "cannot build an IVF index over an empty table")
+
+      def assign(ds: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+          cents: Array[Array[Double]]) = {
+        val bc = spark.sparkContext.broadcast(cents)
+        ds.map { case (id, e) =>
+          (id, Ivf.nearest(bc.value, e), e)
+        }.toDF("__id", "cid", "__e")
+      }
+
+      for (_ <- 0 until iters) {
+        val upd = assign(train, centroids)
+          .select(col("cid"), posexplode(col("__e")).as(Seq("i", "x")))
+          .groupBy("cid", "i").agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+          .select(col("cid"), expr("transform(im, s -> s.m)").as("c"))
+          .as[(Int, Seq[Double])].collect().toMap
+        // empty lists keep their previous centroid
+        centroids = Array.tabulate(k)(c =>
+          upd.get(c).map(_.toArray).getOrElse(centroids(c)))
+      }
+
+      val dest = versionDir(qual, embCol, manifest.version)
+      spark.createDataset(centroids.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) })
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(dest, "centroids").toString)
+      // full-corpus pass: the one O(N) job of the build
+      assign(df.as[(Long, Seq[Float])], centroids)
+        .select(col("__id").as(idCol), col("cid"))
+        .write.mode("overwrite").parquet(new Path(dest, "assign").toString)
+      manifest.version
+    }
+
+    /** (centroids, assignments) for the table's LATEST version, if an
+      * index was built at it; None = stale or absent. */
+    def readCurrent(spark: SparkSession, table: Path,
+        embCol: String): Option[(DataFrame, DataFrame)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val qual = fs.makeQualified(table)
+      val current = GraftFormat.latestVersion(fs, qual).getOrElse(return None)
+      val dir = versionDir(qual, embCol, current)
+      if (!fs.exists(dir)) None
+      else Some((
+        spark.read.parquet(new Path(dir, "centroids").toString),
+        spark.read.parquet(new Path(dir, "assign").toString)))
+    }
+
+    private[graft] def nearest(cents: Array[Array[Double]],
+        e: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cent = cents(c); var d = 0.0; var i = 0
+        val n = math.min(cent.length, e.length)
+        while (i < n) {
+          val diff = e(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
 }

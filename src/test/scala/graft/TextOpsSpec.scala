@@ -138,6 +138,41 @@ class VectorOpsSpec extends AnyFunSuite {
       e.count() + 5)
   }
 
+  test("ann ivf recall vs brute force is meaningful; 5 rows per query") {
+    val bf = SparkEntry.queries("v01_knn_bruteforce")(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("v05_ann_ivf")(spark, sf).collect()
+    assert(rows.nonEmpty, "ivf ann returned nothing")
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(5), s"expected 5 hits per query, got $perQuery")
+    val ann = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall > 0.25, s"suspiciously low ivf recall: $recall")
+  }
+
+  test("persisted IVF index: centroids + full assignment, stale after append") {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.VectorIndex.Ivf
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-ivf").resolve("e.graft").toUri)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(fs, dir, e, overwrite = true)
+    Ivf.build(spark, dir, "vec_id", "embedding", nLists = 8)
+    val (cents, assign) = Ivf.readCurrent(spark, dir, "embedding").get
+    assert(cents.count() == 8)
+    assert(assign.count() == e.count(), "every row must be assigned to a list")
+    // each assignment names an existing list, and no list holds everything
+    val cids = assign.select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(cids.subsetOf((0 until 8).toSet))
+    assert(cids.size > 1, "degenerate clustering: all rows in one list")
+    // an append makes the index stale -> invisible, not wrong
+    graft.connector.GraftWriter.write(fs, dir,
+      e.limit(3).select(col("vec_id") + 200000, col("embedding"), col("label"))
+        .toDF("vec_id", "embedding", "label"), overwrite = false)
+    assert(Ivf.readCurrent(spark, dir, "embedding").isEmpty)
+  }
+
   test("brute-force knn: self excluded, cos in [-1,1], k rows per query") {
     val rows = SparkEntry.queries("v01_knn_bruteforce")(spark, sf).collect()
     assert(rows.nonEmpty)
