@@ -198,6 +198,41 @@ object FormatQueries {
         .orderBy("s_nationkey")
     },
 
+    // Sorted compaction (OPTIMIZE ... SORT BY analog): interleaved
+    // appends leave every fragment spanning the whole key range; the
+    // sorted rewrite re-clusters fragments onto disjoint ranges so the
+    // zone maps can prune range scans (planned-partition counts proven
+    // in MaintenanceSpec) — and the data must stay byte-exact.
+    Q("g10_sorted_compact",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 10000 AND 50000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      "sorted compact re-clusters fragments; range query stays exact") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.ord_srt")
+      val ord = Tables.load(s, d, "orders")
+      ord.filter(col("o_orderkey") % 4 === 0).createOrReplaceTempView("ord_srt_0")
+      s.sql("CREATE TABLE graft.db.ord_srt AS SELECT * FROM ord_srt_0")
+      (1 until 4).foreach { i =>
+        ord.filter(col("o_orderkey") % 4 === i)
+          .createOrReplaceTempView(s"ord_srt_$i")
+        s.sql(s"INSERT INTO graft.db.ord_srt SELECT * FROM ord_srt_$i")
+      }
+      val dir = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "ord_srt.graft").toUri)
+      graft.ops.Maintenance.compact(s, dir, minRows = 4000L,
+        sortBy = Seq("o_orderkey"))
+      s.table("graft.db.ord_srt")
+        .filter(col("o_orderkey").between(10000, 50000))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // MIN/MAX/COUNT(*) answered from manifest zone maps (extends the
     // reference's COUNT(*)-only metadata source): zero data scan.
     Q("g09_stats_minmax",
