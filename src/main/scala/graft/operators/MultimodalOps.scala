@@ -72,6 +72,36 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
 
+    // Frame sampling: the 1->N explode shape of video frame extraction.
+    // The payload is treated as a sequence of 16-byte "frames"; every
+    // 4th frame is sampled (uniform temporal sampling) and emitted with
+    // typed per-frame metadata. All slicing/digesting uses codegen'd
+    // builtins (sequence + explode + substring + md5) — no UDF, stays
+    // inside whole-stage codegen; a real codec would swap the substring
+    // for a decoder call at the same batch shape. Oracle-exact: DuckDB
+    // computes identical chunks from the same text.
+    Q("m03_frame_sample",
+      """SELECT doc_id, t.i AS frame_no,
+        |  length(substring(text, t.i * 16 + 1, 16)) AS frame_size,
+        |  substr(md5(substring(text, t.i * 16 + 1, 16)), 1, 8) AS digest8
+        |FROM documents CROSS JOIN range(0, 512) AS t(i)
+        |WHERE t.i % 4 = 0
+        |  AND t.i < CAST(ceil(length(text) / 16.0) AS INT)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+      "every 4th 16-byte frame sampled with typed per-frame metadata") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("n_frames", ceil(length(col("text")) / 16.0).cast("int"))
+        .filter(col("n_frames") > 0)
+        .withColumn("frame_no",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+        .withColumn("frame",
+          expr("substring(text, frame_no * 16 + 1, 16)"))
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame")).cast("long").as("frame_size"),
+          substring(md5(col("frame")), 1, 8).as("digest8"))
+        .orderBy("doc_id", "frame_no")
+    },
+
     // Blob-style virtual metadata columns without materializing content:
     // byte length + content digest are computable from the payload
     // column alone (the reference exposes <col>__blob_pos/__blob_size
