@@ -88,6 +88,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("gk.db.dst").count() == 3)
   }
 
+  test("watermarked windowed aggregation over the graft streaming source") {
+    // event-time tumbling windows + watermark on top of our source:
+    // late data beyond the watermark is dropped by Spark's stateful
+    // operator; the state store, not the source, handles dedup/expiry.
+    val wh = Files.createTempDirectory("graft-wm-wh").toString
+    spark.conf.set("spark.sql.catalog.gw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gw.db")
+    spark.sql("CREATE TABLE gw.db.clicks (user_id BIGINT, ts TIMESTAMP)")
+    spark.sql("""INSERT INTO gw.db.clicks VALUES
+      |(1, TIMESTAMP '2026-01-01 00:00:10'),
+      |(1, TIMESTAMP '2026-01-01 00:00:40'),
+      |(2, TIMESTAMP '2026-01-01 00:01:05'),
+      |(1, TIMESTAMP '2026-01-01 00:02:30')""".stripMargin)
+
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt").toString
+    val out = Files.createTempDirectory("graft-wm-out").toString
+    def runOnce(): Seq[(String, Long, Long)] = {
+      val q = spark.readStream.table("gw.db.clicks")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w"), col("user_id"), col("n"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    // run 1: append mode emits only windows the watermark has CLOSED,
+    // and the emission watermark comes from the PREVIOUS batch — so the
+    // first batch emits nothing; all windows sit in the state store
+    assert(runOnce() == Seq(), "first batch must emit nothing")
+
+    // run 2: new data advances the batch; the watermark from run 1's
+    // data (00:02:30 - 1m = 00:01:30) closes exactly the windows whose
+    // END <= 00:01:30 — only the 00:00 window; 00:01 and 00:02 stay
+    // open in state
+    spark.sql(
+      "INSERT INTO gw.db.clicks VALUES (2, TIMESTAMP '2026-01-01 00:05:00')")
+    assert(runOnce() == Seq(("2026-01-01 00:00:00.0", 1L, 2L)))
+
+    // run 3: watermark is now 00:05:00 - 1m = 00:04:00 -> the 00:01 and
+    // 00:02 windows close; 00:05 stays open
+    spark.sql(
+      "INSERT INTO gw.db.clicks VALUES (1, TIMESTAMP '2026-01-01 00:09:00')")
+    assert(runOnce() == Seq(
+      ("2026-01-01 00:00:00.0", 1L, 2L),
+      ("2026-01-01 00:01:00.0", 2L, 1L),
+      ("2026-01-01 00:02:00.0", 1L, 1L)))
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val df = SparkEntry.queries("m01_multimodal_features")(spark, sf)
     val rows = df.collect()
