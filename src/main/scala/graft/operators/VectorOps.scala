@@ -24,15 +24,12 @@ import graft.queries.Q
   */
 object VectorOps {
 
-  /** Elementwise double dot product of two float arrays — sequential
-    * fold, so bit-identical across engines that sum left-to-right. */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-
+  /** Native codegen'd cosine (one fused loop, no intermediate arrays —
+    * `functions/VectorExpressions.scala`); accumulation order matches
+    * the sequential-fold SQL formulation, so DuckDB oracles still
+    * hash-match. */
   private def cosineCol: Column =
-    (expr(dot("qe", "e")) /
-      (sqrt(expr(dot("qe", "qe"))) * sqrt(expr(dot("e", "e"))))).as("cos")
+    graft.functions.VectorFunctions.cosine_sim(col("qe"), col("e")).as("cos")
 
   /** Fixed random hyperplanes (deterministic seed) for sign-LSH.
     * 6 planes -> 64 buckets; at real scale raise planes with corpus
@@ -161,10 +158,8 @@ object VectorOps {
       val probes = emb(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         .crossJoin(broadcast(cents))
-        .withColumn("l2", expr(
-          """aggregate(zip_with(qe, centroid,
-            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("l2",
+          graft.functions.VectorFunctions.l2_sq(col("qe"), col("centroid")))
         .withColumn("pn", row_number().over(wP))
         .filter(col("pn") <= 4)
         .select(col("q_id"), col("qe"), col("cid"))
@@ -230,10 +225,8 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
         .select(col("label"), expr("transform(im, s -> s.m)").as("c"))
       e.join(broadcast(cent), Seq("label"))
-        .withColumn("dist", round(sqrt(expr(
-          """aggregate(zip_with(embedding, c,
-            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)), 4))
+        .withColumn("dist", round(sqrt(
+          graft.functions.VectorFunctions.l2_sq(col("embedding"), col("c"))), 4))
         .select("vec_id", "label", "dist")
         .orderBy("vec_id")
     }

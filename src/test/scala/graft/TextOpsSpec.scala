@@ -94,6 +94,71 @@ class TextOpsSpec extends AnyFunSuite {
   }
 }
 
+class VectorExprSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.functions.VectorFunctions
+
+  test("cosine_sim / l2_sq are bit-identical to the SQL fold formulation") {
+    val e = Tables.load(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding").as("qe"))
+    val pairs = e.crossJoin(Tables.load(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id").as("nid"), col("embedding").as("e")))
+    def sqlDot(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val both = pairs.select(
+      VectorFunctions.cosine_sim(col("qe"), col("e")).as("native"),
+      (expr(sqlDot("qe", "e")) /
+        (sqrt(expr(sqlDot("qe", "qe"))) * sqrt(expr(sqlDot("e", "e"))))).as("sql"),
+      VectorFunctions.l2_sq(col("qe"), col("e")).as("nl2"),
+      expr(
+        """aggregate(zip_with(qe, e,
+          |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("sl2"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"cosine mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"l2 mismatch: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("vector expressions: nulls propagate, mixed float/double widths work") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0, 0.0))),
+      (None, Some(Seq(1.0, 0.0))),
+      (Some(Seq(0.0f, 2.0f)), None)
+    ).toDF("a", "b")
+    val r = df.selectExpr("cosine_sim(a, b) AS c", "l2_sq(a, b) AS l").collect()
+    assert(r(0).getDouble(0) == 1.0 && r(0).getDouble(1) == 0.0)
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+    // type check rejects non-array args
+    val err = intercept[Exception](
+      spark.sql("SELECT cosine_sim(1, 2)").collect())
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("vector expressions stay inside whole-stage codegen") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("qe"),
+        col("embedding").as("e"))
+      .select(VectorFunctions.cosine_sim(col("qe"), col("e")).as("c"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // span; the projection evaluating cosine_sim must carry it
+    val plan = e.queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator.find(_.contains("cosine_sim")).getOrElse(
+      fail(s"no cosine_sim in plan:\n$plan"))
+    assert(projLine.trim.startsWith("*("), s"cosine_sim outside codegen:\n$plan")
+  }
+}
+
 class VectorOpsSpec extends AnyFunSuite {
   import TestSpark._
 
