@@ -97,12 +97,20 @@ object Maintenance {
     // fragments carry disjoint sort-key ranges
     val total = small.map(_.liveRows).sum
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
-    val shaped =
-      if (sortBy.isEmpty) live.coalesce(nOut)
-      else live
-        .repartitionByRange(nOut, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    shaped.write.parquet(staging.toUri.toString)
+    if (sortBy.isEmpty) live.coalesce(nOut).write.parquet(staging.toUri.toString)
+    else {
+      // tight range boundaries are the product here (zone-map
+      // selectivity tracks how disjoint the output ranges are), so
+      // sample harder than the exchange default while this write runs
+      val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+      val prev = spark.conf.getOption(sampleKey)
+      spark.conf.set(sampleKey, "1000")
+      try
+        live.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+          .write.parquet(staging.toUri.toString)
+      finally prev.fold(spark.conf.unset(sampleKey))(spark.conf.set(sampleKey, _))
+    }
     val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
 
     val smallIds = small.map(_.id).toSet

@@ -75,8 +75,11 @@ class MaintenanceSpec extends AnyFunSuite {
     // fragments now cover disjoint k ranges -> the same query plans at
     // most 2 (range-partitioner boundaries are sampled, so the filter
     // window may straddle one boundary)
+    val ranges = after.fragments.map(f =>
+      f.stats.get("k").map(s => s"[${s.min}..${s.max}]").getOrElse("[?]"))
     assert(planned(q()) <= 2,
-      "sorted compaction should let zone maps prune most fragments")
+      s"sorted compaction should let zone maps prune most fragments; " +
+        s"fragment k-ranges: ${ranges.mkString(", ")}")
     assert(q().count() == 1000)
     assert(spark.table("mt.db.srt").agg(sum("k"), count(lit(1))).head == checksum)
   }
