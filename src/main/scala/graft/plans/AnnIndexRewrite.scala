@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.connector.GraftTable
+import graft.format.GraftFormat
+import graft.functions.CosineSim
+
+/** Opt-in optimizer rule: rewrite exact top-k cosine similarity over a
+  * graft table into an IVF index probe when a current index exists —
+  * the Spark-native analog of the reference engine's index-accelerated
+  * ANN (its scans flip `useScalarIndex`/vector indexes on when a Lance
+  * `_indices/` sidecar is present, LanceFragmentPageSource.java:126).
+  *
+  * Matches `ORDER BY cosine_sim(embCol, <literal vector>) DESC LIMIT k`
+  * directly over a graft relation (optionally through a Project) and
+  * replaces the corpus with a LEFT SEMI join against the ids of the
+  * `nprobe` nearest IVF lists, so only nprobe/nLists of the corpus is
+  * scanned and sorted. The result is APPROXIMATE (that is the point),
+  * so the rule only fires when `spark.graft.ann.indexRewrite=true` —
+  * same contract as the reference, where building a vector index makes
+  * ANN queries approximate.
+  *
+  * Conf: `spark.graft.ann.indexRewrite` (default false),
+  * `spark.graft.ann.nprobe` (default 4).
+  *
+  * Scale shape: centroids (k×dim doubles) are read once per (table,
+  * version) and cached driver-side; the probe itself is plan surgery —
+  * the corpus side never materializes outside the probed lists.
+  */
+case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get("spark.graft.ann.indexRewrite", "false").toBoolean)
+      return plan
+    plan.transformDown {
+      // column pruning may slide a Project between the limit and the
+      // sort — tolerate it and re-wrap it over the rewritten sort
+      case l @ GlobalLimit(IntegerLiteral(k), LocalLimit(IntegerLiteral(_), body)) =>
+        val parts = body match {
+          case p @ Project(_,
+              Sort(Seq(so @ SortOrder(e, Descending, _, _)), true, child, _)) =>
+            Some((Some(p), so, e, child))
+          case Sort(Seq(so @ SortOrder(e, Descending, _, _)), true, child, _) =>
+            Some((Option.empty[Project], so, e, child))
+          case _ => None
+        }
+        parts.flatMap { case (projOpt, so, e, child) =>
+          rewrite(so, e, child).map { sortOverProbe =>
+            val body2 = projOpt
+              .map(p => p.copy(child = sortOverProbe))
+              .getOrElse(sortOverProbe)
+            GlobalLimit(Literal(k), LocalLimit(Literal(k), body2))
+          }
+        }.getOrElse(l)
+    }
+  }
+
+  private def rewrite(so: SortOrder, sortExpr: Expression,
+      child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      cos <- resolveCosine(sortExpr, child)
+      table <- graftTableOf(child)
+      (embName, qv) <- embAndQuery(cos)
+      (candPlan, idName) <- candidatePlan(table, embName, qv)
+      idAttr <- child.output.find(a => spark.sessionState.conf.resolver(a.name, idName))
+    } yield {
+      val join = Join(child, candPlan, LeftSemi,
+        Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
+      Sort(Seq(so), global = true, join)
+    }
+
+  /** The sort key as a CosineSim: either directly, or an attribute the
+    * immediate Project below aliases to one. */
+  private def resolveCosine(e: Expression, child: LogicalPlan): Option[CosineSim] =
+    e match {
+      case c: CosineSim => Some(c)
+      case a: AttributeReference => child match {
+        case Project(list, _) => list.collectFirst {
+          case al @ Alias(c: CosineSim, _) if al.exprId == a.exprId => c
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def graftTableOf(p: LogicalPlan): Option[GraftTable] = p match {
+    // a Project is row-preserving, so the semi-join stays valid above it
+    case Project(_, c) => graftTableOf(c)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some(t); case _ => None
+    }
+    case r: DataSourceV2ScanRelation => r.relation.table match {
+      case t: GraftTable => Some(t); case _ => None
+    }
+    case _ => None
+  }
+
+  /** (embedding column name, query vector) if one side is a bare column
+    * and the other a foldable literal vector. */
+  private def embAndQuery(c: CosineSim): Option[(String, Array[Double])] = {
+    def vec(e: Expression): Option[Array[Double]] =
+      if (!e.foldable) None
+      else e.dataType match {
+        case ArrayType(FloatType, _) =>
+          Option(e.eval(null)).map(_.asInstanceOf[ArrayData]
+            .toFloatArray().map(_.toDouble))
+        case ArrayType(DoubleType, _) =>
+          Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+        case _ => None
+      }
+    // graftTableOf already pinned child to (a Project over) exactly one
+    // graft relation, so a bare attribute can only be its column; the
+    // index-directory lookup validates the name
+    (c.left, c.right) match {
+      case (a: AttributeReference, q) => vec(q).map(v => (a.name, v))
+      case (q, a: AttributeReference) => vec(q).map(v => (a.name, v))
+      case _ => None
+    }
+  }
+
+  /** Analyzed plan producing the candidate ids of the probed lists,
+    * plus the id column name, if a CURRENT ivf index exists for the
+    * table's pinned version. */
+  private def candidatePlan(table: GraftTable, embName: String,
+      qv: Array[Double]): Option[(LogicalPlan, String)] = {
+    val vdir = new Path(
+      new Path(GraftFormat.indicesDir(table.dir), s"$embName.ivf"),
+      s"v=${table.manifest.version}")
+    val fs = table.dir.getFileSystem(table.conf)
+    if (!fs.exists(vdir)) return None
+    val cents = AnnTopKIndexRewrite.centroids(spark, vdir)
+    val nprobe = spark.conf.get("spark.graft.ann.nprobe", "4").toInt
+    val probed = cents
+      .map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        val n = math.min(c.length, qv.length)
+        while (i < n) { val x = c(i) - qv(i); d += x * x; i += 1 }
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+    val assign = spark.read.parquet(new Path(vdir, "assign").toString)
+    val idName = assign.schema.fieldNames.find(_ != "cid").getOrElse(return None)
+    val cand = assign.filter(col("cid").isin(probed: _*)).select(idName)
+    Some((GraftShim.planOf(cand), idName))
+  }
+}
+
+object AnnTopKIndexRewrite {
+  /** (cid, centroid) rows, cached per index-version directory — a few
+    * KB; avoids re-running the centroid read on every re-optimization. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+
+  private[plans] def centroids(spark: SparkSession,
+      vdir: Path): Array[(Int, Array[Double])] =
+    cache.computeIfAbsent(vdir.toString, _ =>
+      spark.read.parquet(new Path(vdir, "centroids").toString)
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[Double](1).toArray)))
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` wires the rule in
+  * at session build; tests can instead append the rule to
+  * `spark.experimental.extraOptimizations` on a live session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(s => AnnTopKIndexRewrite(s))
+}

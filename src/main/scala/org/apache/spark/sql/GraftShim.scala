@@ -85,6 +85,11 @@ object GraftShim {
     new ParquetOutputWriter(path, new TaskAttemptContextImpl(conf, attemptId))
   }
 
+  /** The analyzed logical plan of a DataFrame (for optimizer rules that
+    * splice DataFrame-built subplans into a plan under rewrite). */
+  def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Driver-side: a DataFrame over an arbitrary DSv2 Table instance
     * (no catalog resolution) — used by maintenance jobs to scan a
     * pinned fragment subset through the normal deletion-aware reader. */

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.ops.VectorIndex.Ivf
+
+class AnnRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: Path = {
+    val d = new Path(java.nio.file.Files
+      .createTempDirectory("graft-annrw").resolve("e.graft").toUri)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.connector.GraftWriter.write(fs, d,
+      Tables.load(spark, sf, "embeddings"), overwrite = true)
+    Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+    d
+  }
+
+  private def tableDF = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+    org.apache.spark.sql.GraftShim.tableDF(spark,
+      new graft.connector.GraftTable(s"annrw:$dir", dir, manifest, conf))
+  }
+
+  private def queryVec: Seq[Float] =
+    Tables.load(spark, sf, "embeddings").filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+
+  private def topK(k: Int) = tableDF
+    .orderBy(VectorFunctions.cosine_sim(
+      col("embedding"), typedlit(queryVec)).desc)
+    .limit(k)
+    .select("vec_id")
+
+  private def withRule[A](f: => A): A = {
+    val rule = graft.plans.AnnTopKIndexRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    spark.conf.set("spark.graft.ann.indexRewrite", "true")
+    try f finally {
+      spark.conf.unset("spark.graft.ann.indexRewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  private def semiJoins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.size
+
+  test("top-k cosine over a graft table rewrites to an IVF index probe") {
+    dir
+    val exact = topK(5).collect().map(_.getLong(0)).toSeq
+    withRule {
+      val q = topK(5)
+      assert(semiJoins(q) == 1, "expected a semi join against the index:\n" +
+        q.queryExecution.optimizedPlan)
+      val approx = q.collect().map(_.getLong(0)).toSeq
+      assert(approx.length == 5)
+      // approximate result must equal the exact top-k RESTRICTED to the
+      // probed lists — verify against a hand-built probe of the index
+      val (cents, assign) = Ivf.readCurrent(spark, dir, "embedding").get
+      val qv = queryVec.map(_.toDouble)
+      val probed = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)
+          .zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1).toSet
+      val candIds = assign.filter(col("cid").isin(probed.toSeq: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val expected = tableDF
+        .filter(col("vec_id").isin(candIds.toSeq: _*))
+        .orderBy(VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(queryVec)).desc)
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(approx == expected, "probe result differs from a manual probe")
+      // the query vector IS row 7, so its own list is always probed and
+      // the top hit survives the approximation
+      assert(approx.head == exact.head)
+    }
+  }
+
+  test("rewrite does not fire: conf off, no index, non-literal query") {
+    dir
+    // conf off (rule installed but disabled)
+    val rule = graft.plans.AnnTopKIndexRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try assert(semiJoins(topK(5)) == 0)
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    withRule {
+      // ascending sort (farthest-first) must not be rewritten
+      val asc = tableDF.orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).asc).limit(5)
+      assert(semiJoins(asc) == 0)
+      // column-vs-column cosine (no literal query vector) must not be
+      val cc = tableDF.orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), col("embedding")).desc).limit(5)
+      assert(semiJoins(cc) == 0)
+    }
+  }
+}
