@@ -92,4 +92,59 @@ class ConformanceSpec extends AnyFunSuite {
     }
     assert(rootMsgs(e2).contains("dots"))
   }
+
+  // reference: BaseLanceConnectorTest type-mapping tests — the full
+  // scalar surface a user switching engines would bring along, pushed
+  // through CTAS, predicate scans, row-level DML, and time travel.
+  test("full scalar type surface roundtrips through CTAS, DML, time travel") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cf.db.types")
+    spark.sql(
+      """CREATE TABLE cf.db.types AS
+        |SELECT * FROM VALUES
+        |  (1L, true,  CAST(1 AS TINYINT), CAST(10 AS SMALLINT), 100,
+        |   CAST(1.5 AS FLOAT), 2.5D, CAST('12345.67' AS DECIMAL(12,2)),
+        |   'alpha', CAST('ab' AS BINARY), DATE'2026-01-15',
+        |   TIMESTAMP'2026-01-15 10:30:00'),
+        |  (2L, false, CAST(2 AS TINYINT), CAST(20 AS SMALLINT), 200,
+        |   CAST(2.5 AS FLOAT), 3.5D, CAST('999.99' AS DECIMAL(12,2)),
+        |   'beta', CAST('cd' AS BINARY), DATE'2026-06-30',
+        |   TIMESTAMP'2026-06-30 23:59:59'),
+        |  (3L, NULL,  CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT),
+        |   CAST(NULL AS INT), CAST(NULL AS FLOAT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS STRING),
+        |   CAST(NULL AS BINARY), CAST(NULL AS DATE),
+        |   CAST(NULL AS TIMESTAMP))
+        |AS t(id, b, ti, si, i, f, d, dec, s, bin, dt, ts)""".stripMargin)
+    val t = spark.table("cf.db.types")
+    // declared types survive the round trip
+    assert(t.schema.map(f => (f.name, f.dataType.sql)).toMap ==
+      Map("id" -> "BIGINT", "b" -> "BOOLEAN", "ti" -> "TINYINT",
+        "si" -> "SMALLINT", "i" -> "INT", "f" -> "FLOAT", "d" -> "DOUBLE",
+        "dec" -> "DECIMAL(12,2)", "s" -> "STRING", "bin" -> "BINARY",
+        "dt" -> "DATE", "ts" -> "TIMESTAMP"))
+    // values + nulls survive, including binary payloads
+    val r1 = t.filter(col("id") === 1).head()
+    assert(r1.getBoolean(1) && r1.getByte(2) == 1 && r1.getShort(3) == 10 &&
+      r1.getInt(4) == 100 && r1.getFloat(5) == 1.5f && r1.getDouble(6) == 2.5 &&
+      r1.getDecimal(7).toPlainString == "12345.67" && r1.getString(8) == "alpha" &&
+      r1.getAs[Array[Byte]](9).sameElements("ab".getBytes) &&
+      r1.getDate(10).toString == "2026-01-15")
+    assert(t.filter(col("id") === 3).head().anyNull)
+    // predicates across the type surface (zone maps must stay
+    // conservative-correct in the presence of the all-null row)
+    assert(t.filter(col("dec") > java.math.BigDecimal.valueOf(1000)).count() == 1)
+    assert(t.filter(col("dt") < java.sql.Date.valueOf("2026-03-01")).count() == 1)
+    assert(t.filter(col("b")).count() == 1)
+    assert(t.filter(col("si").isNull).count() == 1)
+    // row-level DML keyed on a decimal predicate; others untouched
+    spark.sql("UPDATE cf.db.types SET s = 'rich' WHERE dec > 1000")
+    spark.sql("DELETE FROM cf.db.types WHERE b = false")
+    val after = spark.table("cf.db.types").orderBy("id")
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq == Seq((1L, "rich"), (3L, null)))
+    // time travel still serves the pre-DML snapshot
+    assert(spark.sql("SELECT count(*) FROM cf.db.types VERSION AS OF 1")
+      .head().getLong(0) == 3)
+  }
 }
