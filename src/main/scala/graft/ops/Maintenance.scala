@@ -171,6 +171,25 @@ object Maintenance {
         }
       }
     }
+    // index sidecar GC: an _indices/<col>.<kind>/v=<N> directory is
+    // reachable only through manifest version N — once N's manifest is
+    // dropped, the index version is garbage (current-version indexes
+    // are never touched: the latest manifest is always retained)
+    val idxRoot = GraftFormat.indicesDir(qualDir)
+    val retainedVersions = keep.toSet
+    if (fs.exists(idxRoot)) {
+      fs.listStatus(idxRoot).filter(_.isDirectory).foreach { colIdx =>
+        fs.listStatus(colIdx.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+          .foreach { vd =>
+            val v = vd.getPath.getName.stripPrefix("v=").toLongOption
+            if (v.exists(!retainedVersions.contains(_))) {
+              fs.delete(vd.getPath, true)
+              deleted += 1
+            }
+          }
+      }
+    }
     // blob sidecar GC: a distributed descriptor scan over the retained
     // fragments yields the set of live sidecar files; anything else in
     // data/blobs is unreachable from any retained version

@@ -103,4 +103,28 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM mt.db.c VERSION AS OF 1").collect()
     }.getMessage.contains("does not exist"))
   }
+
+  test("vacuum GCs index sidecars of dropped versions, keeps current ones") {
+    import graft.ops.VectorIndex
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.vgc")
+    spark.sql("CREATE TABLE mt.db.vgc (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("""INSERT INTO mt.db.vgc
+      |SELECT id, array(CAST(id AS FLOAT), CAST(id * 2 AS FLOAT))
+      |FROM range(0, 50)""".stripMargin)
+    val dir = new Path(Paths.get(wh, "db", "vgc.graft").toUri)
+    val v1 = VectorIndex.build(spark, dir, "vec_id", "embedding")
+    VectorIndex.Ivf.build(spark, dir, "vec_id", "embedding", nLists = 4)
+    spark.sql("INSERT INTO mt.db.vgc SELECT id, array(CAST(id AS FLOAT), 0.0F) " +
+      "FROM range(50, 60)")
+    val v2 = VectorIndex.build(spark, dir, "vec_id", "embedding")
+    assert(VectorIndex.indexedVersions(spark, dir, "embedding") == Seq(v1, v2))
+
+    Maintenance.vacuum(spark, dir, keepVersions = 1)
+    // v1's LSH and IVF sidecars are garbage; v2's LSH survives and the
+    // current-version read still works
+    assert(VectorIndex.indexedVersions(spark, dir, "embedding") == Seq(v2))
+    assert(!fs.exists(new Path(VectorIndex.Ivf.root(dir, "embedding"), s"v=$v1")))
+    assert(VectorIndex.readCurrent(spark, dir, "embedding").get.count() == 60)
+  }
 }
