@@ -27,7 +27,8 @@ import graft.format.GraftFormat.FragmentMeta
   *  - COUNT(*) pushdown answered from the manifest with the reference's
   *    guards: no filter, no grouping (A1/S4)
   */
-class GraftScanBuilder(table: GraftTable)
+class GraftScanBuilder(table: GraftTable,
+    options: Map[String, String] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -105,7 +106,7 @@ class GraftScanBuilder(table: GraftTable)
   }
 
   override def build(): Scan =
-    new GraftScan(table, required, pushed, limit, aggs)
+    new GraftScan(table, required, pushed, limit, aggs, options)
 }
 
 /** One manifest-answerable aggregate. */
@@ -119,7 +120,8 @@ class GraftScan(
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int],
-    aggs: Seq[PushedAgg])
+    aggs: Seq[PushedAgg],
+    options: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -189,7 +191,7 @@ class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new graft.streaming.GraftMicroBatchStream(table)
+    new graft.streaming.GraftMicroBatchStream(table, options)
 
   override def description(): String =
     s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +

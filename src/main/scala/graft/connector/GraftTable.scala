@@ -74,7 +74,10 @@ class GraftTable(
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this,
+      options.asCaseSensitiveMap().asScala.toMap.map {
+        case (k, v) => (k.toLowerCase, v)
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)

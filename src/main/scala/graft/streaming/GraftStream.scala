@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 
 import graft.connector.{GraftFragmentPartition, GraftTable}
 import graft.format.GraftFormat
@@ -18,21 +18,57 @@ import graft.format.GraftFormat
   * immutable.
   *
   * Scale: planInputPartitions is O(new fragments); each partition is one
-  * fragment read by the same vectorized reader as batch scans.
+  * fragment read by the same vectorized reader as batch scans. The
+  * `maxVersionsPerTrigger` read option bounds how much backlog one
+  * micro-batch swallows (admission control / backpressure): a stream
+  * started against a table with thousands of committed versions drains
+  * them in bounded batches instead of planning the whole history at
+  * once.
   */
 final case class GraftOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-class GraftMicroBatchStream(table: GraftTable) extends MicroBatchStream {
+class GraftMicroBatchStream(table: GraftTable,
+    options: Map[String, String] = Map.empty)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def fs = table.fs
   private def qualDir = fs.makeQualified(table.dir)
+
+  private val maxVersionsPerTrigger: Option[Long] =
+    options.get("maxversionspertrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
 
   override def initialOffset(): Offset = GraftOffset(0L)
 
   override def latestOffset(): Offset =
     GraftOffset(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Trigger.AvailableNow pins the drain target here, so versions
+    * committed after the stream starts wait for the next run. */
+  private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L))
+
+  /** Admission control: cap a batch at `maxVersionsPerTrigger` manifest
+    * versions past the start offset; the engine keeps triggering until
+    * the backlog (or the AvailableNow target) drains. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = GraftFormat.latestVersion(fs, table.dir).getOrElse(0L)
+    val ceiling = availableTarget.fold(head)(math.min(head, _))
+    val from = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersionsPerTrigger
+      .fold(ceiling)(m => math.min(ceiling, from + m)))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val v = json.replaceAll("[^0-9]", "")

@@ -88,6 +88,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("gk.db.dst").count() == 3)
   }
 
+  test("maxVersionsPerTrigger bounds backlog per micro-batch, no loss/dup") {
+    val wh = Files.createTempDirectory("graft-adm-wh").toString
+    spark.conf.set("spark.sql.catalog.ga", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ga.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ga.db")
+    spark.sql("CREATE TABLE ga.db.ev (k BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO ga.db.ev VALUES ($i)"))
+
+    val ckpt = Files.createTempDirectory("graft-adm-ckpt").toString
+    val out = Files.createTempDirectory("graft-adm-out").toString
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("ga.db.ev")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    // all three appends delivered exactly once...
+    val rows = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(rows.sameElements(Array(1L, 2L, 3L)),
+      s"expected exactly-once drain, got ${rows.mkString(",")}")
+    // ...across one micro-batch per version (4 versions: create + 3
+    // inserts; the create commit carries no fragments)
+    val batches = new java.io.File(ckpt, "offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4,
+      s"expected >= 4 bounded micro-batches (1 version each), got $batches")
+  }
+
   test("watermarked windowed aggregation over the graft streaming source") {
     // event-time tumbling windows + watermark on top of our source:
     // late data beyond the watermark is dropped by Spark's stateful
@@ -123,27 +156,30 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
         .sortBy(x => (x._1, x._2)).toSeq
     }
-    // run 1: append mode emits only windows the watermark has CLOSED,
-    // and the emission watermark comes from the PREVIOUS batch — so the
-    // first batch emits nothing; all windows sit in the state store
-    assert(runOnce() == Seq(), "first batch must emit nothing")
-
-    // run 2: new data advances the batch; the watermark from run 1's
-    // data (00:02:30 - 1m = 00:01:30) closes exactly the windows whose
-    // END <= 00:01:30 — only the 00:00 window; 00:01 and 00:02 stay
-    // open in state
-    spark.sql(
-      "INSERT INTO gw.db.clicks VALUES (2, TIMESTAMP '2026-01-01 00:05:00')")
+    // run 1: append mode emits exactly the windows the watermark CLOSES.
+    // The run's data batch sets the watermark to max ts - 1m =
+    // 00:01:30, and the trailing no-new-data batch (AvailableNow keeps
+    // triggering until the target drains) emits windows whose END <=
+    // 00:01:30 — only the 00:00 window; 00:01 and 00:02 stay in state
     assert(runOnce() == Seq(("2026-01-01 00:00:00.0", 1L, 2L)))
 
-    // run 3: watermark is now 00:05:00 - 1m = 00:04:00 -> the 00:01 and
-    // 00:02 windows close; 00:05 stays open
+    // run 2: the 00:05 row advances the watermark to 00:04:00 -> the
+    // 00:01 and 00:02 windows close; 00:05 stays open
+    spark.sql(
+      "INSERT INTO gw.db.clicks VALUES (2, TIMESTAMP '2026-01-01 00:05:00')")
+    assert(runOnce() == Seq(
+      ("2026-01-01 00:00:00.0", 1L, 2L),
+      ("2026-01-01 00:01:00.0", 2L, 1L),
+      ("2026-01-01 00:02:00.0", 1L, 1L)))
+
+    // run 3: watermark 00:08:00 closes the 00:05 window
     spark.sql(
       "INSERT INTO gw.db.clicks VALUES (1, TIMESTAMP '2026-01-01 00:09:00')")
     assert(runOnce() == Seq(
       ("2026-01-01 00:00:00.0", 1L, 2L),
       ("2026-01-01 00:01:00.0", 2L, 1L),
-      ("2026-01-01 00:02:00.0", 1L, 1L)))
+      ("2026-01-01 00:02:00.0", 1L, 1L),
+      ("2026-01-01 00:05:00.0", 2L, 1L)))
   }
 
   test("multimodal feature extraction is deterministic and complete") {
