@@ -89,6 +89,9 @@ class GraftScanBuilder(table: GraftTable,
         val ok = table.dataSchema.fields.find(_.name == c).exists(_.dataType match {
           case ByteType | ShortType | IntegerType | LongType | FloatType |
                DoubleType | DateType | TimestampType | TimestampNTZType => true
+          // precision <= 18 decimals are INT32/INT64-backed in parquet:
+          // unscaled stats are exact; wider decimals never carry stats
+          case d: DecimalType => d.precision <= 18
           case _ => false
         }) && !hasDeletes &&
           frags.forall(f => f.stats.get(c).exists(cs =>
@@ -176,6 +179,11 @@ class GraftScan(
         val l = stats.map(_.toLong); if (isMin) l.min else l.max
       case FloatType => val d = stats.map(_.toFloat); if (isMin) d.min else d.max
       case DoubleType => val d = stats.map(_.toDouble); if (isMin) d.min else d.max
+      case dt: DecimalType =>
+        val l = stats.map(_.toLong)
+        org.apache.spark.sql.types.Decimal(
+          BigDecimal(BigInt(if (isMin) l.min else l.max), dt.scale),
+          dt.precision, dt.scale)
       case other => throw new IllegalStateException(
         s"unexpected pushed min/max type $other for column $c")
     }

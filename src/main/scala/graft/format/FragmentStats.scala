@@ -212,6 +212,14 @@ object ZoneMaps {
         toDays(v).map(x => java.lang.Long.compare(s.toLong, x.toLong))
       case TimestampType | TimestampNTZType =>
         toMicros(v).map(x => java.lang.Long.compare(s.toLong, x))
+      // INT32/INT64-backed decimals (precision <= 18) carry exact
+      // unscaled stats; rescale through BigDecimal for the compare.
+      // FIXED_LEN_BYTE_ARRAY decimals get no stats -> never reach here.
+      case dt: DecimalType => v match {
+        case bd: java.math.BigDecimal =>
+          Some(BigDecimal(BigInt(s), dt.scale).compare(BigDecimal(bd)).sign)
+        case _ => None
+      }
       case _ => None
     }
   }

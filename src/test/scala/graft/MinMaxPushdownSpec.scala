@@ -97,4 +97,26 @@ class MinMaxPushdownSpec extends AnyFunSuite {
     val r = q.head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0)
   }
+
+  test("decimal min/max served from unscaled manifest stats, exact") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mm.db.dec")
+    spark.sql(
+      """CREATE TABLE mm.db.dec AS
+        |SELECT CAST(id / 100.0 + 0.005 AS DECIMAL(12,3)) AS p
+        |FROM range(0, 10000, 1, 4)""".stripMargin)
+    val q = spark.sql("SELECT min(p) AS mn, max(p) AS mx FROM mm.db.dec")
+    assert(isAggPushed(q), "decimal(12,3) min/max should push to the manifest")
+    val r = q.head
+    assert(r.getDecimal(0).toPlainString == "0.005")
+    assert(r.getDecimal(1).toPlainString == "99.995")
+    // precision > 18 decimals carry no stats -> no pushdown, still exact
+    spark.sql("DROP TABLE IF EXISTS mm.db.dec38")
+    spark.sql(
+      """CREATE TABLE mm.db.dec38 AS
+        |SELECT CAST(id AS DECIMAL(38,2)) AS p FROM range(0, 100, 1, 1)""".stripMargin)
+    val q38 = spark.sql("SELECT min(p) AS mn, max(p) AS mx FROM mm.db.dec38")
+    assert(!isAggPushed(q38), "wide decimals must not claim manifest stats")
+    assert(q38.head.getDecimal(1).toPlainString == "99.00")
+  }
 }

@@ -117,4 +117,28 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.mayMatch(StringContains("s", "zzz"), schema, f))
     assert(ZoneMaps.mayMatch(Not(EqualTo("k", 15L)), schema, f))
   }
+
+  test("decimal ranges prune: unscaled INT64 stats vs BigDecimal filters") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.dec")
+    spark.sql("CREATE TABLE zm.db.dec (k BIGINT, price DECIMAL(12,2))")
+    // 4 appends with disjoint price ranges: [0,10), [10,20), ...
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO zm.db.dec
+           |SELECT id, CAST($i * 10 + id / 100.0 AS DECIMAL(12,2))
+           |FROM range(0, 1000, 1, 1)""".stripMargin)
+    }
+    val all = spark.table("zm.db.dec")
+    assert(plannedPartitions(all.filter(col("k") >= 0)) == 4)
+    val one = all.filter(col("price") === new java.math.BigDecimal("25.00"))
+    assert(plannedPartitions(one) == 1,
+      "decimal equality inside one fragment's range must plan exactly 1")
+    assert(one.count() == 1)
+    val range = all.filter(col("price") >= new java.math.BigDecimal("15.00"))
+    assert(plannedPartitions(range) == 3)
+    assert(range.count() == 2500)
+    assert(plannedPartitions(
+      all.filter(col("price") > new java.math.BigDecimal("1000"))) == 0)
+  }
 }
