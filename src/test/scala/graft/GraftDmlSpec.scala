@@ -160,4 +160,30 @@ class GraftDmlSpec extends AnyFunSuite {
     // both effects visible: 10 - 1 deleted + 5 appended
     assert(spark.table("dml.db.ca").count() == 14)
   }
+
+  test("concurrent INSERTs from many threads all land via CAS retry") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS dml.db.race")
+    spark.sql("CREATE TABLE dml.db.race (t INT, i INT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (0 until 8).map { t =>
+      Future {
+        (0 until 3).foreach { i =>
+          spark.sql(s"INSERT INTO dml.db.race VALUES ($t, $i)")
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    // no commit lost, no commit doubled
+    val rows = spark.table("dml.db.race")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows == (for (t <- 0 until 8; i <- 0 until 3) yield (t, i)).toSet)
+    // the manifest history holds exactly one version per commit
+    val dir = new Path(Paths.get(wh, "db", "race.graft").toUri)
+    val versions = GraftFormat.listVersions(fs, dir)
+    assert(versions.size == 25, s"1 create + 24 inserts, got ${versions.size}")
+    assert(versions == (1L to 25L))
+  }
 }

@@ -118,6 +118,57 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.mayMatch(Not(EqualTo("k", 15L)), schema, f))
   }
 
+  test("property: pruning is sound — a fragment with a matching row is kept") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def mkStats(rows: List[Option[Long]]): Map[String, ColStats] = {
+      val vs = rows.flatten
+      Map("k" -> ColStats(
+        vs.minOption.map(_.toString), vs.maxOption.map(_.toString),
+        rows.count(_.isEmpty).toLong))
+    }
+    val genV = Gen.chooseNum(-50L, 50L)
+    val genRow = Gen.frequency(9 -> genV.map(Some(_)), 1 -> Gen.const(None))
+    val genLeaf: Gen[Filter] = Gen.oneOf(
+      genV.map(EqualTo("k", _)),
+      genV.map(GreaterThan("k", _)),
+      genV.map(GreaterThanOrEqual("k", _)),
+      genV.map(LessThan("k", _)),
+      genV.map(LessThanOrEqual("k", _)),
+      Gen.listOf(genV).map(vs => In("k", vs.toArray.map(_.asInstanceOf[Any]))),
+      Gen.const(IsNull("k")),
+      Gen.const(IsNotNull("k")))
+    def genFilter(depth: Int): Gen[Filter] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        2 -> genLeaf,
+        1 -> Gen.zip(genFilter(depth - 1), genFilter(depth - 1)).map(And.tupled),
+        1 -> Gen.zip(genFilter(depth - 1), genFilter(depth - 1)).map(Or.tupled))
+    // SQL semantics on one row: null compares are false, IS NULL true
+    def eval(f: Filter, v: Option[Long]): Boolean = f match {
+      case EqualTo("k", x) => v.contains(x.asInstanceOf[Long])
+      case GreaterThan("k", x) => v.exists(_ > x.asInstanceOf[Long])
+      case GreaterThanOrEqual("k", x) => v.exists(_ >= x.asInstanceOf[Long])
+      case LessThan("k", x) => v.exists(_ < x.asInstanceOf[Long])
+      case LessThanOrEqual("k", x) => v.exists(_ <= x.asInstanceOf[Long])
+      case In("k", vs) => v.exists(vv => vs.contains(vv))
+      case IsNull("k") => v.isEmpty
+      case IsNotNull("k") => v.nonEmpty
+      case And(l, r) => eval(l, v) && eval(r, v)
+      case Or(l, r) => eval(l, v) || eval(r, v)
+      case other => fail(s"generator produced unexpected filter $other")
+    }
+    val prop = Prop.forAll(Gen.nonEmptyListOf(genRow), genFilter(2)) { (rows, f) =>
+      val fr = FragmentMeta(0, "data/x.parquet", rows.size.toLong, None, 0L,
+        1L, mkStats(rows))
+      // soundness: a fragment holding any matching row must never prune
+      !rows.exists(eval(f, _)) || ZoneMaps.mayMatch(f, schema, fr)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, s"zone-map soundness violated: ${res.status}")
+  }
+
   test("decimal ranges prune: unscaled INT64 stats vs BigDecimal filters") {
     wh
     spark.sql("DROP TABLE IF EXISTS zm.db.dec")
