@@ -113,17 +113,40 @@ object VectorIndex {
       import spark.implicits._
 
       val liveRows = manifest.fragments.map(_.liveRows).sum
-      val train =
+      // the training sample is driver-bounded BY DESIGN (k-means quality
+      // needs a sample, not the corpus — same contract as IVF training
+      // in native vector stores), so Lloyd runs as in-memory math on the
+      // collected sample: one cluster job to sample, zero jobs per
+      // iteration, and the cluster's only O(N) work is the final
+      // assignment pass below
+      val sample: Array[Array[Float]] =
         (if (liveRows <= trainCap) df
          else df.sample(withReplacement = false,
            trainCap.toDouble / liveRows, seed = 42L))
-          .select("__id", "__e").as[(Long, Seq[Float])]
+          .orderBy("__id").select("__e").as[Seq[Float]]
+          .collect().map(_.toArray)
+      require(sample.nonEmpty, "cannot build an IVF index over an empty table")
 
       // deterministic seeding: the nLists lowest-id vectors
-      var centroids: Array[Array[Double]] = train.orderBy("__id")
-        .limit(nLists).collect().map(_._2.map(_.toDouble).toArray)
+      var centroids: Array[Array[Double]] =
+        sample.take(nLists).map(_.map(_.toDouble))
       val k = centroids.length
-      require(k > 0, "cannot build an IVF index over an empty table")
+      val dim = sample.head.length
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        sample.foreach { e =>
+          val c = Ivf.nearest(centroids, e)
+          val s = sums(c); var i = 0
+          val n = math.min(dim, e.length)
+          while (i < n) { s(i) += e(i); i += 1 }
+          counts(c) += 1
+        }
+        // empty lists keep their previous centroid
+        centroids = Array.tabulate(k)(c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c)))
+      }
 
       def assign(ds: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
           cents: Array[Array[Double]]) = {
@@ -131,19 +154,6 @@ object VectorIndex {
         ds.map { case (id, e) =>
           (id, Ivf.nearest(bc.value, e), e)
         }.toDF("__id", "cid", "__e")
-      }
-
-      for (_ <- 0 until iters) {
-        val upd = assign(train, centroids)
-          .select(col("cid"), posexplode(col("__e")).as(Seq("i", "x")))
-          .groupBy("cid", "i").agg(avg(col("x").cast("double")).as("m"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-          .select(col("cid"), expr("transform(im, s -> s.m)").as("c"))
-          .as[(Int, Seq[Double])].collect().toMap
-        // empty lists keep their previous centroid
-        centroids = Array.tabulate(k)(c =>
-          upd.get(c).map(_.toArray).getOrElse(centroids(c)))
       }
 
       val dest = versionDir(qual, embCol, manifest.version)
