@@ -112,6 +112,24 @@ class GraftScanBuilder(table: GraftTable,
     new GraftScan(table, required, pushed, limit, aggs, options)
 }
 
+// Custom metric classes must be TOP-LEVEL with zero-arg constructors:
+// Spark re-instantiates them reflectively by class name for SQL-UI
+// aggregation (anonymous/inner classes capture the enclosing scan).
+class FragmentsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "fragmentsPlanned"
+  override def description(): String = "fragments planned after pruning"
+}
+class FragmentsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "fragmentsPruned"
+  override def description(): String = "fragments pruned by zone maps"
+}
+final case class GraftMetricValue(metricName: String, value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+}
+
 /** One manifest-answerable aggregate. */
 sealed trait PushedAgg extends Serializable
 case object AggCountStar extends PushedAgg
@@ -217,6 +235,20 @@ class GraftScan(
       OptionalLong.of(table.manifest.liveRows)
   }
 
+  // Observability: fragment-pruning effectiveness surfaces as SQL-UI
+  // metrics on the scan node (driver metrics — known at planning, no
+  // task plumbing). At 100 TB "fragments pruned" is THE number an
+  // operator tunes clustering/zone maps by.
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new FragmentsPlannedMetric, new FragmentsPrunedMetric)
+
+  @volatile private var plannedFragments = 0L
+  @volatile private var prunedFragments = 0L
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    GraftMetricValue("fragmentsPlanned", plannedFragments),
+    GraftMetricValue("fragmentsPruned", prunedFragments))
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (aggs.nonEmpty) {
       // answered entirely from the manifest: one empty partition
@@ -245,6 +277,8 @@ class GraftScan(
         frags.take(keep)
       case _ => frags
     }
+    plannedFragments = planned.size.toLong
+    prunedFragments = (table.manifest.fragments.size - planned.size).toLong
     planned.map { f =>
       GraftFragmentPartition(
         fragId = f.id,

@@ -141,15 +141,28 @@ object Maintenance {
   }
 
   /** Drop manifest history beyond the latest `keepVersions` versions,
-    * then delete any data/deletion/blob file not referenced by a
-    * retained manifest. Returns (versionsDropped, filesDeleted). */
-  def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10): (Int, Int) = {
+    * then delete any data/deletion/blob/index file not referenced by a
+    * retained manifest. `olderThanMs` > 0 additionally protects recent
+    * history: a version is only dropped when its commit is at least
+    * that old (the lakehouse retention guard — readers/streams pinned
+    * to a recent snapshot keep working while old history ages out).
+    * Returns (versionsDropped, filesDeleted). */
+  def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10,
+      olderThanMs: Long = 0L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val conf = spark.sessionState.newHadoopConf()
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val versions = GraftFormat.listVersions(fs, qualDir)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val (drop0, keep0) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val (drop, keep) =
+      if (olderThanMs <= 0L) (drop0, keep0)
+      else {
+        val (d, protectedRecent) = drop0.partition(v =>
+          GraftFormat.readManifest(fs, qualDir, v).createdAtMs <= cutoff)
+        (d, protectedRecent ++ keep0)
+      }
     val retained = keep.map(GraftFormat.readManifest(fs, qualDir, _))
     val referenced: Set[String] = retained.flatMap { m =>
       m.fragments.flatMap(f => f.path +: f.deletionPath.toSeq)

@@ -104,6 +104,25 @@ class MaintenanceSpec extends AnyFunSuite {
     }.getMessage.contains("does not exist"))
   }
 
+  test("vacuum time retention: recent history survives keepVersions") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.ret")
+    spark.sql("CREATE TABLE mt.db.ret (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO mt.db.ret VALUES ($i)"))
+    val dir = new Path(Paths.get(wh, "db", "ret.graft").toUri)
+    // all four versions committed milliseconds ago: a 1h retention
+    // window protects them from keepVersions = 1
+    val (dropped, _) = Maintenance.vacuum(spark, dir, keepVersions = 1,
+      olderThanMs = 3600 * 1000L)
+    assert(dropped == 0)
+    assert(spark.sql("SELECT count(*) FROM mt.db.ret VERSION AS OF 1")
+      .head().getLong(0) == 0)
+    // without the window the same call drops them
+    val (dropped2, _) = Maintenance.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped2 == 3)
+    assert(spark.table("mt.db.ret").count() == 3)
+  }
+
   test("vacuum GCs index sidecars of dropped versions, keeps current ones") {
     import graft.ops.VectorIndex
     wh

@@ -118,6 +118,31 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.mayMatch(Not(EqualTo("k", 15L)), schema, f))
   }
 
+  test("pruning effectiveness surfaces as SQL metrics on the scan node") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.met")
+    spark.sql("CREATE TABLE zm.db.met (k BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO zm.db.met SELECT id + ${i * 1000} FROM range(0, 1000, 1, 1)"))
+    val q = spark.table("zm.db.met").filter(col("k") === 1500)
+    // collect() executes THIS query execution; count() would plan a
+    // separate one whose scan metrics never populate
+    assert(q.collect().length == 1)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val metrics = allScans(q.queryExecution.executedPlan).head.metrics
+    assert(metrics("fragmentsPlanned").value == 1,
+      s"planned metric: ${metrics("fragmentsPlanned").value}")
+    assert(metrics("fragmentsPruned").value == 3,
+      s"pruned metric: ${metrics("fragmentsPruned").value}")
+  }
+
   test("property: pruning is sound — a fragment with a matching row is kept") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val schema = StructType(Seq(StructField("k", LongType)))
