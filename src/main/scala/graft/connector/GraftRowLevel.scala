@@ -155,7 +155,12 @@ class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
       }
       latest.copy(version = latest.version + 1, fragments = kept ++ added,
         maxFragmentId = nextId, createdAtMs = System.currentTimeMillis(),
-        operation = "Update")
+        operation = "Update",
+        // DV-only commits keep file order intact; replacement fragments
+        // are unsorted and invalidate a sorted-compaction flag
+        properties =
+          if (added.isEmpty) latest.properties
+          else latest.properties - GraftFormat.SortByProp)
     }
 
     // partial sidecars are merged; drop them (best-effort)

@@ -144,7 +144,28 @@ class GraftScan(
     aggs: Seq[PushedAgg],
     options: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering with SupportsReportOrdering {
+
+  /** Per-partition ordering after a sorted compaction: each fragment's
+    * rows are ascending in the recorded sort columns (deletion vectors
+    * only remove rows, preserving order), so Spark elides per-partition
+    * sorts above the scan. Any commit adding unsorted fragments drops
+    * the manifest flag (see GraftFormat.SortByProp). */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    if (aggs.nonEmpty) return Array.empty
+    table.manifest.properties.get(GraftFormat.SortByProp) match {
+      case Some(csv) =>
+        val avail = readSchema().fieldNames.toSet
+        csv.split(',').toSeq
+          .takeWhile(avail.contains) // ordering prefix still in output
+          .map(c => Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+          .toArray
+      case None => Array.empty
+    }
+  }
 
   // Runtime (dynamic-pruning) filters: Spark executes the small side of
   // a join first and hands the key values here; zone maps then drop

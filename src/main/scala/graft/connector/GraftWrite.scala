@@ -94,7 +94,8 @@ object GraftWriter {
           operation =
             if (latestOpt.isEmpty) "Create"
             else if (overwrite) "Overwrite" else "Append",
-          properties = latestOpt.map(_.properties).getOrElse(tableProps))
+          properties = latestOpt.map(_.properties).getOrElse(tableProps)
+            - GraftFormat.SortByProp)
       }
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)

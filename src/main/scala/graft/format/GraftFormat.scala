@@ -90,6 +90,13 @@ object GraftFormat {
   val FormatVersionProp = "format_version"
   val CurrentFormatVersion = 2
 
+  /** Set by sorted compaction: every fragment's rows are ascending in
+    * these comma-separated columns (nulls first). Any commit that adds
+    * fragments NOT produced by that rewrite must drop it — scans report
+    * per-partition ordering from it, so a stale flag would let Spark
+    * elide a sort that is actually needed. */
+  val SortByProp = "sort_by"
+
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 

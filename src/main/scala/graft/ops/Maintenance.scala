@@ -135,7 +135,14 @@ object Maintenance {
           ++ newFrags,
         maxFragmentId = nextId,
         createdAtMs = System.currentTimeMillis(),
-        operation = "Compact")
+        operation = "Compact",
+        // sorted compaction rewrote EVERY fragment in sort order ->
+        // record the clustering; a plain compact's coalesced rewrite
+        // invalidates any previous flag
+        properties =
+          if (sortBy.nonEmpty)
+            latest.properties + (GraftFormat.SortByProp -> sortBy.mkString(","))
+          else latest.properties - GraftFormat.SortByProp)
     }
     small.size
   }

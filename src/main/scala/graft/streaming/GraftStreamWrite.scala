@@ -67,7 +67,8 @@ class GraftStreamingWrite(table: GraftTable, info: LogicalWriteInfo)
           maxFragmentId = nextId,
           createdAtMs = System.currentTimeMillis(),
           operation = "Append",
-          properties = latest.properties + (epochKey -> epochId.toString))
+          properties = latest.properties - GraftFormat.SortByProp
+            + (epochKey -> epochId.toString))
       }
     } catch {
       case _: AlreadyCommittedEpoch => // replayed epoch: drop duplicates

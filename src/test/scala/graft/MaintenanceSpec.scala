@@ -104,6 +104,42 @@ class MaintenanceSpec extends AnyFunSuite {
     }.getMessage.contains("does not exist"))
   }
 
+  test("sorted compaction reports per-partition ordering; appends clear it") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.ord")
+    spark.sql("CREATE TABLE mt.db.ord (k BIGINT, v STRING)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO mt.db.ord SELECT id * 3 + $i, concat('v', id) FROM range(0, 500, 1, 1)"))
+    val dir = new Path(Paths.get(wh, "db", "ord.graft").toUri)
+    def sortExecs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+    val q = () => spark.table("mt.db.ord").sortWithinPartitions("k")
+    assert(sortExecs(q()) == 1, "unsorted table: the sort must be planned")
+
+    Maintenance.compact(spark, dir, minRows = 500, sortBy = Seq("k"))
+    assert(GraftFormat.readLatest(fs, dir).get.properties("sort_by") == "k")
+    // the scan now reports ascending-k per partition -> Spark elides the
+    // in-partition sort entirely
+    assert(sortExecs(q()) == 0,
+      "sorted table: reported ordering must elide the sort\n" +
+        q().queryExecution.executedPlan)
+    // and the data really is sorted within every partition
+    import spark.implicits._
+    val violations = q().select("k").as[Long].mapPartitions { it =>
+      var prev = Long.MinValue; var bad = 0L
+      it.foreach { k => if (k < prev) bad += 1; prev = k }
+      Iterator.single(bad)
+    }.collect().sum
+    assert(violations == 0, "rows not ascending within a partition")
+
+    // an unsorted append invalidates the flag -> the sort comes back
+    spark.sql("INSERT INTO mt.db.ord VALUES (-1, 'x')")
+    assert(!GraftFormat.readLatest(fs, dir).get.properties.contains("sort_by"))
+    assert(sortExecs(q()) == 1, "append must clear the ordering flag")
+  }
+
   test("vacuum time retention: recent history survives keepVersions") {
     wh
     spark.sql("DROP TABLE IF EXISTS mt.db.ret")
