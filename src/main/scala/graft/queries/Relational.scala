@@ -590,6 +590,57 @@ object Relational {
         .unionAll(p.filter(col("p_size") > 40).select(lit("large").as("src")))
         .groupBy(col("src")).agg(count(lit(1)).as("n"))
         .orderBy("src")
+    },
+
+    // ------------------------------------------------------------------
+    // LEFT OUTER join with null-extension semantics under aggregation:
+    // count(*) counts null-extended rows, count(col) does not.
+    Q("q28_left_outer",
+      """SELECT c_mktsegment,
+        |  count(*) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lonely
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+      "left outer join: null-extended rows counted distinctly") { (s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .cast("long").as("n_lonely"))
+        .orderBy("c_mktsegment")
+    },
+
+    // FULL OUTER join of two partial aggregates; coalesce fills the
+    // side that has no row for a nation.
+    Q("q29_full_outer",
+      """SELECT coalesce(s.nk, c.nk) AS nationkey,
+        |  CAST(coalesce(s.ns, 0) AS BIGINT) AS n_debt_suppliers,
+        |  CAST(coalesce(c.nc, 0) AS BIGINT) AS n_debt_customers
+        |FROM (SELECT s_nationkey AS nk, count(*) AS ns FROM supplier
+        |      WHERE s_acctbal < -800 GROUP BY 1) s
+        |FULL JOIN (SELECT c_nationkey AS nk, count(*) AS nc FROM customer
+        |           WHERE c_acctbal < -900 GROUP BY 1) c
+        |  ON s.nk = c.nk
+        |ORDER BY nationkey""".stripMargin,
+      "full outer join of two filtered aggregates") { (s, d) =>
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") < -800)
+        .groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("ns"))
+        .select(col("snk"), col("ns"))
+      val cus = t(s, d, "customer").filter(col("c_acctbal") < -900)
+        .groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("nc"))
+        .select(col("cnk"), col("nc"))
+      sup.join(cus, col("snk") === col("cnk"), "full_outer")
+        .select(coalesce(col("snk"), col("cnk")).as("nationkey"),
+          coalesce(col("ns"), lit(0L)).as("n_debt_suppliers"),
+          coalesce(col("nc"), lit(0L)).as("n_debt_customers"))
+        .orderBy("nationkey")
     }
   )
 }
