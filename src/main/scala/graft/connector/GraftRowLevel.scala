@@ -155,7 +155,9 @@ class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
       }
       latest.copy(version = latest.version + 1, fragments = kept ++ added,
         maxFragmentId = nextId, createdAtMs = System.currentTimeMillis(),
-        operation = "Update",
+        // a commit that only writes deletion vectors IS a delete;
+        // UPDATE/MERGE always add replacement fragments
+        operation = if (added.isEmpty) "Delete" else "Update",
         // DV-only commits keep file order intact; replacement fragments
         // are unsorted and invalidate a sorted-compaction flag
         properties =

@@ -114,7 +114,7 @@ class GraftTable(
       val latest = latestOpt.getOrElse(
         throw new IllegalStateException(s"table vanished under delete: $dir"))
       latest.copy(version = latest.version + 1, fragments = Seq.empty,
-        createdAtMs = System.currentTimeMillis(), operation = "Update")
+        createdAtMs = System.currentTimeMillis(), operation = "Delete")
     }
   }
 }

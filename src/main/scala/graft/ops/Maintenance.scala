@@ -147,6 +147,25 @@ object Maintenance {
     small.size
   }
 
+  /** Table history (DESCRIBE HISTORY analog): one row per retained
+    * manifest version — version, operation, commit time, fragment/row
+    * counts. Driver-side manifest reads only (O(versions) small JSON
+    * files, no data I/O). */
+  def history(spark: SparkSession, dir: Path): org.apache.spark.sql.DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val qualDir = fs.makeQualified(dir)
+    import spark.implicits._
+    GraftFormat.listVersions(fs, qualDir).map { v =>
+      val m = GraftFormat.readManifest(fs, qualDir, v)
+      (m.version, m.operation, new java.sql.Timestamp(m.createdAtMs),
+        m.fragments.size, m.liveRows,
+        m.fragments.map(_.deletedCount).sum)
+    }.toDF("version", "operation", "committed_at", "n_fragments",
+      "live_rows", "deleted_rows")
+      .orderBy(col("version").desc)
+  }
+
   /** Drop manifest history beyond the latest `keepVersions` versions,
     * then delete any data/deletion/blob/index file not referenced by a
     * retained manifest. `olderThanMs` > 0 additionally protects recent

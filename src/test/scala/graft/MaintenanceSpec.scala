@@ -140,6 +140,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sortExecs(q()) == 1, "append must clear the ordering flag")
   }
 
+  test("history lists versions newest-first with operations and row counts") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.h")
+    spark.sql("CREATE TABLE mt.db.h (k BIGINT)")
+    // single input partition -> one fragment, so the delete is partial
+    // (a deletion vector), not a fully-deleted-fragment drop
+    spark.sql("INSERT INTO mt.db.h SELECT id FROM range(0, 10, 1, 1)")
+    spark.sql("DELETE FROM mt.db.h WHERE k >= 8")
+    val dir = new Path(Paths.get(wh, "db", "h.graft").toUri)
+    val h = Maintenance.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "newest first")
+    assert(h.map(_.getString(1)).toSeq == Seq("Delete", "Append", "Create"))
+    assert(h.head.getLong(4) == 8 && h.head.getLong(5) == 2,
+      s"latest version: 8 live rows, 2 deleted; got ${h.head}")
+    assert(h(1).getLong(4) == 10 && h(1).getLong(5) == 0)
+  }
+
   test("vacuum time retention: recent history survives keepVersions") {
     wh
     spark.sql("DROP TABLE IF EXISTS mt.db.ret")
