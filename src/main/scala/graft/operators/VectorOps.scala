@@ -180,6 +180,53 @@ object VectorOps {
         .orderBy("q_id", "rn")
     },
 
+    // The ANN index-rewrite RULE in the gate: registers the optimizer
+    // rule + opt-in conf, runs a plain ORDER BY cosine_sim DESC LIMIT k
+    // DataFrame program, and verifies the plan actually probed the index
+    // (a LEFT SEMI join appears) — then returns the top-k rows.
+    // (Rows-only; plan shape + probe-exactness are spec-verified in
+    // AnnRewriteSpec.)
+    Q.noOracle("v06_ann_rewrite",
+      "opt-in optimizer rule: top-k cosine auto-probes the IVF index") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_rw.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+      graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+      val table = org.apache.spark.sql.GraftShim.tableDF(s,
+        new graft.connector.GraftTable(s"v06:$dir", dir, manifest,
+          s.sessionState.newHadoopConf()))
+      val qv = emb(s, d).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val rule = graft.plans.AnnTopKIndexRewrite(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      s.conf.set("spark.graft.ann.indexRewrite", "true")
+      try {
+        val q = table
+          .orderBy(graft.functions.VectorFunctions.cosine_sim(
+            col("embedding"), typedlit(qv)).desc)
+          .limit(10)
+          .select(col("vec_id"))
+        val probed = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }.nonEmpty
+        require(probed, "ANN rewrite did not fire — no index probe in plan")
+        // materialize before the rule is deregistered
+        val rows = q.collect()
+        import s.implicits._
+        rows.map(_.getLong(0)).toSeq.zipWithIndex
+          .map { case (id, i) => (i + 1, id) }.toDF("rank", "vec_id")
+      } finally {
+        s.conf.unset("spark.graft.ann.indexRewrite")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    },
+
     // Embedding-cosine near-duplicate detection: all pairs above a
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this
