@@ -42,7 +42,20 @@ import graft.format.GraftFormat.Manifest
   * only through overwrite.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with StagingTableCatalog {
+  with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** FunctionCatalog: exposes the graft `bucket` function so Spark can
+    * resolve the `bucket(n, col)` transform reported by bucketized
+    * scans (storage-partitioned joins). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -162,7 +162,7 @@ class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
         // are unsorted and invalidate a sorted-compaction flag
         properties =
           if (added.isEmpty) latest.properties
-          else latest.properties - GraftFormat.SortByProp)
+          else latest.properties -- GraftFormat.ClusteringProps)
     }
 
     // partial sidecars are merged; drop them (best-effort)

@@ -144,7 +144,50 @@ class GraftScan(
     aggs: Seq[PushedAgg],
     options: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering with SupportsReportOrdering {
+  with SupportsRuntimeFiltering with SupportsReportOrdering
+  with SupportsReportPartitioning {
+
+  /** Bucket layout recorded by `Maintenance.bucketize`, if intact:
+    * (column, nBuckets, (bucketId, fragment) pairs). Engaged only when
+    * no limit/aggregate is pushed and zone maps would not prune any
+    * fragment — a pruned bucket would make the reported partitioning a
+    * lie. */
+  private def bucketLayout: Option[(String, Int, Seq[(Int, FragmentMeta)])] =
+    for {
+      bv <- table.manifest.properties.get(GraftFormat.BucketByProp)
+      bf <- table.manifest.properties.get(GraftFormat.BucketFragmentsProp)
+      if aggs.isEmpty && limit.isEmpty
+      Array(c, nStr) = bv.split(':')
+      byId = table.manifest.fragments.map(f => f.id -> f).toMap
+      pairs = bf.split(',').toSeq.map { p =>
+        val Array(b, id) = p.split(':')
+        (b.toInt, byId.get(id.toInt))
+      }
+      if pairs.forall(_._2.isDefined)
+      frags = pairs.map { case (b, f) => (b, f.get) }
+      // every bucket fragment must survive pruning for the claim to hold
+      if frags.forall { case (_, f) =>
+        (pushed ++ runtimeFilters).forall(p =>
+          ZoneMaps.mayMatch(p, table.dataSchema, f))
+      }
+    } yield (c, nStr.toInt, frags)
+
+  /** Storage-partitioned joins: bucketized tables report
+    * `KeyGroupedPartitioning(bucket(n, col))`; Spark resolves `bucket`
+    * through the catalog's FunctionCatalog (GraftBucketFunction) and
+    * co-locates matching buckets of two co-bucketized tables — the join
+    * runs with ZERO shuffle on either side. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((c, n, frags)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, c)),
+          frags.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Per-partition ordering after a sorted compaction: each fragment's
     * rows are ascending in the recorded sort columns (deletion vectors
@@ -178,6 +221,10 @@ class GraftScan(
 
   override def filterAttributes(): Array[NamedReference] =
     if (aggs.nonEmpty) Array.empty // agg row is manifest-served, never joined
+    // a bucketized scan's partitioning claim must not change after
+    // planning — runtime pruning could drop a claimed bucket, so it is
+    // disabled when the bucket layout is engaged (SPJ is the bigger win)
+    else if (bucketLayout.isDefined) Array.empty
     else {
       // restricted to the scan's pruned output: Spark resolves these
       // against readSchema, and a pruned-away column can't be a join key
@@ -278,6 +325,26 @@ class GraftScan(
       return Array(GraftAggPartition(aggValues))
     }
     val qualDir = table.fs.makeQualified(table.dir)
+    // bucketized layout intact -> one partition per bucket, each
+    // carrying its bucket id as the partition key (storage-partitioned
+    // join grouping)
+    bucketLayout match {
+      case Some((_, _, frags)) =>
+        plannedFragments = frags.size.toLong
+        prunedFragments = 0L
+        return frags.sortBy(_._1).map { case (b, f) =>
+          GraftBucketedPartition(
+            GraftFragmentPartition(
+              fragId = f.id,
+              absPath = new Path(qualDir, f.path).toString,
+              fileSize = f.sizeBytes,
+              deletionAbsPath =
+                f.deletionPath.map(p => new Path(qualDir, p).toString),
+              limit = None),
+            b): InputPartition
+        }.toArray
+      case None => ()
+    }
     // zone-map fragment pruning: drop fragments whose manifest min/max
     // statistics exclude every pushed predicate (native analog of the
     // reference's scalar-index scan skipping,
@@ -397,6 +464,14 @@ case class GraftFragmentPartition(
 
 case class GraftAggPartition(values: Seq[Any]) extends InputPartition
 
+/** A fragment partition bound to its bucket id — the partition key
+  * storage-partitioned joins group by. */
+case class GraftBucketedPartition(fp: GraftFragmentPartition, bucketId: Int)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucketId)
+}
+
 class GraftReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
@@ -409,6 +484,7 @@ class GraftReaderFactory(
     p match {
       case GraftAggPartition(vs) => new AggReader(vs)
       case fp: GraftFragmentPartition => new FragmentReader(fp)
+      case bp: GraftBucketedPartition => new FragmentReader(bp.fp)
     }
 
   /** Single-row reader for manifest-answered COUNT(*)/MIN/MAX. */

@@ -95,7 +95,7 @@ object GraftWriter {
             if (latestOpt.isEmpty) "Create"
             else if (overwrite) "Overwrite" else "Append",
           properties = latestOpt.map(_.properties).getOrElse(tableProps)
-            - GraftFormat.SortByProp)
+            -- GraftFormat.ClusteringProps)
       }
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)

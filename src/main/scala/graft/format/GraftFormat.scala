@@ -97,6 +97,19 @@ object GraftFormat {
     * elide a sort that is actually needed. */
   val SortByProp = "sort_by"
 
+  /** Set by bucketized rewrite: "col:n" — every row lives in the
+    * fragment of bucket pmod(col, n) (see GraftBucketFunction). */
+  val BucketByProp = "bucket_by"
+
+  /** "bucketId:fragmentId" pairs (comma-joined) recorded by the
+    * bucketized rewrite — binds each fragment to its bucket. */
+  val BucketFragmentsProp = "bucket_fragments"
+
+  /** Layout claims that any commit adding fragments outside the
+    * producing rewrite must drop (scans plan from them). */
+  val ClusteringProps: Seq[String] =
+    Seq(SortByProp, BucketByProp, BucketFragmentsProp)
+
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 

@@ -56,40 +56,7 @@ object Maintenance {
     if (small.size <= 1 && !small.exists(_.deletedCount > 0)) return 0
 
     // distributed rewrite of the small fragments' LIVE rows
-    val physSchema = BlobStore.physicalSchema(
-      manifest.schema, manifest.blobColumns)
-    val paths = small.map(f => new Path(qualDir, f.path).toString)
-    val raw = spark.read.schema(physSchema).parquet(paths: _*)
-      .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__i", col("_metadata.row_index"))
-
-    // deletion vectors applied via anti-join on (fragment file name,
-    // row index) — the sidecars are read executor-side, so a fragment
-    // with millions of deletions never becomes Catalyst literals
-    val delFiles = small.filter(_.deletionPath.isDefined)
-      .map(f => (f.path.split('/').last, f.deletionPath.get))
-    val live = (if (delFiles.isEmpty) raw else {
-      val sconf = new SerializableConfiguration(conf)
-      val dirStr = qualDir.toString
-      val delRdd = spark.sparkContext
-        .parallelize(delFiles, math.min(delFiles.size, 32))
-        .flatMap { case (fname, rel) =>
-          GraftFormat.readDeletionFileAbs(
-            new Path(dirStr, rel).toString, sconf.value)
-            .map(idx => (fname, idx))
-        }
-      val dels = spark.createDataFrame(delRdd.map {
-          case (f, i) => org.apache.spark.sql.Row(f, i)
-        },
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__df",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("__di",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      raw.join(broadcast(dels),
-        raw("__f") === dels("__df") && raw("__i") === dels("__di"),
-        "left_anti")
-    }).drop("__f", "__i")
+    val live = liveRowsOf(spark, conf, qualDir, manifest, small)
 
     val staging = new Path(qualDir, s".staging-${UUID.randomUUID()}")
     // toward target-size fragments: one output file per minRows-worth of
@@ -141,10 +108,135 @@ object Maintenance {
         // invalidates any previous flag
         properties =
           if (sortBy.nonEmpty)
-            latest.properties + (GraftFormat.SortByProp -> sortBy.mkString(","))
-          else latest.properties - GraftFormat.SortByProp)
+            latest.properties -- GraftFormat.ClusteringProps +
+              (GraftFormat.SortByProp -> sortBy.mkString(","))
+          else latest.properties -- GraftFormat.ClusteringProps)
     }
     small.size
+  }
+
+  /** The LIVE rows of `frags` as a DataFrame: deletion vectors applied
+    * via an anti-join on (fragment file name, row index) — sidecars are
+    * read executor-side, so a fragment with millions of deletions never
+    * becomes Catalyst literals. */
+  private def liveRowsOf(
+      spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration,
+      qualDir: Path,
+      manifest: Manifest,
+      frags: Seq[FragmentMeta]): org.apache.spark.sql.DataFrame = {
+    val physSchema = BlobStore.physicalSchema(
+      manifest.schema, manifest.blobColumns)
+    val paths = frags.map(f => new Path(qualDir, f.path).toString)
+    val raw = spark.read.schema(physSchema).parquet(paths: _*)
+      .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__i", col("_metadata.row_index"))
+    val delFiles = frags.filter(_.deletionPath.isDefined)
+      .map(f => (f.path.split('/').last, f.deletionPath.get))
+    (if (delFiles.isEmpty) raw else {
+      val sconf = new SerializableConfiguration(conf)
+      val dirStr = qualDir.toString
+      val delRdd = spark.sparkContext
+        .parallelize(delFiles, math.min(delFiles.size, 32))
+        .flatMap { case (fname, rel) =>
+          GraftFormat.readDeletionFileAbs(
+            new Path(dirStr, rel).toString, sconf.value)
+            .map(idx => (fname, idx))
+        }
+      val dels = spark.createDataFrame(delRdd.map {
+          case (f, i) => org.apache.spark.sql.Row(f, i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__df",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("__di",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      raw.join(broadcast(dels),
+        raw("__f") === dels("__df") && raw("__i") === dels("__di"),
+        "left_anti")
+    }).drop("__f", "__i")
+  }
+
+  /** Bucketize: rewrite the whole table so every row lives in the
+    * fragment of bucket `pmod(col, nBuckets)` (the graft bucket
+    * function, exposed to Spark via the catalog's FunctionCatalog).
+    * Two tables bucketized on their join key with the same bucket count
+    * join WITHOUT a shuffle (storage-partitioned join): scans report
+    * `KeyGroupedPartitioning(bucket(n, col))` and Spark co-locates the
+    * matching buckets. The manifest records the layout
+    * (`bucket_by` = "col:n", `bucket_fragments` = "bucket:fragId"
+    * pairs); any commit adding fragments outside this rewrite drops the
+    * claim. Requires an integral bucket column. Returns nBuckets. */
+  def bucketize(spark: SparkSession, dir: Path, column: String,
+      nBuckets: Int): Int = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val qualDir = fs.makeQualified(dir)
+    val manifest = GraftFormat.readLatest(fs, qualDir).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val colType = manifest.schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $column")).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(colType.typeName),
+      s"bucketize requires an integral column, got ${colType.sql}")
+
+    val live = liveRowsOf(spark, conf, qualDir, manifest, manifest.fragments)
+    // exact bucket -> RDD partition -> one staged file per bucket; the
+    // Spark writer names files part-<partitionId>-..., which is how the
+    // bucket ids are recovered after adoption
+    val schema = live.schema
+    val bucketed = live.withColumn("__b",
+      pmod(col(column).cast("long"), lit(nBuckets.toLong)).cast("int"))
+    val n = nBuckets
+    val rdd = bucketed.rdd
+      .map(r => (r.getAs[Int]("__b"), org.apache.spark.sql.Row(
+        r.toSeq.dropRight(1): _*)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val staging = new Path(qualDir, s".staging-${UUID.randomUUID()}")
+    spark.createDataFrame(rdd, schema).write.parquet(staging.toUri.toString)
+
+    // staged file name part-0000i-... -> bucket i (empty buckets write
+    // no file); adoptStaged returns entries in the same sorted order
+    val stagedBuckets = fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt)
+    val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
+    require(moved.size == stagedBuckets.size,
+      "bucketized rewrite produced an empty staged file")
+
+    val oldIds = manifest.fragments.map(_.id).toSet
+    GraftFormat.commitWithRetry(fs, qualDir) { latestOpt =>
+      val latest = latestOpt.getOrElse(
+        throw new IllegalStateException(s"table vanished during bucketize: $dir"))
+      if (latest.fragments.map(_.id).toSet != oldIds ||
+          latest.fragments.exists(f =>
+            manifest.fragments.find(_.id == f.id)
+              .exists(o => o.deletionPath != f.deletionPath)))
+        throw new GraftFormat.CommitConflictException(
+          "concurrent modification during bucketize; re-run")
+      var nextId = latest.maxFragmentId
+      val pairs = moved.zip(stagedBuckets).map { case ((rel, rows, size, stats), b) =>
+        nextId += 1
+        (b, FragmentMeta(nextId, rel, rows, None, 0L, size, stats))
+      }
+      latest.copy(
+        version = latest.version + 1,
+        fragments = pairs.map(_._2),
+        maxFragmentId = nextId,
+        createdAtMs = System.currentTimeMillis(),
+        operation = "Bucketize",
+        properties = latest.properties -- GraftFormat.ClusteringProps +
+          (GraftFormat.BucketByProp -> s"$column:$nBuckets") +
+          (GraftFormat.BucketFragmentsProp ->
+            pairs.map { case (b, f) => s"$b:${f.id}" }.mkString(",")))
+    }
+    nBuckets
   }
 
   /** Table history (DESCRIBE HISTORY analog): one row per retained

@@ -67,7 +67,7 @@ class GraftStreamingWrite(table: GraftTable, info: LogicalWriteInfo)
           maxFragmentId = nextId,
           createdAtMs = System.currentTimeMillis(),
           operation = "Append",
-          properties = latest.properties - GraftFormat.SortByProp
+          properties = latest.properties -- GraftFormat.ClusteringProps
             + (epochKey -> epochId.toString))
       }
     } catch {
