@@ -233,6 +233,43 @@ object FormatQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Bucketized rewrite (storage-partitioned-join layout): every row
+    // moves to the fragment of bucket pmod(key, n); results must stay
+    // byte-exact and a bucketized-x-bucketized join must agree with the
+    // raw-parquet oracle. (Zero-shuffle SPJ plan shape is proven in
+    // BucketedJoinSpec; bucketing never changes results.)
+    Q("g11_bucketized_join",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o_totalprice > 150000
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+      "join of two bucketized graft tables stays exact") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.cust_bkt")
+      s.sql("DROP TABLE IF EXISTS graft.db.ord_bkt")
+      Tables.load(s, d, "customer").createOrReplaceTempView("cust_bkt_src")
+      Tables.load(s, d, "orders").createOrReplaceTempView("ord_bkt_src")
+      s.sql("CREATE TABLE graft.db.cust_bkt AS SELECT * FROM cust_bkt_src")
+      s.sql("CREATE TABLE graft.db.ord_bkt AS SELECT * FROM ord_bkt_src")
+      val cd = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "cust_bkt.graft").toUri)
+      val od = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "ord_bkt.graft").toUri)
+      graft.ops.Maintenance.bucketize(s, cd, "c_custkey", 8)
+      graft.ops.Maintenance.bucketize(s, od, "o_custkey", 8)
+      s.table("graft.db.cust_bkt")
+        .join(s.table("graft.db.ord_bkt"),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_totalprice") > 150000)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // MIN/MAX/COUNT(*) answered from manifest zone maps (extends the
     // reference's COUNT(*)-only metadata source): zero data scan.
     Q("g09_stats_minmax",
