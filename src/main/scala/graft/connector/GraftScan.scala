@@ -125,6 +125,11 @@ class FragmentsPrunedMetric
   override def name(): String = "fragmentsPruned"
   override def description(): String = "fragments pruned by zone maps"
 }
+class DeletionRowsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "deletionRowsSkipped"
+  override def description(): String = "rows removed by deletion vectors"
+}
 final case class GraftMetricValue(metricName: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -309,7 +314,8 @@ class GraftScan(
   // operator tunes clustering/zone maps by.
   import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new FragmentsPlannedMetric, new FragmentsPrunedMetric)
+    Array(new FragmentsPlannedMetric, new FragmentsPrunedMetric,
+      new DeletionRowsSkippedMetric)
 
   @volatile private var plannedFragments = 0L
   @volatile private var prunedFragments = 0L
@@ -509,6 +515,7 @@ class GraftReaderFactory(
       case Some(p) => GraftFormat.readDeletionFileAbs(p, conf.value)
       case None => Array.empty[Long]
     }
+    private var skipped = 0L
 
     private val rowIdxOrdinal = nPhysical // appended last in parquet schema
     private val projExprs: Seq[Expression] = specs.map {
@@ -540,11 +547,14 @@ class GraftReaderFactory(
           current = proj(r)
           emitted += 1
           return true
-        }
+        } else skipped += 1
       }
       false
     }
     override def get(): InternalRow = current
     override def close(): Unit = ()
+    override def currentMetricsValues():
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(GraftMetricValue("deletionRowsSkipped", skipped))
   }
 }

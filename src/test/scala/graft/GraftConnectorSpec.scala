@@ -93,6 +93,24 @@ class GraftConnectorSpec extends AnyFunSuite {
     val toDelete2 = after.filter(col("l_quantity") < 10).count()
     spark.sql("DELETE FROM g.db.del WHERE l_quantity < 10")
     assert(spark.table("g.db.del").count() == before - toDelete - toDelete2)
+    // DV application is observable: the scan's task metric counts the
+    // rows the deletion vectors removed
+    val q = spark.table("g.db.del").select("l_orderkey")
+    assert(q.collect().length == before - toDelete - toDelete2)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val skipped = allScans(q.queryExecution.executedPlan)
+      .map(_.metrics("deletionRowsSkipped").value).sum
+    assert(skipped == toDelete + toDelete2,
+      s"expected ${toDelete + toDelete2} DV-skipped rows, metric says $skipped")
   }
 
   test("_row_address metadata column is selectable and unique") {
