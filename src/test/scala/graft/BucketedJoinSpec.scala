@@ -96,6 +96,17 @@ class BucketedJoinSpec extends AnyFunSuite {
       .join(spark.table("bj.db.f2").alias("b"), col("a.k") === col("b.k"))
       .count()
     assert(plain == 2000)
+
+    // and with SPJ enabled but AQE ON (the default deployment), results
+    // must stay exact whichever plan AQE lands on
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try assert(spark.table("bj.db.f1").alias("a")
+      .join(spark.table("bj.db.f2").alias("b"), col("a.k") === col("b.k"))
+      .count() == 2000)
+    finally saved.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
   }
 
   test("bucket layout disengages after an append; results stay exact") {
