@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, BoundReference, Exp
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
 
@@ -323,6 +323,35 @@ class GraftScan(
     GraftMetricValue("fragmentsPlanned", plannedFragments),
     GraftMetricValue("fragmentsPruned", prunedFragments))
 
+  /** Intersect the zone-surviving fragment list with the persisted
+    * scalar index's postings for every `=`/`IN` predicate on an indexed
+    * column (conjunctive semantics: each indexed predicate narrows the
+    * set further). No index at this exact version -> no-op. */
+  private def scalarIndexPrune(frags: Seq[FragmentMeta]): Seq[FragmentMeta] = {
+    import graft.ops.ScalarIndex
+    val eligible: Seq[(String, Seq[Any])] =
+      (pushed ++ runtimeFilters).toSeq.collect {
+        case EqualTo(a, v) if v != null => a -> Seq(v)
+        case EqualNullSafe(a, v) if v != null => a -> Seq(v)
+        case In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+          a -> vs.toSeq
+      }
+    if (eligible.isEmpty) return frags
+    val schema = table.dataSchema
+    eligible.foldLeft(frags) { case (acc, (c, values)) =>
+      if (acc.isEmpty) acc
+      else schema.fields.find(_.name == c) match {
+        case Some(f) =>
+          ScalarIndex.fragmentsForValues(table.fs, table.dir,
+              table.manifest.version, c, f.dataType, values) match {
+            case Some(allowed) => acc.filter(fr => allowed.contains(fr.id))
+            case None => acc
+          }
+        case None => acc
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (aggs.nonEmpty) {
       // answered entirely from the manifest: one empty partition
@@ -356,8 +385,17 @@ class GraftScan(
     // reference's scalar-index scan skipping,
     // LanceFragmentPageSource.java:126 useScalarIndex(true))
     val schema = table.dataSchema
-    val frags = table.manifest.fragments.filter(f =>
+    val zoneFrags = table.manifest.fragments.filter(f =>
       (pushed ++ runtimeFilters).forall(p => ZoneMaps.mayMatch(p, schema, f)))
+    // scalar-index fragment pruning (the btree/bitmap leg of the
+    // reference's auto index selection, docs/src/performance.md "Index
+    // Usage"): `=` / `IN` predicates consult the persisted value->
+    // fragment postings built at exactly this manifest version. Sound
+    // by construction — a hash collision can only retain a fragment —
+    // and residual filters above the scan keep row-level semantics
+    // regardless. Runtime (join-derived) IN filters participate too:
+    // value-exact dynamic pruning where zone ranges overlap.
+    val frags = scalarIndexPrune(zoneFrags)
     // limit + no filter -> plan only the fragment prefix covering the
     // limit in deletion-aware live rows (>= 1 fragment), mirroring the
     // reference's split coalescing (LanceSplitManager.java:100-112)

@@ -50,6 +50,20 @@ object VectorMath {
     }
     acc
   }
+
+  /** Asymmetric-distance (ADC) lookup for product-quantized codes:
+    * `codes(j)` indexes subspace j's 256-entry slice of the flattened
+    * per-(query, list) distance table, so the estimated distance is one
+    * m-step table walk per candidate — no vector math in the scan. */
+  def pqAdc(codes: Array[Byte], table: ArrayData, dbl: Boolean): Double = {
+    var acc = 0.0; var j = 0
+    val m = codes.length
+    while (j < m) {
+      acc += at(table, (j << 8) | (codes(j) & 0xFF), dbl)
+      j += 1
+    }
+    acc
+  }
 }
 
 abstract class VectorDistanceExpression extends BinaryExpression {
@@ -104,10 +118,46 @@ case class L2Squared(left: Expression, right: Expression)
       l: Expression, r: Expression): L2Squared = copy(left = l, right = r)
 }
 
+/** pq_adc(codes, table): product-quantization asymmetric distance —
+  * codes is the candidate's m-byte PQ code word, table the flattened
+  * m×256 per-(query, list) lookup table. */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+
+  private def tableIsDouble: Boolean = right.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.BinaryType,
+        ArrayType(FloatType | DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (BINARY, ARRAY<FLOAT|DOUBLE>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.pqAdc(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData],
+      tableIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.pqAdc($a, $b, $tableIsDouble)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcDistance = copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column-level API. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def pq_adc(codes: Column, table: Column): Column =
+    GraftShim.column(PqAdcDistance(
+      GraftShim.expression(codes), GraftShim.expression(table)))
 
   def l2_sq(a: Column, b: Column): Column =
     GraftShim.column(L2Squared(GraftShim.expression(a), GraftShim.expression(b)))
@@ -118,5 +168,7 @@ object VectorFunctions {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_sq", exprs => L2Squared(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc", exprs => PqAdcDistance(exprs.head, exprs(1)), "built-in")
   }
 }

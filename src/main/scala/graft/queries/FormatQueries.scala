@@ -270,6 +270,42 @@ object FormatQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Persisted scalar (btree/bitmap) index: value-exact fragment
+    // pruning for =/IN where overlapping ranges defeat zone maps —
+    // the second leg of the reference's automatic index selection
+    // (docs/src/performance.md "Index Usage": btree, bitmap, zonemap;
+    // LanceFragmentPageSource.java:126 useScalarIndex(true)). The
+    // table is written in 4 round-robin fragments so every fragment
+    // spans the full custkey range; the index still narrows each key
+    // to its one holding fragment, and results stay oracle-exact.
+    Q("g12_scalar_index",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (7, 421, 1000)
+        |ORDER BY c_custkey""".stripMargin,
+      "equality/IN through a persisted scalar index stays exact") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.cust_si")
+      val cust = Tables.load(s, d, "customer")
+      cust.createOrReplaceTempView("cust_si_src")
+      // interleave custkeys across 4 appended fragments (mod 4) so
+      // every fragment's zone map covers the whole key range
+      s.sql("""CREATE TABLE graft.db.cust_si AS
+              |SELECT * FROM cust_si_src WHERE c_custkey % 4 = 0""".stripMargin)
+      (1 until 4).foreach { i =>
+        s.sql(s"""INSERT INTO graft.db.cust_si
+                 |SELECT * FROM cust_si_src WHERE c_custkey % 4 = $i""".stripMargin)
+      }
+      val dir = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "cust_si.graft").toUri)
+      graft.ops.ScalarIndex.build(s, dir, "c_custkey")
+      s.table("graft.db.cust_si")
+        .filter(col("c_custkey").isin(7L, 421L, 1000L))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // MIN/MAX/COUNT(*) answered from manifest zone maps (extends the
     // reference's COUNT(*)-only metadata source): zero data scan.
     Q("g09_stats_minmax",
