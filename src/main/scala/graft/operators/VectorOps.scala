@@ -180,6 +180,81 @@ object VectorOps {
         .orderBy("q_id", "rn")
     },
 
+    // IVF_PQ ANN: the corpus is product-quantized to 16 one-byte codes
+    // per vector (16× compression of the 64-dim float corpus) in a
+    // persisted `_indices/<col>.ivfpq/` sidecar — the Spark-native
+    // analog of Lance's flagship IVF_PQ index. The scan over probed
+    // lists reads CODES, not vectors, ranking with the codegen'd
+    // `pq_adc` lookup-table walk; only the top-64 ADC shortlist per
+    // query is re-ranked exactly. Query-side math (probes + ADC
+    // tables) is O(queries × nprobe) driver work over the broadcast-
+    // small query set — the corpus is never collected or re-vectorized.
+    // (Rows-only; recall + compression are spec-verified in PqIndexSpec.)
+    Q.noOracle("v07_ann_ivfpq",
+      "approximate top-5 via persisted IVF_PQ codes, ADC + exact rerank") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_pq.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+      graft.ops.VectorIndex.Pq.build(s, dir, "vec_id", "embedding")
+      val (centsDf, bksDf, codes) =
+        graft.ops.VectorIndex.Pq.readCurrent(s, dir, "embedding")
+          .getOrElse(throw new IllegalStateException("pq build did not land"))
+      // query-side constants: 16 centroids + 16×256 codebook entries +
+      // the ≤20-row query set (the corpus side stays distributed)
+      val cents: Array[(Int, Array[Double])] = centsDf.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+      val codebooks: Array[Array[Array[Double]]] = {
+        val rows = bksDf.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val m = rows.map(_._1).max + 1
+        Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+      }
+      val queries = emb(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      val nprobe = 4
+      val tables = queries.flatMap { case (qId, q) =>
+        cents.sortBy { case (_, c) =>
+          var d = 0.0; var i = 0
+          while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+          d
+        }.take(nprobe).map { case (cid, c) =>
+          (qId, cid, graft.ops.VectorIndex.Pq.adcTable(q, c, codebooks).toSeq)
+        }
+      }
+      import s.implicits._
+      val tablesDf = s.createDataset(tables.toSeq).toDF("q_id", "cid", "tbl")
+      // ADC scan over probed lists: codes only, no vector math
+      val wA = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").asc, col("n_id"))
+      val shortlist = codes.select(col("vec_id").as("n_id"),
+          col("cid"), col("code"))
+        .join(broadcast(tablesDf), Seq("cid"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("adc",
+          graft.functions.VectorFunctions.pq_adc(col("code"), col("tbl")))
+        .withColumn("sn", row_number().over(wA))
+        .filter(col("sn") <= 64)
+        .select(col("q_id"), col("n_id"))
+      // exact rerank of the shortlist only
+      val qDf = s.createDataset(queries.toSeq.map { case (id, q) => (id, q.toSeq) })
+        .toDF("q_id", "qe")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("n_id"))
+      shortlist
+        .join(emb(s, d).select(col("vec_id").as("n_id"),
+          col("embedding").as("e")), Seq("n_id"))
+        .join(broadcast(qDf), Seq("q_id"))
+        .withColumn("cos_raw", cosineCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("q_id", "rn")
+    },
+
     // The ANN index-rewrite RULE in the gate: registers the optimizer
     // rule + opt-in conf, runs a plain ORDER BY cosine_sim DESC LIMIT k
     // DataFrame program, and verifies the plan actually probed the index
