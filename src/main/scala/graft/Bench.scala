@@ -19,7 +19,16 @@ object Bench {
     // deployment pays per query
     spark.range(0, 1000000).selectExpr("sum(id)", "count(distinct id % 100)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q01,t02 restricts the
+    // run (the driver never sets it, so the contract is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
+        names.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -37,9 +37,15 @@ import graft.format.GraftFormat.Manifest
   * resolved manifest into the returned Table — snapshot isolation for
   * the whole query (D8, LanceTableHandle.java:48,246-254).
   *
-  * Parity notes: ALTER TABLE and RENAME are unsupported exactly like the
-  * reference (BaseLanceConnectorTest.java:89-96); schema change happens
-  * only through overwrite.
+  * Parity notes: RENAME TABLE is unsupported like the reference
+  * (BaseLanceConnectorTest.java:89-96). ALTER TABLE ADD/DROP COLUMN and
+  * SET/UNSET TBLPROPERTIES EXCEED the reference (whose only schema
+  * change is CREATE OR REPLACE): an Evolve commit rewrites the manifest
+  * schema only — zero data files touched; fragments written before an
+  * ADD COLUMN null-fill the new column at read time (Spark's parquet
+  * reader clips the requested schema against each file). RENAME COLUMN
+  * stays unsupported by design: fragments bind columns BY NAME (no
+  * field ids), so a rename would silently orphan existing data.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
   with StagingTableCatalog
@@ -192,10 +198,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
       replace = true, GraftCatalog.userProperties(properties), conf)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft (like the reference) does not support ALTER TABLE; " +
-        "use CREATE OR REPLACE")
+  /** Schema evolution as a metadata-only Evolve commit (extension —
+    * the reference's only schema change is CREATE OR REPLACE):
+    * ADD COLUMN (top-level, nullable), DROP COLUMN, SET/UNSET
+    * properties. Concurrency-safe via the same CAS retry as every
+    * other commit; data files are never touched. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!GraftFormat.exists(fs, dir)) throw new NoSuchTableException(ident)
+    GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(throw new NoSuchTableException(ident))
+      var schema = latest.schema
+      var props = latest.properties
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "ADD COLUMN supports top-level columns only")
+          val name = add.fieldNames.head
+          require(!name.contains("."), s"invalid column name: $name")
+          require(add.isNullable,
+            "added columns must be nullable (existing rows null-fill)")
+          require(!schema.fieldNames.contains(name),
+            s"column already exists: $name")
+          schema = schema.add(name, add.dataType, nullable = true,
+            Option(add.comment).getOrElse(""))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "DROP COLUMN supports top-level columns only")
+          val name = del.fieldNames.head
+          require(schema.fieldNames.contains(name),
+            s"no such column: $name")
+          require(schema.fields.length > 1, "cannot drop the last column")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          // properties referring to the dropped column can no longer
+          // hold: clustering claims drop entirely; blob list shrinks
+          if (props.get(GraftFormat.SortByProp)
+              .exists(_.split(',').contains(name)) ||
+            props.get(GraftFormat.BucketByProp)
+              .exists(_.split(':').head == name)) {
+            props = props -- GraftFormat.ClusteringProps
+          }
+          props.get("blob_columns").foreach { csv =>
+            val rest = csv.split(',').map(_.trim).filterNot(_ == name)
+            props =
+              if (rest.isEmpty) props - "blob_columns"
+              else props + ("blob_columns" -> rest.mkString(","))
+          }
+        case set: TableChange.SetProperty =>
+          props = props + (set.property -> set.value)
+        case rm: TableChange.RemoveProperty =>
+          props = props - rm.property
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported table change: $other (RENAME COLUMN is " +
+              "unsupported by design: fragments bind columns by name)")
+      }
+      latest.copy(
+        version = latest.version + 1,
+        schemaJson = schema.json,
+        createdAtMs = System.currentTimeMillis(),
+        operation = "Evolve",
+        properties = props)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

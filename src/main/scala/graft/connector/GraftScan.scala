@@ -33,6 +33,7 @@ class GraftScanBuilder(table: GraftTable,
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private var required: StructType = table.dataSchema
@@ -58,6 +59,38 @@ class GraftScanBuilder(table: GraftTable,
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
+
+  /** TopN pushdown over SORTED tables (upgrades O2: the reference
+    * declines TopN outright, BaseLanceConnectorTest.java:120-121).
+    * After a sorted compaction the manifest's `sort_by` guarantees
+    * (a) rows ascending within each fragment and (b) fragments in
+    * ascending range order (range-partitioned rewrite adopted in
+    * part-file order), so `ORDER BY <sort prefix> LIMIT n` needs only
+    * the fragment prefix covering n live rows. Partial pushdown: Spark
+    * keeps the global sort above, the scan just stops planning/reading
+    * past the prefix. Declined with filters (first-n-scanned is not
+    * first-n-matching), aggregates, or any non-ascending ordering. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (pushed.nonEmpty || aggs.nonEmpty || orders.isEmpty) return false
+    val sortBy = table.manifest.properties.get(GraftFormat.SortByProp) match {
+      case Some(csv) => csv.split(',').toSeq
+      case None => return false
+    }
+    val names = orders.toSeq.map { o =>
+      if (o.direction != SortDirection.ASCENDING ||
+        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames()(0)
+        case _ => return false
+      }
+    }
+    if (names == sortBy.take(names.length)) { limit = Some(n); true }
+    else false
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     parseAggs(agg).isDefined

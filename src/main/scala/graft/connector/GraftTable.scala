@@ -54,11 +54,11 @@ class GraftTable(
       TableCapability.V1_BATCH_WRITE)
 
   override def properties(): JMap[String, String] =
-    Map(
+    (manifest.properties ++ Map(
       "format" -> "graft",
       "version" -> manifest.version.toString,
       "operation" -> manifest.operation,
-      "fragments" -> manifest.fragments.size.toString).asJava
+      "fragments" -> manifest.fragments.size.toString)).asJava
 
   /** Hidden columns: `_row_address` always; per blob column the
     * `<col>__blob_pos` / `<col>__blob_size` descriptor pair

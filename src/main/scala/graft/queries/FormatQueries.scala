@@ -306,6 +306,42 @@ object FormatQueries {
         .orderBy("c_custkey")
     },
 
+    // Schema evolution (extension; the reference's only schema change
+    // is CREATE OR REPLACE): ALTER TABLE ADD COLUMN is a metadata-only
+    // Evolve commit — pre-evolution fragments null-fill the new column
+    // at read time, post-evolution inserts carry values, and both
+    // coexist in one aggregate.
+    Q("g13_schema_evolution",
+      """SELECT n_regionkey,
+        |  count(*) AS n,
+        |  count(priority) AS n_scored,
+        |  CAST(coalesce(sum(priority), 0) AS BIGINT) AS sum_priority
+        |FROM (
+        |  SELECT n_regionkey, NULL AS priority FROM nation
+        |  UNION ALL
+        |  SELECT n_regionkey, CAST(n_nationkey * 10 AS BIGINT) AS priority
+        |  FROM nation)
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+      "ALTER TABLE ADD COLUMN: old fragments null-fill, new rows carry values") { (s, d) =>
+      setup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.db.nat_ev")
+      Tables.load(s, d, "nation").createOrReplaceTempView("nat_ev_src")
+      s.sql("""CREATE TABLE graft.db.nat_ev AS
+              |SELECT n_nationkey, n_name, n_regionkey FROM nat_ev_src""".stripMargin)
+      s.sql("ALTER TABLE graft.db.nat_ev ADD COLUMN priority BIGINT")
+      s.sql("""INSERT INTO graft.db.nat_ev
+              |SELECT n_nationkey, n_name, n_regionkey,
+              |  CAST(n_nationkey * 10 AS BIGINT)
+              |FROM nat_ev_src""".stripMargin)
+      s.table("graft.db.nat_ev")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          count(col("priority")).as("n_scored"),
+          coalesce(sum(col("priority")), lit(0L)).as("sum_priority"))
+        .orderBy("n_regionkey")
+    },
+
     // MIN/MAX/COUNT(*) answered from manifest zone maps (extends the
     // reference's COUNT(*)-only metadata source): zero data scan.
     Q("g09_stats_minmax",

@@ -151,13 +151,18 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(nParts == 1, s"limit should plan 1 fragment, planned $nParts")
   }
 
-  test("alter and rename are rejected like the reference") {
+  test("table rename is rejected like the reference; ALTER exceeds it") {
     wh
-    assert(intercept[Exception] {
-      spark.sql("ALTER TABLE g.db.cnt ADD COLUMN extra INT")
-    }.getMessage.toLowerCase.contains("alter"))
+    // ADD COLUMN is supported as a metadata-only Evolve commit
+    // (extension beyond the reference — see SchemaEvolutionSpec);
+    // RENAME TABLE and RENAME COLUMN stay rejected
+    spark.sql("ALTER TABLE g.db.cnt ADD COLUMN extra INT")
+    assert(spark.table("g.db.cnt").schema.fieldNames.contains("extra"))
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE g.db.cnt RENAME TO cnt2")
+    }.getMessage.toLowerCase.contains("rename"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.cnt RENAME COLUMN extra TO extra2")
     }.getMessage.toLowerCase.contains("rename"))
   }
 

@@ -84,6 +84,49 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mt.db.srt").agg(sum("k"), count(lit(1))).head == checksum)
   }
 
+  test("TopN pushdown over a sorted table plans only the fragment prefix") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.topn")
+    spark.sql("CREATE TABLE mt.db.topn (k BIGINT, v STRING)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO mt.db.topn SELECT id * 4 + $i, concat('v', id) FROM range(0, 1000, 1, 1)"))
+    val dir = new Path(Paths.get(wh, "db", "topn.graft").toUri)
+    def planned(f: org.apache.spark.sql.DataFrame): Int =
+      f.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    val topn = () => spark.table("mt.db.topn").orderBy("k").limit(5)
+    // unsorted: TopN must scan everything (reference behavior — it
+    // declines TopN pushdown outright, BaseLanceConnectorTest:120-121)
+    assert(planned(topn()) == 4)
+    val expected = topn().collect().map(_.getLong(0)).toSeq
+    assert(expected == Seq(0L, 1L, 2L, 3L, 4L))
+
+    Maintenance.compact(spark, dir, minRows = 1000, sortBy = Seq("k"))
+    // sorted: fragments are in ascending range order, so ORDER BY k
+    // LIMIT 5 plans exactly the first fragment
+    assert(planned(topn()) == 1,
+      "TopN over the sort prefix must plan only the leading fragment")
+    assert(topn().collect().map(_.getLong(0)).toSeq == expected)
+    // guards: descending order, filtered TopN, non-prefix column all
+    // decline (scan everything, stay correct)
+    val desc = spark.table("mt.db.topn").orderBy(col("k").desc).limit(5)
+    assert(planned(desc) == 4, "descending TopN must not push")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(3999L, 3998L, 3997L, 3996L, 3995L))
+    val filtered = spark.table("mt.db.topn")
+      .filter(col("v") === "v999").orderBy("k").limit(5)
+    assert(filtered.count() == 4)
+    val byV = spark.table("mt.db.topn").orderBy("v").limit(5)
+    assert(planned(byV) == 4, "non-sort-column TopN must not push")
+    // an append drops sort_by -> pushdown stops, results stay right
+    spark.sql("INSERT INTO mt.db.topn VALUES (-1, 'first')")
+    assert(planned(spark.table("mt.db.topn").orderBy("k").limit(5)) == 5)
+    assert(spark.table("mt.db.topn").orderBy("k").limit(2)
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L, 0L))
+  }
+
   test("vacuum drops old versions and unreferenced files; recent history intact") {
     wh
     val dir = new Path(Paths.get(wh, "db", "c.graft").toUri)
