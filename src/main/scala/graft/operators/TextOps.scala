@@ -338,6 +338,147 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term set —
+    // the ranking half of a retrieval-augmented data pipeline. Shape at
+    // 100 TB: one tokenize pass, a per-doc tf aggregate over ONLY the
+    // query terms (narrow), a 3-row df/avgdl broadcast, and a top-k.
+    // No full inverted index is materialized for scoring a fixed query.
+    Q("t11_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('vector', 'join', 'filter') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |        * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+        |      AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |          JOIN dl ON tf.doc_id = dl.doc_id
+        |          CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS bm25
+        |FROM scored
+        |ORDER BY round(score, 4) DESC, doc_id
+        |LIMIT 50""".stripMargin,
+      "BM25 top-50 docs for a fixed query-term set") { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(expr(toksExpr)).as("tok"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = tok.filter(col("tok").isin("vector", "join", "filter"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("score"))
+        .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy(round(col("score"), 4).desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // Deterministic mixture sampling: per-source keep rates applied via
+    // a reproducible arithmetic hash of the doc id — the "data mixing"
+    // step of corpus assembly. Trivially parallel, zero shuffles beyond
+    // the final order; rerunning yields the identical sample (the
+    // property training pipelines need for resumable corpus builds).
+    Q("t12_mixture_sample",
+      """SELECT source, doc_id
+        |FROM documents
+        |WHERE (doc_id * 1103) % 1000 <
+        |  CASE CAST(substr(source, 4) AS INT) % 4
+        |    WHEN 0 THEN 800 WHEN 1 THEN 400 WHEN 2 THEN 200 ELSE 100 END
+        |ORDER BY source, doc_id""".stripMargin,
+      "reproducible per-source mixture sampling via arithmetic hash") { (s, d) =>
+      docs(s, d)
+        .filter(pmod(col("doc_id") * 1103, lit(1000)) <
+          when(expr("CAST(substr(source, 4) AS INT) % 4") === 0, 800)
+            .when(expr("CAST(substr(source, 4) AS INT) % 4") === 1, 400)
+            .when(expr("CAST(substr(source, 4) AS INT) % 4") === 2, 200)
+            .otherwise(100))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    },
+
+    // Context-length bucketing: histogram of documents by whitespace
+    // token count for batch-shape planning. Integer-exact boundaries
+    // (CASE thresholds, not float log2) so the oracle matches bit-for-
+    // bit; one codegen pass + one tiny aggregate.
+    Q("t13_length_buckets",
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> x <> '')) AS n
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN n < 16 THEN '<16' WHEN n < 32 THEN '16-31'
+        |       WHEN n < 64 THEN '32-63' WHEN n < 128 THEN '64-127'
+        |       WHEN n < 256 THEN '128-255' ELSE '>=256' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM t
+        |GROUP BY 1 ORDER BY min(n)""".stripMargin,
+      "token-length histogram for batch-shape planning") { (s, d) =>
+      docs(s, d)
+        .select(expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").as("n"))
+        .groupBy(
+          when(col("n") < 16, "<16").when(col("n") < 32, "16-31")
+            .when(col("n") < 64, "32-63").when(col("n") < 128, "64-127")
+            .when(col("n") < 256, "128-255").otherwise(">=256").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("total_tokens"))
+        .orderBy(min(col("n")))
+    },
+
+    // Sequence packing: deterministic token-budget sharding — docs are
+    // chunked per source in doc_id order into packs of <= 2048 tokens
+    // by exclusive prefix sum (the standard contiguous packing used to
+    // batch variable-length documents). One window over (source) +
+    // one aggregate; integer-exact, so the oracle matches bit-for-bit.
+    Q("t14_sequence_packing",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x <> '')) AS n
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n,
+        |    CAST(floor((sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n) / 2048)
+        |         AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT source, pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS pack_tokens
+        |FROM packed
+        |GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
+      "token-budget sequence packing: per-source prefix-sum sharding") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, d).select(col("source"), col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("pack_id",
+          floor((sum(col("n")).over(w) - col("n")) / 2048).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    },
+
     // Multimodal/binary plumbing: opaque binary payload + typed metadata.
     Q("t09_binary_metadata",
       """SELECT doc_id,
