@@ -174,6 +174,13 @@ case object AggCountStar extends PushedAgg
 final case class AggMin(col: String) extends PushedAgg
 final case class AggMax(col: String) extends PushedAgg
 
+object GraftScan {
+  /** Bin-pack small fragments into maxPartitionBytes-target tasks
+    * (default ON — Spark's file-source semantics). Specs that count
+    * planned partitions 1:1 per fragment pin this off. */
+  val PackSmallFragmentsConf = "spark.graft.scan.packSmallFragments"
+}
+
 class GraftScan(
     table: GraftTable,
     required: StructType,
@@ -444,20 +451,59 @@ class GraftScan(
     }
     plannedFragments = planned.size.toLong
     prunedFragments = (table.manifest.fragments.size - planned.size).toLong
-    planned.map { f =>
-      GraftFragmentPartition(
+    // Large fragments split into byte ranges (spark.sql.files.
+    // maxPartitionBytes, row groups assigned by midpoint like Spark's
+    // file sources) so one multi-GB fragment does not serialize into a
+    // single task at 100 TB. Skipped under a pushed limit: limit
+    // planning reasons in whole deletion-aware fragment prefixes and
+    // per-reader early stop assumes fragment-ordered rows.
+    val maxSplit =
+      if (limit.isDefined) Long.MaxValue
+      else GraftShim.filesMaxPartitionBytes(SparkSession.active)
+    val openCost = GraftShim.filesOpenCostInBytes(SparkSession.active)
+    val units: Seq[GraftFragmentPartition] = planned.flatMap { f =>
+      val size =
+        if (f.sizeBytes > 0) f.sizeBytes
+        else table.fs.getFileStatus(new Path(qualDir, f.path)).getLen
+      val base = GraftFragmentPartition(
         fragId = f.id,
         absPath = new Path(qualDir, f.path).toString,
-        fileSize =
-          if (f.sizeBytes > 0) f.sizeBytes
-          else table.fs.getFileStatus(new Path(qualDir, f.path)).getLen,
+        fileSize = size,
         deletionAbsPath =
           f.deletionPath.map(p => new Path(qualDir, p).toString),
         // reader-side early stop is only safe when no residual filter
         // runs above the scan (Catalyst only pushes the limit then, but
         // keep the guard local too)
-        limit = limit.filter(_ => pushed.isEmpty)): InputPartition
-    }.toArray
+        limit = limit.filter(_ => pushed.isEmpty))
+      if (size <= maxSplit) Seq(base)
+      else (0L until size by maxSplit).map(off =>
+        base.copy(start = off, length = math.min(maxSplit, size - off)))
+    }
+    if (maxSplit == Long.MaxValue ||
+      !SparkSession.active.conf
+        .get(GraftScan.PackSmallFragmentsConf, "true").toBoolean)
+      return units.toArray
+    // bin-pack consecutive small units into maxPartitionBytes-target
+    // tasks with an openCostInBytes floor per file — Spark's file-source
+    // task sizing, kept in manifest order so a sorted table's packed
+    // partitions remain ascending (ChainedReader opens files in order)
+    val bins = Seq.newBuilder[InputPartition]
+    var bin = List.empty[GraftFragmentPartition]
+    var binBytes = 0L
+    def cost(u: GraftFragmentPartition): Long =
+      math.max(if (u.length < 0) u.fileSize else u.length, openCost)
+    def flush(): Unit = bin match {
+      case Nil => ()
+      case one :: Nil => bins += one; bin = Nil; binBytes = 0L
+      case many => bins += GraftPackedPartition(many.reverse)
+        bin = Nil; binBytes = 0L
+    }
+    units.foreach { u =>
+      if (bin.nonEmpty && binBytes + cost(u) > maxSplit) flush()
+      bin ::= u; binBytes += cost(u)
+    }
+    flush()
+    bins.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -537,9 +583,21 @@ case class GraftFragmentPartition(
     absPath: String,
     fileSize: Long,
     deletionAbsPath: Option[String],
-    limit: Option[Int]) extends InputPartition
+    limit: Option[Int],
+    // byte range of the parquet file this partition covers (row groups
+    // are assigned by midpoint, like Spark's file sources); length < 0
+    // means the whole file
+    start: Long = 0L,
+    length: Long = -1L) extends InputPartition
 
 case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+/** Several small fragments bin-packed into ONE task — the other half
+  * of Spark's file-source task sizing (openCostInBytes floor +
+  * maxPartitionBytes target). A table of 100k tiny streaming-append
+  * fragments must not become 100k tasks. */
+case class GraftPackedPartition(parts: Seq[GraftFragmentPartition])
+  extends InputPartition
 
 /** A fragment partition bound to its bucket id — the partition key
   * storage-partitioned joins group by. */
@@ -562,7 +620,36 @@ class GraftReaderFactory(
       case GraftAggPartition(vs) => new AggReader(vs)
       case fp: GraftFragmentPartition => new FragmentReader(fp)
       case bp: GraftBucketedPartition => new FragmentReader(bp.fp)
+      case pk: GraftPackedPartition => new ChainedReader(pk.parts)
     }
+
+  /** Reader over a bin of small fragments: opens them strictly one at a
+    * time in manifest order (so a packed partition of sorted fragments
+    * stays ascending and at most one file handle is live per task). */
+  private class ChainedReader(parts: Seq[GraftFragmentPartition])
+      extends PartitionReader[InternalRow] {
+    private val it = parts.iterator
+    private var cur: FragmentReader = _
+    private var closedSkipped = 0L
+    override def next(): Boolean = {
+      while (true) {
+        if (cur == null) {
+          if (!it.hasNext) return false
+          cur = new FragmentReader(it.next())
+        }
+        if (cur.next()) return true
+        closedSkipped += cur.skippedCount
+        cur.close(); cur = null
+      }
+      false
+    }
+    override def get(): InternalRow = cur.get()
+    override def close(): Unit = if (cur != null) cur.close()
+    override def currentMetricsValues():
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(GraftMetricValue("deletionRowsSkipped",
+        closedSkipped + (if (cur != null) cur.skippedCount else 0L)))
+  }
 
   /** Single-row reader for manifest-answered COUNT(*)/MIN/MAX. */
   private class AggReader(vs: Seq[Any]) extends PartitionReader[InternalRow] {
@@ -579,7 +666,8 @@ class GraftReaderFactory(
   private class FragmentReader(fp: GraftFragmentPartition)
     extends PartitionReader[InternalRow] {
 
-    private val iter = readFunc(GraftShim.partitionedFile(fp.absPath, fp.fileSize))
+    private val iter = readFunc(GraftShim.partitionedFile(fp.absPath,
+      fp.fileSize, fp.start, if (fp.length < 0) fp.fileSize else fp.length))
 
     // deletion vector, loaded once per fragment (sorted -> binary search)
     private val deleted: Array[Long] = fp.deletionAbsPath match {
@@ -587,6 +675,7 @@ class GraftReaderFactory(
       case None => Array.empty[Long]
     }
     private var skipped = 0L
+    private[GraftReaderFactory] def skippedCount: Long = skipped
 
     private val rowIdxOrdinal = nPhysical // appended last in parquet schema
     private val projExprs: Seq[Expression] = specs.map {

@@ -46,8 +46,23 @@ object GraftShim {
       hadoopConf)
 
   def partitionedFile(absPath: String, fileSize: Long): PartitionedFile =
+    partitionedFile(absPath, fileSize, 0L, fileSize)
+
+  /** Byte-range variant: the vectorized reader assigns row groups whose
+    * midpoint falls in [start, start+length) — Spark's file-split
+    * contract, so ranges tile a file without overlap or loss. */
+  def partitionedFile(absPath: String, fileSize: Long, start: Long,
+      length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(absPath),
-      0L, fileSize, Array.empty, 0L, fileSize, Map.empty)
+      start, length, Array.empty, 0L, fileSize, Map.empty)
+
+  /** spark.sql.files.maxPartitionBytes — the fragment split granularity. */
+  def filesMaxPartitionBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.filesMaxPartitionBytes
+
+  /** spark.sql.files.openCostInBytes — per-file floor when bin-packing. */
+  def filesOpenCostInBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.filesOpenCostInBytes
 
   /** Driver-side: Hadoop conf primed for executor-side parquet writes of
     * `schema` rows — mirrors ParquetFileFormat.prepareWrite (write

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep 1 planned partition per fragment: many specs assert exact
+      // planned-partition counts as their pruning proxy (production
+      // default is ON; SplitScanSpec covers the packed path explicitly)
+      .config(graft.connector.GraftScan.PackSmallFragmentsConf, "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
