@@ -204,62 +204,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * properties. Concurrency-safe via the same CAS retry as every
     * other commit; data files are never touched. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDir(ident)
-    if (!GraftFormat.exists(fs, dir)) throw new NoSuchTableException(ident)
-    GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
-      val latest = latestOpt.getOrElse(throw new NoSuchTableException(ident))
-      var schema = latest.schema
-      var props = latest.properties
-      changes.foreach {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames.length == 1,
-            "ADD COLUMN supports top-level columns only")
-          val name = add.fieldNames.head
-          require(!name.contains("."), s"invalid column name: $name")
-          require(add.isNullable,
-            "added columns must be nullable (existing rows null-fill)")
-          require(!schema.fieldNames.contains(name),
-            s"column already exists: $name")
-          schema = schema.add(name, add.dataType, nullable = true,
-            Option(add.comment).getOrElse(""))
-        case del: TableChange.DeleteColumn =>
-          require(del.fieldNames.length == 1,
-            "DROP COLUMN supports top-level columns only")
-          val name = del.fieldNames.head
-          require(schema.fieldNames.contains(name),
-            s"no such column: $name")
-          require(schema.fields.length > 1, "cannot drop the last column")
-          schema = StructType(schema.fields.filterNot(_.name == name))
-          // properties referring to the dropped column can no longer
-          // hold: clustering claims drop entirely; blob list shrinks
-          if (props.get(GraftFormat.SortByProp)
-              .exists(_.split(',').contains(name)) ||
-            props.get(GraftFormat.BucketByProp)
-              .exists(_.split(':').head == name)) {
-            props = props -- GraftFormat.ClusteringProps
-          }
-          props.get("blob_columns").foreach { csv =>
-            val rest = csv.split(',').map(_.trim).filterNot(_ == name)
-            props =
-              if (rest.isEmpty) props - "blob_columns"
-              else props + ("blob_columns" -> rest.mkString(","))
-          }
-        case set: TableChange.SetProperty =>
-          props = props + (set.property -> set.value)
-        case rm: TableChange.RemoveProperty =>
-          props = props - rm.property
-        case other =>
-          throw new UnsupportedOperationException(
-            s"unsupported table change: $other (RENAME COLUMN is " +
-              "unsupported by design: fragments bind columns by name)")
-      }
-      latest.copy(
-        version = latest.version + 1,
-        schemaJson = schema.json,
-        createdAtMs = System.currentTimeMillis(),
-        operation = "Evolve",
-        properties = props)
-    }
+    GraftCatalog.evolveCommit(fs, tableDir(ident), ident, changes)
     loadTable(ident)
   }
 
@@ -330,6 +275,69 @@ object GraftCatalog {
     options.asScala.toMap.collect {
       case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v
     }
+
+  /** Schema evolution as a metadata-only Evolve commit, shared by the
+    * directory and REST catalogs: ADD COLUMN (top-level, nullable),
+    * DROP COLUMN, SET/UNSET properties. Concurrency-safe via the same
+    * CAS retry as every other commit; data files are never touched. */
+  def evolveCommit(fs: FileSystem, dir: Path, ident: Identifier,
+      changes: Seq[TableChange]): Unit = {
+    if (!GraftFormat.exists(fs, dir)) throw new NoSuchTableException(ident)
+    GraftFormat.commitWithRetry(fs, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(throw new NoSuchTableException(ident))
+      var schema = latest.schema
+      var props = latest.properties
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "ADD COLUMN supports top-level columns only")
+          val name = add.fieldNames.head
+          require(!name.contains("."), s"invalid column name: $name")
+          require(add.isNullable,
+            "added columns must be nullable (existing rows null-fill)")
+          require(!schema.fieldNames.contains(name),
+            s"column already exists: $name")
+          schema = schema.add(name, add.dataType, nullable = true,
+            Option(add.comment).getOrElse(""))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "DROP COLUMN supports top-level columns only")
+          val name = del.fieldNames.head
+          require(schema.fieldNames.contains(name),
+            s"no such column: $name")
+          require(schema.fields.length > 1, "cannot drop the last column")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          // properties referring to the dropped column can no longer
+          // hold: clustering claims drop entirely; blob list shrinks
+          if (props.get(GraftFormat.SortByProp)
+              .exists(_.split(',').contains(name)) ||
+            props.get(GraftFormat.BucketByProp)
+              .exists(_.split(':').head == name)) {
+            props = props -- GraftFormat.ClusteringProps
+          }
+          props.get("blob_columns").foreach { csv =>
+            val rest = csv.split(',').map(_.trim).filterNot(_ == name)
+            props =
+              if (rest.isEmpty) props - "blob_columns"
+              else props + ("blob_columns" -> rest.mkString(","))
+          }
+        case set: TableChange.SetProperty =>
+          props = props + (set.property -> set.value)
+        case rm: TableChange.RemoveProperty =>
+          props = props - rm.property
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported table change: $other (RENAME COLUMN is " +
+              "unsupported by design: fragments bind columns by name)")
+      }
+      latest.copy(
+        version = latest.version + 1,
+        schemaJson = schema.json,
+        createdAtMs = System.currentTimeMillis(),
+        operation = "Evolve",
+        properties = props)
+    }
+  }
 
   /** Reference parity: column names containing dots are rejected
     * (BaseLanceConnectorTest.java:174-180 — "Lance does not support

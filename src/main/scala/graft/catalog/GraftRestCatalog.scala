@@ -265,9 +265,16 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       case None => stageCreate(ident, schema, partitions, properties)
     }
 
+  /** Same Evolve-commit schema evolution as the directory catalog —
+    * the manifest lives in the table directory, so the namespace
+    * service needs no schema round-trip. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft (like the reference) does not support ALTER TABLE; use CREATE OR REPLACE")
+    lookupLocation(ident) match {
+      case Some(dir) =>
+        GraftCatalog.evolveCommit(fs, dir, ident, changes)
+        loadTable(ident)
+      case None => throw new NoSuchTableException(ident)
+    }
 
   override def dropTable(ident: Identifier): Boolean =
     lookupLocation(ident) match {

@@ -1,6 +1,7 @@
 package graft.format
 
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ThreadLocalRandom
 
 import scala.util.control.NonFatal
 
@@ -292,7 +293,7 @@ object GraftFormat {
 
   /** Retry loop for append-style commits: rebuild the manifest from the
     * freshest base on each conflict. */
-  def commitWithRetry(fs: FileSystem, table: Path, maxAttempts: Int = 10)(
+  def commitWithRetry(fs: FileSystem, table: Path, maxAttempts: Int = 20)(
       build: Option[Manifest] => Manifest): Manifest = {
     var attempt = 0
     while (true) {
@@ -300,7 +301,12 @@ object GraftFormat {
       val m = build(readLatest(fs, table))
       try { commit(fs, table, m); return m }
       catch {
-        case e: CommitConflictException if attempt < maxAttempts => // retry
+        case e: CommitConflictException if attempt < maxAttempts =>
+          // jittered exponential backoff: N contending committers
+          // otherwise re-collide every round (retry storm); cap keeps
+          // worst-case commit latency bounded
+          val capMs = math.min(200L, 5L << math.min(attempt, 5))
+          Thread.sleep(ThreadLocalRandom.current().nextLong(capMs + 1))
         case NonFatal(e) => throw e
       }
     }

@@ -129,15 +129,22 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Analyzed plan producing the candidate ids of the probed lists,
-    * plus the id column name, if a CURRENT ivf index exists for the
-    * table's pinned version. */
+    * plus the id column name, if a CURRENT vector index exists for the
+    * table's pinned version. IVF_PQ is preferred when both kinds are
+    * present — its (id, cid) codes table serves the same probe and the
+    * PQ compression makes that read 16× narrower than re-reading
+    * vectors; the coarse-centroid probing is identical for both. */
   private def candidatePlan(table: GraftTable, embName: String,
       qv: Array[Double]): Option[(LogicalPlan, String)] = {
-    val vdir = new Path(
-      new Path(GraftFormat.indicesDir(table.dir), s"$embName.ivf"),
-      s"v=${table.manifest.version}")
     val fs = table.dir.getFileSystem(table.conf)
-    if (!fs.exists(vdir)) return None
+    val (vdir, assignFile) =
+      Seq((s"$embName.ivfpq", "codes"), (s"$embName.ivf", "assign"))
+        .map { case (kind, file) =>
+          (new Path(new Path(GraftFormat.indicesDir(table.dir), kind),
+            s"v=${table.manifest.version}"), file)
+        }
+        .find { case (dir, _) => fs.exists(dir) }
+        .getOrElse(return None)
     val cents = AnnTopKIndexRewrite.centroids(spark, vdir)
     val nprobe = spark.conf.get("spark.graft.ann.nprobe", "4").toInt
     val probed = cents
@@ -149,8 +156,9 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
-    val assign = spark.read.parquet(new Path(vdir, "assign").toString)
-    val idName = assign.schema.fieldNames.find(_ != "cid").getOrElse(return None)
+    val assign = spark.read.parquet(new Path(vdir, assignFile).toString)
+    val idName = assign.schema.fieldNames
+      .find(n => n != "cid" && n != "code").getOrElse(return None)
     val cand = assign.filter(col("cid").isin(probed: _*)).select(idName)
     Some((GraftShim.planOf(cand), idName))
   }

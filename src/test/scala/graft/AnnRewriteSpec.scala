@@ -88,6 +88,30 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite prefers the IVF_PQ codes table when both indexes exist") {
+    dir
+    graft.ops.VectorIndex.Pq.build(spark, dir, "vec_id", "embedding",
+      nLists = 8)
+    withRule {
+      val q = topK(5)
+      assert(semiJoins(q) == 1)
+      // the probe must read the ivfpq codes sidecar, not the ivf assign
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(roots.exists(_.contains(".ivfpq")),
+        s"expected an ivfpq codes read, scanned: $roots")
+      // same coarse probing -> same candidate lists -> identical rows
+      val approx = q.collect().map(_.getLong(0)).toSeq
+      assert(approx.length == 5)
+    }
+  }
+
   test("rewrite does not fire: conf off, no index, non-literal query") {
     dir
     // conf off (rule installed but disabled)

@@ -160,6 +160,23 @@ class RestCatalogSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE rc2.db2 CASCADE")
   }
 
+  test("ALTER TABLE schema evolution works through the REST catalog") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS rc.db.ev")
+    spark.sql("CREATE TABLE rc.db.ev (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO rc.db.ev VALUES (1, 'a')")
+    spark.sql("ALTER TABLE rc.db.ev ADD COLUMN score DOUBLE")
+    // pre-evolution rows null-fill the new column
+    val row = spark.table("rc.db.ev").head
+    assert(row.isNullAt(2))
+    spark.sql("INSERT INTO rc.db.ev VALUES (2, 'b', 0.5)")
+    assert(spark.table("rc.db.ev").where("score IS NOT NULL").count() == 1)
+    spark.sql("ALTER TABLE rc.db.ev DROP COLUMN s")
+    assert(spark.table("rc.db.ev").schema.fieldNames.toSeq ==
+      Seq("k", "score"))
+    spark.sql("DROP TABLE rc.db.ev")
+  }
+
   test("second CREATE of the same name conflicts via the service") {
     ready
     spark.sql("DROP TABLE IF EXISTS rc.db.dup")
