@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for document fingerprinting — the hot
@@ -41,6 +42,32 @@ object TextHashing {
       start += 1
     }
     best
+  }
+
+  /** SimHash-64 over a token array in ONE pass: per-bit ±1 majority of
+    * each token's xxhash64 (seed 42 — Spark's `xxhash64()` exactly, so
+    * this is bit-identical to the explode + 64-conditional-sums SQL
+    * formulation it replaces, at per-row cost instead of a
+    * shuffle + wide aggregate). Null tokens are skipped. */
+  def simHash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 }
 
@@ -85,10 +112,34 @@ case class WinnowFingerprint(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Fused single-pass SimHash-64 of a token array (see
+  * [[TextHashing.simHash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashing.simHash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** Column-level API. */
   def poly_hash64(c: Column): Column =
     GraftShim.column(PolyHash64(GraftShim.expression(c)))
+
+  def simhash64(c: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(c)))
 
   def winnow_fingerprint(c: Column, k: Int): Column =
     GraftShim.column(WinnowFingerprint(GraftShim.expression(c), k))
@@ -100,5 +151,7 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }

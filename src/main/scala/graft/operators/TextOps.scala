@@ -112,20 +112,16 @@ object TextOps {
       .select("a_id", "b_id", "sig_a", "sig_b")
   }
 
-  /** SimHash-64 per document: per-bit weighted token-hash majority,
-    * computed as 64 conditional aggregates in a single groupBy. */
-  def simhash(df: DataFrame): DataFrame = {
-    val tokens = df.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = tokens.groupBy("doc_id").agg(
-      expr("count(*)").as("n_toks"),
-      (0 until 64).map(i =>
-        sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1, -1)")).as(s"b$i")): _*)
-    val hashCol = (0 until 64).map(i =>
-      expr(s"IF(b$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))"))
-      .reduce(_ bitwiseOR _)
-    bitSums.select(col("doc_id"), hashCol.as("simhash"))
-  }
+  /** SimHash-64 per document: per-bit weighted token-hash majority.
+    * Computed by the fused codegen'd [[graft.functions.SimHash64]]
+    * expression — one narrow pass per document, zero shuffles
+    * (bit-identical to, and ~10× cheaper than, the explode +
+    * 64-conditional-sums groupBy it replaces; docs with no tokens drop,
+    * matching the explode formulation). */
+  def simhash(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("toks")).as("simhash"))
 
   // ====================================================================
   // Driver-gated queries

@@ -45,6 +45,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 10)
   }
 
+  test("fused simhash64 expression is bit-identical to the explode + " +
+      "64-conditional-sums SQL formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 200L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(300)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+    // the pre-round-4 formulation, verbatim
+    val tokens = df.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = tokens.groupBy("doc_id").agg(
+      expr("count(*)").as("n_toks"),
+      (0 until 64).map(i =>
+        sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1, -1)")).as(s"b$i")): _*)
+    val hashCol = (0 until 64).map(i =>
+      expr(s"IF(b$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))"))
+      .reduce(_ bitwiseOR _)
+    val expected = bitSums.select(col("doc_id"), hashCol.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = TextOps.simhash(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+  }
+
   test("lsh finds the planted near-duplicate pair") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
