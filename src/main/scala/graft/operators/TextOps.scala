@@ -112,6 +112,66 @@ object TextOps {
       .select("a_id", "b_id", "sig_a", "sig_b")
   }
 
+  /** documents projected to (doc_id, source, words) with words = the
+    * distinct lower-cased whitespace tokens. */
+  def wordSets(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("source"),
+      expr(s"array_distinct($toksExpr)").as("words"))
+
+  /** Candidate near-dup pairs for [[jaccardTopK]]: same-source docs
+    * sharing at least one token whose document frequency within the
+    * source is <= `dfCap`. This is the filter half of the standard
+    * filter-verification set-similarity join: candidate generation costs
+    * sum(df^2) per (source, token), so ultra-common tokens ("the" at
+    * corpus scale) are excluded from PAIR GENERATION — with the cap,
+    * every surviving token contributes at most C(dfCap, 2) pairs, and
+    * total candidate work is bounded by dfCap/2 * |kept token stream|
+    * instead of quadratic in corpus size. Verification (in
+    * [[jaccardTopK]]) still intersects FULL word sets, so capped tokens
+    * are fully counted for every candidate pair; the only approximation
+    * is that a pair sharing NOTHING but >dfCap-frequency tokens is never
+    * considered — stopword-only overlap that cannot rank in top-k.
+    * Tokens travel as 64-bit hashes to keep the exploded stream narrow. */
+  def jaccardCandidates(w: DataFrame, dfCap: Int = 10000): DataFrame = {
+    val tok = w.select(col("source"), col("doc_id"),
+      explode(expr("transform(words, t -> xxhash64(t))")).as("word"))
+    // document frequency per (source, token); the df table is tiny
+    // (one row per distinct token) and the filter join is a shuffle on
+    // the same (source, word) key the pair join needs anyway.
+    val kept = tok.join(
+      tok.groupBy("source", "word").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select("source", "word"),
+      Seq("source", "word"))
+    kept.alias("x").join(kept.alias("y"),
+        col("x.source") === col("y.source") &&
+          col("x.word") === col("y.word") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact top-k word-set jaccard over same-source candidate pairs:
+    * filter (see [[jaccardCandidates]]) then verify by intersecting the
+    * full word arrays, so the result is exact for every candidate pair
+    * regardless of the df cap. Arrays are re-attached by two doc_id
+    * joins AFTER pair dedup, so word payloads never ride the token
+    * self-join. */
+  def jaccardTopK(w: DataFrame, k: Int = 100, dfCap: Int = 10000): DataFrame = {
+    val sides = w.select(col("doc_id"), col("words"), size(col("words")).as("n"))
+    jaccardCandidates(w, dfCap)
+      .join(sides.select(col("doc_id").as("a_id"), col("words").as("wa"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sides.select(col("doc_id").as("b_id"), col("words").as("wb"),
+        col("n").as("nb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .select("a_id", "b_id", "jaccard")
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
   /** SimHash-64 per document: per-bit weighted token-hash majority.
     * Computed by the fused codegen'd [[graft.functions.SimHash64]]
     * expression — one narrow pass per document, zero shuffles
@@ -161,36 +221,18 @@ object TextOps {
         |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY jaccard DESC, a_id, b_id
         |LIMIT 100""".stripMargin,
-      "exact word-set jaccard via inverted token index, top-100") { (s, d) =>
-      // Inverted-index join instead of a blocked all-pairs array product:
-      // explode words once, self-join on (source, word) so ONLY pairs
-      // sharing a word materialize (identical top-k — a zero-overlap pair
-      // can never rank), and |A ∩ B| is a narrow count aggregate. Work is
-      // sum(df²) per (source, word), not |block|² array intersections —
-      // the standard exact set-similarity shape at 100 TB (plus a
-      // document-frequency cap on ultra-common tokens as the skew knob
-      // when corpora aren't synthetic).
-      val w = docs(s, d).select(col("doc_id"), col("source"),
-        expr(s"array_distinct($toksExpr)").as("words"))
-      val sizes = w.select(col("doc_id"), size(col("words")).as("n"))
-      // 64-bit word hashes keep the exploded rows and the join key narrow
-      // (three longs + source instead of variable-length strings)
-      val tok = w.select(col("source"), col("doc_id"),
-        explode(expr("transform(words, t -> xxhash64(t))")).as("word"))
-      val inter = tok.alias("x").join(tok.alias("y"),
-          col("x.source") === col("y.source") &&
-            col("x.word") === col("y.word") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4))
-        .select("a_id", "b_id", "jaccard")
-        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-        .limit(100)
+      "exact word-set jaccard, filter-verification with df cap, top-100") { (s, d) =>
+      // Filter-verification set-similarity join (see jaccardCandidates /
+      // jaccardTopK): candidate pairs from an inverted token index with a
+      // document-frequency cap on ultra-common tokens (the skew knob —
+      // candidate cost is bounded by dfCap/2 * token-stream size instead
+      // of quadratic in corpus size), then exact full-array verification
+      // per candidate. The default cap of 10k is never hit at gate scale
+      // (max df at sf0.1 is ~214), so the result is identical to the
+      // uncapped oracle; DfCapSpec pins that a planted 50%-frequency
+      // token is excluded from pair generation without changing top-k.
+      val cap = s.conf.get("spark.graft.jaccard.dfCap", "10000").toInt
+      jaccardTopK(wordSets(s, d), k = 100, dfCap = cap)
     },
 
     // MinHash + LSH near-dup (not SQL-expressible -> rows-only check;

@@ -117,6 +117,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) == TextHashing.polyHash64("x".getBytes))
     assert(r.getLong(1) == TextHashing.winnow("abcdefgh".getBytes, 4))
   }
+
+  test("jaccard df-cap: a token planted in 50% of docs is excluded from " +
+      "pair generation (candidate collapse) without changing top-k") {
+    import spark.implicits._
+    // 240 docs = 120 planted near-dup pairs (2i, 2i+1) sharing 5 rare
+    // tokens each; every EVEN doc also carries the ultra-common token, so
+    // uncapped candidate generation materializes all C(120,2) even-even
+    // pairs that share nothing else.
+    val docs = (0 until 240).map { id =>
+      val pair = id / 2
+      val words = (0 until 5).map(j => s"p${pair}_$j") :+ s"u$id"
+      val text = (if (id % 2 == 0) words :+ "common" else words).mkString(" ")
+      (id.toLong, "s0", text)
+    }.toDF("doc_id", "source", "text")
+    val w = docs.select(col("doc_id"), col("source"),
+      expr("array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .as("words"))
+
+    val uncappedCand = TextOps.jaccardCandidates(w, dfCap = Int.MaxValue).count()
+    val cappedCand = TextOps.jaccardCandidates(w, dfCap = 10).count()
+    // "common" has df=120 > 10: the 7140 common-only pairs vanish and only
+    // the 120 planted pairs survive — the quadratic term is gone.
+    assert(cappedCand == 120L, s"capped candidates: $cappedCand")
+    assert(uncappedCand == 120L + 120L * 119L / 2,
+      s"uncapped candidates: $uncappedCand")
+
+    // verification intersects FULL word sets, so the common token still
+    // counts for surviving pairs and top-k is unchanged pair-for-pair.
+    val top = TextOps.jaccardTopK(w, k = 100, dfCap = 10).collect()
+    val topUncapped = TextOps.jaccardTopK(w, k = 100, dfCap = Int.MaxValue).collect()
+    assert(top.toSeq == topUncapped.toSeq)
+    assert(top.length == 100)
+    // planted pairs: |inter|=5, |union|=8 -> 0.625 regardless of cap
+    top.foreach(r => assert(r.getDouble(2) == 0.625, r.toString))
+  }
 }
 
 class VectorExprSpec extends AnyFunSuite {
