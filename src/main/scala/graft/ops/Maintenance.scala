@@ -321,30 +321,36 @@ object Maintenance {
           }
       }
     }
-    // blob sidecar GC: a distributed descriptor scan over the retained
-    // fragments yields the set of live sidecar files; anything else in
-    // data/blobs is unreachable from any retained version
+    // blob sidecar GC: the live set stays DISTRIBUTED — the candidate
+    // listing becomes a DataFrame and is left-anti-joined against the
+    // union of descriptor scans over the retained fragments, so only the
+    // (small) unreferenced delete list ever reaches the driver. At 100 TB
+    // the live set is millions of names (GBs of driver strings if
+    // collected); the delete list after a routine vacuum is near-empty.
     val blobDir = new Path(qualDir, BlobStore.BlobDirName)
     if (fs.exists(blobDir)) {
-      val referencedBlobs: Set[String] = retained
-        .filter(m => m.blobColumns.nonEmpty && m.fragments.nonEmpty)
-        .flatMap { m =>
-          val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
-          val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
-          val df = spark.read.schema(phys).parquet(paths: _*)
-          m.blobColumns.flatMap { c =>
-            df.select(col(c).getField("file").as("f"))
-              .where(col("f").isNotNull).distinct()
-              .collect().map(_.getString(0))
+      val candidates = fs.listStatus(blobDir).filter(_.isFile)
+        .map(st => s"${BlobStore.BlobDirName}/${st.getPath.getName}").toSeq
+      if (candidates.nonEmpty) {
+        import spark.implicits._
+        val referencedDfs = retained
+          .filter(m => m.blobColumns.nonEmpty && m.fragments.nonEmpty)
+          .flatMap { m =>
+            val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
+            val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
+            val df = spark.read.schema(phys).parquet(paths: _*)
+            m.blobColumns.map(c =>
+              df.select(col(c).getField("file").as("f"))
+                .where(col("f").isNotNull))
           }
-        }.toSet
-      fs.listStatus(blobDir).foreach { st =>
-        if (st.isFile) {
-          val rel = s"${BlobStore.BlobDirName}/${st.getPath.getName}"
-          if (!referencedBlobs.contains(rel)) {
-            fs.delete(st.getPath, false)
-            deleted += 1
-          }
+        val unreferenced: Seq[String] =
+          if (referencedDfs.isEmpty) candidates
+          else candidates.toDF("f")
+            .join(referencedDfs.reduce(_ unionAll _), Seq("f"), "left_anti")
+            .as[String].collect().toSeq
+        unreferenced.foreach { rel =>
+          fs.delete(new Path(qualDir, rel), false)
+          deleted += 1
         }
       }
     }

@@ -85,6 +85,40 @@ class BlobSpec extends AnyFunSuite {
     assert(spark.table("b.db.media").filter(col("id") < 10).count() == 10)
     assert(spark.table("b.db.media").count() == 20)
   }
+
+  test("vacuum GCs unreferenced blob sidecars, keeps live ones") {
+    wh
+    createBlobTable()
+    val dir = new org.apache.hadoop.fs.Path(
+      Paths.get(wh, "db", "media.graft").toUri)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val blobDir = Paths.get(wh, "db", "media.graft", "data", "blobs")
+    import scala.jdk.CollectionConverters._
+    val before = Files.list(blobDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(before.nonEmpty)
+    // replace the data: old blob sidecars become unreachable once the
+    // pre-overwrite versions age out of the retained window
+    spark.sql(
+      """INSERT OVERWRITE b.db.media
+        |SELECT id, CAST(concat('fresh-', CAST(id AS STRING)) AS BINARY)
+        |  AS content FROM range(5)""".stripMargin)
+    val after = Files.list(blobDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    val fresh = after -- before
+    assert(fresh.nonEmpty, "overwrite wrote no new sidecars")
+    val (_, deletedCount) =
+      graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+    val remaining = Files.list(blobDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert((before -- after).isEmpty)
+    assert(remaining.intersect(fresh) == fresh, "live sidecars deleted")
+    assert(remaining.intersect(before -- fresh).isEmpty,
+      s"stale sidecars survived: ${remaining.intersect(before -- fresh)}")
+    assert(deletedCount > 0)
+    // table still reads correctly after GC
+    assert(spark.table("b.db.media").count() == 5)
+  }
 }
 
 /** Mirrors the reference's vector column feature tests
