@@ -118,53 +118,78 @@ object TextOps {
     docs(s, d).select(col("doc_id"), col("source"),
       expr(s"array_distinct($toksExpr)").as("words"))
 
-  /** Candidate near-dup pairs for [[jaccardTopK]]: same-source docs
-    * sharing at least one token whose document frequency within the
-    * source is <= `dfCap`. This is the filter half of the standard
-    * filter-verification set-similarity join: candidate generation costs
-    * sum(df^2) per (source, token), so ultra-common tokens ("the" at
-    * corpus scale) are excluded from PAIR GENERATION — with the cap,
-    * every surviving token contributes at most C(dfCap, 2) pairs, and
-    * total candidate work is bounded by dfCap/2 * |kept token stream|
-    * instead of quadratic in corpus size. Verification (in
-    * [[jaccardTopK]]) still intersects FULL word sets, so capped tokens
-    * are fully counted for every candidate pair; the only approximation
-    * is that a pair sharing NOTHING but >dfCap-frequency tokens is never
-    * considered — stopword-only overlap that cannot rank in top-k.
-    * Tokens travel as 64-bit hashes to keep the exploded stream narrow. */
-  def jaccardCandidates(w: DataFrame, dfCap: Int = 10000): DataFrame = {
-    val tok = w.select(col("source"), col("doc_id"),
+  /** Exploded (source, doc_id, word-hash) token stream. Tokens travel
+    * as 64-bit hashes so the inverted-index joins stay three-longs
+    * narrow. */
+  private def tokenStream(w: DataFrame): DataFrame =
+    w.select(col("source"), col("doc_id"),
       explode(expr("transform(words, t -> xxhash64(t))")).as("word"))
-    // document frequency per (source, token); the df table is tiny
-    // (one row per distinct token) and the filter join is a shuffle on
-    // the same (source, word) key the pair join needs anyway.
-    val kept = tok.join(
-      tok.groupBy("source", "word").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-        .select("source", "word"),
-      Seq("source", "word"))
+
+  /** Token stream annotated with per-(source, word) document frequency
+    * via a window count. The window partitions by the SAME key the
+    * inverted-index self-join shuffles on, so annotating costs no extra
+    * exchange and no extra job — the df split rides the shuffle the
+    * join needs anyway. */
+  private def withDf(tok: DataFrame): DataFrame =
+    tok.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("word"))))
+
+  /** Candidate near-dup pairs: same-source docs sharing at least one
+    * token with document frequency <= `dfCap`. The cap is the skew knob
+    * of the inverted-index self-join: pair generation costs sum(df^2)
+    * per (source, token), so each surviving token contributes at most
+    * C(dfCap, 2) pairs and total candidate work is bounded by
+    * dfCap/2 * |token stream| instead of quadratic in corpus size. The
+    * only approximation anywhere in the operator: a pair sharing
+    * NOTHING but over-cap tokens is never considered — stopword-only
+    * overlap that cannot rank in top-k. */
+  def jaccardCandidates(w: DataFrame, dfCap: Int = 10000): DataFrame =
+    interPairs(withDf(tokenStream(w)).filter(col("df") <= dfCap).drop("df"))
+      .select("a_id", "b_id")
+
+  /** (a_id, b_id, inter_kept) — shared-token count per candidate pair,
+    * the narrow count-aggregate shape (no array payloads ride the
+    * self-join). */
+  private def interPairs(kept: DataFrame): DataFrame =
     kept.alias("x").join(kept.alias("y"),
         col("x.source") === col("y.source") &&
           col("x.word") === col("y.word") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-  }
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter_kept"))
 
-  /** Exact top-k word-set jaccard over same-source candidate pairs:
-    * filter (see [[jaccardCandidates]]) then verify by intersecting the
-    * full word arrays, so the result is exact for every candidate pair
-    * regardless of the df cap. Arrays are re-attached by two doc_id
-    * joins AFTER pair dedup, so word payloads never ride the token
-    * self-join. */
+  /** Exact top-k word-set jaccard with a document-frequency cap.
+    *
+    * Filter-verification set-similarity join: candidates (and their
+    * under-cap intersection counts) come from the capped inverted-index
+    * self-join above; the over-cap contribution is restored EXACTLY by
+    * intersecting per-doc arrays of over-cap tokens only — a
+    * stopword-sized payload, empty whenever the cap is not hit, so the
+    * plan degenerates to the plain narrow count-aggregate on corpora
+    * like the gate's (max df ~214 at sf0.1 vs the 10k default cap).
+    * inter = inter_kept + |overcap_a ∩ overcap_b| is exact for every
+    * candidate pair because the cap partitions each word set. */
   def jaccardTopK(w: DataFrame, k: Int = 100, dfCap: Int = 10000): DataFrame = {
-    val sides = w.select(col("doc_id"), col("words"), size(col("words")).as("n"))
-    jaccardCandidates(w, dfCap)
-      .join(sides.select(col("doc_id").as("a_id"), col("words").as("wa"),
-        col("n").as("na")), Seq("a_id"))
-      .join(sides.select(col("doc_id").as("b_id"), col("words").as("wb"),
-        col("n").as("nb")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+    val tok = withDf(tokenStream(w))
+    val sizes = w.select(col("doc_id"), size(col("words")).as("n"))
+    // per-doc over-cap token arrays: EMPTY whenever the cap is never hit
+    // (the gate corpus: max df ~214 vs the 10k default), in which case
+    // the correction joins below are no-op passes over an empty
+    // broadcast and the plan is the plain narrow count-aggregate. Each
+    // array is bounded by the over-cap (stopword-sized) vocab.
+    val commonPerDoc = tok.filter(col("df") > dfCap)
+      .groupBy("doc_id").agg(collect_list(col("word")).as("cw"))
+    interPairs(tok.filter(col("df") <= dfCap).drop("df"))
+      .join(commonPerDoc.select(col("doc_id").as("a_id"), col("cw").as("cwa")),
+        Seq("a_id"), "left")
+      .join(commonPerDoc.select(col("doc_id").as("b_id"), col("cw").as("cwb")),
+        Seq("b_id"), "left")
+      .withColumn("inter", col("inter_kept") +
+        when(col("cwa").isNull || col("cwb").isNull, lit(0))
+          .otherwise(size(array_intersect(col("cwa"), col("cwb")))))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .select("a_id", "b_id", "jaccard")

@@ -111,8 +111,10 @@ object VectorOps {
           "graft_wh", "db", "emb_idx.graft").toUri)
       val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
       // (re)materialize the corpus as a graft table + build its index
-      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
-      graft.ops.VectorIndex.build(s, dir, "vec_id", "embedding")
+      graft.BenchPhases.timed("v02_ann_lsh.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.build(s, dir, "vec_id", "embedding")
+      }
       val idx = graft.ops.VectorIndex.readCurrent(s, dir, "embedding")
         .getOrElse(throw new IllegalStateException("index build did not land"))
       val queries = withLshBucket(emb(s, d).filter(col("vec_id") < 20), "embedding")
@@ -148,8 +150,10 @@ object VectorOps {
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           "graft_wh", "db", "emb_ivf.graft").toUri)
       val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
-      graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      graft.BenchPhases.timed("v05_ann_ivf.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      }
       val (cents, assign) = graft.ops.VectorIndex.Ivf.readCurrent(s, dir, "embedding")
         .getOrElse(throw new IllegalStateException("ivf build did not land"))
       // probe: L2 distance query -> centroid, keep the 4 nearest lists
@@ -196,8 +200,10 @@ object VectorOps {
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           "graft_wh", "db", "emb_pq.graft").toUri)
       val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
-      graft.ops.VectorIndex.Pq.build(s, dir, "vec_id", "embedding")
+      graft.BenchPhases.timed("v07_ann_ivfpq.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Pq.build(s, dir, "vec_id", "embedding")
+      }
       val (centsDf, bksDf, codes) =
         graft.ops.VectorIndex.Pq.readCurrent(s, dir, "embedding")
           .getOrElse(throw new IllegalStateException("pq build did not land"))
@@ -267,8 +273,10 @@ object VectorOps {
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           "graft_wh", "db", "emb_rw.graft").toUri)
       val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-      graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
-      graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      graft.BenchPhases.timed("v06_ann_rewrite.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      }
       val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
       val table = org.apache.spark.sql.GraftShim.tableDF(s,
         new graft.connector.GraftTable(s"v06:$dir", dir, manifest,

@@ -285,21 +285,23 @@ object FormatQueries {
         |ORDER BY c_custkey""".stripMargin,
       "equality/IN through a persisted scalar index stays exact") { (s, d) =>
       setup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.db.cust_si")
-      val cust = Tables.load(s, d, "customer")
-      cust.createOrReplaceTempView("cust_si_src")
-      // interleave custkeys across 4 appended fragments (mod 4) so
-      // every fragment's zone map covers the whole key range
-      s.sql("""CREATE TABLE graft.db.cust_si AS
-              |SELECT * FROM cust_si_src WHERE c_custkey % 4 = 0""".stripMargin)
-      (1 until 4).foreach { i =>
-        s.sql(s"""INSERT INTO graft.db.cust_si
-                 |SELECT * FROM cust_si_src WHERE c_custkey % 4 = $i""".stripMargin)
+      graft.BenchPhases.timed("g12_scalar_index.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.cust_si")
+        val cust = Tables.load(s, d, "customer")
+        cust.createOrReplaceTempView("cust_si_src")
+        // interleave custkeys across 4 appended fragments (mod 4) so
+        // every fragment's zone map covers the whole key range
+        s.sql("""CREATE TABLE graft.db.cust_si AS
+                |SELECT * FROM cust_si_src WHERE c_custkey % 4 = 0""".stripMargin)
+        (1 until 4).foreach { i =>
+          s.sql(s"""INSERT INTO graft.db.cust_si
+                   |SELECT * FROM cust_si_src WHERE c_custkey % 4 = $i""".stripMargin)
+        }
+        val dir = new org.apache.hadoop.fs.Path(
+          Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+            "cust_si.graft").toUri)
+        graft.ops.ScalarIndex.build(s, dir, "c_custkey")
       }
-      val dir = new org.apache.hadoop.fs.Path(
-        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
-          "cust_si.graft").toUri)
-      graft.ops.ScalarIndex.build(s, dir, "c_custkey")
       s.table("graft.db.cust_si")
         .filter(col("c_custkey").isin(7L, 421L, 1000L))
         .select("c_custkey", "c_name", "c_mktsegment")
