@@ -44,7 +44,10 @@ import graft.format.GraftFormat.Manifest
   * every data and manifest byte moves through Hadoop FS, so the REST
   * hop is one metadata round-trip per table resolution, never on the
   * per-task path (executors get absolute file paths in their splits).
-  * Namespaces are single-level, matching the reference's REST modes.
+  * Namespaces may be multi-level: levels are joined with the
+  * reference's `$` delimiter on the wire (LanceConfig.java:79
+  * "hive$catalog" with-parent modes), and the hierarchy is a
+  * client-side view over the service's flat name set.
   */
 class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   with StagingTableCatalog {
@@ -67,14 +70,45 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   /** Per-table configuration: catalog conf + the storage options the
     * namespace service vended for this table (credential vending,
     * reference: LanceMetadata.java:1319-1354 getStorageOptionsForTable —
-    * table-scoped options win over namespace-level ones). */
+    * table-scoped options win over namespace-level ones). The reserved
+    * `expires_at` key (epoch millis) is consumed by the refresh logic,
+    * not forwarded to Hadoop. */
   private def tableConf(vended: Map[String, String]): Configuration =
     if (vended.isEmpty) conf
     else {
       val c = new Configuration(conf)
-      vended.foreach { case (k, v) => c.set(k, v) }
+      (vended - ExpiresAtKey).foreach { case (k, v) => c.set(k, v) }
       c
     }
+
+  private val ExpiresAtKey = "expires_at"
+  /** Re-resolve vended credentials once within 5 minutes of expiry —
+    * the reference's refresh window (LanceTableHandle.java:36,154-173:
+    * REFRESH_WINDOW_MINUTES ahead of expiration, re-DescribeTable). */
+  private val RefreshWindowMs = 5 * 60 * 1000L
+
+  private def expiring(opts: Map[String, String]): Boolean =
+    opts.get(ExpiresAtKey).flatMap(_.toLongOption).exists(t =>
+      System.currentTimeMillis() >= t - RefreshWindowMs)
+
+  /** Conf source for one resolved table: hands out the vended-credential
+    * conf, re-resolving via DescribeTable when the cached credentials
+    * are inside the refresh window. Called at every scan/write PLANNING
+    * (GraftTable.conf is a def), so a multi-query job over an STS-style
+    * token keeps working as long as the service keeps vending; a single
+    * task only ever needs the token it was planned with (executors get
+    * a SerializableConfiguration snapshot per query, like the
+    * reference's per-split storage options). */
+  private final class CredentialSource(ident: Identifier,
+      initial: Map[String, String]) {
+    @volatile private var cached = initial
+    def current(): Configuration = {
+      if (expiring(cached)) describeTable(ident).foreach {
+        case (_, vended) => cached = vended
+      }
+      tableConf(cached)
+    }
+  }
 
   private def fs: FileSystem = warehouse.getFileSystem(conf)
 
@@ -118,16 +152,20 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def ns1(namespace: Array[String]): String = {
-    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
-    java.net.URLEncoder.encode(namespace.head, UTF_8)
+  /** Multi-level namespaces travel to the service as ONE name with the
+    * reference's `$` level delimiter (LanceConfig.java:79 "hive$catalog"
+    * with-parent modes): Array("a","b") <-> "a$b". The service stays a
+    * flat name->tables store; nesting is a client-side view. */
+  private def nsKey(namespace: Array[String]): String = {
+    if (namespace.isEmpty) throw new NoSuchNamespaceException(namespace)
+    java.net.URLEncoder.encode(namespace.mkString("$"), UTF_8)
   }
 
   /** DescribeTable: the table's data location + any storage options the
     * service vends for it (e.g. scoped credentials), or None. */
   private def describeTable(ident: Identifier): Option[(Path, Map[String, String])] = {
     val (code, body) = request("GET",
-      s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+      s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
         java.net.URLEncoder.encode(ident.name(), UTF_8), None)
     if (code == 404) None
     else if (code == 200) jsonField(body, "location").map { loc =>
@@ -147,7 +185,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   private def register(ident: Identifier, location: Path): Unit = {
     val (code, body) = request("POST",
-      s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+      s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
         java.net.URLEncoder.encode(ident.name(), UTF_8),
       Some(s"""{"location":"${esc(location.toString)}"}"""))
     if (code == 409) throw new TableAlreadyExistsException(ident)
@@ -160,7 +198,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val (code, body) = request("GET",
-      s"/v1/namespaces/${ns1(namespace)}/tables", None)
+      s"/v1/namespaces/${nsKey(namespace)}/tables", None)
     if (code == 404) throw new NoSuchNamespaceException(namespace)
     jsonStrings(body, "tables").map(Identifier.of(namespace, _)).toArray
   }
@@ -169,11 +207,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       pick: (Path, Configuration) => Option[Manifest]): Table = {
     val (dir, vended) = describeTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
-    val tc = tableConf(vended)
+    val creds = new CredentialSource(ident, vended)
+    val tc = creds.current()
     if (!GraftFormat.exists(dir.getFileSystem(tc), dir))
       throw new NoSuchTableException(ident)
     val manifest = pick(dir, tc).getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(ident.toString, dir, manifest, tc)
+    new GraftTable(ident.toString, dir, manifest, tc) {
+      override def conf: Configuration = creds.current()
+    }
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -281,7 +322,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       case None => false
       case Some(dir) =>
         val (code, body) = request("DELETE",
-          s"/v1/namespaces/${ns1(ident.namespace())}/tables/" +
+          s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
             java.net.URLEncoder.encode(ident.name(), UTF_8), None)
         if (code != 200 && code != 404) throw new IllegalStateException(
           s"namespace service error $code dropping $ident: $body")
@@ -295,20 +336,32 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   // --------------------------------------------------------- namespaces
 
-  override def listNamespaces(): Array[Array[String]] = {
+  /** Every namespace known to the service, as level arrays (the service
+    * stores `$`-joined names; see [[nsKey]]). */
+  private def allNamespaces(): Seq[Array[String]] = {
     val (_, body) = request("GET", "/v1/namespaces", None)
-    jsonStrings(body, "namespaces").map(Array(_)).toArray
+    jsonStrings(body, "namespaces").map(_.split('$'))
   }
+
+  override def listNamespaces(): Array[Array[String]] =
+    // top level of the hierarchy only, deduplicated: "a" and "a$b"
+    // both contribute Array("a")
+    allNamespaces().map(ns => Seq(ns.head)).distinct
+      .map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Array.empty // single-level namespaces (reference REST modes)
+    // direct children of the parent
+    allNamespaces()
+      .filter(ns => ns.length == namespace.length + 1 &&
+        ns.startsWith(namespace))
+      .map(_.toArray).toArray
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 &&
-      listNamespaces().exists(_.sameElements(namespace))
+    namespace.nonEmpty &&
+      allNamespaces().exists(_.sameElements(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -318,7 +371,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(
       namespace: Array[String], metadata: JMap[String, String]): Unit = {
     val (code, body) = request("POST", "/v1/namespaces",
-      Some(s"""{"name":"${esc(namespace.mkString("."))}"}"""))
+      Some(s"""{"name":"${esc(namespace.mkString("$"))}"}"""))
     if (code != 200 && code != 409) throw new IllegalStateException(
       s"namespace service error $code creating namespace: $body")
   }
@@ -328,12 +381,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    if (cascade)
+    val children = listNamespaces(namespace)
+    if (cascade) {
+      children.foreach(dropNamespace(_, cascade = true))
       listTables(namespace).foreach(dropTable)
-    else if (listTables(namespace).nonEmpty)
+    } else if (listTables(namespace).nonEmpty || children.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
-    val (code, _) = request("DELETE", s"/v1/namespaces/${ns1(namespace)}", None)
+    val (code, _) = request("DELETE", s"/v1/namespaces/${nsKey(namespace)}", None)
     code == 200
   }
 }

@@ -34,11 +34,18 @@ class GraftTable(
     tableName: String,
     val dir: Path,
     val manifest: Manifest,
-    @transient val conf: Configuration)
+    @transient private val conf0: Configuration)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsMetadataColumns with SupportsRowLevelOperations {
 
   val dataSchema: StructType = manifest.schema
+
+  /** Hadoop conf for this table's storage. A def, not a val: catalogs
+    * that vend expiring storage credentials (GraftRestCatalog) override
+    * it to re-resolve near expiry, so every scan/write PLANNED after
+    * the refresh window opens carries fresh credentials (reference:
+    * LanceTableHandle.java:154-173 pre-expiry refresh). */
+  def conf: Configuration = conf0
 
   def fs: FileSystem = dir.getFileSystem(conf)
 

@@ -249,4 +249,25 @@ class GraftConnectorSpec extends AnyFunSuite {
       0, 123456789L, "Update")
     assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
   }
+
+  test("multi-level namespaces: nested create/list/use/drop in the " +
+      "directory catalog") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ml")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ml.child")
+    val children = spark.sql("SHOW NAMESPACES IN g.ml").collect()
+      .map(_.getString(0))
+    assert(children.contains("ml.child"), children.mkString(","))
+    val top = spark.sql("SHOW NAMESPACES IN g").collect().map(_.getString(0))
+    assert(top.contains("ml") && !top.exists(_.contains("child")))
+    spark.sql("CREATE TABLE g.ml.child.t AS SELECT id FROM range(5)")
+    assert(spark.table("g.ml.child.t").count() == 5)
+    assert(spark.sql("SHOW TABLES IN g.ml.child").collect()
+      .map(_.getString(1)).contains("t"))
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE g.ml"))
+    assert(e.getMessage.toLowerCase.contains("empty"), e.getMessage)
+    spark.sql("DROP NAMESPACE g.ml CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("ml"))
+  }
 }

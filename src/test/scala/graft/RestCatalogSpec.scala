@@ -18,6 +18,11 @@ object FakeNamespaceService {
   // ns -> (table -> location)
   val store = new TrieMap[String, TrieMap[String, String]]()
 
+  /** When set, DescribeTable vends an expiring credential: a fresh
+    * token per describe plus this expires_at (epoch millis). */
+  @volatile var vendExpiresAtMs: Option[Long] = None
+  val describeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private var server: HttpServer = _
 
   private def reply(x: HttpExchange, code: Int, body: String): Unit = {
@@ -58,10 +63,16 @@ object FakeNamespaceService {
         case ("GET", ns :: "tables" :: t :: Nil) =>
           store.get(ns).flatMap(_.get(t)) match {
             case None => reply(x, 404, "{}")
-            case Some(loc) => reply(x, 200,
+            case Some(loc) =>
               // vend a per-table storage option with every DescribeTable
-              // (the credential-vending channel)
-              s"""{"location":"$loc","storage":{"graft.test.vended":"yes-$t"}}""")
+              // (the credential-vending channel); optionally an expiring
+              // token that changes per resolve
+              val n = describeCount.incrementAndGet()
+              val extra = vendExpiresAtMs.map(e =>
+                s""","graft.test.token":"tok-$n","expires_at":"$e"""")
+                .getOrElse("")
+              reply(x, 200,
+                s"""{"location":"$loc","storage":{"graft.test.vended":"yes-$t"$extra}}""")
           }
         case ("POST", ns :: "tables" :: t :: Nil) =>
           store.get(ns) match {
@@ -175,6 +186,69 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(spark.table("rc.db.ev").schema.fieldNames.toSeq ==
       Seq("k", "score"))
     spark.sql("DROP TABLE rc.db.ev")
+  }
+
+  test("vended credential expiry: conf re-resolves inside the refresh " +
+      "window, stays cached outside it") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS rc.db.exp")
+    spark.sql("CREATE TABLE rc.db.exp (k BIGINT)")
+    spark.sql("INSERT INTO rc.db.exp VALUES (1)")
+    val cat = spark.sessionState.catalogManager.catalog("rc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "exp")
+    try {
+      // token valid well past the 5-min refresh window: resolved once
+      FakeNamespaceService.vendExpiresAtMs =
+        Some(System.currentTimeMillis() + 30 * 60 * 1000L)
+      val t1 = cat.loadTable(ident).asInstanceOf[graft.connector.GraftTable]
+      val tokA = t1.conf.get("graft.test.token")
+      assert(tokA != null)
+      assert(t1.conf.get("graft.test.token") == tokA,
+        "long-lived credentials re-resolved unnecessarily")
+      // the reserved expiry key never reaches the Hadoop conf
+      assert(t1.conf.get("expires_at") == null)
+      // STS-style short-lived token (inside the window from the start):
+      // every plan-time conf read re-resolves to the freshest credential
+      FakeNamespaceService.vendExpiresAtMs =
+        Some(System.currentTimeMillis() + 60 * 1000L)
+      val t2 = cat.loadTable(ident).asInstanceOf[graft.connector.GraftTable]
+      val tok1 = t2.conf.get("graft.test.token")
+      val tok2 = t2.conf.get("graft.test.token")
+      assert(tok1 != tok2, "expiring credentials were not re-resolved")
+      // reads still work through a re-resolve
+      assert(spark.table("rc.db.exp").count() == 1)
+    } finally {
+      FakeNamespaceService.vendExpiresAtMs = None
+      spark.sql("DROP TABLE IF EXISTS rc.db.exp")
+    }
+  }
+
+  test("multi-level namespaces: create/list/use/drop a nested namespace " +
+      "through the REST catalog") {
+    ready
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.ml")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.ml.child")
+    // parent listing shows the child; top-level listing shows only ml
+    val children = spark.sql("SHOW NAMESPACES IN rc.ml").collect()
+      .map(_.getString(0))
+    assert(children.contains("ml.child"), children.mkString(","))
+    val top = spark.sql("SHOW NAMESPACES IN rc").collect().map(_.getString(0))
+    assert(top.contains("ml") && !top.exists(_.contains("child")))
+    // tables resolve under the nested namespace
+    spark.sql("CREATE TABLE rc.ml.child.t AS SELECT id FROM range(7)")
+    assert(spark.table("rc.ml.child.t").count() == 7)
+    assert(spark.sql("SHOW TABLES IN rc.ml.child").collect()
+      .map(_.getString(1)).contains("t"))
+    // non-cascade drop of a parent with children refuses
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE rc.ml"))
+    assert(e.getMessage.toLowerCase.contains("not empty")
+      || e.getMessage.toLowerCase.contains("non-empty"), e.getMessage)
+    // cascade drops child namespaces and their tables
+    spark.sql("DROP NAMESPACE rc.ml CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN rc").collect()
+      .map(_.getString(0)).contains("ml"))
   }
 
   test("second CREATE of the same name conflicts via the service") {
