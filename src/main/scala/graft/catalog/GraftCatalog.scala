@@ -49,7 +49,23 @@ import graft.format.GraftFormat.Manifest
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
   with StagingTableCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with ProcedureCatalog {
+
+  // SQL maintenance surface: CALL <cat>.system.compact(...) etc.
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, { dotted =>
+      val parts = dotted.split('.')
+      require(parts.length >= 2, s"expected <namespace>.<table>, got '$dotted'")
+      val dir = tableDir(Identifier.of(parts.init, parts.last))
+      if (!GraftFormat.exists(fs, dir))
+        throw new NoSuchTableException(Identifier.of(parts.init, parts.last))
+      dir
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.identifiers
 
   /** FunctionCatalog: exposes the graft `bucket` function so Spark can
     * resolve the `bucket(n, col)` transform reported by bucketized

@@ -50,7 +50,20 @@ import graft.format.GraftFormat.Manifest
   * client-side view over the service's flat name set.
   */
 class GraftRestCatalog extends TableCatalog with SupportsNamespaces
-  with StagingTableCatalog {
+  with StagingTableCatalog with ProcedureCatalog {
+
+  // SQL maintenance surface: table names resolve via DescribeTable
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, { dotted =>
+      val parts = dotted.split('.')
+      require(parts.length >= 2, s"expected <namespace>.<table>, got '$dotted'")
+      val id = Identifier.of(parts.init, parts.last)
+      lookupLocation(id).getOrElse(throw new NoSuchTableException(id))
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.identifiers
 
   private var catalogName: String = _
   private var baseUri: String = _

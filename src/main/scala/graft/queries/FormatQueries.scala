@@ -187,11 +187,11 @@ object FormatQueries {
         s.sql(s"INSERT INTO graft.db.supp_cmp SELECT * FROM supp_cmp_$i")
       }
       s.sql("DELETE FROM graft.db.supp_cmp WHERE s_acctbal < 0")
-      val dir = new org.apache.hadoop.fs.Path(
-        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
-          "supp_cmp.graft").toUri)
-      graft.ops.Maintenance.compact(s, dir, minRows = 1000000L)
-      graft.ops.Maintenance.vacuum(s, dir, keepVersions = 1)
+      // maintenance through the SQL surface (ProcedureCatalog)
+      s.sql("CALL graft.system.compact(`table` => 'db.supp_cmp', " +
+        "min_rows => 1000000)")
+      s.sql("CALL graft.system.vacuum(`table` => 'db.supp_cmp', " +
+        "keep_versions => 1)")
       s.table("graft.db.supp_cmp")
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))

@@ -242,4 +242,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(VectorIndex.Ivf.root(dir, "embedding"), s"v=$v1")))
     assert(VectorIndex.readCurrent(spark, dir, "embedding").get.count() == 60)
   }
+
+  test("SQL maintenance surface: CALL system.compact/vacuum/history/" +
+      "bucketize through the catalog") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.sq")
+    spark.sql("CREATE TABLE mt.db.sq (k BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO mt.db.sq SELECT id + ${i * 50} FROM range(50)"))
+    val dir = new Path(Paths.get(wh, "db", "sq.graft").toUri)
+    assert(GraftFormat.readLatest(fs, dir).get.fragments.size >= 4)
+
+    // compact via SQL, named args + default min_rows
+    val c = spark.sql("CALL mt.system.compact(`table` => 'db.sq')").head
+    assert(c.getInt(0) >= 4, c.toString)
+    assert(GraftFormat.readLatest(fs, dir).get.fragments.size == 1)
+    assert(spark.table("mt.db.sq").count() == 200)
+
+    // history via SQL: one row per version, newest first
+    val h = spark.sql("CALL mt.system.history('db.sq')").collect()
+    assert(h.length == GraftFormat.listVersions(fs, dir).size)
+    assert(h.head.getString(1) == "Compact")
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted.reverse)
+
+    // vacuum via SQL drops pre-compact history
+    val v = spark.sql(
+      "CALL mt.system.vacuum(`table` => 'db.sq', keep_versions => 1)").head
+    assert(v.getInt(0) >= 4, v.toString) // versions dropped
+    assert(v.getInt(1) > 0, v.toString)  // files deleted
+    assert(spark.table("mt.db.sq").count() == 200)
+
+    // bucketize via SQL positions the table for storage-partitioned joins
+    val b = spark.sql("CALL mt.system.bucketize('db.sq', 'k', 4)").head
+    assert(b.getInt(0) == 4, b.toString)
+    assert(spark.table("mt.db.sq").count() == 200)
+
+    // unknown procedure fails cleanly
+    val e = intercept[Exception](spark.sql("CALL mt.system.nope('db.sq')"))
+    assert(e.getMessage.toLowerCase.contains("routine"), e.getMessage)
+  }
 }
