@@ -28,28 +28,45 @@ object Bench {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    BenchPhases.clear()
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Each query runs REPEATS times back-to-back; the reported number is
+    // the per-query MEDIAN (with min/max spread alongside), so a single
+    // contended run on the bench machine can no longer inflate the
+    // round's artifact — r5's official numbers read 1.7x high from
+    // exactly that.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    case class Run(sec: Double, phases: Map[String, Double])
+    val results: Seq[(String, Seq[Run])] = selected.toSeq.map { case (name, fn) =>
+      val runs = (1 to repeats).map { _ =>
+        BenchPhases.clear()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot)
+      }
+      name -> runs
     }
+    // lower median: an actual run, so its recorded phases stay attached
+    def medianRun(runs: Seq[Run]): Run =
+      runs.sortBy(_.sec).apply((runs.size - 1) / 2)
+    val medians = results.map { case (n, rs) => n -> medianRun(rs) }
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val qs = obj(results)
+    val qs = obj(medians.map { case (n, r) => n -> r.sec })
+    val spread = results.map { case (n, rs) =>
+      "\"" + n + "\":[" + r4(rs.map(_.sec).min) + "," + r4(rs.map(_.sec).max) + "]"
+    }.mkString("{", ",", "}")
     // index-build vs probe split for the index-building queries
-    // (v02/v05/v06/v07/g12): <q>.build recorded inside the closure,
-    // <q>.probe = total - build
-    val phases = obj(BenchPhases.snapshot.toSeq.sortBy(_._1).flatMap {
-      case (span, sec) =>
-        val q = span.stripSuffix(".build")
+    // (v02/v05/v06/v07/g12), taken from each query's median run:
+    // <q>.build recorded inside the closure, <q>.probe = total - build
+    val phases = obj(medians.flatMap { case (q, run) =>
+      run.phases.toSeq.sortBy(_._1).flatMap { case (span, sec) =>
         Seq(span -> sec) ++
-          results.find(_._1 == q).map(t => s"$q.probe" -> (t._2 - sec))
+          (if (span == s"$q.build") Seq(s"$q.probe" -> (run.sec - sec)) else Nil)
+      }
     })
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = medians.map(_._2.sec).sum
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"repeats":$repeats,"sf":"$sfDir"}"""
     // the full JSON also lands as a file: the driver's stdout tail can
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
     // judge diffs rounds from this artifact
