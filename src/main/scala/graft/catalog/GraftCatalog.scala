@@ -138,7 +138,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table =
-    load(ident, GraftFormat.readLatest(fs, _))
+    load(ident, graft.format.ManifestCache.latest(fs, _))
 
   /** SQL `VERSION AS OF <n>`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -151,14 +151,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!GraftFormat.listVersions(fs, dir).contains(v))
         throw new IllegalArgumentException(
           s"version $v does not exist for table $ident")
-      Some(GraftFormat.readManifest(fs, dir, v))
+      Some(graft.format.ManifestCache.readPinned(fs, dir, v))
     })
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros from Spark). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, { dir =>
       GraftFormat.versionAtTimestamp(fs, dir, timestampMicros / 1000L)
-        .map(GraftFormat.readManifest(fs, dir, _))
+        .map(graft.format.ManifestCache.readPinned(fs, dir, _))
         .orElse(throw new IllegalArgumentException(
           s"no version of $ident exists at or before timestamp " +
             s"${timestampMicros}us"))
@@ -227,6 +227,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!GraftFormat.exists(fs, dir)) return false
+    graft.format.ManifestCache.purge(fs, dir)
     fs.delete(dir, true)
   }
 

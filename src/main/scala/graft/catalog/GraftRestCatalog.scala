@@ -231,7 +231,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table =
-    load(ident, (d, tc) => GraftFormat.readLatest(d.getFileSystem(tc), d))
+    load(ident,
+      (d, tc) => graft.format.ManifestCache.latest(d.getFileSystem(tc), d))
 
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, { (dir, tc) =>
@@ -243,14 +244,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       if (!GraftFormat.listVersions(dfs, dir).contains(v))
         throw new IllegalArgumentException(
           s"version $v does not exist for table $ident")
-      Some(GraftFormat.readManifest(dfs, dir, v))
+      Some(graft.format.ManifestCache.readPinned(dfs, dir, v))
     })
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, { (dir, tc) =>
       val dfs = dir.getFileSystem(tc)
       GraftFormat.versionAtTimestamp(dfs, dir, timestampMicros / 1000L)
-        .map(GraftFormat.readManifest(dfs, dir, _))
+        .map(graft.format.ManifestCache.readPinned(dfs, dir, _))
         .orElse(throw new IllegalArgumentException(
           s"no version of $ident exists at or before timestamp ${timestampMicros}us"))
     })
@@ -339,6 +340,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
             java.net.URLEncoder.encode(ident.name(), UTF_8), None)
         if (code != 200 && code != 404) throw new IllegalStateException(
           s"namespace service error $code dropping $ident: $body")
+        graft.format.ManifestCache.purge(dir.getFileSystem(conf), dir)
         dir.getFileSystem(conf).delete(dir, true)
         code == 200
     }

@@ -289,6 +289,9 @@ object GraftFormat {
     if (!createExclusive(fs, manifestPath(table, m.version), toJson(toWrite).getBytes(UTF_8)))
       throw new CommitConflictException(
         s"version ${m.version} already committed at $table")
+    // same-process readers must see this commit immediately, whatever the
+    // manifest-cache TTL says
+    ManifestCache.invalidateLatest(fs, table)
   }
 
   /** Retry loop for append-style commits: rebuild the manifest from the

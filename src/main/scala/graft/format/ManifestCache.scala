@@ -1,0 +1,147 @@
+package graft.format
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.format.GraftFormat.Manifest
+
+/** Process-wide manifest/snapshot cache (SURVEY.md §4; reference analog:
+  * the dataset cache keyed (user, path, version) with TTL + invalidation,
+  * LanceRuntime.java:149-183 / LanceConfig.java:171-257 and
+  * docs/src/performance.md "Caching").
+  *
+  * Without it every `loadTable` of every query re-lists `_versions` and
+  * re-reads + re-parses the latest manifest — on an object store that is
+  * two metadata round-trips per query per user.
+  *
+  * Two tiers:
+  *  - `latest`: one entry per table, valid for `ttlMs` since the last
+  *    freshness check. On expiry the cache REVALIDATES with a single
+  *    version listing; the manifest body is re-read only if the version
+  *    actually moved, so even ttl=0 (always revalidate) skips the
+  *    read + parse in the common unchanged case. Every local commit
+  *    invalidates its table's entry (write path hooks in
+  *    [[GraftFormat.commit]]), so same-process readers never see a stale
+  *    snapshot regardless of TTL; the TTL only bounds staleness against
+  *    commits from OTHER processes. ttl<0 disables the tier.
+  *  - `pinned`: (table, version) -> Manifest for time-travel reads.
+  *    Committed manifests are immutable, so entries need no TTL — just an
+  *    LRU bound. Dropped/vacuumed tables purge their entries so a
+  *    re-created table at the same path cannot serve the old generation.
+  *
+  * Thread-safe; races at worst duplicate a read. Hit/miss counters are
+  * exposed for specs (ManifestCacheSpec) and debugging.
+  */
+object ManifestCache {
+
+  /** Default freshness window, overridable per-session via
+    * `spark.graft.manifest.cache.ttl.ms`. */
+  val DefaultTtlMs = 1000L
+
+  private final case class Entry(version: Long, manifest: Manifest,
+      checkedAtMs: Long)
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  // LRU of immutable (table@version) manifests; access-ordered.
+  private val PinnedCap = 256
+  private val pinned =
+    new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Manifest]): Boolean =
+        size > PinnedCap
+    }
+
+  val hits = new AtomicLong
+  val revalidations = new AtomicLong
+  val misses = new AtomicLong
+  val pinnedHits = new AtomicLong
+
+  // stripSuffix: java.nio `Paths.get(dir).toUri` carries a trailing "/"
+  // that Hadoop-built Paths lack; both must key identically
+  private def key(fs: FileSystem, table: Path): String =
+    fs.makeQualified(table).toUri.toString.stripSuffix("/")
+
+  /** Session TTL: `spark.graft.manifest.cache.ttl.ms` if a session is
+    * active, else the default. */
+  def sessionTtlMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.manifest.cache.ttl.ms",
+        DefaultTtlMs.toString).toLong)
+      .getOrElse(DefaultTtlMs)
+
+  /** Latest manifest of `table`, served from cache within `ttlMs` of the
+    * last freshness check; revalidated (one version listing) after. */
+  def latest(fs: FileSystem, table: Path, ttlMs: Long = sessionTtlMs)
+      : Option[Manifest] = {
+    if (ttlMs < 0) return GraftFormat.readLatest(fs, table)
+    val k = key(fs, table)
+    val now = System.currentTimeMillis()
+    entries.get(k) match {
+      case Some(e) if now - e.checkedAtMs < ttlMs =>
+        hits.incrementAndGet()
+        Some(e.manifest)
+      case cached =>
+        GraftFormat.latestVersion(fs, table) match {
+          case None =>
+            entries.remove(k)
+            None
+          case Some(v) =>
+            cached match {
+              case Some(e) if e.version == v =>
+                revalidations.incrementAndGet()
+                entries.put(k, e.copy(checkedAtMs = now))
+                Some(e.manifest)
+              case _ =>
+                misses.incrementAndGet()
+                val m = GraftFormat.readManifest(fs, table, v)
+                entries.put(k, Entry(v, m, now))
+                Some(m)
+            }
+        }
+    }
+  }
+
+  /** Version-pinned manifest (time travel). Immutable once committed, so
+    * cached without TTL under an LRU bound. Callers are expected to have
+    * checked the version exists (the catalog's VERSION AS OF path lists
+    * versions first), keeping cold and warm behavior identical. */
+  def readPinned(fs: FileSystem, table: Path, version: Long): Manifest = {
+    val k = key(fs, table) + "@" + version
+    val hit = pinned.synchronized(Option(pinned.get(k)))
+    hit match {
+      case Some(m) =>
+        pinnedHits.incrementAndGet()
+        m
+      case None =>
+        val m = GraftFormat.readManifest(fs, table, version)
+        pinned.synchronized(pinned.put(k, m))
+        m
+    }
+  }
+
+  /** A new version landed locally: drop the latest-tier entry (next load
+    * re-reads). Pinned entries stay — committed versions are immutable. */
+  def invalidateLatest(fs: FileSystem, table: Path): Unit =
+    entries.remove(key(fs, table))
+
+  /** The table was dropped, replaced, or vacuumed: purge everything for
+    * the path, including pinned versions (a re-created table at the same
+    * path must not serve the previous generation's manifests). */
+  def purge(fs: FileSystem, table: Path): Unit = {
+    val k = key(fs, table)
+    entries.remove(k)
+    pinned.synchronized {
+      val it = pinned.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(k + "@")) it.remove()
+    }
+  }
+
+  def clearAll(): Unit = {
+    entries.clear()
+    pinned.synchronized(pinned.clear())
+  }
+}

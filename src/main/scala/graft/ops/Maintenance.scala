@@ -289,6 +289,8 @@ object Maintenance {
       val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
       if (fs.exists(p)) fs.delete(p, false)
     }
+    // dropped versions may sit in the pinned (time-travel) manifest cache
+    if (drop.nonEmpty) graft.format.ManifestCache.purge(fs, qualDir)
     var deleted = 0
     for (sub <- Seq("data", "_deletions")) {
       val d = new Path(qualDir, sub)

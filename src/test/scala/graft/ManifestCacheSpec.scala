@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.{GraftFormat, ManifestCache}
+
+/** The manifest/snapshot cache contract (reference analog: dataset cache
+  * keyed (path, version) with TTL + invalidation,
+  * LanceRuntime.java:149-183):
+  *  - repeated loadTable within the TTL does ZERO manifest FS reads
+  *  - every local commit path (INSERT/DELETE/CTAS/ALTER) invalidates
+  *  - a concurrent EXTERNAL commit (another process writing the manifest
+  *    file directly) is picked up once the TTL lapses
+  *  - DROP + re-CREATE at the same path never serves the old generation
+  */
+class ManifestCacheSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val wh =
+    java.nio.file.Files.createTempDirectory("graft-mcache").toString
+
+  private def setup(ttlMs: Long): Unit = {
+    spark.conf.set("spark.sql.catalog.mc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mc.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.cache.ttl.ms", ttlMs.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mc.db")
+  }
+
+  private def fs = new Path(wh)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tdir(name: String) = fs.makeQualified(
+    new Path(new Path(wh, "db"), name + ".graft"))
+
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS mc.db.$name")
+    spark.sql(s"CREATE TABLE mc.db.$name (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO mc.db.$name VALUES (1, 'a'), (2, 'b')")
+  }
+
+  test("repeated loadTable within TTL reads the manifest once") {
+    setup(ttlMs = 60000)
+    freshTable("t1")
+    spark.table("mc.db.t1").count() // prime the cache
+    val h0 = ManifestCache.hits.get()
+    val m0 = ManifestCache.misses.get()
+    (1 to 5).foreach(_ => assert(spark.table("mc.db.t1").count() == 2))
+    assert(ManifestCache.misses.get() == m0,
+      "cached loads must not re-read the manifest")
+    assert(ManifestCache.hits.get() >= h0 + 5)
+  }
+
+  test("local commits invalidate immediately even with a huge TTL") {
+    setup(ttlMs = 3600000)
+    freshTable("t2")
+    assert(spark.table("mc.db.t2").count() == 2)
+    spark.sql("INSERT INTO mc.db.t2 VALUES (3, 'c')")
+    assert(spark.table("mc.db.t2").count() == 3,
+      "INSERT must be visible immediately")
+    spark.sql("DELETE FROM mc.db.t2 WHERE id = 1")
+    assert(spark.table("mc.db.t2").count() == 2,
+      "DELETE must be visible immediately")
+    spark.sql("ALTER TABLE mc.db.t2 ADD COLUMN extra STRING")
+    assert(spark.table("mc.db.t2").columns.contains("extra"),
+      "ALTER must be visible immediately")
+  }
+
+  test("external commit: stale within TTL, picked up after revalidation") {
+    setup(ttlMs = 3600000)
+    freshTable("t3")
+    val dir = tdir("t3")
+    assert(spark.table("mc.db.t3").count() == 2)
+    // simulate ANOTHER PROCESS committing: write the next manifest file
+    // directly, bypassing GraftFormat.commit (and its invalidation hook)
+    val latest = GraftFormat.readLatest(fs, dir).get
+    val next = latest.copy(version = latest.version + 1,
+      fragments = Seq.empty, operation = "Overwrite",
+      createdAtMs = System.currentTimeMillis())
+    val p = new Path(new Path(dir, "_versions"),
+      s"${next.version}.manifest.json")
+    val out = fs.create(p, false)
+    try out.write(GraftFormat.toJson(next).getBytes("UTF-8"))
+    finally out.close()
+    // within the TTL the cached (stale) snapshot is served — that is the
+    // documented staleness bound
+    assert(spark.table("mc.db.t3").count() == 2)
+    // ttl=0 forces revalidation on every load: the listing sees the new
+    // version and the manifest is re-read
+    spark.conf.set("spark.graft.manifest.cache.ttl.ms", "0")
+    assert(spark.table("mc.db.t3").count() == 0,
+      "external commit must be visible after TTL expiry")
+  }
+
+  test("ttl=0 revalidates with a listing but skips the re-parse when unchanged") {
+    setup(ttlMs = 0)
+    freshTable("t4")
+    spark.table("mc.db.t4").count()
+    val r0 = ManifestCache.revalidations.get()
+    val m0 = ManifestCache.misses.get()
+    (1 to 3).foreach(_ => spark.table("mc.db.t4").count())
+    assert(ManifestCache.revalidations.get() >= r0 + 3)
+    assert(ManifestCache.misses.get() == m0,
+      "unchanged version must not re-read the manifest body")
+  }
+
+  test("drop + recreate at the same path never serves the old generation") {
+    setup(ttlMs = 3600000)
+    freshTable("t5")
+    assert(spark.table("mc.db.t5").count() == 2)
+    spark.sql("DROP TABLE mc.db.t5")
+    spark.sql("CREATE TABLE mc.db.t5 (x DOUBLE)")
+    val cols = spark.table("mc.db.t5").columns.toSeq
+    assert(cols == Seq("x"), s"stale generation served: $cols")
+  }
+
+  test("time-travel manifests are served from the pinned cache") {
+    setup(ttlMs = 60000)
+    freshTable("t6")
+    spark.sql("INSERT INTO mc.db.t6 VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM mc.db.t6 VERSION AS OF 1").count() == 0)
+    val ph0 = ManifestCache.pinnedHits.get()
+    assert(spark.sql("SELECT * FROM mc.db.t6 VERSION AS OF 2").count() == 2)
+    assert(spark.sql("SELECT * FROM mc.db.t6 VERSION AS OF 2").count() == 2)
+    assert(ManifestCache.pinnedHits.get() > ph0,
+      "repeated VERSION AS OF must hit the pinned cache")
+  }
+
+  test("vacuum purges pinned entries for dropped versions") {
+    setup(ttlMs = 60000)
+    freshTable("t7")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO mc.db.t7 VALUES ($i, 'x')"))
+    // warm the pinned cache with an old version, then vacuum it away
+    spark.sql("SELECT * FROM mc.db.t7 VERSION AS OF 1").count()
+    graft.ops.Maintenance.vacuum(spark, tdir("t7"), keepVersions = 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mc.db.t7 VERSION AS OF 1").count()
+    }
+  }
+}
