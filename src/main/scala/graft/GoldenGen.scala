@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+
+/** One-shot generator for the committed golden-oracle files under
+  * `golden/` (run: `sbt "runMain graft.GoldenGen"`).
+  *
+  * t04/t05/t10 compute SimHash signatures / near-pairs and winnowing
+  * fingerprints — deterministic but not expressible in ANSI SQL, so the
+  * driver's DuckDB gate could only row-count them. Instead we pin their
+  * expected output: each golden parquet holds the query result at every
+  * shipped scale factor, tagged with `sf_key` = count(lineitem) at that
+  * sf, and the oracle SQL selects the slice matching the gate's sf. At
+  * an unknown sf the slice is empty while the Spark side is not, so the
+  * gate fails loudly rather than passing vacuously.
+  *
+  * Regenerate ONLY on an intentional algorithm change — these files are
+  * the regression pin for the non-SQL operators.
+  */
+object GoldenGen {
+  val GoldenQueries = Seq("t04_simhash", "t05_simhash_pairs", "t10_fingerprint")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = Paths.get(args.headOption.getOrElse("golden"))
+    Files.createDirectories(outDir)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- GoldenQueries) {
+      val perSf = Seq("0.001", "0.01", "0.1").map { sf =>
+        val d = s"/root/testdata/sf$sf"
+        val key = spark.read.parquet(s"$d/lineitem.parquet").count()
+        SparkEntry.queries(name)(spark, d).withColumn("sf_key", lit(key))
+      }
+      val tmp = Files.createTempDirectory(s"golden_$name").toString
+      perSf.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), outDir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      println(s"golden: wrote ${outDir.resolve(s"$name.parquet")}")
+    }
+    spark.stop()
+  }
+}
