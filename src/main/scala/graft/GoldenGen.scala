@@ -8,23 +8,34 @@ import org.apache.spark.sql.functions.lit
 /** One-shot generator for the committed golden-oracle files under
   * `golden/` (run: `sbt "runMain graft.GoldenGen"`).
   *
-  * t04/t05/t10 compute SimHash signatures / near-pairs and winnowing
-  * fingerprints — deterministic but not expressible in ANSI SQL, so the
-  * driver's DuckDB gate could only row-count them. Instead we pin their
-  * expected output: each golden parquet holds the query result at every
-  * shipped scale factor, tagged with `sf_key` = count(lineitem) at that
-  * sf, and the oracle SQL selects the slice matching the gate's sf. At
-  * an unknown sf the slice is empty while the Spark side is not, so the
-  * gate fails loudly rather than passing vacuously.
+  * The listed queries compute SimHash/MinHash signatures and pairs,
+  * winnowing fingerprints, LSH ANN top-k, and stub multimodal features —
+  * deterministic but not expressible in ANSI SQL, so the driver's DuckDB
+  * gate could only row-count them. Instead we pin their expected output:
+  * each golden parquet holds the query result at every shipped scale
+  * factor, tagged with `sf_key` = count(lineitem) at that sf, and the
+  * oracle SQL ([[graft.queries.Q.golden]]) selects the slice matching
+  * the gate's sf. At an unknown sf the slice is empty while the Spark
+  * side is not, so the gate fails loudly rather than passing vacuously.
+  *
+  * Eligibility: only queries whose output is bit-stable across
+  * partitionings and thread counts (integer hashing, per-row FP with
+  * unique sort keys). The IVF/PQ queries (v05/v06/v07) train k-means —
+  * cross-row FP accumulation whose result depends on reduce order — and
+  * therefore stay rows-only.
   *
   * Regenerate ONLY on an intentional algorithm change — these files are
   * the regression pin for the non-SQL operators.
   */
 object GoldenGen {
-  val GoldenQueries = Seq("t04_simhash", "t05_simhash_pairs", "t10_fingerprint")
+  val GoldenQueries: Seq[String] = Seq(
+    "t03_minhash_lsh_pairs", "t04_simhash", "t05_simhash_pairs",
+    "t10_fingerprint", "m01_multimodal_features", "v02_ann_lsh",
+    "v03_embedding_near_dup")
 
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("golden"))
+    val dataRoot = sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
     Files.createDirectories(outDir)
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -36,15 +47,17 @@ object GoldenGen {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- GoldenQueries) {
       val perSf = Seq("0.001", "0.01", "0.1").map { sf =>
-        val d = s"/root/testdata/sf$sf"
+        val d = s"$dataRoot/sf$sf"
         val key = spark.read.parquet(s"$d/lineitem.parquet").count()
         SparkEntry.queries(name)(spark, d).withColumn("sf_key", lit(key))
       }
       val tmp = Files.createTempDirectory(s"golden_$name").toString
       perSf.reduce(_.unionByName(_)).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
       Files.move(Paths.get(part), outDir.resolve(s"$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       println(s"golden: wrote ${outDir.resolve(s"$name.parquet")}")

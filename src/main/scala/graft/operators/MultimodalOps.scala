@@ -59,7 +59,12 @@ object MultimodalOps {
   val all: Seq[Q] = Seq(
 
     // Batch feature extraction over binary payloads via mapPartitions.
-    Q.noOracle("m01_multimodal_features",
+    // Golden-pinned: the stub decoder is a pure per-row function, so its
+    // output is bit-stable regardless of partitioning.
+    Q.golden("m01_multimodal_features",
+      Seq("doc_id", "byte_len", "fake_width", "fake_height", "mean_byte",
+        "n_frames"),
+      "doc_id",
       "binary decode stub -> typed features, partition-parallel") { (s, d) =>
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
         .encoderFor(featureSchema)

@@ -260,9 +260,11 @@ object TextOps {
       jaccardTopK(wordSets(s, d), k = 100, dfCap = cap)
     },
 
-    // MinHash + LSH near-dup (not SQL-expressible -> rows-only check;
-    // property-tested in MinHashSpec instead).
-    Q.noOracle("t03_minhash_lsh_pairs",
+    // MinHash + LSH near-dup (not SQL-expressible; fully deterministic —
+    // xxhash64 signatures, deterministic bucket cap, unique sort key —
+    // so golden-pinned; property-tested in MinHashSpec too).
+    Q.golden("t03_minhash_lsh_pairs",
+      Seq("a_id", "b_id", "est_jaccard"), "est_jaccard DESC, a_id, b_id",
       "MinHash-LSH candidate pairs with signature-estimated jaccard") { (s, d) =>
       val sigs = withMinhash(withShingles(s, d))
         .select("doc_id", "minhash")
@@ -275,15 +277,16 @@ object TextOps {
         .limit(200)
     },
 
-    // SimHash signatures per doc (rows-only; spec-verified).
-    Q.noOracle("t04_simhash",
+    // SimHash signatures per doc (golden-pinned; spec-verified too).
+    Q.golden("t04_simhash", Seq("doc_id", "simhash"), "doc_id",
       "64-bit SimHash per document from token-hash bit majority") { (s, d) =>
       simhash(docs(s, d).withColumn("toks", expr(toksExpr)))
         .orderBy("doc_id")
     },
 
     // SimHash near-pairs via 16-bit block LSH, hamming <= 6.
-    Q.noOracle("t05_simhash_pairs",
+    Q.golden("t05_simhash_pairs",
+      Seq("a_id", "b_id", "hamming"), "hamming, a_id, b_id",
       "SimHash near-dup pairs: 4x16-bit block join + hamming filter") { (s, d) =>
       val sh = simhash(docs(s, d).withColumn("toks", expr(toksExpr)))
       val blocked = sh.select(col("doc_id"), col("simhash"),
@@ -389,9 +392,10 @@ object TextOps {
     },
 
     // Document fingerprinting via native codegen'd Catalyst expressions
-    // (PolyHash64 / WinnowFingerprint — see graft.functions). Rows-only
-    // check here; algebraic properties are covered by TextExprSpec.
-    Q.noOracle("t10_fingerprint",
+    // (PolyHash64 / WinnowFingerprint — see graft.functions). Golden-
+    // pinned; algebraic properties are covered by TextExprSpec.
+    Q.golden("t10_fingerprint",
+      Seq("doc_id", "content_hash", "winnow_fp"), "doc_id",
       "64-bit content hash + winnowing fingerprint per doc (custom exprs)") { (s, d) =>
       import graft.functions.TextFunctions._
       docs(s, d).select(

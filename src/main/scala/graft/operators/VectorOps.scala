@@ -102,9 +102,12 @@ object VectorOps {
     // re-bucketing the corpus per run. Queries are bucketed on the fly
     // (20 rows) and multi-probe every bucket at hamming distance 1
     // (7 probes for 6 planes): recall rises steeply, corpus-side work is
-    // one narrow join. (Rows-only; recall vs brute force and
-    // index-staleness semantics are property-tested in VectorOpsSpec.)
-    Q.noOracle("v02_ann_lsh",
+    // one narrow join. (Golden-pinned — seeded hyperplanes + per-row FP
+    // with unique tiebreaks are bit-stable across partitionings; recall
+    // vs brute force and index-staleness semantics are property-tested
+    // in VectorOpsSpec.)
+    Q.golden("v02_ann_lsh",
+      Seq("q_id", "rn", "n_id", "cos"), "q_id, rn",
       "approximate top-5 via persisted multi-probe sign-LSH index") { (s, d) =>
       val dir = new org.apache.hadoop.fs.Path(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -314,7 +317,8 @@ object VectorOps {
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this
     // synthetic corpus; a real near-dup pipeline would use ~0.95+.)
-    Q.noOracle("v03_embedding_near_dup",
+    Q.golden("v03_embedding_near_dup",
+      Seq("a_id", "b_id", "cos"), "a_id, b_id",
       "high-similarity vector pairs (cos >= 0.35) within LSH buckets") { (s, d) =>
       val bucketed = withLshBucket(emb(s, d), "embedding")
       val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),

@@ -21,4 +21,25 @@ object Q {
   def noOracle(name: String, doc: String)(
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None, doc)
+
+  /** Directory holding the committed golden-oracle parquet files
+    * (generated once by [[graft.GoldenGen]], pinned in git). */
+  val GoldenDir = "/root/repo/golden"
+
+  /** A query whose semantics are deterministic but not ANSI-SQL-
+    * expressible: the oracle reads the committed golden parquet slice
+    * for the gate's scale factor (`sf_key` = count(lineitem) at that
+    * sf). At an unknown sf the slice is empty while the Spark side is
+    * not, so the gate fails loudly rather than passing vacuously.
+    * Only queries whose output is bit-stable across partitionings may
+    * use this (integer hashing / per-row FP with unique sort keys);
+    * anything with cross-row FP accumulation (e.g. k-means training)
+    * must stay [[noOracle]]. */
+  def golden(name: String, cols: Seq[String], orderBy: String, doc: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(
+      s"SELECT ${cols.mkString(", ")} " +
+        s"FROM read_parquet('$GoldenDir/$name.parquet') " +
+        "WHERE sf_key = (SELECT count(*) FROM lineitem) " +
+        s"ORDER BY $orderBy"), doc)
 }
