@@ -272,8 +272,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = fs.listStatus(dir).isEmpty
     if (!empty && !cascade) throw new IllegalStateException(
       s"namespace ${namespace.mkString(".")} is not empty")
+    // Purge every table under the namespace from the manifest cache
+    // BEFORE deleting, exactly as dropTable does: within the TTL a
+    // dropped table would otherwise still appear to exist, and a table
+    // re-created at the same path could serve the previous generation's
+    // pinned time-travel manifests.
+    purgeTablesUnder(dir)
     fs.delete(dir, true)
   }
+
+  private def purgeTablesUnder(dir: Path): Unit =
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) {
+        if (st.getPath.getName.endsWith(".graft"))
+          graft.format.ManifestCache.purge(fs, st.getPath)
+        else purgeTablesUnder(st.getPath)
+      }
+    }
 }
 
 object GraftCatalog {

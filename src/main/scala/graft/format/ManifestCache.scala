@@ -46,6 +46,17 @@ object ManifestCache {
 
   private val entries = TrieMap.empty[String, Entry]
 
+  // Per-table invalidation generation. latest() snapshots it BEFORE its
+  // FS reads and only caches the result if no invalidateLatest/purge
+  // landed in between — otherwise a local commit racing the read could
+  // reinstate the pre-commit manifest with a fresh checkedAtMs and
+  // same-process readers would see it for a full TTL. Entries are never
+  // removed (a purge-then-recreate reset could revive a stale snapshot
+  // of the same generation number); one counter per table path is tiny.
+  private val gens = TrieMap.empty[String, AtomicLong]
+  private def gen(k: String): AtomicLong =
+    gens.getOrElseUpdate(k, new AtomicLong)
+
   // LRU of immutable (table@version) manifests; access-ordered.
   private val PinnedCap = 256
   private val pinned =
@@ -65,10 +76,14 @@ object ManifestCache {
   private def key(fs: FileSystem, table: Path): String =
     fs.makeQualified(table).toUri.toString.stripSuffix("/")
 
-  /** Session TTL: `spark.graft.manifest.cache.ttl.ms` if a session is
-    * active, else the default. */
+  /** Session TTL: `spark.graft.manifest.cache.ttl.ms` from the active
+    * session, else the default session — planning/async thread pools
+    * have no active session, and falling straight through to the default
+    * would silently ignore a configured TTL (including ttl=-1 = cache
+    * disabled) on those threads — else [[DefaultTtlMs]]. */
   def sessionTtlMs: Long =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.conf.get("spark.graft.manifest.cache.ttl.ms",
         DefaultTtlMs.toString).toLong)
       .getOrElse(DefaultTtlMs)
@@ -85,6 +100,7 @@ object ManifestCache {
         hits.incrementAndGet()
         Some(e.manifest)
       case cached =>
+        val g = gen(k).get()
         GraftFormat.latestVersion(fs, table) match {
           case None =>
             entries.remove(k)
@@ -93,12 +109,13 @@ object ManifestCache {
             cached match {
               case Some(e) if e.version == v =>
                 revalidations.incrementAndGet()
-                entries.put(k, e.copy(checkedAtMs = now))
+                if (gen(k).get() == g)
+                  entries.put(k, e.copy(checkedAtMs = now))
                 Some(e.manifest)
               case _ =>
                 misses.incrementAndGet()
                 val m = GraftFormat.readManifest(fs, table, v)
-                entries.put(k, Entry(v, m, now))
+                if (gen(k).get() == g) entries.put(k, Entry(v, m, now))
                 Some(m)
             }
         }
@@ -125,14 +142,18 @@ object ManifestCache {
 
   /** A new version landed locally: drop the latest-tier entry (next load
     * re-reads). Pinned entries stay — committed versions are immutable. */
-  def invalidateLatest(fs: FileSystem, table: Path): Unit =
-    entries.remove(key(fs, table))
+  def invalidateLatest(fs: FileSystem, table: Path): Unit = {
+    val k = key(fs, table)
+    gen(k).incrementAndGet()
+    entries.remove(k)
+  }
 
   /** The table was dropped, replaced, or vacuumed: purge everything for
     * the path, including pinned versions (a re-created table at the same
     * path must not serve the previous generation's manifests). */
   def purge(fs: FileSystem, table: Path): Unit = {
     val k = key(fs, table)
+    gen(k).incrementAndGet()
     entries.remove(k)
     pinned.synchronized {
       val it = pinned.keySet().iterator()

@@ -126,6 +126,79 @@ class ManifestCacheSpec extends AnyFunSuite {
       "repeated VERSION AS OF must hit the pinned cache")
   }
 
+  test("a commit racing latest() cannot reinstate the pre-commit manifest") {
+    setup(ttlMs = 3600000)
+    freshTable("t8")
+    val dir = tdir("t8")
+    ManifestCache.invalidateLatest(fs, dir) // start cold
+    // A FileSystem whose _versions listing triggers a concurrent commit +
+    // invalidation exactly inside latest()'s window between its version
+    // listing and its entries.put — the TOCTOU the generation counter
+    // guards against.
+    var fired = false
+    val racingFs = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+        val r = super.listStatus(p)
+        if (!fired && p.toString.endsWith("_versions")) {
+          fired = true
+          val latest = GraftFormat.readLatest(fs, dir).get
+          val next = latest.copy(version = latest.version + 1,
+            fragments = Seq.empty, operation = "Overwrite",
+            createdAtMs = System.currentTimeMillis())
+          val vp = new Path(new Path(dir, "_versions"),
+            s"${next.version}.manifest.json")
+          val out = fs.create(vp, false)
+          try out.write(GraftFormat.toJson(next).getBytes("UTF-8"))
+          finally out.close()
+          ManifestCache.invalidateLatest(fs, dir)
+        }
+        r
+      }
+    }
+    val seen = ManifestCache.latest(racingFs, dir, ttlMs = 3600000).get
+    assert(fired, "race hook did not fire")
+    // the in-flight read may legitimately return the pre-commit manifest,
+    // but it must NOT be cached: the next load within the TTL must see
+    // the racing commit's version
+    val after = ManifestCache.latest(fs, dir, ttlMs = 3600000).get
+    assert(after.version == seen.version + 1,
+      "stale manifest was reinstated after a racing commit")
+  }
+
+  test("DROP NAMESPACE CASCADE purges cached tables like dropTable") {
+    setup(ttlMs = 3600000)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mc.db2")
+    spark.sql("CREATE TABLE mc.db2.c1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mc.db2.c1 VALUES (1, 'a')")
+    // warm both tiers: latest via a plain read, pinned via time travel
+    assert(spark.table("mc.db2.c1").count() == 1)
+    spark.sql("SELECT * FROM mc.db2.c1 VERSION AS OF 1").count()
+    spark.sql("DROP NAMESPACE mc.db2 CASCADE")
+    spark.sql("CREATE NAMESPACE mc.db2")
+    spark.sql("CREATE TABLE mc.db2.c1 (x DOUBLE)")
+    assert(spark.table("mc.db2.c1").columns.toSeq == Seq("x"),
+      "latest tier served the dropped generation")
+    assert(spark.sql("SELECT * FROM mc.db2.c1 VERSION AS OF 1")
+      .columns.toSeq == Seq("x"),
+      "pinned tier served the dropped generation's manifest")
+  }
+
+  test("session TTL is honored on threads without an active session") {
+    setup(ttlMs = 1000)
+    spark.conf.set("spark.graft.manifest.cache.ttl.ms", "-1")
+    try {
+      @volatile var got = 0L
+      val t = new Thread(() => {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        got = ManifestCache.sessionTtlMs
+      })
+      t.start(); t.join()
+      assert(got == -1L,
+        "configured TTL ignored on a thread with no active session")
+    } finally
+      spark.conf.set("spark.graft.manifest.cache.ttl.ms", "1000")
+  }
+
   test("vacuum purges pinned entries for dropped versions") {
     setup(ttlMs = 60000)
     freshTable("t7")
