@@ -61,11 +61,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val dir = tableDir(Identifier.of(parts.init, parts.last))
       if (!GraftFormat.exists(fs, dir))
         throw new NoSuchTableException(Identifier.of(parts.init, parts.last))
-      dir
+      (dir, conf)
     })
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.identifiers
+    GraftProcedures.list(namespace)
 
   /** FunctionCatalog: exposes the graft `bucket` function so Spark can
     * resolve the `bucket(n, col)` transform reported by bucketized

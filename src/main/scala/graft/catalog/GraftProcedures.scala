@@ -2,6 +2,7 @@ package graft.catalog
 
 import java.util.{Iterator => JIterator}
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -37,8 +38,17 @@ object GraftProcedures {
       .map(Identifier.of(Array("system"), _))
 
   /** `resolve` maps a dotted table name to its directory within the
-    * owning catalog. */
-  def load(ident: Identifier, resolve: String => Path): UnboundProcedure =
+    * owning catalog, plus the Configuration that catalog uses for the
+    * table's FileSystem (vended storage credentials included — the
+    * maintenance job must act under the same identity as scans/writes).
+    * Procedures live ONLY under the `system` namespace, like the other
+    * lakehouse catalogs' CALL surfaces. */
+  def load(ident: Identifier, resolve: String => (Path, Configuration))
+      : UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"procedure not found: ${ident.namespace().mkString(".")}.${ident.name()}; " +
+          "procedures live under the 'system' namespace")
     ident.name().toLowerCase match {
       case "compact" => new Compact(resolve)
       case "vacuum" => new Vacuum(resolve)
@@ -48,6 +58,15 @@ object GraftProcedures {
         s"procedure not found: ${ident.namespace().mkString(".")}.${ident.name()}; " +
           s"available: ${identifiers.map(_.name()).mkString(", ")}")
     }
+  }
+
+  /** listProcedures honoring its namespace argument: the catalog's
+    * procedures exist under `system` only (an empty namespace lists
+    * everything, Spark's SHOW PROCEDURES default). */
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      identifiers
+    else Array.empty
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -78,7 +97,7 @@ object GraftProcedures {
     }
   }
 
-  private final class Compact(resolve: String => Path) extends MaintenanceProcedure(
+  private final class Compact(resolve: String => (Path, Configuration)) extends MaintenanceProcedure(
     "compact",
     Array(in("table", StringType),
       inDefault("min_rows", LongType, "1000000"),
@@ -86,15 +105,16 @@ object GraftProcedures {
       inDefault("sort_by", StringType, "''")),
     StructType(Seq(StructField("fragments_compacted", IntegerType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
-      val dir = resolve(in.getUTF8String(0).toString)
+      val (dir, conf) = resolve(in.getUTF8String(0).toString)
       val sortBy = in.getUTF8String(3).toString.split(',')
         .map(_.trim).filter(_.nonEmpty).toSeq
-      val n = Maintenance.compact(spark, dir, in.getLong(1), in.getBoolean(2), sortBy)
+      val n = Maintenance.compact(spark, dir, in.getLong(1), in.getBoolean(2),
+        sortBy, conf)
       Array(new GenericInternalRow(Array[Any](n)))
     }
   }
 
-  private final class Vacuum(resolve: String => Path) extends MaintenanceProcedure(
+  private final class Vacuum(resolve: String => (Path, Configuration)) extends MaintenanceProcedure(
     "vacuum",
     Array(in("table", StringType),
       inDefault("keep_versions", IntegerType, "10"),
@@ -103,14 +123,14 @@ object GraftProcedures {
       StructField("versions_dropped", IntegerType, nullable = false),
       StructField("files_deleted", IntegerType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
-      val dir = resolve(in.getUTF8String(0).toString)
+      val (dir, conf) = resolve(in.getUTF8String(0).toString)
       val (dropped, deleted) =
-        Maintenance.vacuum(spark, dir, in.getInt(1), in.getLong(2))
+        Maintenance.vacuum(spark, dir, in.getInt(1), in.getLong(2), conf)
       Array(new GenericInternalRow(Array[Any](dropped, deleted)))
     }
   }
 
-  private final class History(resolve: String => Path) extends MaintenanceProcedure(
+  private final class History(resolve: String => (Path, Configuration)) extends MaintenanceProcedure(
     "history",
     Array(in("table", StringType)),
     StructType(Seq(
@@ -121,8 +141,8 @@ object GraftProcedures {
       StructField("live_rows", LongType, nullable = false),
       StructField("deleted_rows", LongType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
-      val dir = resolve(in.getUTF8String(0).toString)
-      Maintenance.history(spark, dir).collect().map { r =>
+      val (dir, conf) = resolve(in.getUTF8String(0).toString)
+      Maintenance.history(spark, dir, conf).collect().map { r =>
         new GenericInternalRow(Array[Any](
           r.getLong(0), utf8(r.getString(1)),
           r.getTimestamp(2).getTime * 1000L,
@@ -131,15 +151,15 @@ object GraftProcedures {
     }
   }
 
-  private final class Bucketize(resolve: String => Path) extends MaintenanceProcedure(
+  private final class Bucketize(resolve: String => (Path, Configuration)) extends MaintenanceProcedure(
     "bucketize",
     Array(in("table", StringType), in("column", StringType),
       in("n_buckets", IntegerType)),
     StructType(Seq(StructField("fragments_written", IntegerType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
-      val dir = resolve(in.getUTF8String(0).toString)
+      val (dir, conf) = resolve(in.getUTF8String(0).toString)
       val n = Maintenance.bucketize(spark, dir,
-        in.getUTF8String(1).toString, in.getInt(2))
+        in.getUTF8String(1).toString, in.getInt(2), conf)
       Array(new GenericInternalRow(Array[Any](n)))
     }
   }

@@ -59,11 +59,16 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       val parts = dotted.split('.')
       require(parts.length >= 2, s"expected <namespace>.<table>, got '$dotted'")
       val id = Identifier.of(parts.init, parts.last)
-      lookupLocation(id).getOrElse(throw new NoSuchTableException(id))
+      // DescribeTable vends the table's location AND its scoped storage
+      // credentials — maintenance must run under the same identity as
+      // scans/writes, not the bare session conf
+      val (dir, vended) = describeTable(id)
+        .getOrElse(throw new NoSuchTableException(id))
+      (dir, tableConf(vended))
     })
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.identifiers
+    GraftProcedures.list(namespace)
 
   private var catalogName: String = _
   private var baseUri: String = _
@@ -115,9 +120,23 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   private final class CredentialSource(ident: Identifier,
       initial: Map[String, String]) {
     @volatile private var cached = initial
+    // A token whose TTL never leaves the refresh window (expires_at -
+    // now <= RefreshWindowMs for its whole life) would otherwise turn
+    // EVERY conf access into a blocking DescribeTable round trip; bound
+    // re-resolution like the reference caches until near expiry.
+    @volatile private var lastAttemptMs = 0L
+    private def minRetryMs: Long =
+      SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .flatMap(_.conf.getOption("spark.graft.credential.refresh.retry.ms"))
+        .map(_.toLong).getOrElse(30 * 1000L)
     def current(): Configuration = {
-      if (expiring(cached)) describeTable(ident).foreach {
-        case (_, vended) => cached = vended
+      if (expiring(cached)) {
+        val now = System.currentTimeMillis()
+        if (now - lastAttemptMs >= minRetryMs) {
+          lastAttemptMs = now
+          describeTable(ident).foreach { case (_, vended) => cached = vended }
+        }
       }
       tableConf(cached)
     }
@@ -212,7 +231,12 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val (code, body) = request("GET",
       s"/v1/namespaces/${nsKey(namespace)}/tables", None)
-    if (code == 404) throw new NoSuchNamespaceException(namespace)
+    if (code == 404) {
+      // implicit ancestor (proper prefix of a stored name): no tables of
+      // its own, but it IS a namespace — don't throw
+      if (namespaceExists(namespace)) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     jsonStrings(body, "tables").map(Identifier.of(namespace, _)).toArray
   }
 
@@ -367,16 +391,23 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    // direct children of the parent
+    // direct children of the parent, including IMPLICIT ones: a stored
+    // "a$b$c" contributes child ["a","b"] under parent ["a"] even when
+    // "a$b" itself was never stored
     allNamespaces()
-      .filter(ns => ns.length == namespace.length + 1 &&
-        ns.startsWith(namespace))
+      .filter(ns => ns.length > namespace.length && ns.startsWith(namespace))
+      .map(ns => ns.take(namespace.length + 1).toSeq)
+      .distinct
       .map(_.toArray).toArray
   }
 
+  /** A namespace exists if it is stored exactly OR is a proper prefix of
+    * a stored `$`-joined name — the hierarchy the catalog itself surfaces
+    * via [[listNamespaces]] must be navigable (`SHOW TABLES IN a` cannot
+    * throw for an `a` that `SHOW NAMESPACES` just listed). */
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.nonEmpty &&
-      allNamespaces().exists(_.sameElements(namespace))
+    namespace.nonEmpty && allNamespaces().exists(ns =>
+      ns.length >= namespace.length && ns.startsWith(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -397,12 +428,18 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
     val children = listNamespaces(namespace)
+    // capture BEFORE any cascade: an implicit ancestor ceases to exist
+    // the moment its last stored descendant is dropped
+    val tables = listTables(namespace)
     if (cascade) {
       children.foreach(dropNamespace(_, cascade = true))
-      listTables(namespace).foreach(dropTable)
-    } else if (listTables(namespace).nonEmpty || children.nonEmpty)
+      tables.foreach(dropTable)
+    } else if (tables.nonEmpty || children.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
+    // an implicit ancestor has no stored entry to DELETE — once its
+    // stored descendants are gone (cascade above) it ceases to exist
+    if (!allNamespaces().exists(_.sameElements(namespace))) return true
     val (code, _) = request("DELETE", s"/v1/namespaces/${nsKey(namespace)}", None)
     code == 200
   }

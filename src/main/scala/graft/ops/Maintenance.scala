@@ -2,6 +2,7 @@ package graft.ops
 
 import java.util.UUID
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -28,6 +29,14 @@ import graft.format.GraftFormat.{FragmentMeta, Manifest}
   */
 object Maintenance {
 
+  /** Callers that resolved a table through a catalog (the `CALL`
+    * procedures) pass that catalog's per-table Configuration — vended
+    * storage credentials included — so maintenance uses the same
+    * FileSystem identity as every scan/write of the table. Bare-session
+    * fallback only when no catalog conf is supplied. */
+  private def resolvedConf(spark: SparkSession, c: Configuration): Configuration =
+    Option(c).getOrElse(spark.sessionState.newHadoopConf())
+
   /** Compact fragments with fewer than `minRows` live rows (or with any
     * deletions when `foldDeletes`). Returns number of fragments
     * compacted.
@@ -42,8 +51,9 @@ object Maintenance {
       dir: Path,
       minRows: Long = 1000000L,
       foldDeletes: Boolean = true,
-      sortBy: Seq[String] = Seq.empty): Int = {
-    val conf = spark.sessionState.newHadoopConf()
+      sortBy: Seq[String] = Seq.empty,
+      hadoopConf: Configuration = null): Int = {
+    val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val manifest = GraftFormat.readLatest(fs, qualDir).getOrElse(
@@ -168,9 +178,9 @@ object Maintenance {
     * pairs); any commit adding fragments outside this rewrite drops the
     * claim. Requires an integral bucket column. Returns nBuckets. */
   def bucketize(spark: SparkSession, dir: Path, column: String,
-      nBuckets: Int): Int = {
+      nBuckets: Int, hadoopConf: Configuration = null): Int = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val manifest = GraftFormat.readLatest(fs, qualDir).getOrElse(
@@ -243,8 +253,9 @@ object Maintenance {
     * manifest version — version, operation, commit time, fragment/row
     * counts. Driver-side manifest reads only (O(versions) small JSON
     * files, no data I/O). */
-  def history(spark: SparkSession, dir: Path): org.apache.spark.sql.DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
+  def history(spark: SparkSession, dir: Path,
+      hadoopConf: Configuration = null): org.apache.spark.sql.DataFrame = {
+    val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     import spark.implicits._
@@ -266,9 +277,9 @@ object Maintenance {
     * to a recent snapshot keep working while old history ages out).
     * Returns (versionsDropped, filesDeleted). */
   def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10,
-      olderThanMs: Long = 0L): (Int, Int) = {
+      olderThanMs: Long = 0L, hadoopConf: Configuration = null): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val versions = GraftFormat.listVersions(fs, qualDir)

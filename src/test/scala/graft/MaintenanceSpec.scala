@@ -280,5 +280,11 @@ class MaintenanceSpec extends AnyFunSuite {
     // unknown procedure fails cleanly
     val e = intercept[Exception](spark.sql("CALL mt.system.nope('db.sq')"))
     assert(e.getMessage.toLowerCase.contains("routine"), e.getMessage)
+
+    // procedures resolve ONLY under the system namespace
+    val e2 = intercept[Exception](
+      spark.sql("CALL mt.anything.compact(`table` => 'db.sq')"))
+    assert(e2.getMessage.toLowerCase.contains("routine")
+      || e2.getMessage.contains("system"), e2.getMessage)
   }
 }

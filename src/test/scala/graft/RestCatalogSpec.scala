@@ -72,7 +72,9 @@ object FakeNamespaceService {
                 s""","graft.test.token":"tok-$n","expires_at":"$e"""")
                 .getOrElse("")
               reply(x, 200,
-                s"""{"location":"$loc","storage":{"graft.test.vended":"yes-$t"$extra}}""")
+                s"""{"location":"$loc","storage":{"graft.test.vended":"yes-$t",""" +
+                  """"fs.graftmock.impl":"graft.MockCredsFs",""" +
+                  s""""fs.graftmock.impl.disable.cache":"true"$extra}}""")
           }
         case ("POST", ns :: "tables" :: t :: Nil) =>
           store.get(ns) match {
@@ -210,13 +212,23 @@ class RestCatalogSpec extends AnyFunSuite {
       // the reserved expiry key never reaches the Hadoop conf
       assert(t1.conf.get("expires_at") == null)
       // STS-style short-lived token (inside the window from the start):
-      // every plan-time conf read re-resolves to the freshest credential
+      // re-resolves near expiry but NOT on every access — a token whose
+      // TTL never leaves the window must not turn each conf read into a
+      // blocking DescribeTable round trip (refresh thrash)
       FakeNamespaceService.vendExpiresAtMs =
         Some(System.currentTimeMillis() + 60 * 1000L)
       val t2 = cat.loadTable(ident).asInstanceOf[graft.connector.GraftTable]
       val tok1 = t2.conf.get("graft.test.token")
       val tok2 = t2.conf.get("graft.test.token")
-      assert(tok1 != tok2, "expiring credentials were not re-resolved")
+      assert(tok1 == tok2,
+        "expiring credentials re-resolved on every access (refresh thrash)")
+      // once the retry throttle lapses (forced to 0 here), the next
+      // access re-resolves to the freshest credential
+      spark.conf.set("spark.graft.credential.refresh.retry.ms", "0")
+      try {
+        val tok3 = t2.conf.get("graft.test.token")
+        assert(tok3 != tok2, "expiring credentials were not re-resolved")
+      } finally spark.conf.unset("spark.graft.credential.refresh.retry.ms")
       // reads still work through a re-resolve
       assert(spark.table("rc.db.exp").count() == 1)
     } finally {
@@ -260,4 +272,59 @@ class RestCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("already exists"))
   }
+
+  test("implicit namespace ancestors: a listed parent is navigable") {
+    ready
+    // store ONLY the leaf: "anc$leaf" exists, "anc" has no stored entry
+    spark.sql("CREATE NAMESPACE rc.anc.leaf")
+    val top = spark.sql("SHOW NAMESPACES IN rc").collect().map(_.getString(0))
+    assert(top.contains("anc"), top.mkString(","))
+    // the hierarchy the catalog lists must not throw when navigated:
+    // SHOW TABLES / DESCRIBE / SHOW NAMESPACES against the implicit parent
+    assert(spark.sql("SHOW TABLES IN rc.anc").collect().isEmpty)
+    spark.sql("DESCRIBE NAMESPACE rc.anc")
+    val kids = spark.sql("SHOW NAMESPACES IN rc.anc").collect()
+      .map(_.getString(0))
+    assert(kids.sameElements(Array("anc.leaf")), kids.mkString(","))
+    // deep implicit ancestors too: only "a$b$c" stored -> ["a","b"] is a
+    // child of ["a"] and itself navigable
+    spark.sql("CREATE NAMESPACE rc.a.b.c")
+    assert(spark.sql("SHOW NAMESPACES IN rc.a").collect()
+      .map(_.getString(0)).sameElements(Array("a.b")))
+    assert(spark.sql("SHOW TABLES IN rc.a.b").collect().isEmpty)
+    // cascade-drop of an implicit ancestor removes its stored descendants
+    spark.sql("DROP NAMESPACE rc.anc CASCADE")
+    spark.sql("DROP NAMESPACE rc.a CASCADE")
+    val after = spark.sql("SHOW NAMESPACES IN rc").collect().map(_.getString(0))
+    assert(!after.contains("anc") && !after.contains("a"), after.mkString(","))
+  }
+
+  test("maintenance procedures run under the catalog's vended table conf") {
+    ready
+    // a graft table on a scheme whose FileSystem impl arrives ONLY via
+    // DescribeTable's vended storage options — a maintenance call built
+    // from the bare session conf cannot even resolve the FileSystem
+    val local = Files.createTempDirectory("graft-vendfs")
+    val dir = new org.apache.hadoop.fs.Path(local.toString, "vt.graft")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    graft.connector.GraftWriter.write(fs, fs.makeQualified(dir),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    FakeNamespaceService.store("db").put("vt",
+      "graftmock:" + fs.makeQualified(dir).toUri.getPath)
+    try {
+      val h = spark.sql("CALL rc.system.history('db.vt')").collect()
+      assert(h.length == 1 && h.head.getLong(4) == 2,
+        h.map(_.toString).mkString(","))
+    } finally FakeNamespaceService.store("db").remove("vt")
+  }
+}
+
+/** A RawLocalFileSystem under scheme `graftmock:` — registered ONLY via
+  * the fake service's vended `fs.graftmock.impl` storage option, so any
+  * code path that drops the vended per-table configuration fails with
+  * "No FileSystem for scheme" instead of silently using default creds. */
+class MockCredsFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftmock"
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
 }
