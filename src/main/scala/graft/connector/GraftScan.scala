@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, BoundReference, Exp
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
 
@@ -39,6 +39,7 @@ class GraftScanBuilder(table: GraftTable,
   private var required: StructType = table.dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var limitFromEnd: Boolean = false
   private var aggs: Seq[PushedAgg] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -66,10 +67,13 @@ class GraftScanBuilder(table: GraftTable,
     * (a) rows ascending within each fragment and (b) fragments in
     * ascending range order (range-partitioned rewrite adopted in
     * part-file order), so `ORDER BY <sort prefix> LIMIT n` needs only
-    * the fragment prefix covering n live rows. Partial pushdown: Spark
+    * the fragment prefix covering n live rows. A fully REVERSED prefix
+    * (every key DESC NULLS LAST) is the mirror image: ascending NULLS
+    * FIRST order means the global top-n is exactly the LAST n live rows,
+    * so only the fragment suffix is planned. Partial pushdown: Spark
     * keeps the global sort above, the scan just stops planning/reading
-    * past the prefix. Declined with filters (first-n-scanned is not
-    * first-n-matching), aggregates, or any non-ascending ordering. */
+    * past the prefix/suffix. Declined with filters (first-n-scanned is
+    * not first-n-matching), aggregates, or mixed directions. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
@@ -79,17 +83,25 @@ class GraftScanBuilder(table: GraftTable,
       case Some(csv) => csv.split(',').toSeq
       case None => return false
     }
+    val ascending = orders.head.direction == SortDirection.ASCENDING
     val names = orders.toSeq.map { o =>
-      if (o.direction != SortDirection.ASCENDING ||
-        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      val directionOk =
+        if (ascending)
+          o.direction == SortDirection.ASCENDING &&
+            o.nullOrdering == NullOrdering.NULLS_FIRST
+        else
+          o.direction == SortDirection.DESCENDING &&
+            o.nullOrdering == NullOrdering.NULLS_LAST
+      if (!directionOk) return false
       o.expression match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
           nr.fieldNames()(0)
         case _ => return false
       }
     }
-    if (names == sortBy.take(names.length)) { limit = Some(n); true }
-    else false
+    if (names == sortBy.take(names.length)) {
+      limit = Some(n); limitFromEnd = !ascending; true
+    } else false
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -142,7 +154,7 @@ class GraftScanBuilder(table: GraftTable,
   }
 
   override def build(): Scan =
-    new GraftScan(table, required, pushed, limit, aggs, options)
+    new GraftScan(table, required, pushed, limit, aggs, options, limitFromEnd)
 }
 
 // Custom metric classes must be TOP-LEVEL with zero-arg constructors:
@@ -187,7 +199,8 @@ class GraftScan(
     pushed: Array[Filter],
     limit: Option[Int],
     aggs: Seq[PushedAgg],
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    limitFromEnd: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportOrdering
   with SupportsReportPartitioning {
@@ -336,6 +349,7 @@ class GraftScan(
     s"GraftScan(table=${table.name()}, version=${table.manifest.version}, " +
       s"fragments=${table.manifest.fragments.size}, " +
       s"pushedFilters=[${pushed.mkString(", ")}], limit=$limit, " +
+      (if (limitFromEnd) "fromEnd=true, " else "") +
       s"pushedAggregates=[${aggs.mkString(", ")}], " +
       s"readSchema=${readSchema().catalogString})"
 
@@ -369,13 +383,14 @@ class GraftScan(
     * set further). No index at this exact version -> no-op. */
   private def scalarIndexPrune(frags: Seq[FragmentMeta]): Seq[FragmentMeta] = {
     import graft.ops.ScalarIndex
-    val eligible: Seq[(String, Seq[Any])] =
+    val equality: Seq[(String, Seq[Any])] =
       (pushed ++ runtimeFilters).toSeq.collect {
         case EqualTo(a, v) if v != null => a -> Seq(v)
         case EqualNullSafe(a, v) if v != null => a -> Seq(v)
         case In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
           a -> vs.toSeq
       }
+    val eligible = equality ++ rangeEnumerations
     if (eligible.isEmpty) return frags
     val schema = table.dataSchema
     eligible.foldLeft(frags) { case (acc, (c, values)) =>
@@ -388,6 +403,55 @@ class GraftScan(
             case None => acc
           }
         case None => acc
+      }
+    }
+  }
+
+  /** Range predicates over INTEGRAL domains as value enumerations: a
+    * bounded BETWEEN on an integral column contains exactly the integers
+    * in [lo, hi], so the `=`/`IN` posting index answers it value-exactly
+    * (the btree-range leg the hash layout cannot serve directly). Spans
+    * above ScalarIndex.MaxLookupValues, open ranges, and non-integral
+    * types fall back to zone maps — which already prune coarse ranges. */
+  private def rangeEnumerations: Seq[(String, Seq[Any])] = {
+    import graft.ops.ScalarIndex
+    def long(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+    def narrow(c: String, l: Long): Option[Any] =
+      table.dataSchema.fields.find(_.name == c).map(_.dataType).collect {
+        case org.apache.spark.sql.types.ByteType if l.isValidByte => l.toByte
+        case org.apache.spark.sql.types.ShortType if l.isValidShort => l.toShort
+        case org.apache.spark.sql.types.IntegerType if l.isValidInt => l.toInt
+        case org.apache.spark.sql.types.LongType => l
+      }
+    // tightest [lo, hi] per column across all pushed inequalities
+    val lows = collection.mutable.HashMap.empty[String, Long]
+    val highs = collection.mutable.HashMap.empty[String, Long]
+    def bound(m: collection.mutable.HashMap[String, Long], c: String,
+        v: Long, tighter: (Long, Long) => Long): Unit =
+      m.update(c, m.get(c).fold(v)(tighter(_, v)))
+    (pushed ++ runtimeFilters).foreach {
+      case GreaterThan(a, v) => long(v).foreach(l =>
+        if (l < Long.MaxValue) bound(lows, a, l + 1, math.max))
+      case GreaterThanOrEqual(a, v) => long(v).foreach(
+        bound(lows, a, _, math.max))
+      case LessThan(a, v) => long(v).foreach(l =>
+        if (l > Long.MinValue) bound(highs, a, l - 1, math.min))
+      case LessThanOrEqual(a, v) => long(v).foreach(
+        bound(highs, a, _, math.min))
+      case _ => ()
+    }
+    lows.keySet.intersect(highs.keySet).toSeq.flatMap { c =>
+      val (lo, hi) = (lows(c), highs(c))
+      if (hi < lo || hi - lo >= ScalarIndex.MaxLookupValues) None
+      else {
+        val vs = (lo to hi).flatMap(narrow(c, _))
+        if (vs.size == (hi - lo + 1)) Some(c -> (vs: Seq[Any])) else None
       }
     }
   }
@@ -438,15 +502,18 @@ class GraftScan(
     val frags = scalarIndexPrune(zoneFrags)
     // limit + no filter -> plan only the fragment prefix covering the
     // limit in deletion-aware live rows (>= 1 fragment), mirroring the
-    // reference's split coalescing (LanceSplitManager.java:100-112)
+    // reference's split coalescing (LanceSplitManager.java:100-112);
+    // a DESC TopN plans the SUFFIX instead (ascending storage order
+    // puts the top-n at the tail)
     val planned: Seq[FragmentMeta] = limit match {
       case Some(l) if pushed.isEmpty && frags.nonEmpty =>
-        val acc = frags.scanLeft(0L)(_ + _.liveRows).tail
+        val ordered = if (limitFromEnd) frags.reverse else frags
+        val acc = ordered.scanLeft(0L)(_ + _.liveRows).tail
         val keep = acc.indexWhere(_ >= l) match {
           case -1 => frags.size
           case i => i + 1
         }
-        frags.take(keep)
+        if (limitFromEnd) frags.takeRight(keep) else frags.take(keep)
       case _ => frags
     }
     plannedFragments = planned.size.toLong
@@ -473,8 +540,9 @@ class GraftScan(
           f.deletionPath.map(p => new Path(qualDir, p).toString),
         // reader-side early stop is only safe when no residual filter
         // runs above the scan (Catalyst only pushes the limit then, but
-        // keep the guard local too)
-        limit = limit.filter(_ => pushed.isEmpty))
+        // keep the guard local too), and never for a DESC TopN — the
+        // top rows are at the END of each planned fragment
+        limit = limit.filter(_ => pushed.isEmpty && !limitFromEnd))
       if (size <= maxSplit) Seq(base)
       else (0L until size by maxSplit).map(off =>
         base.copy(start = off, length = math.min(maxSplit, size - off)))

@@ -308,6 +308,40 @@ object FormatQueries {
         .orderBy("c_custkey")
     },
 
+    // Range probe through the same persisted scalar index: a bounded
+    // integral BETWEEN is enumerated into the posting lookups, pruning
+    // value-exact where every fragment's zone map spans the whole key
+    // range (see GraftScan.rangeEnumerations).
+    Q("g14_range_index",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey BETWEEN 701 AND 724
+        |ORDER BY c_custkey""".stripMargin,
+      "bounded BETWEEN through a persisted scalar index stays exact") { (s, d) =>
+      setup(s, d)
+      graft.BenchPhases.timed("g14_range_index.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.cust_ri")
+        val cust = Tables.load(s, d, "customer")
+        cust.createOrReplaceTempView("cust_ri_src")
+        // interleave custkeys across 4 appended fragments (mod 4) so
+        // every fragment's zone map covers the whole key range
+        s.sql("""CREATE TABLE graft.db.cust_ri AS
+                |SELECT * FROM cust_ri_src WHERE c_custkey % 4 = 0""".stripMargin)
+        (1 until 4).foreach { i =>
+          s.sql(s"""INSERT INTO graft.db.cust_ri
+                   |SELECT * FROM cust_ri_src WHERE c_custkey % 4 = $i""".stripMargin)
+        }
+        val dir = new org.apache.hadoop.fs.Path(
+          Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+            "cust_ri.graft").toUri)
+        graft.ops.ScalarIndex.build(s, dir, "c_custkey")
+      }
+      s.table("graft.db.cust_ri")
+        .filter(col("c_custkey") >= 701L && col("c_custkey") <= 724L)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // Schema evolution (extension; the reference's only schema change
     // is CREATE OR REPLACE): ALTER TABLE ADD COLUMN is a metadata-only
     // Evolve commit — pre-evolution fragments null-fill the new column

@@ -109,12 +109,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(planned(topn()) == 1,
       "TopN over the sort prefix must plan only the leading fragment")
     assert(topn().collect().map(_.getLong(0)).toSeq == expected)
-    // guards: descending order, filtered TopN, non-prefix column all
-    // decline (scan everything, stay correct)
+    // descending TopN is the mirror image: plan only the fragment SUFFIX
     val desc = spark.table("mt.db.topn").orderBy(col("k").desc).limit(5)
-    assert(planned(desc) == 4, "descending TopN must not push")
+    assert(planned(desc) == 1, "descending TopN must plan only the tail")
     assert(desc.collect().map(_.getLong(0)).toSeq ==
       Seq(3999L, 3998L, 3997L, 3996L, 3995L))
+    // ... covering n live rows backwards when n spans fragments
+    val descWide = spark.table("mt.db.topn")
+      .orderBy(col("k").desc).limit(1500)
+    assert(planned(descWide) == 2,
+      "DESC TopN spanning fragments must plan the covering suffix")
+    assert(descWide.collect().map(_.getLong(0)).toSeq ==
+      (2500L until 4000L).reverse)
+    // guards: mixed directions, filtered TopN, non-prefix column all
+    // decline (scan everything, stay correct)
+    val mixed = spark.table("mt.db.topn")
+      .orderBy(col("k").desc, col("v").asc).limit(5)
+    assert(planned(mixed) == 4, "mixed-direction TopN must not push")
     val filtered = spark.table("mt.db.topn")
       .filter(col("v") === "v999").orderBy("k").limit(5)
     assert(filtered.count() == 4)

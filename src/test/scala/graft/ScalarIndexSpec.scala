@@ -83,6 +83,32 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(conj.count() == 0)
   }
 
+  test("bounded integral BETWEEN prunes value-exact via enumeration") {
+    wh
+    interleaved("tr")
+    ScalarIndex.build(spark, tablePath("tr"), "k")
+    ScalarIndex.clearCaches()
+    val all = spark.table("si.db.tr")
+    // k in [8, 9]: fragments 0 and 1 hold those values; zone maps alone
+    // keep all 4 (every fragment spans the full range)
+    val between = all.filter(col("k") >= 8L && col("k") <= 9L)
+    assert(plannedPartitions(between) == 2,
+      "narrow BETWEEN must enumerate and plan only holding fragments")
+    assert(between.count() == 2)
+    // strict bounds tighten the enumeration: 8 < k < 11 = {9, 10}
+    val strict = all.filter(col("k") > 8L && col("k") < 11L)
+    assert(plannedPartitions(strict) == 2)
+    assert(strict.collect().map(_.getLong(0)).sorted.toSeq == Seq(9L, 10L))
+    // a range past the data prunes everything
+    val absent = all.filter(col("k") >= 4000L && col("k") <= 4100L)
+    assert(plannedPartitions(absent) == 0, "absent range plans 0 fragments")
+    assert(absent.count() == 0)
+    // spans above MaxLookupValues fall back to zone maps (correct, wide)
+    val wide = all.filter(col("k") >= 0L && col("k") <= 2000L)
+    assert(plannedPartitions(wide) == 4)
+    assert(wide.count() == 2001)
+  }
+
   test("string column index; stale after append (invisible, not wrong)") {
     wh
     spark.sql("DROP TABLE IF EXISTS si.db.t3")
