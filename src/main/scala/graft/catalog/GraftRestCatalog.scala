@@ -1,8 +1,5 @@
 package graft.catalog
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.charset.StandardCharsets.UTF_8
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -17,7 +14,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.connector.GraftTable
-import graft.format.{GraftFormat, JsonParser}
+import graft.format.GraftFormat
 import graft.format.GraftFormat.Manifest
 
 /** REST namespace backend (SURVEY.md S8): table NAMES and LOCATIONS are
@@ -71,10 +68,9 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.list(namespace)
 
   private var catalogName: String = _
-  private var baseUri: String = _
   private var warehouse: Path = _
   private var storageOptions: Map[String, String] = Map.empty
-  @transient private var http: HttpClient = _
+  private var client: NamespaceClient = _
   @transient private var hadoopConf: Configuration = _
 
   private def conf: Configuration = {
@@ -144,45 +140,26 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   private def fs: FileSystem = warehouse.getFileSystem(conf)
 
+  /** Protocol seam: subclasses select the wire client (reference:
+    * `lance.impl` = rest | glue | hive, LanceConfig.java:43-65). */
+  protected def newClient(name: String,
+      options: CaseInsensitiveStringMap): NamespaceClient =
+    new RestNamespaceClient(Option(options.get("uri"))
+      .map(_.stripSuffix("/")).getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires option 'uri'")))
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    baseUri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
-      throw new IllegalArgumentException(s"catalog $name requires option 'uri'"))
     warehouse = new Path(Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse' for new table data")))
     storageOptions = GraftCatalog.hadoopOptions(options)
-    http = HttpClient.newHttpClient()
+    client = newClient(name, options)
   }
 
   override def name(): String = catalogName
 
-  // ------------------------------------------------------------ REST I/O
-
-  private def request(method: String, path: String, body: Option[String])
-      : (Int, String) = {
-    val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
-    val req = (method match {
-      case "GET" => b.GET()
-      case "DELETE" => b.DELETE()
-      case "POST" => b.header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}"), UTF_8))
-    }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
-  }
-
-  private def jsonStrings(body: String, field: String): Seq[String] =
-    new JsonParser(body).parseValue().asInstanceOf[Map[String, Any]]
-      .get(field).map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
-      .getOrElse(Seq.empty)
-
-  private def jsonField(body: String, field: String): Option[String] =
-    new JsonParser(body).parseValue().asInstanceOf[Map[String, Any]]
-      .get(field).collect { case s: String => s }
-
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  // --------------------------------------------------- service calls
 
   /** Multi-level namespaces travel to the service as ONE name with the
     * reference's `$` level delimiter (LanceConfig.java:79 "hive$catalog"
@@ -190,55 +167,39 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     * flat name->tables store; nesting is a client-side view. */
   private def nsKey(namespace: Array[String]): String = {
     if (namespace.isEmpty) throw new NoSuchNamespaceException(namespace)
-    java.net.URLEncoder.encode(namespace.mkString("$"), UTF_8)
+    namespace.mkString("$")
   }
 
   /** DescribeTable: the table's data location + any storage options the
     * service vends for it (e.g. scoped credentials), or None. */
-  private def describeTable(ident: Identifier): Option[(Path, Map[String, String])] = {
-    val (code, body) = request("GET",
-      s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
-        java.net.URLEncoder.encode(ident.name(), UTF_8), None)
-    if (code == 404) None
-    else if (code == 200) jsonField(body, "location").map { loc =>
-      val storage = new JsonParser(body).parseValue()
-        .asInstanceOf[Map[String, Any]].get("storage")
-        .map(_.asInstanceOf[Map[String, Any]].collect {
-          case (k, v: String) => k -> v
-        }).getOrElse(Map.empty[String, String])
-      (new Path(loc), storage)
-    }
-    else throw new IllegalStateException(
-      s"namespace service error $code for $ident: $body")
-  }
+  private def describeTable(ident: Identifier): Option[(Path, Map[String, String])] =
+    client.describeTable(nsKey(ident.namespace()), ident.name())
+      .map { case (loc, storage) => (new Path(loc), storage) }
 
   private def lookupLocation(ident: Identifier): Option[Path] =
     describeTable(ident).map(_._1)
 
-  private def register(ident: Identifier, location: Path): Unit = {
-    val (code, body) = request("POST",
-      s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
-        java.net.URLEncoder.encode(ident.name(), UTF_8),
-      Some(s"""{"location":"${esc(location.toString)}"}"""))
-    if (code == 409) throw new TableAlreadyExistsException(ident)
-    if (code == 404) throw new NoSuchNamespaceException(ident.namespace())
-    if (code != 200) throw new IllegalStateException(
-      s"namespace service error $code registering $ident: $body")
-  }
+  private def register(ident: Identifier, location: Path): Unit =
+    client.registerTable(nsKey(ident.namespace()), ident.name(),
+        location.toString) match {
+      case NamespaceClient.Registered => ()
+      case NamespaceClient.TableExists =>
+        throw new TableAlreadyExistsException(ident)
+      case NamespaceClient.NoSuchNamespace =>
+        throw new NoSuchNamespaceException(ident.namespace())
+    }
 
   // ------------------------------------------------------------- tables
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val (code, body) = request("GET",
-      s"/v1/namespaces/${nsKey(namespace)}/tables", None)
-    if (code == 404) {
-      // implicit ancestor (proper prefix of a stored name): no tables of
-      // its own, but it IS a namespace — don't throw
-      if (namespaceExists(namespace)) return Array.empty
-      throw new NoSuchNamespaceException(namespace)
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    client.listTables(nsKey(namespace)) match {
+      case Some(ts) => ts.map(Identifier.of(namespace, _)).toArray
+      case None =>
+        // implicit ancestor (proper prefix of a stored name): no tables
+        // of its own, but it IS a namespace — don't throw
+        if (namespaceExists(namespace)) Array.empty
+        else throw new NoSuchNamespaceException(namespace)
     }
-    jsonStrings(body, "tables").map(Identifier.of(namespace, _)).toArray
-  }
 
   private def load(ident: Identifier,
       pick: (Path, Configuration) => Option[Manifest]): Table = {
@@ -359,14 +320,11 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     lookupLocation(ident) match {
       case None => false
       case Some(dir) =>
-        val (code, body) = request("DELETE",
-          s"/v1/namespaces/${nsKey(ident.namespace())}/tables/" +
-            java.net.URLEncoder.encode(ident.name(), UTF_8), None)
-        if (code != 200 && code != 404) throw new IllegalStateException(
-          s"namespace service error $code dropping $ident: $body")
+        val deregistered =
+          client.deregisterTable(nsKey(ident.namespace()), ident.name())
         graft.format.ManifestCache.purge(dir.getFileSystem(conf), dir)
         dir.getFileSystem(conf).delete(dir, true)
-        code == 200
+        deregistered
     }
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
@@ -377,10 +335,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   /** Every namespace known to the service, as level arrays (the service
     * stores `$`-joined names; see [[nsKey]]). */
-  private def allNamespaces(): Seq[Array[String]] = {
-    val (_, body) = request("GET", "/v1/namespaces", None)
-    jsonStrings(body, "namespaces").map(_.split('$'))
-  }
+  private def allNamespaces(): Seq[Array[String]] =
+    client.listNamespaceKeys().map(_.split('$'))
 
   override def listNamespaces(): Array[Array[String]] =
     // top level of the hierarchy only, deduplicated: "a" and "a$b"
@@ -415,12 +371,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: JMap[String, String]): Unit = {
-    val (code, body) = request("POST", "/v1/namespaces",
-      Some(s"""{"name":"${esc(namespace.mkString("$"))}"}"""))
-    if (code != 200 && code != 409) throw new IllegalStateException(
-      s"namespace service error $code creating namespace: $body")
-  }
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    client.createNamespace(nsKey(namespace))
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
@@ -440,7 +392,21 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     // an implicit ancestor has no stored entry to DELETE — once its
     // stored descendants are gone (cascade above) it ceases to exist
     if (!allNamespaces().exists(_.sameElements(namespace))) return true
-    val (code, _) = request("DELETE", s"/v1/namespaces/${nsKey(namespace)}", None)
-    code == 200
+    client.dropNamespace(nsKey(namespace))
   }
+}
+
+/** Glue-backed catalog: identical catalog logic, Glue wire protocol
+  * (`lance.impl=glue`, LanceConfig.java:60).
+  *
+  *   spark.sql.catalog.g           = graft.catalog.GraftGlueCatalog
+  *   spark.sql.catalog.g.endpoint  = http://glue-endpoint (or LocalStack)
+  *   spark.sql.catalog.g.warehouse = s3a://bucket/warehouse
+  */
+class GraftGlueCatalog extends GraftRestCatalog {
+  override protected def newClient(name: String,
+      options: CaseInsensitiveStringMap): NamespaceClient =
+    new GlueNamespaceClient(Option(options.get("endpoint"))
+      .map(_.stripSuffix("/")).getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires option 'endpoint'")))
 }
