@@ -11,43 +11,29 @@ import graft.queries.Q
   * columns with typed metadata, decoded/feature-extracted inside
   * `mapPartitions` (the Scala analog of a Pandas-UDF batch stage).
   *
-  * The actual media codecs are NOT in this container, so the decode step
-  * is a DETERMINISTIC STUB (clearly marked below) — what is real and
-  * tested is everything Spark-side: the binary payload schema, the
-  * per-partition batch iteration (no row-at-a-time UDF boxing), the
-  * typed feature StructType output, and the partition-parallel shape
-  * that would hold with a real decoder at 100 TB (each partition decodes
-  * its own batch; nothing collects to the driver).
+  * The actual media codecs are NOT in this container: the decode step
+  * goes through the pluggable [[MediaDecoder]] ServiceLoader seam, whose
+  * default is a clearly-marked deterministic stub
+  * ([[StubMediaDecoder]]) — what is real and tested is everything
+  * Spark-side: the binary payload schema, the per-partition batch
+  * iteration (no row-at-a-time UDF boxing), the typed feature
+  * StructType output, and the partition-parallel shape that holds with
+  * a real decoder at 100 TB (each partition decodes its own batch;
+  * nothing collects to the driver).
   */
 object MultimodalOps {
 
-  /** Typed output of the fake decoder. */
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("byte_len", LongType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
-
-  /** ======== DECODE STUB ========
-    * Stands in for image decode / resize / frame sampling. Deterministic
-    * pure function of the payload bytes so results are reproducible;
-    * a real implementation would call the codec here, per partition,
-    * reusing one decoder instance across the batch. */
-  private def fakeDecode(docId: Long, bytes: Array[Byte]): Row = {
-    val len = bytes.length
-    var sum = 0L
-    var i = 0
-    while (i < len) { sum += bytes(i) & 0xff; i += 1 }
-    val mean = if (len == 0) 0.0 else sum.toDouble / len
-    // "dimensions" derived from content hash; "frames" = 16-byte blocks
-    val h = graft.functions.TextHashing.polyHash64(bytes)
-    Row(docId, len.toLong,
-      (math.abs(h % 1920) + 1).toInt,
-      (math.abs((h >> 16) % 1080) + 1).toInt,
-      math.rint(mean * 10000) / 10000,
-      (len + 15) / 16)
+  /** Feature extraction over (doc_id, payload) rows through the decoder
+    * selected by `spark.graft.multimodal.decoder` — resolved PER
+    * PARTITION executor-side, one instance reused across the batch. */
+  def decodeFeatures(s: SparkSession, payloads: DataFrame): DataFrame = {
+    val codec = s.conf.get(MediaDecoder.DecoderConf, MediaDecoder.DefaultCodec)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MediaDecoder.featureSchema)
+    payloads.mapPartitions { rows =>
+      val decoder = MediaDecoder.resolve(codec)
+      rows.map(r => decoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(enc)
   }
 
   /** Binary payload table: documents' text re-encoded as opaque bytes
@@ -59,22 +45,13 @@ object MultimodalOps {
   val all: Seq[Q] = Seq(
 
     // Batch feature extraction over binary payloads via mapPartitions.
-    // Golden-pinned: the stub decoder is a pure per-row function, so its
-    // output is bit-stable regardless of partitioning.
+    // Golden-pinned: the default stub decoder is a pure per-row
+    // function, so its output is bit-stable regardless of partitioning.
     Q.golden("m01_multimodal_features",
-      Seq("doc_id", "byte_len", "fake_width", "fake_height", "mean_byte",
-        "n_frames"),
+      Seq("doc_id", "byte_len", "width", "height", "mean_byte", "n_frames"),
       "doc_id",
-      "binary decode stub -> typed features, partition-parallel") { (s, d) =>
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(featureSchema)
-      payloads(s, d)
-        .mapPartitions { rows =>
-          // one "decoder" per partition, reused across the batch —
-          // the shape a real codec integration needs
-          rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-        }(enc)
-        .orderBy("doc_id")
+      "pluggable decoder seam -> typed features, partition-parallel") { (s, d) =>
+      decodeFeatures(s, payloads(s, d)).orderBy("doc_id")
     },
 
     // Frame sampling: the 1->N explode shape of video frame extraction.

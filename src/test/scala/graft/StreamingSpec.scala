@@ -196,4 +196,38 @@ class StreamingSpec extends AnyFunSuite {
     val again = SparkEntry.queries("m01_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("decoder seam: ServiceLoader swaps implementations by conf") {
+    import graft.operators.MediaDecoder
+    // a registered non-default decoder takes over when selected ...
+    spark.conf.set(MediaDecoder.DecoderConf, "test-constant")
+    try {
+      val swapped = SparkEntry.queries("m01_multimodal_features")(spark, sf)
+        .collect()
+      assert(swapped.nonEmpty)
+      assert(swapped.forall(r => r.getAs[Int]("width") == 42
+        && r.getAs[Int]("height") == 24),
+        "selected decoder was not used")
+      // ... an unknown codec fails loudly, naming what IS available
+      spark.conf.set(MediaDecoder.DecoderConf, "nope")
+      val e = intercept[Exception] {
+        SparkEntry.queries("m01_multimodal_features")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("nope") ||
+        Option(e.getCause).exists(_.getMessage.contains("nope")))
+    } finally spark.conf.unset(MediaDecoder.DecoderConf)
+    // default (stub) restored
+    assert(SparkEntry.queries("m01_multimodal_features")(spark, sf)
+      .collect().exists(_.getAs[Int]("width") != 42))
+  }
+}
+
+/** Registered via META-INF/services in TEST resources only — proves a
+  * deployment can add codecs without touching the operator. */
+final class TestConstantDecoder extends graft.operators.MediaDecoder {
+  override def codec: String = "test-constant"
+  override def decode(docId: Long, payload: Array[Byte])
+      : org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(docId, payload.length.toLong, 42, 24, 1.0,
+      1)
 }
