@@ -256,6 +256,14 @@ object TextOps {
       // (max df at sf0.1 is ~214), so the result is identical to the
       // uncapped oracle; DfCapSpec pins that a planted 50%-frequency
       // token is excluded from pair generation without changing top-k.
+      //
+      // CAVEAT for knob users: spark.graft.jaccard.dfCap trades recall
+      // for skew-safety. A pair whose ONLY shared tokens all have
+      // df > cap is never generated, so a cap low enough to bite makes
+      // the result diverge from the uncapped SQL semantics (the gate's
+      // DuckDB oracle) — candidate top-k entries riding solely on
+      // ultra-common tokens drop out. Lower it for adversarial skew,
+      // not for speed at healthy distributions.
       val cap = s.conf.get("spark.graft.jaccard.dfCap", "10000").toInt
       jaccardTopK(wordSets(s, d), k = 100, dfCap = cap)
     },
