@@ -300,6 +300,17 @@ object Maintenance {
       val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
       if (fs.exists(p)) fs.delete(p, false)
     }
+    // crash debris from the exclusive-create strategies (temp files a
+    // writer left behind by dying between write and link/rename): age
+    // out anything older than a minute — an in-flight commit's temp is
+    // always younger
+    fs.listStatus(GraftFormat.versionsDir(qualDir)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".") &&
+        (st.getPath.getName.endsWith(".tmp") ||
+          st.getPath.getName.endsWith(".put")) &&
+        st.getModificationTime < System.currentTimeMillis() - 60000L)
+        fs.delete(st.getPath, false)
+    }
     // dropped versions may sit in the pinned (time-travel) manifest cache
     if (drop.nonEmpty) graft.format.ManifestCache.purge(fs, qualDir)
     var deleted = 0
