@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions.lit
   * side is not, so the gate fails loudly rather than passing vacuously.
   *
   * Eligibility: only queries whose output is bit-stable across
-  * partitionings and thread counts (integer hashing, per-row FP with
-  * unique sort keys). The IVF/PQ queries (v05/v06/v07) train k-means —
-  * cross-row FP accumulation whose result depends on reduce order — and
-  * therefore stay rows-only.
+  * partitionings and thread counts. That includes the IVF/PQ queries
+  * (v05/v06/v07): their k-means trains DRIVER-SIDE on an id-sorted
+  * bounded sample with deterministic seeding (VectorIndex.Ivf.build),
+  * so centroids/codebooks are sequential-math-deterministic, and the
+  * probes are per-row FP with unique sort tiebreaks (verified
+  * empirically: local[8]/8-part vs local[3]/5-part runs bit-identical
+  * at sf0.001 and sf0.01).
   *
   * Regenerate ONLY on an intentional algorithm change — these files are
   * the regression pin for the non-SQL operators.
@@ -31,7 +34,8 @@ object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "t03_minhash_lsh_pairs", "t04_simhash", "t05_simhash_pairs",
     "t10_fingerprint", "m01_multimodal_features", "v02_ann_lsh",
-    "v03_embedding_near_dup")
+    "v03_embedding_near_dup", "v05_ann_ivf", "v06_ann_rewrite",
+    "v07_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("golden"))

@@ -145,9 +145,13 @@ object VectorOps {
     // Lance's IVF vector indexes); each query probes its nprobe=4
     // nearest of 16 lists, so only ~1/4 of the corpus is ever compared
     // — the scanned fraction is nprobe/nLists at any corpus size.
-    // (Rows-only; recall vs brute force and index lifecycle are
-    // property-tested in VectorOpsSpec.)
-    Q.noOracle("v05_ann_ivf",
+    // (Golden-pinned: k-means trains driver-side on an id-sorted
+    // bounded sample with deterministic seeding, so centroids — and
+    // with per-row FP + unique tiebreaks, the whole result — are
+    // bit-stable across partitionings; recall vs brute force and index
+    // lifecycle are property-tested in VectorOpsSpec.)
+    Q.golden("v05_ann_ivf",
+      Seq("q_id", "rn", "n_id", "cos"), "q_id, rn",
       "approximate top-5 via persisted IVF (k-means) index, nprobe=4") { (s, d) =>
       val dir = new org.apache.hadoop.fs.Path(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -196,8 +200,11 @@ object VectorOps {
     // query is re-ranked exactly. Query-side math (probes + ADC
     // tables) is O(queries × nprobe) driver work over the broadcast-
     // small query set — the corpus is never collected or re-vectorized.
-    // (Rows-only; recall + compression are spec-verified in PqIndexSpec.)
-    Q.noOracle("v07_ann_ivfpq",
+    // (Golden-pinned — same driver-deterministic k-means argument as
+    // v05, per-subspace codebooks included; recall + compression are
+    // spec-verified in PqIndexSpec.)
+    Q.golden("v07_ann_ivfpq",
+      Seq("q_id", "rn", "n_id", "cos"), "q_id, rn",
       "approximate top-5 via persisted IVF_PQ codes, ADC + exact rerank") { (s, d) =>
       val dir = new org.apache.hadoop.fs.Path(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -268,9 +275,10 @@ object VectorOps {
     // rule + opt-in conf, runs a plain ORDER BY cosine_sim DESC LIMIT k
     // DataFrame program, and verifies the plan actually probed the index
     // (a LEFT SEMI join appears) — then returns the top-k rows.
-    // (Rows-only; plan shape + probe-exactness are spec-verified in
+    // (Golden-pinned — the probe inherits v05's driver-deterministic
+    // index; plan shape + probe-exactness are spec-verified in
     // AnnRewriteSpec.)
-    Q.noOracle("v06_ann_rewrite",
+    Q.golden("v06_ann_rewrite", Seq("rank", "vec_id"), "rank",
       "opt-in optimizer rule: top-k cosine auto-probes the IVF index") { (s, d) =>
       val dir = new org.apache.hadoop.fs.Path(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
