@@ -94,10 +94,14 @@ object FormatQueries {
       """SELECT count(*) AS n FROM lineitem WHERE NOT l_returnflag = 'A'""",
       "manifest-served count(*) after DELETE (deletion-aware)") { (s, d) =>
       setup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.db.li_cnt")
-      Tables.load(s, d, "lineitem").createOrReplaceTempView("li_cnt_src")
-      s.sql("CREATE TABLE graft.db.li_cnt AS SELECT * FROM li_cnt_src")
-      s.sql("DELETE FROM graft.db.li_cnt WHERE l_returnflag = 'A'")
+      // CTAS + DELETE are table prep; the measured operator is the
+      // manifest-served deletion-aware count (the probe)
+      graft.BenchPhases.timed("g04_manifest_count.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.li_cnt")
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("li_cnt_src")
+        s.sql("CREATE TABLE graft.db.li_cnt AS SELECT * FROM li_cnt_src")
+        s.sql("DELETE FROM graft.db.li_cnt WHERE l_returnflag = 'A'")
+      }
       s.table("graft.db.li_cnt").agg(count(lit(1)).as("n"))
     },
 
@@ -176,17 +180,20 @@ object FormatQueries {
         |ORDER BY s_nationkey""".stripMargin,
       "compact folds fragments+deletes, vacuum drops history; data exact") { (s, d) =>
       setup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.db.supp_cmp")
-      s.sql("CREATE TABLE graft.db.supp_cmp (s_suppkey BIGINT, s_name STRING, " +
-        "s_nationkey INT, s_acctbal DOUBLE)")
-      val supp = Tables.load(s, d, "supplier")
-      // several small appends -> many fragments
-      (0 until 4).foreach { i =>
-        supp.filter(col("s_suppkey") % 4 === i)
-          .createOrReplaceTempView(s"supp_cmp_$i")
-        s.sql(s"INSERT INTO graft.db.supp_cmp SELECT * FROM supp_cmp_$i")
+      // table prep (fragment fan-out the compaction will fold)
+      graft.BenchPhases.timed("g08_compact_vacuum.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.supp_cmp")
+        s.sql("CREATE TABLE graft.db.supp_cmp (s_suppkey BIGINT, s_name STRING, " +
+          "s_nationkey INT, s_acctbal DOUBLE)")
+        val supp = Tables.load(s, d, "supplier")
+        // several small appends -> many fragments
+        (0 until 4).foreach { i =>
+          supp.filter(col("s_suppkey") % 4 === i)
+            .createOrReplaceTempView(s"supp_cmp_$i")
+          s.sql(s"INSERT INTO graft.db.supp_cmp SELECT * FROM supp_cmp_$i")
+        }
+        s.sql("DELETE FROM graft.db.supp_cmp WHERE s_acctbal < 0")
       }
-      s.sql("DELETE FROM graft.db.supp_cmp WHERE s_acctbal < 0")
       // maintenance through the SQL surface (ProcedureCatalog)
       s.sql("CALL graft.system.compact(`table` => 'db.supp_cmp', " +
         "min_rows => 1000000)")
@@ -212,14 +219,18 @@ object FormatQueries {
         |ORDER BY o_orderpriority""".stripMargin,
       "sorted compact re-clusters fragments; range query stays exact") { (s, d) =>
       setup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.db.ord_srt")
-      val ord = Tables.load(s, d, "orders")
-      ord.filter(col("o_orderkey") % 4 === 0).createOrReplaceTempView("ord_srt_0")
-      s.sql("CREATE TABLE graft.db.ord_srt AS SELECT * FROM ord_srt_0")
-      (1 until 4).foreach { i =>
-        ord.filter(col("o_orderkey") % 4 === i)
-          .createOrReplaceTempView(s"ord_srt_$i")
-        s.sql(s"INSERT INTO graft.db.ord_srt SELECT * FROM ord_srt_$i")
+      // interleaved-append table prep; the measured operator is the
+      // sorted compaction + the range probe it accelerates
+      graft.BenchPhases.timed("g10_sorted_compact.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.ord_srt")
+        val ord = Tables.load(s, d, "orders")
+        ord.filter(col("o_orderkey") % 4 === 0).createOrReplaceTempView("ord_srt_0")
+        s.sql("CREATE TABLE graft.db.ord_srt AS SELECT * FROM ord_srt_0")
+        (1 until 4).foreach { i =>
+          ord.filter(col("o_orderkey") % 4 === i)
+            .createOrReplaceTempView(s"ord_srt_$i")
+          s.sql(s"INSERT INTO graft.db.ord_srt SELECT * FROM ord_srt_$i")
+        }
       }
       val dir = new org.apache.hadoop.fs.Path(
         Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
