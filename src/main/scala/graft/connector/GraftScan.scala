@@ -408,11 +408,12 @@ class GraftScan(
   }
 
   /** Range predicates over INTEGRAL domains as value enumerations: a
-    * bounded BETWEEN on an integral column contains exactly the integers
-    * in [lo, hi], so the `=`/`IN` posting index answers it value-exactly
-    * (the btree-range leg the hash layout cannot serve directly). Spans
-    * above ScalarIndex.MaxLookupValues, open ranges, and non-integral
-    * types fall back to zone maps — which already prune coarse ranges. */
+    * bounded BETWEEN on an integral (or date — epoch days are integral)
+    * column contains exactly the integers in [lo, hi], so the `=`/`IN`
+    * posting index answers it value-exactly (the btree-range leg the
+    * hash layout cannot serve directly). Spans above
+    * ScalarIndex.MaxLookupValues, open ranges, and non-integral types
+    * fall back to zone maps — which already prune coarse ranges. */
   private def rangeEnumerations: Seq[(String, Seq[Any])] = {
     import graft.ops.ScalarIndex
     def long(v: Any): Option[Long] = v match {
@@ -420,6 +421,8 @@ class GraftScan(
       case s: Short => Some(s.toLong)
       case i: Int => Some(i.toLong)
       case l: Long => Some(l)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
     }
     def narrow(c: String, l: Long): Option[Any] =
@@ -428,6 +431,8 @@ class GraftScan(
         case org.apache.spark.sql.types.ShortType if l.isValidShort => l.toShort
         case org.apache.spark.sql.types.IntegerType if l.isValidInt => l.toInt
         case org.apache.spark.sql.types.LongType => l
+        case org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.ofEpochDay(l)
       }
     // tightest [lo, hi] per column across all pushed inequalities
     val lows = collection.mutable.HashMap.empty[String, Long]

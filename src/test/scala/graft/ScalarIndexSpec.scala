@@ -109,6 +109,37 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(wide.count() == 2001)
   }
 
+  test("date BETWEEN prunes value-exact (epoch-day enumeration)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS si.db.td")
+    spark.sql("CREATE TABLE si.db.td (k BIGINT, d DATE)")
+    // fragment i holds dates == i (mod 4); every fragment spans the
+    // full date range, so zone maps alone cannot prune
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO si.db.td
+           |SELECT id * 4 + $i,
+           |  date_add(DATE '2020-01-01', CAST(id * 4 + $i AS INT))
+           |FROM range(0, 250, 1, 1)""".stripMargin)
+    }
+    ScalarIndex.build(spark, tablePath("td"), "d")
+    ScalarIndex.clearCaches()
+    val all = spark.table("si.db.td")
+    // 2020-01-09/10 = days 8 and 9 -> fragments 0 and 1
+    val between = all.filter(
+      col("d") >= lit("2020-01-09").cast("date") &&
+        col("d") <= lit("2020-01-10").cast("date"))
+    assert(plannedPartitions(between) == 2,
+      "narrow date BETWEEN must enumerate epoch days")
+    assert(between.count() == 2)
+    // absent date range prunes everything
+    val absent = all.filter(
+      col("d") >= lit("2030-01-01").cast("date") &&
+        col("d") <= lit("2030-01-05").cast("date"))
+    assert(plannedPartitions(absent) == 0)
+    assert(absent.count() == 0)
+  }
+
   test("string column index; stale after append (invisible, not wrong)") {
     wh
     spark.sql("DROP TABLE IF EXISTS si.db.t3")
