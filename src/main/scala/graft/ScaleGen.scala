@@ -40,7 +40,11 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
-    require(factor >= 1)
+    // > 26 would wrap the letter rotation: replica 26's text becomes
+    // byte-identical to replica 0's and near-dup work goes quadratic —
+    // exactly the replication artifact the rotation exists to prevent
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26], got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

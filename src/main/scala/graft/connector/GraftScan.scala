@@ -453,7 +453,8 @@ class GraftScan(
     }
     lows.keySet.intersect(highs.keySet).toSeq.flatMap { c =>
       val (lo, hi) = (lows(c), highs(c))
-      if (hi < lo || hi - lo >= ScalarIndex.MaxLookupValues) None
+      val span = hi - lo // may overflow for extreme bounds -> negative
+      if (hi < lo || span < 0 || span >= ScalarIndex.MaxLookupValues) None
       else {
         val vs = (lo to hi).flatMap(narrow(c, _))
         if (vs.size == (hi - lo + 1)) Some(c -> (vs: Seq[Any])) else None

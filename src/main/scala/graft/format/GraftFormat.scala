@@ -221,8 +221,11 @@ object GraftFormat {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-      case _: UnsupportedOperationException =>
-        // no hard links (exotic mount): fall back to plain O_EXCL
+      // mounts without hard links surface EPERM as FileSystemException,
+      // not only UnsupportedOperationException — fall back to plain
+      // O_EXCL for any non-conflict failure (still atomic-exclusive,
+      // just not content-atomic)
+      case _: UnsupportedOperationException | _: java.io.IOException =>
         try {
           java.nio.file.Files.write(local, bytes,
             java.nio.file.StandardOpenOption.CREATE_NEW,

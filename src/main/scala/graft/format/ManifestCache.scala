@@ -57,6 +57,17 @@ object ManifestCache {
   private def gen(k: String): AtomicLong =
     gens.getOrElseUpdate(k, new AtomicLong)
 
+  /** Cache `e` only if no invalidation landed since generation `g` was
+    * snapshotted — re-checked AFTER the put too, because an
+    * invalidateLatest between the pre-check and the put would otherwise
+    * reinstate a stale entry through a narrower version of the same
+    * race the counter exists to close. */
+  private def guardedPut(k: String, g: Long, e: Entry): Unit =
+    if (gen(k).get() == g) {
+      entries.put(k, e)
+      if (gen(k).get() != g) entries.remove(k)
+    }
+
   // LRU of immutable (table@version) manifests; access-ordered.
   private val PinnedCap = 256
   private val pinned =
@@ -109,13 +120,12 @@ object ManifestCache {
             cached match {
               case Some(e) if e.version == v =>
                 revalidations.incrementAndGet()
-                if (gen(k).get() == g)
-                  entries.put(k, e.copy(checkedAtMs = now))
+                guardedPut(k, g, e.copy(checkedAtMs = now))
                 Some(e.manifest)
               case _ =>
                 misses.incrementAndGet()
                 val m = GraftFormat.readManifest(fs, table, v)
-                if (gen(k).get() == g) entries.put(k, Entry(v, m, now))
+                guardedPut(k, g, Entry(v, m, now))
                 Some(m)
             }
         }

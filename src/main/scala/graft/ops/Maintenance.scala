@@ -37,6 +37,21 @@ object Maintenance {
   private def resolvedConf(spark: SparkSession, c: Configuration): Configuration =
     Option(c).getOrElse(spark.sessionState.newHadoopConf())
 
+  /** The keys where `conf` differs from the bare session Hadoop conf —
+    * i.e. the catalog/vended storage options. Passed as READ/WRITE
+    * OPTIONS on every distributed parquet job below (Spark merges them
+    * into the per-relation Hadoop conf on executors), so the executor
+    * side of a maintenance job acts under the same identity as the
+    * driver-side manifest/commit I/O. */
+  private def confOptions(spark: SparkSession, conf: Configuration)
+      : Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = spark.sessionState.newHadoopConf()
+    conf.iterator().asScala
+      .filter(e => base.get(e.getKey) != e.getValue)
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
   /** Compact fragments with fewer than `minRows` live rows (or with any
     * deletions when `foldDeletes`). Returns number of fragments
     * compacted.
@@ -74,7 +89,9 @@ object Maintenance {
     // fragments carry disjoint sort-key ranges
     val total = small.map(_.liveRows).sum
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
-    if (sortBy.isEmpty) live.coalesce(nOut).write.parquet(staging.toUri.toString)
+    val opts = confOptions(spark, conf)
+    if (sortBy.isEmpty)
+      live.coalesce(nOut).write.options(opts).parquet(staging.toUri.toString)
     else {
       // tight range boundaries are the product here (zone-map
       // selectivity tracks how disjoint the output ranges are), so
@@ -85,7 +102,7 @@ object Maintenance {
       try
         live.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-          .write.parquet(staging.toUri.toString)
+          .write.options(opts).parquet(staging.toUri.toString)
       finally prev.fold(spark.conf.unset(sampleKey))(spark.conf.set(sampleKey, _))
     }
     val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
@@ -138,7 +155,8 @@ object Maintenance {
     val physSchema = BlobStore.physicalSchema(
       manifest.schema, manifest.blobColumns)
     val paths = frags.map(f => new Path(qualDir, f.path).toString)
-    val raw = spark.read.schema(physSchema).parquet(paths: _*)
+    val raw = spark.read.options(confOptions(spark, conf))
+      .schema(physSchema).parquet(paths: _*)
       .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__i", col("_metadata.row_index"))
     val delFiles = frags.filter(_.deletionPath.isDefined)
@@ -208,7 +226,8 @@ object Maintenance {
       })
       .map(_._2)
     val staging = new Path(qualDir, s".staging-${UUID.randomUUID()}")
-    spark.createDataFrame(rdd, schema).write.parquet(staging.toUri.toString)
+    spark.createDataFrame(rdd, schema).write
+      .options(confOptions(spark, conf)).parquet(staging.toUri.toString)
 
     // staged file name part-0000i-... -> bucket i (empty buckets write
     // no file); adoptStaged returns entries in the same sorted order
@@ -300,14 +319,13 @@ object Maintenance {
       val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
       if (fs.exists(p)) fs.delete(p, false)
     }
-    // crash debris from the exclusive-create strategies (temp files a
+    // crash debris from the exclusive-create strategies (".tmp" files a
     // writer left behind by dying between write and link/rename): age
     // out anything older than a minute — an in-flight commit's temp is
     // always younger
     fs.listStatus(GraftFormat.versionsDir(qualDir)).foreach { st =>
       if (st.isFile && st.getPath.getName.startsWith(".") &&
-        (st.getPath.getName.endsWith(".tmp") ||
-          st.getPath.getName.endsWith(".put")) &&
+        st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime < System.currentTimeMillis() - 60000L)
         fs.delete(st.getPath, false)
     }
@@ -362,7 +380,8 @@ object Maintenance {
           .flatMap { m =>
             val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
             val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
-            val df = spark.read.schema(phys).parquet(paths: _*)
+            val df = spark.read.options(confOptions(spark, conf))
+              .schema(phys).parquet(paths: _*)
             m.blobColumns.map(c =>
               df.select(col(c).getField("file").as("f"))
                 .where(col("f").isNotNull))

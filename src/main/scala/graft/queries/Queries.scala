@@ -23,8 +23,11 @@ object Q {
     Q(name, fn, None, doc)
 
   /** Directory holding the committed golden-oracle parquet files
-    * (generated once by [[graft.GoldenGen]], pinned in git). */
-  val GoldenDir = "/root/repo/golden"
+    * (generated once by [[graft.GoldenGen]], pinned in git). The gate's
+    * oracle SQL embeds this path, so a checkout elsewhere sets
+    * GRAFT_REPO_ROOT before running Verify. */
+  val GoldenDir: String =
+    sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo") + "/golden"
 
   /** A query whose semantics are deterministic but not ANSI-SQL-
     * expressible: the oracle reads the committed golden parquet slice

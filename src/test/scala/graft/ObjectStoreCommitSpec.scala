@@ -165,7 +165,7 @@ class CondPutFs extends RawLocalFileSystem {
         java.nio.file.Files.createDirectories(local.getParent)
         // content-atomic materialization, like a completed S3 put
         val tmp = local.resolveSibling(
-          s".${local.getFileName}.${java.util.UUID.randomUUID()}.put")
+          s".${local.getFileName}.${java.util.UUID.randomUUID()}.tmp")
         java.nio.file.Files.write(tmp, buf.toByteArray)
         java.nio.file.Files.move(tmp, local,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
