@@ -316,6 +316,17 @@ class RestCatalogSpec extends AnyFunSuite {
       val h = spark.sql("CALL rc.system.history('db.vt')").collect()
       assert(h.length == 1 && h.head.getLong(4) == 2,
         h.map(_.toString).mkString(","))
+      // compact exercises the EXECUTOR side too: the distributed
+      // parquet read (liveRowsOf) and the staging write must carry the
+      // vended options into their per-relation Hadoop conf — with the
+      // bare session conf the scheme cannot even resolve
+      graft.connector.GraftWriter.write(fs, fs.makeQualified(dir),
+        Seq((3L, "c")).toDF("id", "v"), overwrite = false)
+      val c = spark.sql(
+        "CALL rc.system.compact(`table` => 'db.vt', min_rows => 1000)").head
+      assert(c.getInt(0) >= 2, s"expected >=2 fragments compacted, got $c")
+      val h2 = spark.sql("CALL rc.system.history('db.vt')").collect()
+      assert(h2.head.getLong(4) == 3, "compact must preserve all rows")
     } finally FakeNamespaceService.store("db").remove("vt")
   }
 }
