@@ -131,6 +131,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(filtered.count() == 4)
     val byV = spark.table("mt.db.topn").orderBy("v").limit(5)
     assert(planned(byV) == 4, "non-sort-column TopN must not push")
+    // deletion vectors: suffix planning must count LIVE rows — after
+    // deleting the top 100 keys, DESC top-5 comes from the same tail
+    // fragment (900 live) and a 1000-row DESC TopN must reach one
+    // fragment deeper
+    spark.sql("DELETE FROM mt.db.topn WHERE k >= 3900")
+    val descDel = spark.table("mt.db.topn").orderBy(col("k").desc).limit(5)
+    assert(planned(descDel) == 1, "DESC TopN over a deleted tail: 1 fragment")
+    assert(descDel.collect().map(_.getLong(0)).toSeq ==
+      Seq(3899L, 3898L, 3897L, 3896L, 3895L))
+    val descDeep = spark.table("mt.db.topn")
+      .orderBy(col("k").desc).limit(1000)
+    assert(planned(descDeep) == 2,
+      "900 live tail rows cannot cover a 1000-row DESC TopN")
+    assert(descDeep.count() == 1000)
     // an append drops sort_by -> pushdown stops, results stay right
     spark.sql("INSERT INTO mt.db.topn VALUES (-1, 'first')")
     assert(planned(spark.table("mt.db.topn").orderBy("k").limit(5)) == 5)
