@@ -170,7 +170,17 @@ object TextOps {
     * like the gate's (max df ~214 at sf0.1 vs the 10k default cap).
     * inter = inter_kept + |overcap_a ∩ overcap_b| is exact for every
     * candidate pair because the cap partitions each word set. */
-  def jaccardTopK(w: DataFrame, k: Int = 100, dfCap: Int = 10000): DataFrame = {
+  def jaccardTopK(w: DataFrame, k: Int = 100, dfCap: Int = 10000): DataFrame =
+    jaccardPairs(w, dfCap)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(k)
+
+  /** All candidate pairs with their EXACT word-set jaccard (unrounded
+    * in `jaccard_raw`, 4-dp in `jaccard`) — the verification stage of
+    * the filter-verification join, shared by the top-k ranking and the
+    * threshold-based cluster resolution below. */
+  def jaccardPairs(w: DataFrame, dfCap: Int = 10000): DataFrame = {
     val tok = withDf(tokenStream(w))
     val sizes = w.select(col("doc_id"), size(col("words")).as("n"))
     // per-doc over-cap token arrays: EMPTY whenever the cap is never hit
@@ -190,11 +200,51 @@ object TextOps {
           .otherwise(size(array_intersect(col("cwa"), col("cwb")))))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .select("a_id", "b_id", "jaccard")
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(k)
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
+      .select("a_id", "b_id", "jaccard_raw", "jaccard")
+  }
+
+  /** Near-dup CLUSTER RESOLUTION — the step after pair generation in a
+    * dedup pipeline: connected components over the similarity graph,
+    * labeling every document with the MIN doc_id of its component (the
+    * canonical survivor). Distributed min-label propagation: each
+    * iteration is one |E| join + one groupBy-min, converging in
+    * O(component diameter) iterations — near-dup clusters are shallow
+    * (a few hops), so the loop runs 3-5 rounds at any corpus size; the
+    * per-iteration driver work is ONE scalar convergence count, never a
+    * collect. `maxIters` caps adversarial chain-shaped graphs. */
+  def dedupClusters(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val prop = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      val next = labels
+        .join(prop.select(col("src").as("doc_id"), col("nbr_rep")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("doc_id"), col("rep").as("old_rep")),
+          Seq("doc_id"))
+        .filter(col("rep") =!= col("old_rep")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
   }
 
   /** SimHash-64 per document: per-bit weighted token-hash majority.
@@ -283,6 +333,38 @@ object TextOps {
         .select("a_id", "b_id", "est_jaccard")
         .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
         .limit(200)
+    },
+
+    // Near-dup CLUSTER RESOLUTION: connected components over the
+    // jaccard >= 0.8 similarity graph, canonical survivor = min doc_id.
+    // Oracle-exact: DuckDB computes the same components via a recursive
+    // transitive closure (tractable at oracle scale; the Spark side is
+    // the distributed label-propagation that holds at 100 TB). Both
+    // sides threshold the UNROUNDED jaccard — identical int/int double
+    // divisions, so the boundary compares bit-identically.
+    Q("t15_dedup_clusters",
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> x <> '')) AS words
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |      / (len(a.words) + len(b.words)
+        |         - len(list_intersect(a.words, b.words))) >= 0.8),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      "near-dup clusters: connected components, min-id canonical") { (s, d) =>
+      val w = wordSets(s, d)
+      val pairs = jaccardPairs(w).filter(col("jaccard_raw") >= 0.8)
+      dedupClusters(w.select("doc_id"), pairs).orderBy("doc_id")
     },
 
     // SimHash signatures per doc (golden-pinned; spec-verified too).

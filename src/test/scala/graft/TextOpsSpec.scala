@@ -9,6 +9,27 @@ import graft.functions.{TextFunctions, TextHashing}
 class TextOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("dedupClusters: components resolve to min-id reps across topologies") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    // triangle 10-11-12, pair 20-21, singletons 30 and 31
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)
+      .toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = TextOps.dedupClusters(vertices, pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L))
+    // maxIters caps adversarial chains: with 1 iteration the far end of
+    // the chain has only moved one hop (correctness of the cap, not of
+    // the labels)
+    val capped = TextOps.dedupClusters(vertices, pairs, maxIters = 1)
+      .filter(col("doc_id") === 4L).head().getLong(1)
+    assert(capped == 3L, s"one round moves one hop, got $capped")
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val sigs = TextOps.withMinhash(TextOps.withShingles(spark, sf))
       .select("doc_id", "shingles", "minhash")
