@@ -22,12 +22,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 31L))
-    // maxIters caps adversarial chains: with 1 iteration the far end of
-    // the chain has only moved one hop (correctness of the cap, not of
-    // the labels)
+    // maxIters caps adversarial chains: one round = neighbor hop +
+    // pointer jump, so the chain's far end moves TWO hops (4 -> rep 2,
+    // not yet 1) — pins both the cap and the path-halving
     val capped = TextOps.dedupClusters(vertices, pairs, maxIters = 1)
       .filter(col("doc_id") === 4L).head().getLong(1)
-    assert(capped == 3L, s"one round moves one hop, got $capped")
+    assert(capped == 2L, s"one round moves two hops, got $capped")
   }
 
   test("minhash signature estimates jaccard within tolerance") {
