@@ -351,6 +351,43 @@ object TextOps {
         .limit(200)
     },
 
+    // Benchmark DECONTAMINATION: the standard 13-gram overlap check
+    // between the training corpus and an eval set (here: doc_id < 100
+    // stands in for the benchmark). Scale shape at 100 TB: eval sets
+    // are small by nature, so their distinct grams BROADCAST and the
+    // corpus is one narrow scan + broadcast join — the corpus never
+    // shuffles. Oracle-exact: DuckDB builds identical gram strings.
+    Q("t16_decontamination",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(w) - 11)) AS r(i))
+        |SELECT c.doc_id, e.doc_id AS eval_id,
+        |  CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM g c JOIN g e ON c.gram = e.gram
+        |WHERE e.doc_id < 100 AND c.doc_id >= 100
+        |GROUP BY c.doc_id, e.doc_id
+        |ORDER BY c.doc_id, eval_id""".stripMargin,
+      "13-gram eval-set contamination: broadcast eval grams, one corpus pass") { (s, d) =>
+      val grams = docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 12), " +
+            "i -> concat_ws(' ', slice(toks, i, 13))))")).as("gram"))
+      val eval_ = grams.filter(col("doc_id") < 100)
+        .select(col("gram"), col("doc_id").as("eval_id"))
+      grams.filter(col("doc_id") >= 100)
+        .join(broadcast(eval_), Seq("gram"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy("doc_id", "eval_id")
+    },
+
     // Near-dup CLUSTER RESOLUTION: connected components over the
     // jaccard >= 0.8 similarity graph, canonical survivor = min doc_id.
     // Oracle-exact: DuckDB computes the same components via a recursive
