@@ -765,7 +765,7 @@ class GraftReaderFactory(
         BitwiseOr(Literal(fp.fragId.toLong << 32),
           BoundReference(rowIdxOrdinal, LongType, nullable = false)): Expression
     }
-    private val proj = UnsafeProjection.create(projExprs.toArray)
+    private val proj = UnsafeProjection.create(projExprs.toIndexedSeq)
 
     private var current: InternalRow = _
     private var emitted = 0L

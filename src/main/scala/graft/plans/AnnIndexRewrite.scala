@@ -159,7 +159,8 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val assign = spark.read.parquet(new Path(vdir, assignFile).toString)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
-    val cand = assign.filter(col("cid").isin(probed: _*)).select(idName)
+    val cand = assign.filter(col("cid").isin(probed.toIndexedSeq: _*))
+      .select(idName)
     Some((GraftShim.planOf(cand), idName))
   }
 }
