@@ -34,26 +34,46 @@ object Bench {
     // round's artifact — r5's official numbers read 1.7x high from
     // exactly that.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
-    case class Run(sec: Double, phases: Map[String, Double])
-    val results: Seq[(String, Seq[Run])] = selected.toSeq.map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
-        BenchPhases.clear()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot)
+    case class Run(sec: Double, phases: Map[String, Double], err: Option[String])
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      BenchPhases.clear()
+      val t0 = System.nanoTime()
+      // a failing query must surface in the artifact, not masquerade as a
+      // fast success (r7 VERDICT minor): record the error per run/query
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable => Some((t.getClass.getSimpleName + ": " +
+          Option(t.getMessage).getOrElse("")).replaceAll("[\"\\n\\r]", " ").take(160))
       }
-      name -> runs
+      Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot, err)
     }
+    val firstPass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Seq[Run])] =
+      selected.toSeq.map { case (name, fn) => (name, fn, (1 to repeats).map(_ => timeOnce(fn))) }
+    // CONTENTION GUARD (r7 VERDICT #1c): a query whose max/min spread
+    // exceeds 4x with a non-trivial absolute gap almost certainly hit a
+    // noisy-neighbor stall during the sweep (BENCH_r07 recorded t15 at
+    // 85.6s median, spread [12.8, 109.6], that three isolated runs all
+    // measured at ~7s) — re-run it in isolation and use the clean runs.
+    val results: Seq[(String, Seq[Run], Boolean)] = firstPass.map { case (name, fn, runs) =>
+      val secs = runs.map(_.sec)
+      val noisy = runs.forall(_.err.isEmpty) &&
+        secs.max / secs.min.max(1e-9) > 4.0 && secs.max - secs.min > 1.0
+      if (noisy) (name, (1 to repeats).map(_ => timeOnce(fn)), true)
+      else (name, runs, false)
+    }
+    val retried = results.collect { case (n, _, true) => n }
     // lower median: an actual run, so its recorded phases stay attached
     def medianRun(runs: Seq[Run]): Run =
       runs.sortBy(_.sec).apply((runs.size - 1) / 2)
-    val medians = results.map { case (n, rs) => n -> medianRun(rs) }
+    val medians = results.map { case (n, rs, _) => n -> medianRun(rs) }
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val qs = obj(medians.map { case (n, r) => n -> r.sec })
-    val spread = results.map { case (n, rs) =>
+    val spread = results.map { case (n, rs, _) =>
       "\"" + n + "\":[" + r4(rs.map(_.sec).min) + "," + r4(rs.map(_.sec).max) + "]"
+    }.mkString("{", ",", "}")
+    val errs = results.flatMap { case (n, rs, _) =>
+      rs.flatMap(_.err).headOption.map(e => "\"" + n + "\":\"" + e + "\"")
     }.mkString("{", ",", "}")
     // index-build vs probe split for the index-building queries
     // (v02/v05/v06/v07/g12), taken from each query's median run:
@@ -65,13 +85,37 @@ object Bench {
       }
     })
     val total = medians.map(_._2.sec).sum
+    // cross-check against the previously COMMITTED artifact: if this
+    // run's total disagrees by >1.5x on the full suite, the machine was
+    // contended and the artifact says so instead of publishing garbage
+    // (BENCH_r07: 206.8s driver run vs 61.2s committed / 57.7s judge)
+    val prevTotal: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        if (java.nio.file.Files.exists(p) && only.isEmpty)
+          """"metric":"total","value":([0-9.]+)""".r
+            .findFirstMatchIn(java.nio.file.Files.readString(p))
+            .map(_.group(1).toDouble)
+        else None
+      } catch { case _: Throwable => None }
+    val contended = prevTotal.exists(p => total > p * 1.5)
+    if (contended) System.err.println(
+      s"WARNING: bench total ${r4(total)}s is >1.5x the committed " +
+        s"BENCH_FULL total ${prevTotal.get}s — machine contention likely; " +
+        "artifact flagged \"contended\":true, do not publish as-is")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"repeats":$repeats,"sf":"$sfDir"}"""
     // the full JSON also lands as a file: the driver's stdout tail can
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
-    // judge diffs rounds from this artifact
+    // judge diffs rounds from this artifact. A contended run must NOT
+    // clobber the last clean committed artifact — it lands beside it.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(
+        if (only.nonEmpty) "BENCH_PARTIAL.json"
+        else if (contended) "BENCH_CONTENDED.json"
+        else "BENCH_FULL.json"),
+      line + "\n")
     println(line)
     spark.stop()
   }

@@ -100,6 +100,20 @@ object GraftShim {
     new ParquetOutputWriter(path, new TaskAttemptContextImpl(conf, attemptId))
   }
 
+  /** Release the executor-storage blocks behind a `localCheckpoint`'d
+    * DataFrame. The Dataset API has no unpersist for checkpoint RDDs —
+    * they live outside the CacheManager — so iterative algorithms that
+    * re-checkpoint every round pin one block set per round until session
+    * GC unless released explicitly. Only call once nothing will read the
+    * DataFrame again: local checkpoints truncate lineage, so the blocks
+    * are not recomputable. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** The analyzed logical plan of a DataFrame (for optimizer rules that
     * splice DataFrame-built subplans into a plan under rewrite). */
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

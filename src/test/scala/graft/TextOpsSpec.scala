@@ -30,6 +30,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(capped == 2L, s"one round moves two hops, got $capped")
   }
 
+  test("dedupClusters releases each round's checkpoint blocks (r7 VERDICT #2)") {
+    import spark.implicits._
+    // a 64-chain needs ~log2(63) pointer-jumping rounds; without the
+    // unpersist chain each round would pin 2 more |V|-sized localCheckpoint
+    // RDDs, so persistent-RDD count would grow by ~2 per round
+    val n = 64L
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = TextOps.dedupClusters(vertices, pairs)
+    assert(out.filter(col("cluster_rep") === 1L).count() == n)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL label snapshot (the returned DataFrame's backing
+    // checkpoint) may remain pinned
+    assert(after - before <= 1,
+      s"checkpoint leak: persistent RDDs grew $before -> $after")
+  }
+
+  test("lshCandidatePairs releases the signature cache (r7 VERDICT #3)") {
+    val sigs = TextOps.withMinhash(TextOps.withShingles(spark, sf))
+      .select("doc_id", "minhash")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = TextOps.lshCandidatePairs(sigs)
+    assert(pairs.count() > 0)
+    // the signature cache is dropped by a one-shot listener AFTER the
+    // consuming action completes — delivery is async on the listener
+    // bus, so poll briefly before declaring a leak
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getPersistentRDDs.size
+    while (after - before > 0 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(after - before <= 0,
+      s"sigs cache leak: persistent RDDs grew $before -> $after")
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val sigs = TextOps.withMinhash(TextOps.withShingles(spark, sf))
       .select("doc_id", "shingles", "minhash")
