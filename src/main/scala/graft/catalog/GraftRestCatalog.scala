@@ -126,10 +126,18 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
         .orElse(SparkSession.getDefaultSession)
         .flatMap(_.conf.getOption("spark.graft.credential.refresh.retry.ms"))
         .map(_.toLong).getOrElse(30 * 1000L)
+    // The throttle only applies inside the SOFT refresh window; once the
+    // token is past its actual expires_at every access must retry — a
+    // token with TTL shorter than the retry interval (or one transient
+    // DescribeTable failure near expiry) would otherwise leave executors
+    // planning with a dead credential for up to minRetryMs.
+    private def hardExpired: Boolean =
+      cached.get(ExpiresAtKey).flatMap(_.toLongOption)
+        .exists(System.currentTimeMillis() >= _)
     def current(): Configuration = {
       if (expiring(cached)) {
         val now = System.currentTimeMillis()
-        if (now - lastAttemptMs >= minRetryMs) {
+        if (hardExpired || now - lastAttemptMs >= minRetryMs) {
           lastAttemptMs = now
           describeTable(ident).foreach { case (_, vended) => cached = vended }
         }

@@ -16,7 +16,8 @@ import graft.format.JsonParser
   *
   * Namespace `key`s are the `$`-joined multi-level names
   * (LanceConfig.java:79); services that are naturally single-level
-  * (Glue databases) store the joined name as-is.
+  * (Glue databases) translate the join to whatever their name rules
+  * allow and translate back on listing.
   */
 trait NamespaceClient {
 
@@ -147,9 +148,22 @@ final class RestNamespaceClient(baseUri: String) extends NamespaceClient {
   * Parameters map. Speaks the Glue JSON protocol (POST / with
   * `X-Amz-Target: AWSGlue.<Op>`, errors as `{"__type": ...}`), so it
   * runs against any Glue-compatible endpoint — in-process stub,
-  * LocalStack, or the real service behind a signing proxy. */
+  * LocalStack, or the real service behind a signing proxy.
+  *
+  * Multi-level namespaces: graft's internal keys join levels with `$`,
+  * which is NOT a legal character in Glue database names (lowercase
+  * letters, digits, underscore only) — so levels are stored in Glue
+  * joined by `__` (a legal delimiter) and translated back on listing.
+  * Consequence: a SINGLE-level namespace whose own name contains `__`
+  * is indistinguishable from a nested one and will round-trip as
+  * multi-level; avoid `__` in Glue-backed namespace names. */
 final class GlueNamespaceClient(endpoint: String) extends NamespaceClient {
   import NamespaceClient._
+
+  /** graft key ('$'-joined) -> Glue-legal database name ('__'-joined). */
+  private def glueDb(key: String): String = key.replace("$", "__")
+  /** Glue database name -> graft key. */
+  private def graftKey(db: String): String = db.replace("__", "$")
 
   @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
 
@@ -177,25 +191,25 @@ final class GlueNamespaceClient(endpoint: String) extends NamespaceClient {
       s"glue error $code listing databases: $body")
     parse(body).get("DatabaseList").map(_.asInstanceOf[Seq[Any]].map(
       _.asInstanceOf[Map[String, Any]]("Name").asInstanceOf[String]))
-      .getOrElse(Seq.empty)
+      .getOrElse(Seq.empty).map(graftKey)
   }
 
   override def createNamespace(key: String): Unit = {
     val (code, body) =
-      call("CreateDatabase", s"""{"DatabaseInput":{"Name":"${esc(key)}"}}""")
+      call("CreateDatabase", s"""{"DatabaseInput":{"Name":"${esc(glueDb(key))}"}}""")
     if (code != 200 && !errType(body).contains("AlreadyExistsException"))
       throw new IllegalStateException(s"glue error $code creating $key: $body")
   }
 
   override def dropNamespace(key: String): Boolean = {
-    val (code, body) = call("DeleteDatabase", s"""{"Name":"${esc(key)}"}""")
+    val (code, body) = call("DeleteDatabase", s"""{"Name":"${esc(glueDb(key))}"}""")
     if (code == 200) true
     else if (errType(body).contains("EntityNotFoundException")) false
     else throw new IllegalStateException(s"glue error $code dropping $key: $body")
   }
 
   override def listTables(key: String): Option[Seq[String]] = {
-    val (code, body) = call("GetTables", s"""{"DatabaseName":"${esc(key)}"}""")
+    val (code, body) = call("GetTables", s"""{"DatabaseName":"${esc(glueDb(key))}"}""")
     if (code == 200)
       Some(parse(body).get("TableList").map(_.asInstanceOf[Seq[Any]].map(
         _.asInstanceOf[Map[String, Any]]("Name").asInstanceOf[String]))
@@ -207,7 +221,7 @@ final class GlueNamespaceClient(endpoint: String) extends NamespaceClient {
   override def describeTable(key: String, table: String)
       : Option[(String, Map[String, String])] = {
     val (code, body) = call("GetTable",
-      s"""{"DatabaseName":"${esc(key)}","Name":"${esc(table)}"}""")
+      s"""{"DatabaseName":"${esc(glueDb(key))}","Name":"${esc(table)}"}""")
     if (code == 200) {
       val t = parse(body)("Table").asInstanceOf[Map[String, Any]]
       val loc = t.get("StorageDescriptor")
@@ -227,7 +241,7 @@ final class GlueNamespaceClient(endpoint: String) extends NamespaceClient {
   override def registerTable(key: String, table: String,
       location: String): RegisterResult = {
     val (code, body) = call("CreateTable",
-      s"""{"DatabaseName":"${esc(key)}","TableInput":{"Name":"${esc(table)}",""" +
+      s"""{"DatabaseName":"${esc(glueDb(key))}","TableInput":{"Name":"${esc(table)}",""" +
         s""""StorageDescriptor":{"Location":"${esc(location)}"}}}""")
     if (code == 200) Registered
     else if (errType(body).contains("AlreadyExistsException")) TableExists
@@ -238,7 +252,7 @@ final class GlueNamespaceClient(endpoint: String) extends NamespaceClient {
 
   override def deregisterTable(key: String, table: String): Boolean = {
     val (code, body) = call("DeleteTable",
-      s"""{"DatabaseName":"${esc(key)}","Name":"${esc(table)}"}""")
+      s"""{"DatabaseName":"${esc(glueDb(key))}","Name":"${esc(table)}"}""")
     if (code == 200) true
     else if (errType(body).contains("EntityNotFoundException")) false
     else throw new IllegalStateException(

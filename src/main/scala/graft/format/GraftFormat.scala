@@ -235,12 +235,57 @@ object GraftFormat {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  /** Conf key naming the Hadoop path capability probed before trusting
+    * create(overwrite=false) as a conditional put (override per store). */
+  val ConditionalCapabilityKey = "graft.commit.conditional.capability"
+  /** When "true", an unverified conditional-put connector REFUSES to
+    * commit instead of warning — for deployments where a lost commit is
+    * worse than an unavailable one. */
+  val StrictExclusiveKey = "graft.commit.exclusive.strict"
+  private val DefaultConditionalCapability = "fs.capability.conditional.create"
+  private val warnedConditional =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The 'conditional' strategy is only safe when create(overwrite=false)
+    * is a TRUE conditional put enforced by the store (S3 If-None-Match,
+    * GCS if-generation-match, ABFS ETag-guarded create). Stock s3a before
+    * Hadoop 3.4.1 — or 3.4.1+ with fs.s3a.create.conditional.enabled off —
+    * implements it as a HEAD-check at create time, where two racing
+    * committers can BOTH succeed and one manifest silently overwrites the
+    * other (lost commit). Probe the connector's advertised path
+    * capability; when it is absent, warn once per scheme by default or
+    * refuse under [[StrictExclusiveKey]]. Known-good minimums:
+    * hadoop-aws >= 3.4.1 with fs.s3a.create.conditional.enabled=true,
+    * gcs-connector (generation-match create), abfs (ETag create). */
+  private def verifyConditionalCapability(fs: FileSystem, p: Path): Unit = {
+    val conf = Option(fs.getConf)
+    val capability = conf.map(_.get(ConditionalCapabilityKey,
+      DefaultConditionalCapability)).getOrElse(DefaultConditionalCapability)
+    val verified =
+      try fs.hasPathCapability(p, capability) catch { case _: Throwable => false }
+    if (!verified) {
+      val msg = s"FileSystem scheme '${fs.getScheme}' does not advertise " +
+        s"path capability '$capability': create(overwrite=false) may be a " +
+        "non-atomic HEAD-then-PUT and two racing committers could both " +
+        "succeed (lost commit). Use hadoop-aws >= 3.4.1 with " +
+        "fs.s3a.create.conditional.enabled=true (or your store's " +
+        s"equivalent), or set $ExclusiveStrategyKey=rename where rename " +
+        "is atomic."
+      if (conf.exists(_.getBoolean(StrictExclusiveKey, false)))
+        throw new IllegalStateException(
+          s"$StrictExclusiveKey=true refuses unverified conditional put: $msg")
+      else if (warnedConditional.add(fs.getScheme))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+  }
+
   /** Object stores with conditional put: the object only materializes at
     * close(), where a losing race surfaces as FileAlreadyExistsException.
     * The exists() pre-check is a cheap short-circuit, NOT load-bearing —
     * correctness comes from the conditional create/close. An incomplete
     * put never creates a partial object, so readers see all-or-nothing. */
   private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    verifyConditionalCapability(fs, p)
     if (fs.exists(p)) return false
     try {
       val out = fs.create(p, false)

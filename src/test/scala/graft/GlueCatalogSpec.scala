@@ -181,6 +181,10 @@ class GlueCatalogSpec extends AnyFunSuite {
   test("implicit namespace ancestors work over the Glue backend too") {
     ready
     spark.sql("CREATE NAMESPACE gc.deep.leaf")
+    // multi-level names reach Glue as '__'-joined databases (real AWS
+    // Glue forbids '$' in database names), and translate back on listing
+    assert(FakeGlueService.store.contains("deep__leaf"),
+      s"expected Glue-legal '__' join, store has ${FakeGlueService.store.keys}")
     assert(spark.sql("SHOW NAMESPACES IN gc").collect()
       .map(_.getString(0)).contains("deep"))
     assert(spark.sql("SHOW TABLES IN gc.deep").collect().isEmpty)

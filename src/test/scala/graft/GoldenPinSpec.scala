@@ -29,7 +29,10 @@ class GoldenPinSpec extends AnyFunSuite {
       assert(Files.exists(pin),
         s"missing golden pin $pin — run `sbt \"runMain graft.GoldenGen\"`")
       val pinned = spark.read.parquet(pin.toString)
-      val live = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      // same root fallback as GoldenGen, so the drift guard works on any
+      // checkout where the test data lives elsewhere
+      val dataRoot = sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
+      val live = SparkEntry.queries(name)(spark, s"$dataRoot/sf0.001")
       assert(pinned.columns.toSet == live.columns.toSet + "sf_key",
         s"$name: pin schema ${pinned.columns.sorted.mkString(",")} does not " +
           s"match live query + sf_key — regenerate the goldens")

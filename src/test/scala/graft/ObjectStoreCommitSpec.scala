@@ -117,6 +117,29 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     storm(fs, tableDir(fs, "mems3"))
   }
 
+  test("unverified conditional put: strict mode refuses, default warns " +
+      "and proceeds") {
+    // an S3-shaped store that does NOT advertise the conditional-create
+    // capability (stock s3a before Hadoop 3.4.1, or with
+    // fs.s3a.create.conditional.enabled off)
+    class NoCapFs extends CondPutFs {
+      override def hasPathCapability(path: Path, capability: String): Boolean = false
+    }
+    val strictFs = newFs(new NoCapFs, "mems3", "conditional")
+    strictFs.getConf.setBoolean(GraftFormat.StrictExclusiveKey, true)
+    val dir = tableDir(strictFs, "mems3")
+    val m1 = Manifest(1L, schemaJson, Seq.empty, 0,
+      System.currentTimeMillis(), "Create", Map.empty)
+    val ex = intercept[IllegalStateException](GraftFormat.commit(strictFs, dir, m1))
+    assert(ex.getMessage.contains("conditional"), ex.getMessage)
+    // default mode: warns once but commits (capability probes can lag
+    // connector reality; availability wins unless the user opts strict)
+    val laxFs = newFs(new NoCapFs, "mems3", "conditional")
+    val dir2 = tableDir(laxFs, "mems3")
+    GraftFormat.commit(laxFs, dir2, m1)
+    assert(GraftFormat.listVersions(laxFs, dir2) == Seq(1L))
+  }
+
   test("racy-create store: temp+rename strategy keeps commits CAS") {
     val fs = newFs(new RacyRenameFs, "memhdfs", "rename")
     typedLoss(fs, tableDir(fs, "memhdfs"))
@@ -190,6 +213,12 @@ class CondPutFs extends RawLocalFileSystem {
 
   override def rename(src: Path, dst: Path): Boolean =
     throw new UnsupportedOperationException("object store: no rename")
+
+  // a store with TRUE conditional put advertises it (hadoop-aws >= 3.4.1
+  // with fs.s3a.create.conditional.enabled does the same)
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    capability == "fs.capability.conditional.create" ||
+      super.hasPathCapability(path, capability)
 }
 
 object CondPutFs {

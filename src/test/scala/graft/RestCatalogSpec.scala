@@ -231,6 +231,18 @@ class RestCatalogSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.graft.credential.refresh.retry.ms")
       // reads still work through a re-resolve
       assert(spark.table("rc.db.exp").count() == 1)
+      // HARD expiry bypasses the retry throttle entirely: a token past
+      // its expires_at must re-resolve on EVERY access even though the
+      // default 30s throttle has not lapsed — otherwise a TTL shorter
+      // than the retry interval (or one transient DescribeTable failure
+      // near expiry) leaves executors planning with a dead credential
+      FakeNamespaceService.vendExpiresAtMs =
+        Some(System.currentTimeMillis() - 1000L)
+      val t3 = cat.loadTable(ident).asInstanceOf[graft.connector.GraftTable]
+      val dead1 = t3.conf.get("graft.test.token")
+      val dead2 = t3.conf.get("graft.test.token")
+      assert(dead1 != dead2,
+        "hard-expired credential was served from cache inside the throttle")
     } finally {
       FakeNamespaceService.vendExpiresAtMs = None
       spark.sql("DROP TABLE IF EXISTS rc.db.exp")
