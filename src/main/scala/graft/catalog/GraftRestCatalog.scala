@@ -418,3 +418,25 @@ class GraftGlueCatalog extends GraftRestCatalog {
       .map(_.stripSuffix("/")).getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires option 'endpoint'")))
 }
+
+/** Hive-Metastore-backed catalog: identical catalog logic, HMS Thrift
+  * wire protocol (`lance.impl=hive2`/`hive3`, LanceConfig.java:60 —
+  * one client serves both, see [[HiveNamespaceClient]]).
+  *
+  *   spark.sql.catalog.h           = graft.catalog.GraftHiveCatalog
+  *   spark.sql.catalog.h.uri       = thrift://metastore-host:9083
+  *   spark.sql.catalog.h.warehouse = hdfs://nn/warehouse
+  */
+class GraftHiveCatalog extends GraftRestCatalog {
+  override protected def newClient(name: String,
+      options: CaseInsensitiveStringMap): NamespaceClient = {
+    val uri = Option(options.get("uri")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires option " +
+        "'uri' (thrift://host:port, like hive.metastore.uris)"))
+    val hp = uri.stripPrefix("thrift://").split(":", 2)
+    if (hp.length != 2 || hp(1).toIntOption.isEmpty)
+      throw new IllegalArgumentException(
+        s"catalog $name: cannot parse metastore uri '$uri'")
+    new HiveNamespaceClient(hp(0), hp(1).toInt)
+  }
+}
