@@ -26,8 +26,13 @@ object MultimodalOps {
   /** Feature extraction over (doc_id, payload) rows through the decoder
     * selected by `spark.graft.multimodal.decoder` — resolved PER
     * PARTITION executor-side, one instance reused across the batch. */
-  def decodeFeatures(s: SparkSession, payloads: DataFrame): DataFrame = {
-    val codec = s.conf.get(MediaDecoder.DecoderConf, MediaDecoder.DefaultCodec)
+  def decodeFeatures(s: SparkSession, payloads: DataFrame): DataFrame =
+    decodeFeatures(payloads,
+      s.conf.get(MediaDecoder.DecoderConf, MediaDecoder.DefaultCodec))
+
+  /** Explicit-codec variant for pipelines that mix decoders (and for
+    * queries that must not depend on mutable session conf). */
+  def decodeFeatures(payloads: DataFrame, codec: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(MediaDecoder.featureSchema)
     payloads.mapPartitions { rows =>
@@ -82,6 +87,36 @@ object MultimodalOps {
           length(col("frame")).cast("long").as("frame_size"),
           substring(md5(col("frame")), 1, 8).as("digest8"))
         .orderBy("doc_id", "frame_no")
+    },
+
+    // REAL codec through the same seam: documents rendered as actual
+    // 24-bit BMP images (dimensions and pixels derived deterministically
+    // from doc_id/text), decoded by the ServiceLoader-registered
+    // BmpMediaDecoder parsing genuine header + pixel data — the proof
+    // that a dropped-in codec jar runs the identical partition-parallel
+    // path as the stub. Golden-pinned: encode and decode are pure
+    // per-row functions, bit-stable across partitionings.
+    Q.golden("m04_bmp_decode",
+      Seq("doc_id", "byte_len", "width", "height", "mean_byte", "n_frames"),
+      "doc_id",
+      "real BMP codec via the decoder seam: encode docs as images, parse pixels") { (s, d) =>
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false))))
+      val bmps = Tables.load(s, d, "documents").select("doc_id", "text")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val txt = r.getString(1).getBytes("UTF-8")
+            val w = 4 + (id % 13).toInt
+            val h = 3 + (id % 11).toInt
+            val rgb = Array.tabulate(w * h * 3)(i =>
+              if (txt.isEmpty) 0.toByte else txt(i % txt.length))
+            Row(id, BmpCodec.encode24(w, h, rgb))
+          }
+        }(enc)
+      decodeFeatures(bmps, "bmp").orderBy("doc_id")
     },
 
     // Blob-style virtual metadata columns without materializing content:
