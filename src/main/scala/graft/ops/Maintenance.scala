@@ -363,39 +363,58 @@ object Maintenance {
           }
       }
     }
-    // blob sidecar GC: the live set stays DISTRIBUTED — the candidate
-    // listing becomes a DataFrame and is left-anti-joined against the
-    // union of descriptor scans over the retained fragments, so only the
-    // (small) unreferenced delete list ever reaches the driver. At 100 TB
-    // the live set is millions of names (GBs of driver strings if
-    // collected); the delete list after a routine vacuum is near-empty.
+    // blob sidecar GC: the live set stays DISTRIBUTED — candidate names
+    // are left-anti-joined against the union of descriptor scans over
+    // the retained fragments, so only the (small) unreferenced delete
+    // list ever reaches the driver. The candidate LISTING is streamed
+    // too: fs.listStatusIterator in bounded batches, never one driver
+    // array — at 100 TB the blob dir holds billions of names (a
+    // multi-GB driver array if listed eagerly), while a batch is a few
+    // MB regardless of table size. The delete list after a routine
+    // vacuum is near-empty either way.
     val blobDir = new Path(qualDir, BlobStore.BlobDirName)
     if (fs.exists(blobDir)) {
-      val candidates = fs.listStatus(blobDir).filter(_.isFile)
-        .map(st => s"${BlobStore.BlobDirName}/${st.getPath.getName}").toSeq
-      if (candidates.nonEmpty) {
-        import spark.implicits._
-        val referencedDfs = retained
-          .filter(m => m.blobColumns.nonEmpty && m.fragments.nonEmpty)
-          .flatMap { m =>
-            val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
-            val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
-            val df = spark.read.options(confOptions(spark, conf))
-              .schema(phys).parquet(paths: _*)
-            m.blobColumns.map(c =>
-              df.select(col(c).getField("file").as("f"))
-                .where(col("f").isNotNull))
-          }
-        val unreferenced: Seq[String] =
-          if (referencedDfs.isEmpty) candidates
-          else candidates.toDF("f")
-            .join(referencedDfs.reduce(_ unionAll _), Seq("f"), "left_anti")
-            .as[String].collect().toSeq
+      import spark.implicits._
+      val referencedDfs = retained
+        .filter(m => m.blobColumns.nonEmpty && m.fragments.nonEmpty)
+        .flatMap { m =>
+          val phys = BlobStore.physicalSchema(m.schema, m.blobColumns)
+          val paths = m.fragments.map(f => new Path(qualDir, f.path).toString)
+          val df = spark.read.options(confOptions(spark, conf))
+            .schema(phys).parquet(paths: _*)
+          m.blobColumns.map(c =>
+            df.select(col(c).getField("file").as("f"))
+              .where(col("f").isNotNull))
+        }
+      // the referenced-name scan is reused by every batch's anti-join:
+      // cache it so N batches cost one descriptor scan, and drop the
+      // cache before returning (no block-set outlives the vacuum)
+      val referenced = referencedDfs.reduceOption(_ unionAll _)
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val batchSize = spark.conf
+        .get("spark.graft.vacuum.blobBatchSize", "100000").toInt.max(1)
+      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (batch.nonEmpty) {
+        val unreferenced: Seq[String] = referenced match {
+          case None => batch.toSeq
+          case Some(r) => batch.toSeq.toDF("f")
+            .join(r, Seq("f"), "left_anti").as[String].collect().toSeq
+        }
         unreferenced.foreach { rel =>
           fs.delete(new Path(qualDir, rel), false)
           deleted += 1
         }
+        batch.clear()
       }
+      val it = fs.listStatusIterator(blobDir)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          batch += s"${BlobStore.BlobDirName}/${st.getPath.getName}"
+        if (batch.size >= batchSize) flush()
+      }
+      flush()
+      referenced.foreach(_.unpersist(blocking = false))
     }
     (drop.size, deleted)
   }

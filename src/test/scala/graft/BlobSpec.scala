@@ -119,6 +119,45 @@ class BlobSpec extends AnyFunSuite {
     // table still reads correctly after GC
     assert(spark.table("b.db.media").count() == 5)
   }
+
+  test("blob GC streams the candidate listing in bounded batches " +
+      "(many blobs, batch smaller than the directory)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS b.db.many")
+    spark.sql(
+      """CREATE TABLE b.db.many (id BIGINT, content BINARY)
+        |TBLPROPERTIES ('blob_columns' = 'content')""".stripMargin)
+    spark.sql(
+      """INSERT INTO b.db.many
+        |SELECT id, CAST(concat('v1-', CAST(id AS STRING)) AS BINARY)
+        |FROM range(120)""".stripMargin)
+    val dir = new org.apache.hadoop.fs.Path(
+      Paths.get(wh, "db", "many.graft").toUri)
+    val blobDir = Paths.get(wh, "db", "many.graft", "data", "blobs")
+    import scala.jdk.CollectionConverters._
+    def names: Set[String] = Files.list(blobDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    val before = names
+    spark.sql(
+      """INSERT OVERWRITE b.db.many
+        |SELECT id, CAST(concat('v2-', CAST(id AS STRING)) AS BINARY)
+        |FROM range(100)""".stripMargin)
+    val fresh = names -- before
+    assert(fresh.nonEmpty)
+    // batch far smaller than the blob count: the GC must flush several
+    // partial batches and still delete exactly the unreferenced set
+    spark.conf.set("spark.graft.vacuum.blobBatchSize", "16")
+    try {
+      val (_, deletedCount) =
+        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+      assert(deletedCount > 0)
+      val remaining = names
+      assert(remaining.intersect(fresh) == fresh, "live sidecars deleted")
+      assert(remaining.intersect(before).isEmpty,
+        s"stale sidecars survived batched listing")
+      assert(spark.table("b.db.many").count() == 100)
+    } finally spark.conf.unset("spark.graft.vacuum.blobBatchSize")
+  }
 }
 
 /** Mirrors the reference's vector column feature tests
