@@ -321,6 +321,53 @@ object VectorOps {
       }
     },
 
+    // The l2 variant of the rewrite: ORDER BY l2_sq ASC LIMIT k probes
+    // the SAME IVF index — k-means lists are L2 cells, so list selection
+    // is metric-exact here. (Golden-pinned like v06; probe exactness and
+    // the DESC/farthest-k non-rewrite are spec-verified in
+    // AnnRewriteSpec.)
+    Q.golden("v08_ann_l2_rewrite", Seq("rank", "vec_id"), "rank",
+      "optimizer rule: top-k l2_sq ASC auto-probes the IVF index") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_rwl2.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.BenchPhases.timed("v08_ann_l2_rewrite.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      }
+      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+      val table = org.apache.spark.sql.GraftShim.tableDF(s,
+        new graft.connector.GraftTable(s"v08:$dir", dir, manifest,
+          s.sessionState.newHadoopConf()))
+      val qv = emb(s, d).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val rule = graft.plans.AnnTopKIndexRewrite(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      s.conf.set("spark.graft.ann.indexRewrite", "true")
+      try {
+        val q = table
+          .orderBy(graft.functions.VectorFunctions.l2_sq(
+            col("embedding"), typedlit(qv)).asc)
+          .limit(10)
+          .select(col("vec_id"))
+        val probed = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }.nonEmpty
+        require(probed, "l2 ANN rewrite did not fire — no index probe in plan")
+        val rows = q.collect()
+        import s.implicits._
+        rows.map(_.getLong(0)).toSeq.zipWithIndex
+          .map { case (id, i) => (i + 1, id) }.toDF("rank", "vec_id")
+      } finally {
+        s.conf.unset("spark.graft.ann.indexRewrite")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    },
+
     // Embedding-cosine near-duplicate detection: all pairs above a
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this

@@ -13,16 +13,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.connector.GraftTable
 import graft.format.GraftFormat
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, L2Squared}
 
-/** Opt-in optimizer rule: rewrite exact top-k cosine similarity over a
+/** Opt-in optimizer rule: rewrite exact top-k vector search over a
   * graft table into an IVF index probe when a current index exists —
   * the Spark-native analog of the reference engine's index-accelerated
   * ANN (its scans flip `useScalarIndex`/vector indexes on when a Lance
   * `_indices/` sidecar is present, LanceFragmentPageSource.java:126).
   *
   * Matches `ORDER BY cosine_sim(embCol, <literal vector>) DESC LIMIT k`
-  * directly over a graft relation (optionally through a Project) and
+  * and `ORDER BY l2_sq(embCol, <literal vector>) ASC LIMIT k` directly
+  * over a graft relation (optionally through a Project) and
   * replaces the corpus with a LEFT SEMI join against the ids of the
   * `nprobe` nearest IVF lists, so only nprobe/nLists of the corpus is
   * scanned and sorted. The result is APPROXIMATE (that is the point),
@@ -36,6 +37,11 @@ import graft.functions.CosineSim
   * Scale shape: centroids (k×dim doubles) are read once per (table,
   * version) and cached driver-side; the probe itself is plan surgery —
   * the corpus side never materializes outside the probed lists.
+  *
+  * Metric/probe fit: IVF lists are k-means cells, i.e. exactly the
+  * L2-nearest partitioning — so L2 list selection is the natural probe
+  * for `l2_sq`, and serves cosine well on the near-unit-norm embeddings
+  * k-means was trained on (same trade the reference makes).
   */
 case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -48,9 +54,9 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case l @ GlobalLimit(IntegerLiteral(k), LocalLimit(IntegerLiteral(_), body)) =>
         val parts = body match {
           case p @ Project(_,
-              Sort(Seq(so @ SortOrder(e, Descending, _, _)), true, child, _)) =>
+              Sort(Seq(so @ SortOrder(e, _, _, _)), true, child, _)) =>
             Some((Some(p), so, e, child))
-          case Sort(Seq(so @ SortOrder(e, Descending, _, _)), true, child, _) =>
+          case Sort(Seq(so @ SortOrder(e, _, _, _)), true, child, _) =>
             Some((Option.empty[Project], so, e, child))
           case _ => None
         }
@@ -68,9 +74,9 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(so: SortOrder, sortExpr: Expression,
       child: LogicalPlan): Option[LogicalPlan] =
     for {
-      cos <- resolveCosine(sortExpr, child)
+      metric <- resolveMetric(so.direction, sortExpr, child)
       table <- graftTableOf(child)
-      (embName, qv) <- embAndQuery(cos)
+      (embName, qv) <- embAndQuery(metric)
       (candPlan, idName) <- candidatePlan(table, embName, qv)
       idAttr <- child.output.find(a => spark.sessionState.conf.resolver(a.name, idName))
     } yield {
@@ -79,19 +85,29 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Sort(Seq(so), global = true, join)
     }
 
-  /** The sort key as a CosineSim: either directly, or an attribute the
-    * immediate Project below aliases to one. */
-  private def resolveCosine(e: Expression, child: LogicalPlan): Option[CosineSim] =
-    e match {
-      case c: CosineSim => Some(c)
-      case a: AttributeReference => child match {
-        case Project(list, _) => list.collectFirst {
-          case al @ Alias(c: CosineSim, _) if al.exprId == a.exprId => c
-        }
-        case _ => None
-      }
+  /** The sort key as a supported metric expression — cosine similarity
+    * sorted DESC (nearest = most similar first) or squared L2 distance
+    * sorted ASC (nearest = smallest first); either directly, or an
+    * attribute the immediate Project below aliases to one. A direction
+    * mismatch (e.g. `l2_sq DESC` = FARTHEST-k) never probes: the index
+    * accelerates nearest-neighbor only. */
+  private def resolveMetric(dir: SortDirection, e: Expression,
+      child: LogicalPlan): Option[BinaryExpression] = {
+    def matches(expr: Expression): Option[BinaryExpression] = expr match {
+      case c: CosineSim if dir == Descending => Some(c)
+      case l: L2Squared if dir == Ascending => Some(l)
       case _ => None
     }
+    e match {
+      case a: AttributeReference => child match {
+        case Project(list, _) => list.collectFirst {
+          case al @ Alias(inner, _) if al.exprId == a.exprId => inner
+        }.flatMap(matches)
+        case _ => None
+      }
+      case other => matches(other)
+    }
+  }
 
   private def graftTableOf(p: LogicalPlan): Option[GraftTable] = p match {
     // a Project is row-preserving, so the semi-join stays valid above it
@@ -107,7 +123,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** (embedding column name, query vector) if one side is a bare column
     * and the other a foldable literal vector. */
-  private def embAndQuery(c: CosineSim): Option[(String, Array[Double])] = {
+  private def embAndQuery(c: BinaryExpression): Option[(String, Array[Double])] = {
     def vec(e: Expression): Option[Array[Double]] =
       if (!e.foldable) None
       else e.dataType match {

@@ -112,6 +112,43 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k l2_sq ASC rewrites to the same IVF probe; DESC never does") {
+    dir
+    def l2TopK(k: Int) = tableDF
+      .orderBy(VectorFunctions.l2_sq(
+        col("embedding"), typedlit(queryVec)).asc)
+      .limit(k)
+      .select("vec_id")
+    withRule {
+      val q = l2TopK(5)
+      assert(semiJoins(q) == 1, "expected a semi join against the index:\n" +
+        q.queryExecution.optimizedPlan)
+      val approx = q.collect().map(_.getLong(0)).toSeq
+      // IVF lists ARE k-means L2 cells, so the probe is metric-exact for
+      // l2: verify against a hand-built probe
+      val (cents, assign) = Ivf.readCurrent(spark, dir, "embedding").get
+      val qv = queryVec.map(_.toDouble)
+      val probed = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)
+          .zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1).toSet
+      val candIds = assign.filter(col("cid").isin(probed.toSeq: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val expected = tableDF
+        .filter(col("vec_id").isin(candIds.toSeq: _*))
+        .orderBy(VectorFunctions.l2_sq(
+          col("embedding"), typedlit(queryVec)).asc)
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(approx == expected, "l2 probe differs from a manual probe")
+      // the query vector is row 7: l2 distance 0 to itself, always found
+      assert(approx.head == 7L)
+      // farthest-k (l2_sq DESC) is not nearest-neighbor — must not probe
+      val farthest = tableDF.orderBy(VectorFunctions.l2_sq(
+        col("embedding"), typedlit(queryVec)).desc).limit(5)
+      assert(semiJoins(farthest) == 0)
+    }
+  }
+
   test("rewrite does not fire: conf off, no index, non-literal query") {
     dir
     // conf off (rule installed but disabled)
