@@ -121,8 +121,33 @@ object TextOps {
   /** documents projected to (doc_id, source, words) with words = the
     * distinct lower-cased whitespace tokens. */
   def wordSets(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), col("source"),
+    wordSetsOf(docs(s, d))
+
+  /** [[wordSets]] over an arbitrary corpus DataFrame with
+    * (doc_id, source, text) columns. */
+  def wordSetsOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), col("source"),
       expr(s"array_distinct($toksExpr)").as("words"))
+
+  /** The composable corpus-dedup API — what a training-data build
+    * actually calls: filter `corpus` (any DataFrame with doc_id, source,
+    * text columns) down to near-duplicate cluster SURVIVORS, keeping one
+    * canonical representative (min doc_id) per cluster of documents
+    * whose word-set jaccard meets `threshold`, plus every document with
+    * no near-duplicate. All original columns pass through (left-semi
+    * join against the keep-list — corpus payloads never shuffle into
+    * the dedup pipeline, which runs on narrow (doc_id, word-hash)
+    * streams; see [[jaccardPairs]] / [[dedupClusters]] for the 100 TB
+    * shape and the `dfCap` skew knob). */
+  def nearDupSurvivors(corpus: DataFrame, threshold: Double = 0.8,
+      dfCap: Int = 10000): DataFrame = {
+    val w = wordSetsOf(corpus)
+    val pairs = jaccardPairs(w, dfCap).filter(col("jaccard_raw") >= threshold)
+    val keep = dedupClusters(w.select("doc_id"), pairs)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id")
+    corpus.join(keep, Seq("doc_id"), "left_semi")
+  }
 
   /** Exploded (source, doc_id, word-hash) token stream. Tokens travel
     * as 64-bit hashes so the inverted-index joins stay three-longs
@@ -438,6 +463,39 @@ object TextOps {
       val w = wordSets(s, d)
       val pairs = jaccardPairs(w).filter(col("jaccard_raw") >= 0.8)
       dedupClusters(w.select("doc_id"), pairs).orderBy("doc_id")
+    },
+
+    // The composable SURVIVOR API over the same clustering: the corpus
+    // filtered to one canonical representative per near-dup cluster —
+    // the call a corpus build chains between quality filtering and
+    // mixture sampling. Oracle: same recursive transitive closure as
+    // t15, keeping rows whose component min IS the row.
+    Q("t17_near_dup_survivors",
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> x <> '')) AS words
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |      / (len(a.words) + len(b.words)
+        |         - len(list_intersect(a.words, b.words))) >= 0.8),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src) l
+        |  ON d.doc_id = l.doc_id AND l.rep = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+      "corpus filtered to near-dup cluster survivors (min-id reps)") { (s, d) =>
+      nearDupSurvivors(docs(s, d))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     // SimHash signatures per doc (golden-pinned; spec-verified too).

@@ -67,6 +67,31 @@ class TextOpsSpec extends AnyFunSuite {
       s"sigs cache leak: persistent RDDs grew $before -> $after")
   }
 
+  test("nearDupSurvivors keeps one representative per cluster, all " +
+      "columns intact") {
+    import spark.implicits._
+    // docs 1/2/3 are near-identical (pairwise jaccard > 0.8), 4 shares
+    // only a couple words (below threshold), 5 is unrelated; 6 matches
+    // 1-3 textually but sits in another source partition
+    val corpus = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10),
+      (2L, "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10),
+      (3L, "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", 11),
+      (4L, "web", "alpha beta completely different words here now okay", 8),
+      (5L, "web", "unrelated content entirely separate vocabulary", 6),
+      (6L, "books", "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10))
+      .toDF("doc_id", "source", "text", "extra")
+    val got = TextOps.nearDupSurvivors(corpus)
+    assert(got.columns.toSeq == corpus.columns.toSeq,
+      "survivor rows must carry the original corpus columns")
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L, 5L, 6L))
+    // a stricter threshold splits 3 (jaccard 10/11 ~ 0.909 vs 1) out
+    val strict = TextOps.nearDupSurvivors(corpus, threshold = 0.95)
+    assert(strict.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val sigs = TextOps.withMinhash(TextOps.withShingles(spark, sf))
       .select("doc_id", "shingles", "minhash")
