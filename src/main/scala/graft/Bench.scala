@@ -19,6 +19,14 @@ object Bench {
     // deployment pays per query
     spark.range(0, 1000000).selectExpr("sum(id)", "count(distinct id % 100)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // probe aid: SPARK_GRAFT_BENCH_CONF="k=v;k=v" seeds session confs
+    // (the skew probe lowers spark.graft.jaccard.dfCap this way; the
+    // driver never sets it, so the contract is unchanged)
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q01,t02 restricts the
     // run (the driver never sets it, so the contract is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -460,8 +460,14 @@ object TextOps {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
       "near-dup clusters: connected components, min-id canonical") { (s, d) =>
+      // honor the same skew knob as t02 — the round-8 skew probe caught
+      // this query hard-coding the default cap, which let 2k docs with a
+      // shared 40-token prefix (df=2000, under the 10k default) blow the
+      // inverted-index self-join to ~80M rows (t15 16.9x superlinear);
+      // with the probe's cap=256 the same corpus stays linear
+      val cap = s.conf.get("spark.graft.jaccard.dfCap", "10000").toInt
       val w = wordSets(s, d)
-      val pairs = jaccardPairs(w).filter(col("jaccard_raw") >= 0.8)
+      val pairs = jaccardPairs(w, cap).filter(col("jaccard_raw") >= 0.8)
       dedupClusters(w.select("doc_id"), pairs).orderBy("doc_id")
     },
 
@@ -493,7 +499,8 @@ object TextOps {
         |  ON d.doc_id = l.doc_id AND l.rep = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
       "corpus filtered to near-dup cluster survivors (min-id reps)") { (s, d) =>
-      nearDupSurvivors(docs(s, d))
+      nearDupSurvivors(docs(s, d),
+        dfCap = s.conf.get("spark.graft.jaccard.dfCap", "10000").toInt)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
