@@ -71,6 +71,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   private var warehouse: Path = _
   private var storageOptions: Map[String, String] = Map.empty
   private var client: NamespaceClient = _
+  // Reference namespace-mount modes (LanceConfig.java:69-106):
+  //   parent = "pfx" or "pfx$path" roots every visible namespace under
+  //     that service prefix (`lance.parent`, '$'-delimited);
+  //   single_level_ns = true exposes ONE virtual namespace `default`
+  //     whose tables live at the parent key itself — CREATE/DROP
+  //     NAMESPACE are disallowed (`lance.single_level_ns`).
+  private var parentLevels: Seq[String] = Nil
+  private var singleLevel: Boolean = false
   @transient private var hadoopConf: Configuration = _
 
   private def conf: Configuration = {
@@ -162,6 +170,13 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse' for new table data")))
     storageOptions = GraftCatalog.hadoopOptions(options)
+    parentLevels = Option(options.get("parent"))
+      .map(_.split('$').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    singleLevel = Option(options.get("single_level_ns")).exists(_.toBoolean)
+    if (singleLevel && parentLevels.isEmpty)
+      // the virtual `default` schema needs a concrete service key to
+      // hang tables on; without a parent that key is literally "default"
+      parentLevels = Seq("default")
     client = newClient(name, options)
   }
 
@@ -174,8 +189,15 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     * with-parent modes): Array("a","b") <-> "a$b". The service stays a
     * flat name->tables store; nesting is a client-side view. */
   private def nsKey(namespace: Array[String]): String = {
-    if (namespace.isEmpty) throw new NoSuchNamespaceException(namespace)
-    namespace.mkString("$")
+    if (singleLevel) {
+      if (namespace.length != 1 ||
+          !SparkSession.active.sessionState.conf.resolver(namespace(0), "default"))
+        throw new NoSuchNamespaceException(namespace)
+      parentLevels.mkString("$")
+    } else {
+      if (namespace.isEmpty) throw new NoSuchNamespaceException(namespace)
+      (parentLevels ++ namespace).mkString("$")
+    }
   }
 
   /** DescribeTable: the table's data location + any storage options the
@@ -341,10 +363,15 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
 
   // --------------------------------------------------------- namespaces
 
-  /** Every namespace known to the service, as level arrays (the service
-    * stores `$`-joined names; see [[nsKey]]). */
+  /** Every VISIBLE namespace, as level arrays: the service's `$`-joined
+    * names filtered to (and stripped of) the configured parent prefix;
+    * in single-level mode exactly the virtual `default`. */
   private def allNamespaces(): Seq[Array[String]] =
-    client.listNamespaceKeys().map(_.split('$'))
+    if (singleLevel) Seq(Array("default"))
+    else client.listNamespaceKeys().map(_.split('$').toSeq)
+      .filter(ns => ns.length > parentLevels.length &&
+        ns.startsWith(parentLevels))
+      .map(_.drop(parentLevels.length).toArray)
 
   override def listNamespaces(): Array[Array[String]] =
     // top level of the hierarchy only, deduplicated: "a" and "a$b"
@@ -379,13 +406,21 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: JMap[String, String]): Unit =
+      namespace: Array[String], metadata: JMap[String, String]): Unit = {
+    if (singleLevel) throw new UnsupportedOperationException(
+      "single_level_ns mode exposes only the virtual 'default' " +
+        "namespace; CREATE NAMESPACE is not allowed (reference: " +
+        "lance.single_level_ns, LanceConfig.java:69-76)")
     client.createNamespace(nsKey(namespace))
+  }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (singleLevel) throw new UnsupportedOperationException(
+      "single_level_ns mode exposes only the virtual 'default' " +
+        "namespace; DROP NAMESPACE is not allowed")
     if (!namespaceExists(namespace)) return false
     val children = listNamespaces(namespace)
     // capture BEFORE any cascade: an implicit ancestor ceases to exist

@@ -343,6 +343,69 @@ class RestCatalogSpec extends AnyFunSuite {
   }
 }
 
+/** The reference's namespace-mount modes (`lance.parent` /
+  * `lance.single_level_ns`, LanceConfig.java:69-106) over the shared
+  * catalog logic — a second/third catalog against the SAME fake
+  * service, rooted below a prefix. */
+class NamespaceMountSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ready: Unit = {
+    val wh = Files.createTempDirectory("graft-mount-wh").toString
+    for ((cat, extra) <- Seq(
+        ("mb", Map.empty[String, String]), // base, un-rooted view
+        ("mp", Map("parent" -> "par")), // rooted at par
+        ("ms", Map("parent" -> "par$sub", "single_level_ns" -> "true")))) {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftRestCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${FakeNamespaceService.port}")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      extra.foreach { case (k, v) =>
+        spark.conf.set(s"spark.sql.catalog.$cat.$k", v) }
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mb.par.sub")
+  }
+
+  test("parent mode roots the visible hierarchy below the prefix, " +
+      "sharing tables with the un-rooted view") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS mb.par.sub.t")
+    spark.sql("CREATE TABLE mb.par.sub.t (k BIGINT)")
+    spark.sql("INSERT INTO mb.par.sub.t VALUES (1), (2)")
+    // the rooted catalog sees par's children at its top level
+    assert(spark.sql("SHOW NAMESPACES IN mp").collect()
+      .map(_.getString(0)).contains("sub"))
+    // ...and par itself is not a visible namespace there
+    assert(!spark.sql("SHOW NAMESPACES IN mp").collect()
+      .map(_.getString(0)).contains("par"))
+    // same physical table through both mounts
+    assert(spark.table("mp.sub.t").count() == 2)
+    // a table created through the rooted mount appears in the base view
+    spark.sql("DROP TABLE IF EXISTS mp.sub.t2")
+    spark.sql("CREATE TABLE mp.sub.t2 AS SELECT 42 AS v")
+    assert(spark.table("mb.par.sub.t2").head().getInt(0) == 42)
+    spark.sql("DROP TABLE mp.sub.t2")
+    spark.sql("DROP TABLE mb.par.sub.t")
+  }
+
+  test("single_level_ns exposes one virtual 'default' namespace; " +
+      "schema DDL is disallowed") {
+    ready
+    assert(spark.sql("SHOW NAMESPACES IN ms").collect()
+      .map(_.getString(0)).toSeq == Seq("default"))
+    spark.sql("DROP TABLE IF EXISTS ms.default.st")
+    spark.sql("CREATE TABLE ms.default.st AS SELECT 7 AS k")
+    // the table physically lives under par$sub in the service
+    assert(spark.table("mb.par.sub.st").head().getInt(0) == 7)
+    assert(spark.table("ms.default.st").count() == 1)
+    val e1 = intercept[Exception](spark.sql("CREATE NAMESPACE ms.other"))
+    assert(e1.getMessage.contains("single_level_ns"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("DROP NAMESPACE ms.default"))
+    assert(e2.getMessage.contains("single_level_ns"), e2.getMessage)
+    spark.sql("DROP TABLE ms.default.st")
+  }
+}
+
 /** A RawLocalFileSystem under scheme `graftmock:` — registered ONLY via
   * the fake service's vended `fs.graftmock.impl` storage option, so any
   * code path that drops the vended per-table configuration fails with
