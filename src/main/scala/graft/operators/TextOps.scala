@@ -600,6 +600,80 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition/diversity filters: the within-document
+    // signals a corpus build thresholds on (Rae et al. 2021 §A1.1 —
+    // fraction of duplicated n-grams, most-common-token dominance).
+    // Every stat is an INTEGER ratio rounded at 4dp, so both engines
+    // compute bit-identical doubles (no cross-engine float-sum drift).
+    // Scale shape: n-gram stats are pure per-row codegen; only the
+    // most-common-token count shuffles, one narrow (doc_id, token-count)
+    // aggregation.
+    Q("t18_repetition_stats",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |tn AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |cnt AS (
+        |  SELECT doc_id, tk, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS tk FROM tn)
+        |  GROUP BY doc_id, tk),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS n_toks, max(c) AS maxc
+        |  FROM cnt GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    round(CAST(len(list_distinct(w)) AS DOUBLE) / n, 4)
+        |      AS distinct_ratio,
+        |    CASE WHEN n >= 2 THEN round(1.0 -
+        |      CAST(len(list_distinct(list_transform(range(1, n),
+        |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (n - 1), 4)
+        |      ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN n >= 3 THEN round(1.0 -
+        |      CAST(len(list_distinct(list_transform(range(1, n - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |        / (n - 2), 4)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM tn)
+        |SELECT a.doc_id, CAST(a.n_toks AS BIGINT) AS n_toks,
+        |  g.distinct_ratio,
+        |  round(CAST(a.maxc AS DOUBLE) / a.n_toks, 4) AS top_tok_frac,
+        |  g.dup_2gram_frac, g.dup_3gram_frac
+        |FROM agg a JOIN g USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+      "Gopher-style repetition stats: dup n-gram fractions, token dominance") { (s, d) =>
+      val tok = docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"))
+      val dominance = tok
+        .select(col("doc_id"), explode(col("toks")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_toks"), max("c").as("maxc"))
+      def gramFrac(k: Int): Column = {
+        val grams = expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")}))")
+        when(size(col("toks")) >= k, round(lit(1.0) -
+          size(array_distinct(grams)).cast("double") /
+            (size(col("toks")) - (k - 1)), 4))
+          .otherwise(0.0)
+      }
+      val perRow = tok.select(
+        col("doc_id"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("distinct_ratio"),
+        gramFrac(2).as("dup_2gram_frac"),
+        gramFrac(3).as("dup_3gram_frac"))
+      dominance.join(perRow, Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"),
+          col("distinct_ratio"),
+          round(col("maxc").cast("double") / col("n_toks"), 4)
+            .as("top_tok_frac"),
+          col("dup_2gram_frac"), col("dup_3gram_frac"))
+        .orderBy("doc_id")
+    },
+
     // Token accounting: whitespace + BPE-ish regex token counts.
     Q("t08_token_counts",
       """SELECT doc_id,
