@@ -62,12 +62,23 @@ object GraftWriter {
     val staging = new Path(dir, s".staging-${UUID.randomUUID()}")
     val conf = data.sparkSession.sessionState.newHadoopConf()
     try {
-      val vectorCols = graft.format.VectorColumns.fromProperties(
-        GraftFormat.readLatest(fs, dir).map(_.properties).getOrElse(tableProps))
-      graft.format.BlobStore.encode(
+      val props =
+        GraftFormat.readLatest(fs, dir).map(_.properties).getOrElse(tableProps)
+      val vectorCols = graft.format.VectorColumns.fromProperties(props)
+      // Fragment sizing (reference: lance.max_rows_per_file,
+      // LanceConfig.java:137): tables at 100 TB need bounded fragments
+      // for split planning and compaction granularity. Spark's writer
+      // enforces it natively via maxRecordsPerFile — table property
+      // wins over the session conf; unset keeps one file per task.
+      val maxRows = props.get("write.max_rows_per_file")
+        .orElse(Option(data.sparkSession.conf.get(
+          "spark.graft.write.maxRowsPerFile", null)))
+        .flatMap(_.toLongOption).filter(_ > 0)
+      val writer = graft.format.BlobStore.encode(
         graft.format.VectorColumns.enforce(data.toDF(), vectorCols),
-        blobCols, dir)
-        .write.parquet(staging.toUri.toString)
+        blobCols, dir).write
+      maxRows.foreach(n => writer.option("maxRecordsPerFile", n))
+      writer.parquet(staging.toUri.toString)
       val schemaJson = data.schema.json
       // move fragments into data/ ONCE, before the commit loop — they are
       // invisible until a manifest references them, so a lost commit race

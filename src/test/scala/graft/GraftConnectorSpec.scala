@@ -33,6 +33,39 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("write.max_rows_per_file bounds fragment size (reference: " +
+      "lance.max_rows_per_file)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.sized")
+    spark.sql(
+      """CREATE TABLE g.db.sized (id BIGINT)
+        |TBLPROPERTIES ('write.max_rows_per_file' = '100')""".stripMargin)
+    // one input partition, 350 rows: without the knob this is ONE
+    // fragment; with it the writer must roll files at 100 rows
+    spark.range(0, 350).coalesce(1).createOrReplaceTempView("sized_src")
+    spark.sql("INSERT INTO g.db.sized SELECT id FROM sized_src")
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "sized.graft").toUri)
+    val m = GraftFormat.readLatest(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir).get
+    assert(m.fragments.length == 4,
+      s"expected 4 fragments of <=100 rows, got ${m.fragments.length}")
+    assert(m.fragments.forall(_.rowCount <= 100))
+    assert(spark.table("g.db.sized").count() == 350)
+    // the session-conf fallback applies when the table carries no knob
+    spark.sql("DROP TABLE IF EXISTS g.db.sized2")
+    spark.sql("CREATE TABLE g.db.sized2 (id BIGINT)")
+    spark.conf.set("spark.graft.write.maxRowsPerFile", "200")
+    try {
+      spark.sql("INSERT INTO g.db.sized2 SELECT id FROM sized_src")
+      val m2 = GraftFormat.readLatest(
+        dir.getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(
+          java.nio.file.Paths.get(wh, "db", "sized2.graft").toUri)).get
+      assert(m2.fragments.length == 2 && m2.fragments.forall(_.rowCount <= 200))
+    } finally spark.conf.unset("spark.graft.write.maxRowsPerFile")
+  }
+
   test("insert append creates a new version; time travel reads the old one") {
     wh
     spark.sql("DROP TABLE IF EXISTS g.db.tt")
