@@ -684,6 +684,30 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic content-hash train/val/test split — reproducible
+    // held-out sets that survive re-runs, re-partitioning, and corpus
+    // growth (a doc's assignment depends only on its text). Buckets are
+    // the first two md5 hex chars (256 of them): train < 0xcc (~80%),
+    // val < 0xe6 (~10%), test otherwise. Pure per-row codegen, no
+    // shuffle; oracle-exact because md5 and string comparison agree
+    // across engines.
+    Q("t19_hash_split",
+      """SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+      "content-hash split assignment: md5 bucket -> train/val/test") { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 2).as("bucket"),
+        when(substring(md5(col("text")), 1, 2) < "cc", "train")
+          .when(substring(md5(col("text")), 1, 2) < "e6", "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Token accounting: whitespace + BPE-ish regex token counts.
     Q("t08_token_counts",
       """SELECT doc_id,
