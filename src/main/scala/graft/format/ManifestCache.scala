@@ -18,8 +18,10 @@ import graft.format.GraftFormat.Manifest
   * two metadata round-trips per query per user.
   *
   * Two tiers:
-  *  - `latest`: one entry per table, valid for `ttlMs` since the last
-  *    freshness check. On expiry the cache REVALIDATES with a single
+  *  - `latest`: one entry per table (LRU-bounded by
+  *    `spark.graft.manifest.cache.max.entries`, reference analog
+  *    `lance.cache.dataset.max_entries`), valid for `ttlMs` since the
+  *    last freshness check. On expiry the cache REVALIDATES with a single
   *    version listing; the manifest body is re-read only if the version
   *    actually moved, so even ttl=0 (always revalidate) skips the
   *    read + parse in the common unchanged case. Every local commit
@@ -41,10 +43,26 @@ object ManifestCache {
     * `spark.graft.manifest.cache.ttl.ms`. */
   val DefaultTtlMs = 1000L
 
+  /** Default latest-tier capacity, overridable per-session via
+    * `spark.graft.manifest.cache.max.entries` (reference analog:
+    * `lance.cache.dataset.max_entries`, default 100,
+    * LanceConfig.java:237-243). A manifest entry here is O(fragments)
+    * metadata — far lighter than the reference's dataset handle — so the
+    * default is higher, but a long-lived service touching millions of
+    * table paths must not grow the driver heap without bound. */
+  val DefaultMaxEntries = 1024
+
   private final case class Entry(version: Long, manifest: Manifest,
       checkedAtMs: Long)
 
-  private val entries = TrieMap.empty[String, Entry]
+  // Access-ordered LRU bounded by the session cap; all access under
+  // `entries.synchronized` (driver-side metadata path, low contention).
+  private val entries =
+    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Entry]): Boolean =
+        size > sessionMaxEntries
+    }
 
   // Per-table invalidation generation. latest() snapshots it BEFORE its
   // FS reads and only caches the result if no invalidateLatest/purge
@@ -64,8 +82,8 @@ object ManifestCache {
     * race the counter exists to close. */
   private def guardedPut(k: String, g: Long, e: Entry): Unit =
     if (gen(k).get() == g) {
-      entries.put(k, e)
-      if (gen(k).get() != g) entries.remove(k)
+      entries.synchronized(entries.put(k, e))
+      if (gen(k).get() != g) entries.synchronized(entries.remove(k))
     }
 
   // LRU of immutable (table@version) manifests; access-ordered.
@@ -99,6 +117,21 @@ object ManifestCache {
         DefaultTtlMs.toString).toLong)
       .getOrElse(DefaultTtlMs)
 
+  /** Session latest-tier capacity (see [[DefaultMaxEntries]]); resolved
+    * on every insert so a reconfigured session shrinks/grows the bound
+    * without a restart. Values < 1 are clamped to 1 (the bound exists to
+    * cap memory, not to disable the cache — ttl=-1 does that). */
+  def sessionMaxEntries: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.graft.manifest.cache.max.entries",
+        DefaultMaxEntries.toString).toInt)
+      .getOrElse(DefaultMaxEntries)
+      .max(1)
+
+  /** Current latest-tier entry count (spec observability). */
+  private[graft] def latestTierSize: Int = entries.synchronized(entries.size)
+
   /** Latest manifest of `table`, served from cache within `ttlMs` of the
     * last freshness check; revalidated (one version listing) after. */
   def latest(fs: FileSystem, table: Path, ttlMs: Long = sessionTtlMs)
@@ -106,7 +139,7 @@ object ManifestCache {
     if (ttlMs < 0) return GraftFormat.readLatest(fs, table)
     val k = key(fs, table)
     val now = System.currentTimeMillis()
-    entries.get(k) match {
+    entries.synchronized(Option(entries.get(k))) match {
       case Some(e) if now - e.checkedAtMs < ttlMs =>
         hits.incrementAndGet()
         Some(e.manifest)
@@ -114,7 +147,7 @@ object ManifestCache {
         val g = gen(k).get()
         GraftFormat.latestVersion(fs, table) match {
           case None =>
-            entries.remove(k)
+            entries.synchronized(entries.remove(k))
             None
           case Some(v) =>
             cached match {
@@ -155,7 +188,7 @@ object ManifestCache {
   def invalidateLatest(fs: FileSystem, table: Path): Unit = {
     val k = key(fs, table)
     gen(k).incrementAndGet()
-    entries.remove(k)
+    entries.synchronized(entries.remove(k))
   }
 
   /** The table was dropped, replaced, or vacuumed: purge everything for
@@ -164,7 +197,7 @@ object ManifestCache {
   def purge(fs: FileSystem, table: Path): Unit = {
     val k = key(fs, table)
     gen(k).incrementAndGet()
-    entries.remove(k)
+    entries.synchronized(entries.remove(k))
     pinned.synchronized {
       val it = pinned.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(k + "@")) it.remove()
@@ -172,7 +205,7 @@ object ManifestCache {
   }
 
   def clearAll(): Unit = {
-    entries.clear()
+    entries.synchronized(entries.clear())
     pinned.synchronized(pinned.clear())
   }
 }

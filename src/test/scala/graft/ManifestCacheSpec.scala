@@ -199,6 +199,32 @@ class ManifestCacheSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.manifest.cache.ttl.ms", "1000")
   }
 
+  test("latest tier is LRU-bounded by max.entries; evicted tables re-read") {
+    setup(ttlMs = 3600000)
+    try {
+      spark.conf.set("spark.graft.manifest.cache.max.entries", "4")
+      ManifestCache.clearAll()
+      val names = (1 to 8).map(i => s"lru$i")
+      names.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS mc.db.$n")
+        spark.sql(s"CREATE TABLE mc.db.$n (id BIGINT)")
+        spark.sql(s"INSERT INTO mc.db.$n VALUES (1)")
+        assert(spark.table(s"mc.db.$n").count() == 1)
+      }
+      assert(ManifestCache.latestTierSize <= 4,
+        "latest tier must stay within spark.graft.manifest.cache.max.entries")
+      // the evicted (oldest) table still answers correctly — at the
+      // cost of a re-read, not a wrong snapshot
+      val m0 = ManifestCache.misses.get()
+      assert(spark.table("mc.db.lru1").count() == 1)
+      assert(ManifestCache.misses.get() > m0,
+        "an evicted table must be a cache miss, never a stale hit")
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS mc.db.$n"))
+    } finally
+      spark.conf.set("spark.graft.manifest.cache.max.entries",
+        ManifestCache.DefaultMaxEntries.toString)
+  }
+
   test("vacuum purges pinned entries for dropped versions") {
     setup(ttlMs = 60000)
     freshTable("t7")
