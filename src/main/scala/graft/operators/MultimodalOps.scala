@@ -119,6 +119,39 @@ object MultimodalOps {
       decodeFeatures(bmps, "bmp").orderBy("doc_id")
     },
 
+    // REAL audio codec through the same seam: documents rendered as
+    // actual 16-bit PCM WAV clips (rate/channels/samples derived
+    // deterministically from doc_id/text), decoded by the
+    // ServiceLoader-registered WavMediaDecoder walking genuine RIFF
+    // chunks and sample frames — the audio half of the jar-drop proof
+    // (m04 is the image half). Golden-pinned: encode and decode are
+    // pure per-row functions, bit-stable across partitionings.
+    Q.golden("m05_wav_decode",
+      Seq("doc_id", "byte_len", "width", "height", "mean_byte", "n_frames"),
+      "doc_id",
+      "real WAV codec via the decoder seam: encode docs as PCM audio, parse frames") { (s, d) =>
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false))))
+      val wavs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val txt = r.getString(1).getBytes("UTF-8")
+            val rate = 8000 * (1 + (id % 3).toInt) // 8/16/24 kHz
+            val channels = 1 + (id % 2).toInt
+            val frames = 64 + (id % 101).toInt
+            val samples = Array.tabulate[Short](frames * channels) { i =>
+              val b = if (txt.isEmpty) 0 else txt(i % txt.length) & 0xff
+              (((b - 128) * (1 + i % 7)) * 16).toShort
+            }
+            Row(id, WavCodec.encode16(rate, channels, samples))
+          }
+        }(enc)
+      decodeFeatures(wavs, "wav").orderBy("doc_id")
+    },
+
     // Blob-style virtual metadata columns without materializing content:
     // byte length + content digest are computable from the payload
     // column alone (the reference exposes <col>__blob_pos/__blob_size

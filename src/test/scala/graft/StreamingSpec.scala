@@ -258,6 +258,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(m04.nonEmpty && m04.forall(r =>
       r.getAs[Int]("width") >= 4 && r.getAs[Int]("n_frames") == 1))
   }
+
+  test("wav decoder parses real PCM frames, agreeing with the JDK's " +
+      "own WAV reader") {
+    import graft.operators.{WavCodec, WavMediaDecoder}
+    // a 2-channel clip with a known sawtooth
+    val (rate, channels, frames) = (16000, 2, 37)
+    val samples = Array.tabulate[Short](frames * channels)(i =>
+      ((i * 311 % 2048) - 1024).toShort)
+    val wav = WavCodec.encode16(rate, channels, samples)
+    // independent oracle: the JDK's javax.sound WAV parser must read
+    // back the identical format + frame count our encoder wrote and our
+    // decoder parses
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate.toInt == rate &&
+      in.getFormat.getChannels == channels &&
+      in.getFormat.getSampleSizeInBits == 16 &&
+      in.getFrameLength.toInt == frames)
+    // the JDK stream yields the same little-endian PCM bytes we wrote
+    val pcm = in.readAllBytes()
+    assert(pcm.length == frames * channels * 2)
+    var sum = 0L
+    for (i <- 0 until frames * channels) {
+      val s = ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort
+      assert(s == samples(i), s"sample $i round-trip mismatch")
+      sum += math.abs(s.toInt)
+    }
+    val expectMean =
+      math.rint(sum.toDouble / (frames * channels) / 256.0 * 10000) / 10000
+    val row = new WavMediaDecoder().decode(7L, wav)
+    assert(row.getInt(2) == rate && row.getInt(3) == channels)
+    assert(row.getDouble(4) == expectMean,
+      s"mean ${row.getDouble(4)} != javax.sound-derived $expectMean")
+    assert(row.getInt(5) == frames)
+    // chunk walker: extra chunks before data are skipped, not fatal
+    val listChunk = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 1, 2, 3, 4)
+    val padded = wav.take(12) ++ listChunk ++ wav.drop(12)
+    val riffSize = padded.length - 8
+    padded(4) = riffSize.toByte; padded(5) = (riffSize >> 8).toByte
+    padded(6) = (riffSize >> 16).toByte; padded(7) = (riffSize >> 24).toByte
+    assert(WavCodec.decode(padded) == ((rate, channels, frames, expectMean)))
+    // malformed payloads fail loudly, never silently fabricate features
+    intercept[IllegalArgumentException](
+      new WavMediaDecoder().decode(1L, Array[Byte](1, 2, 3)))
+    // the m05 gate query drives the same decoder through the seam,
+    // partition-parallel over real encoded audio
+    val m05 = SparkEntry.queries("m05_wav_decode")(spark, sf).collect()
+    assert(m05.nonEmpty && m05.forall(r =>
+      r.getAs[Int]("width") >= 8000 && r.getAs[Int]("n_frames") >= 64))
+  }
 }
 
 /** Registered via META-INF/services in TEST resources only — proves a
