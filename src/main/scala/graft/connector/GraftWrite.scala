@@ -74,10 +74,19 @@ object GraftWriter {
         .orElse(Option(data.sparkSession.conf.get(
           "spark.graft.write.maxRowsPerFile", null)))
         .flatMap(_.toLongOption).filter(_ > 0)
+      // Row-group sizing within a fragment (reference:
+      // lance.max_rows_per_group, LanceConfig.java:125): bounds the
+      // scan's batch granularity and page-index selectivity. Parquet's
+      // writer enforces an exact per-row-group row limit natively.
+      val maxRowsGroup = props.get("write.max_rows_per_group")
+        .orElse(Option(data.sparkSession.conf.get(
+          "spark.graft.write.maxRowsPerGroup", null)))
+        .flatMap(_.toIntOption).filter(_ > 0)
       val writer = graft.format.BlobStore.encode(
         graft.format.VectorColumns.enforce(data.toDF(), vectorCols),
         blobCols, dir).write
       maxRows.foreach(n => writer.option("maxRecordsPerFile", n))
+      maxRowsGroup.foreach(n => writer.option("parquet.block.row.count.limit", n))
       writer.parquet(staging.toUri.toString)
       val schemaJson = data.schema.json
       // move fragments into data/ ONCE, before the commit loop — they are

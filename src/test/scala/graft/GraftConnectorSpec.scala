@@ -66,6 +66,33 @@ class GraftConnectorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.write.maxRowsPerFile")
   }
 
+  test("write.max_rows_per_group bounds parquet row-group size " +
+      "(reference: lance.max_rows_per_group)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.grouped")
+    spark.sql(
+      """CREATE TABLE g.db.grouped (id BIGINT)
+        |TBLPROPERTIES ('write.max_rows_per_group' = '100')""".stripMargin)
+    spark.range(0, 350).coalesce(1).createOrReplaceTempView("grouped_src")
+    spark.sql("INSERT INTO g.db.grouped SELECT id FROM grouped_src")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "grouped.graft").toUri)
+    val fs = dir.getFileSystem(conf)
+    val m = GraftFormat.readLatest(fs, dir).get
+    assert(m.fragments.length == 1, "one file, many row groups")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir, m.fragments.head.path), conf))
+    try {
+      val groups = footer.getRowGroups
+      assert(groups.size == 4,
+        s"expected 4 row groups of <=100 rows, got ${groups.size}")
+      assert((0 until groups.size).forall(i => groups.get(i).getRowCount <= 100))
+    } finally footer.close()
+    assert(spark.table("g.db.grouped").count() == 350)
+  }
+
   test("insert append creates a new version; time travel reads the old one") {
     wh
     spark.sql("DROP TABLE IF EXISTS g.db.tt")
