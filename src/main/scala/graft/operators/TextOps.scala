@@ -708,6 +708,57 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // PII scrubbing: email/URL detection + redaction, the compliance
+    // pass every web-scale corpus build runs before training (Dolma /
+    // RedPajama ship the same regex-class rules). The synthetic corpus
+    // contains no PII, so each doc gets a DETERMINISTIC contact line
+    // appended (pure function of doc_id — the m04/m05 payload-synthesis
+    // precedent) and the scrub is verified oracle-exactly on counts AND
+    // on an md5 of the redacted text. Pure per-row codegen (regexp
+    // count/replace), zero shuffle at any corpus size; both engines run
+    // leftmost-greedy matching on backtracking-free character-class
+    // patterns, so Java regex and RE2 agree.
+    Q("t20_pii_scrub",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/d/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' mail2 x.y_z@sub.example.net' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT)
+        |    AS n_urls,
+        |  substr(md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g')), 1, 8) AS clean_digest8
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
+      "PII scrub: email/URL counts + redacted-text digest, pure codegen") { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      docs(s, d)
+        .withColumn("t", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or https://host"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.org/d/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, " mail2 x.y_z@sub.example.net")
+            .otherwise("")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(url)).cast("long").as("n_urls"),
+          substring(md5(regexp_replace(
+            regexp_replace(col("t"), email, "<EMAIL>"),
+            url, "<URL>")), 1, 8).as("clean_digest8"))
+        .orderBy("doc_id")
+    },
+
     // Token accounting: whitespace + BPE-ish regex token counts.
     Q("t08_token_counts",
       """SELECT doc_id,

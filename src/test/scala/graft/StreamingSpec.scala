@@ -45,6 +45,47 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly-once delivery of all rows, got ${all.mkString(",")}")
   }
 
+  test("streaming incremental dedup: flatMapGroupsWithState keeps " +
+      "first-seen docs across micro-batches") {
+    val wh = Files.createTempDirectory("graft-sdedup-wh").toString
+    spark.conf.set("spark.sql.catalog.sd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sd.db")
+    spark.sql("CREATE TABLE sd.db.crawl (doc_id BIGINT, body STRING)")
+    // snapshot 1: 'aa' duplicated within the batch (ids 1 and 2)
+    spark.sql(
+      "INSERT INTO sd.db.crawl VALUES (2, 'aa'), (1, 'aa'), (3, 'bb')")
+
+    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+    val out = Files.createTempDirectory("graft-sdedup-out").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingDedup.firstSeen(
+        spark.readStream.table("sd.db.crawl"), "doc_id", "body")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val first = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sorted
+    assert(first.sameElements(Array(1L -> "aa", 3L -> "bb")),
+      s"within-batch dup must keep min doc_id; got ${first.mkString(",")}")
+
+    // snapshot 2: 'aa'/'bb' seen in an EARLIER batch (cross-batch
+    // state hit), 'cc' genuinely new
+    spark.sql(
+      "INSERT INTO sd.db.crawl VALUES (10, 'aa'), (11, 'cc'), (12, 'bb')")
+    runOnce()
+    val all = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sorted
+    assert(all.sameElements(Array(1L -> "aa", 3L -> "bb", 11L -> "cc")),
+      s"cross-batch dups must be dropped by state; got ${all.mkString(",")}")
+  }
+
   test("graft streaming SINK: stream graft->graft with per-epoch commits") {
     val wh = Files.createTempDirectory("graft-sink-wh").toString
     spark.conf.set("spark.sql.catalog.gk", "graft.catalog.GraftCatalog")
