@@ -235,6 +235,26 @@ class TextOpsSpec extends AnyFunSuite {
     // planted pairs: |inter|=5, |union|=8 -> 0.625 regardless of cap
     top.foreach(r => assert(r.getDouble(2) == 0.625, r.toString))
   }
+
+  test("t20 pii scrub plans as pure codegen with zero exchanges") {
+    val df = SparkEntry.queries("t20_pii_scrub")(spark, sf)
+    df.collect() // AQE shows codegen spans only in the final plan
+    // AQE's toString appends the pre-execution "Initial Plan" — audit
+    // only the final one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // per-row regexp work must fuse into WholeStageCodegen and shuffle
+    // nothing but the final presentation sort
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, // the ORDER BY's range partitioning only
+      s"pii scrub must not shuffle beyond the output sort:\n$plan")
+    val projLine = plan.linesIterator
+      .find(l => l.contains("regexp_replace") || l.contains("RegExpReplace"))
+      .getOrElse(fail(s"no regexp in plan:\n$plan"))
+    // "*(n)" before the operator name marks the WholeStageCodegen span
+    assert(projLine.replaceAll("[\\s+-]+", "").startsWith("*("),
+      s"scrub outside codegen:\n$plan")
+  }
 }
 
 class VectorExprSpec extends AnyFunSuite {
