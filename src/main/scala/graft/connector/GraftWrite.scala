@@ -82,11 +82,23 @@ object GraftWriter {
         .orElse(Option(data.sparkSession.conf.get(
           "spark.graft.write.maxRowsPerGroup", null)))
         .flatMap(_.toIntOption).filter(_ > 0)
+      // Split-block bloom filters per row group on the named columns:
+      // point predicates on high-cardinality keys skip row groups whose
+      // min/max range matches but which cannot contain the value — the
+      // probabilistic complement of the manifest zone maps, written by
+      // parquet natively and consulted automatically by the scan's
+      // pushed predicates (parquet.filter.bloom.enabled, default on).
+      val bloomCols = props.get("write.bloom.columns")
+        .orElse(Option(data.sparkSession.conf.get(
+          "spark.graft.write.bloomColumns", null)))
+        .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       val writer = graft.format.BlobStore.encode(
         graft.format.VectorColumns.enforce(data.toDF(), vectorCols),
         blobCols, dir).write
       maxRows.foreach(n => writer.option("maxRecordsPerFile", n))
       maxRowsGroup.foreach(n => writer.option("parquet.block.row.count.limit", n))
+      bloomCols.foreach(c =>
+        writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
       writer.parquet(staging.toUri.toString)
       val schemaJson = data.schema.json
       // move fragments into data/ ONCE, before the commit loop — they are
