@@ -102,14 +102,15 @@ object GraftProcedures {
     Array(in("table", StringType),
       inDefault("min_rows", LongType, "1000000"),
       inDefault("fold_deletes", BooleanType, "true"),
-      inDefault("sort_by", StringType, "''")),
+      inDefault("sort_by", StringType, "''"),
+      inDefault("zorder_by", StringType, "''")),
     StructType(Seq(StructField("fragments_compacted", IntegerType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
       val (dir, conf) = resolve(in.getUTF8String(0).toString)
-      val sortBy = in.getUTF8String(3).toString.split(',')
+      def csv(i: Int) = in.getUTF8String(i).toString.split(',')
         .map(_.trim).filter(_.nonEmpty).toSeq
       val n = Maintenance.compact(spark, dir, in.getLong(1), in.getBoolean(2),
-        sortBy, conf)
+        csv(3), csv(4), conf)
       Array(new GenericInternalRow(Array[Any](n)))
     }
   }

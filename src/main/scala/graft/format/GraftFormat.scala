@@ -108,10 +108,17 @@ object GraftFormat {
     * bucketized rewrite — binds each fragment to its bucket. */
   val BucketFragmentsProp = "bucket_fragments"
 
+  /** Set by z-order compaction: fragments cover small hyper-rectangles
+    * of these comma-separated columns. Informational only — the scan
+    * plans nothing from it (the clustering's value is in the zone-map
+    * stats themselves) — but dropped like the other clustering claims
+    * once non-rewrite commits dilute the layout. */
+  val ZOrderByProp = "zorder_by"
+
   /** Layout claims that any commit adding fragments outside the
     * producing rewrite must drop (scans plan from them). */
   val ClusteringProps: Seq[String] =
-    Seq(SortByProp, BucketByProp, BucketFragmentsProp)
+    Seq(SortByProp, BucketByProp, BucketFragmentsProp, ZOrderByProp)
 
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)

@@ -60,14 +60,29 @@ object Maintenance {
     * columns, so each output fragment covers a DISJOINT value range —
     * the manifest zone maps then prune range/equality predicates down
     * to single fragments (the lakehouse OPTIMIZE ... SORT BY / Z-ORDER
-    * play: clustering exists to make statistics selective). */
+    * play: clustering exists to make statistics selective).
+    *
+    * `zorderBy`: multi-dimensional clustering — rows are ordered by the
+    * Morton interleave of per-column quantile-bucket ids (8 bits/dim),
+    * so every output fragment covers a small hyper-rectangle and zone
+    * maps prune predicates on ANY of the named columns, not just a
+    * sort prefix. Numeric/date/timestamp columns only. Quantile
+    * boundaries (255 doubles per dim, driver-side) make bucket
+    * occupancy skew-proof; the interleave itself is pure codegen
+    * arithmetic, so the rewrite stays whole-stage-compiled at any
+    * scale. Mutually exclusive with `sortBy`; the scan plans nothing
+    * from the recorded `zorder_by` property — the benefit is entirely
+    * in the per-fragment statistics. */
   def compact(
       spark: SparkSession,
       dir: Path,
       minRows: Long = 1000000L,
       foldDeletes: Boolean = true,
       sortBy: Seq[String] = Seq.empty,
+      zorderBy: Seq[String] = Seq.empty,
       hadoopConf: Configuration = null): Int = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
     val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
@@ -76,7 +91,7 @@ object Maintenance {
     // sorted compaction is a re-clustering OPTIMIZE: every fragment is
     // rewritten so the output covers disjoint sort-key ranges
     val (small, _) = manifest.fragments.partition(f =>
-      sortBy.nonEmpty || f.liveRows < minRows ||
+      sortBy.nonEmpty || zorderBy.nonEmpty || f.liveRows < minRows ||
         (foldDeletes && f.deletedCount > 0))
     if (small.size <= 1 && !small.exists(_.deletedCount > 0)) return 0
 
@@ -90,7 +105,13 @@ object Maintenance {
     val total = small.map(_.liveRows).sum
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
     val opts = confOptions(spark, conf)
-    if (sortBy.isEmpty)
+    if (zorderBy.nonEmpty) {
+      live.withColumn("__z", zValue(live, zorderBy))
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.options(opts).parquet(staging.toUri.toString)
+    } else if (sortBy.isEmpty)
       live.coalesce(nOut).write.options(opts).parquet(staging.toUri.toString)
     else {
       // tight range boundaries are the product here (zone-map
@@ -137,9 +158,58 @@ object Maintenance {
           if (sortBy.nonEmpty)
             latest.properties -- GraftFormat.ClusteringProps +
               (GraftFormat.SortByProp -> sortBy.mkString(","))
+          else if (zorderBy.nonEmpty)
+            latest.properties -- GraftFormat.ClusteringProps +
+              (GraftFormat.ZOrderByProp -> zorderBy.mkString(","))
           else latest.properties -- GraftFormat.ClusteringProps)
     }
     small.size
+  }
+
+  /** Morton z-value of `cols`: each column quantile-bucketed to 8 bits
+    * (255 approx-quantile cut points computed driver-side — skew-proof
+    * occupancy, tiny literals), then bit-interleaved into one LONG sort
+    * key. All per-row work is codegen'd builtins (array filter +
+    * shifts); nulls sort first via bucket 0. */
+  private def zValue(live: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val Bits = 8
+    require(cols.nonEmpty && cols.size * Bits <= 56,
+      s"zorderBy supports up to ${56 / Bits} columns")
+    val schema = live.schema
+    val numeric = cols.map { c =>
+      val f = schema(c)
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), lit("1970-01-01")).cast("double")
+        case org.apache.spark.sql.types.TimestampType =>
+          col(c).cast("double")
+        case t => throw new IllegalArgumentException(
+          s"zorderBy column '$c' has unsupported type ${t.simpleString} " +
+            "(numeric/date/timestamp only)")
+      }
+    }
+    val proj = live.select(numeric.zipWithIndex.map {
+      case (c, i) => c.as(s"__zq$i") }: _*)
+    val cuts: Seq[Array[Double]] = proj.stat.approxQuantile(
+      cols.indices.map(i => s"__zq$i").toArray,
+      (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray,
+      0.001).toSeq
+    val buckets = numeric.zip(cuts).map { case (v, cut) =>
+      // bucket = #cuts <= v, in [0, 255]; null -> 0 (sorts first)
+      when(v.isNull, 0)
+        .otherwise(size(filter(typedLit(cut.toSeq), b => v >= b)))
+    }
+    // interleave: bit i of dim j lands at position i*d + (d-1-j), so
+    // the FIRST column owns the most significant bit of each round
+    val d = buckets.size
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until Bits
+    } yield shiftleft(
+      shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), i * d + (d - 1 - j))
+    terms.reduce(_ + _)
   }
 
   /** The LIVE rows of `frags` as a DataFrame: deletion vectors applied

@@ -244,6 +244,48 @@ object FormatQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Z-order compaction (OPTIMIZE ... ZORDER BY analog): Morton
+    // interleave of quantile-bucket ids clusters fragments into
+    // hyper-rectangles, so zone maps prune point/range predicates on
+    // EVERY listed dimension — not just a sort prefix (planned-
+    // partition counts proven in MaintenanceSpec). The gate pins that
+    // the rewrite is byte-exact under predicates on both dimensions.
+    Q("g15_zorder_compact",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 500 AND 1000
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      "zorder compact clusters on (custkey, totalprice); probe stays exact") { (s, d) =>
+      setup(s, d)
+      graft.BenchPhases.timed("g15_zorder_compact.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.ord_zo")
+        val ord = Tables.load(s, d, "orders")
+        ord.filter(col("o_orderkey") % 4 === 0).createOrReplaceTempView("ord_zo_0")
+        s.sql("CREATE TABLE graft.db.ord_zo AS SELECT * FROM ord_zo_0")
+        (1 until 4).foreach { i =>
+          ord.filter(col("o_orderkey") % 4 === i)
+            .createOrReplaceTempView(s"ord_zo_$i")
+          s.sql(s"INSERT INTO graft.db.ord_zo SELECT * FROM ord_zo_$i")
+        }
+      }
+      // the measured operator is the z-order rewrite + the 2-D probe it
+      // accelerates (interleaved-append prep is the build phase above)
+      val dir = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "ord_zo.graft").toUri)
+      graft.ops.Maintenance.compact(s, dir, minRows = 2000L,
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      s.table("graft.db.ord_zo")
+        .filter(col("o_custkey").between(500, 1000) &&
+          col("o_totalprice").between(50000, 150000))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Bucketized rewrite (storage-partitioned-join layout): every row
     // moves to the fragment of bucket pmod(key, n); results must stay
     // byte-exact and a bucketized-x-bucketized join must agree with the

@@ -84,6 +84,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mt.db.srt").agg(sum("k"), count(lit(1))).head == checksum)
   }
 
+  test("zorder compaction: zone maps prune point predicates on EVERY " +
+      "z-order dimension, not just a sort prefix") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.zo")
+    spark.sql("CREATE TABLE mt.db.zo (x BIGINT, y BIGINT, v STRING)")
+    // a full 64x64 grid scattered across 4 interleaved fragments: no
+    // dimension is clustered, so every predicate scans everything
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO mt.db.zo
+         |SELECT (id * 4 + $i) % 64, (id * 4 + $i) div 64, concat('v', id)
+         |FROM range(0, 1024, 1, 1)""".stripMargin))
+    val dir = new Path(Paths.get(wh, "db", "zo.graft").toUri)
+    def planned(f: org.apache.spark.sql.DataFrame): Int =
+      f.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    val qx = () => spark.table("mt.db.zo").where(col("x") === 7)
+    val qy = () => spark.table("mt.db.zo").where(col("y") === 9)
+    assert(planned(qx()) == 4 && planned(qy()) == 4,
+      "interleaved fragments: no pruning possible")
+    val checksum = spark.table("mt.db.zo")
+      .agg(sum("x"), sum("y"), count(lit(1))).head
+
+    val n = Maintenance.compact(spark, dir, minRows = 256,
+      zorderBy = Seq("x", "y"))
+    assert(n == 4)
+    val after = GraftFormat.readLatest(fs, dir).get
+    assert(after.fragments.size == 16)
+    assert(after.properties(GraftFormat.ZOrderByProp) == "x,y")
+    // 16 fragments tile the 64x64 grid in z-order ~squares, so a point
+    // predicate on EITHER dimension intersects only the tiles crossing
+    // one grid line — a strict subset. A single-column sort would prune
+    // x but leave y unprunable (every fragment spans all of y).
+    val px = planned(qx())
+    val py = planned(qy())
+    assert(px <= 8, s"x-point predicate planned $px of 16 fragments")
+    assert(py <= 8, s"y-point predicate planned $py of 16 fragments")
+    // correctness: nothing lost or duplicated by the rewrite
+    assert(qx().count() == 64 && qy().count() == 64)
+    assert(spark.table("mt.db.zo")
+      .agg(sum("x"), sum("y"), count(lit(1))).head == checksum)
+    // a later append dilutes the layout -> the claim is dropped
+    spark.sql("INSERT INTO mt.db.zo VALUES (999, 999, 'tail')")
+    assert(!GraftFormat.readLatest(fs, dir).get.properties
+      .contains(GraftFormat.ZOrderByProp))
+  }
+
   test("TopN pushdown over a sorted table plans only the fragment prefix") {
     wh
     spark.sql("DROP TABLE IF EXISTS mt.db.topn")
