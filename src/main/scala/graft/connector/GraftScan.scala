@@ -123,8 +123,11 @@ class GraftScanBuilder(table: GraftTable,
     * the column, and any deletion vector disables MIN/MAX (the deleted
     * rows could be the extremes) while COUNT(*) stays deletion-aware. */
   private def parseAggs(agg: Aggregation): Option[Seq[PushedAgg]] = {
+    // start_version restricts the scan to a fragment subset, so the
+    // whole-manifest aggregate shortcuts would answer over too much
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
-      limit.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+      limit.nonEmpty || options.contains("start_version") ||
+      agg.aggregateExpressions.isEmpty) return None
     val frags = table.manifest.fragments
     val hasDeletes = frags.exists(_.deletedCount > 0)
     def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -205,6 +208,33 @@ class GraftScan(
   with SupportsRuntimeFiltering with SupportsReportOrdering
   with SupportsReportPartitioning {
 
+  /** Incremental (CDC-style) read: `spark.read.option("start_version",
+    * v)` restricts the scan to fragments carrying rows appended AFTER
+    * version v of the snapshot being read (deletion vectors of THIS
+    * snapshot still apply — live rows only). End bound = the snapshot
+    * itself, so `VERSION AS OF` composes as the end version. Exact
+    * unless a Compact commit in range consumed a not-yet-read append,
+    * which degrades to at-least-once (GraftFormat.excludedAsOf). The
+    * incremental-ETL primitive: each sync reads only the new data,
+    * never rescanning the table. */
+  private lazy val startVersionExcluded: Option[Set[Int]] =
+    options.get("start_version").map { sv =>
+      val from = sv.toLong
+      val versions = GraftFormat.listVersions(table.fs, table.dir)
+      require(from == 0L || versions.contains(from),
+        s"start_version $from is not a retained version of ${table.dir} " +
+          s"(retained: ${versions.headOption.getOrElse("none")}..${
+            versions.lastOption.getOrElse("none")})")
+      GraftFormat.excludedAsOf(table.fs, table.dir, from, table.manifest)
+    }
+
+  /** The fragments this scan may read (all, unless start_version
+    * restricts to post-`v` appends). */
+  private def scanFragments: Seq[FragmentMeta] = startVersionExcluded match {
+    case Some(ex) => table.manifest.fragments.filterNot(f => ex.contains(f.id))
+    case None => table.manifest.fragments
+  }
+
   /** Bucket layout recorded by `Maintenance.bucketize`, if intact:
     * (column, nBuckets, (bucketId, fragment) pairs). Engaged only when
     * no limit/aggregate is pushed and zone maps would not prune any
@@ -214,7 +244,7 @@ class GraftScan(
     for {
       bv <- table.manifest.properties.get(GraftFormat.BucketByProp)
       bf <- table.manifest.properties.get(GraftFormat.BucketFragmentsProp)
-      if aggs.isEmpty && limit.isEmpty
+      if aggs.isEmpty && limit.isEmpty && startVersionExcluded.isEmpty
       Array(c, nStr) = bv.split(':')
       byId = table.manifest.fragments.map(f => f.id -> f).toMap
       pairs = bf.split(',').toSeq.map { p =>
@@ -357,9 +387,11 @@ class GraftScan(
   // (FragmentMeta.sizeBytes is harvested from parquet footers at write).
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(table.manifest.fragments.map(_.sizeBytes).sum)
-    override def numRows(): OptionalLong =
-      OptionalLong.of(table.manifest.liveRows)
+      OptionalLong.of(scanFragments.map(_.sizeBytes).sum)
+    override def numRows(): OptionalLong = startVersionExcluded match {
+      case Some(_) => OptionalLong.of(scanFragments.map(_.liveRows).sum)
+      case None => OptionalLong.of(table.manifest.liveRows)
+    }
   }
 
   // Observability: fragment-pruning effectiveness surfaces as SQL-UI
@@ -495,7 +527,7 @@ class GraftScan(
     // reference's scalar-index scan skipping,
     // LanceFragmentPageSource.java:126 useScalarIndex(true))
     val schema = table.dataSchema
-    val zoneFrags = table.manifest.fragments.filter(f =>
+    val zoneFrags = scanFragments.filter(f =>
       (pushed ++ runtimeFilters).forall(p => ZoneMaps.mayMatch(p, schema, f)))
     // scalar-index fragment pruning (the btree/bitmap leg of the
     // reference's auto index selection, docs/src/performance.md "Index
@@ -523,7 +555,7 @@ class GraftScan(
       case _ => frags
     }
     plannedFragments = planned.size.toLong
-    prunedFragments = (table.manifest.fragments.size - planned.size).toLong
+    prunedFragments = (scanFragments.size - planned.size).toLong
     // Large fragments split into byte ranges (spark.sql.files.
     // maxPartitionBytes, row groups assigned by midpoint like Spark's
     // file sources) so one multi-GB fragment does not serialize into a

@@ -161,6 +161,48 @@ object GraftFormat {
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     listVersions(fs, table).lastOption
 
+  /** Fragment ids of `endManifest` that carry NO rows appended after
+    * version `from` — the exclusion set for incremental reads (the
+    * batch `start_version` CDC option and the streaming source share
+    * it): fragments already present at `from`, plus fragments
+    * introduced by data-neutral Compact commits in the range.
+    *
+    * A Compact commit is data-neutral to a reader positioned at `from`
+    * ONLY if every fragment it consumed was already readable at `from`.
+    * If it consumed a fragment appended after `from` that this reader
+    * has not yet delivered, its outputs CARRY those undelivered rows —
+    * excluding them would silently lose data — so the outputs stay
+    * deliverable and the read degrades to at-least-once (rows that
+    * predate `from` reappear inside the compact outputs). Missing
+    * history (vacuumed versions, unknown `from`) degrades the same
+    * direction: deliver rather than lose. */
+  def excludedAsOf(fs: FileSystem, table: Path, from: Long,
+      endManifest: Manifest): Set[Int] = {
+    val versions = listVersions(fs, table)
+    if (from <= 0L || !versions.contains(from)) return Set.empty
+    val baseIds = readManifest(fs, table, from).fragments.map(_.id).toSet
+    var prev = baseIds
+    var undelivered = Set.empty[Int] // appended after `from`, not yet read
+    val excluded = Set.newBuilder[Int]
+    excluded ++= baseIds
+    versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
+      val m = readManifest(fs, table, v)
+      val ids = m.fragments.map(_.id).toSet
+      val introduced = ids diff prev
+      if (m.operation == "Compact") {
+        val consumed = prev diff ids
+        if ((consumed intersect undelivered).isEmpty)
+          excluded ++= introduced // rewrote only pre-`from` rows
+        else {
+          // outputs carry rows this reader never saw: deliverable
+          undelivered = undelivered -- consumed ++ introduced
+        }
+      } else undelivered ++= introduced
+      prev = ids
+    }
+    excluded.result()
+  }
+
   /** Latest version whose commit time is <= tsMs (reference semantics:
     * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388). */
   def versionAtTimestamp(fs: FileSystem, table: Path, tsMs: Long): Option[Long] = {

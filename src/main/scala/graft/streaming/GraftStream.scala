@@ -80,32 +80,18 @@ class GraftMicroBatchStream(table: GraftTable,
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
     val versions = GraftFormat.listVersions(fs, table.dir)
-    val baseIds: Set[Int] =
-      if (from == 0L || !versions.contains(from)) Set.empty
-      else GraftFormat.readManifest(fs, table.dir, from).fragments.map(_.id).toSet
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
       else table.manifest
-    // Compaction commits are data-neutral: the fragments they introduce
-    // carry only already-streamed rows, so re-delivering them would
-    // duplicate the stream. Walk the intermediate versions and exclude
-    // fragments first introduced by a Compact commit. If history was
-    // vacuumed away we cannot attribute provenance and fall back to
-    // delivering (at-least-once rather than silent loss).
-    val inRange = versions.filter(v => v > from && v <= to)
-    val compactIds: Set[Int] = {
-      var prev: Set[Int] = baseIds
-      val acc = Set.newBuilder[Int]
-      inRange.foreach { v =>
-        val m = GraftFormat.readManifest(fs, table.dir, v)
-        val ids = m.fragments.map(_.id).toSet
-        if (m.operation == "Compact") acc ++= (ids diff prev)
-        prev = ids
-      }
-      acc.result()
-    }
+    // Data-neutral Compact commits are excluded (their fragments carry
+    // only already-streamed rows; re-delivering would duplicate). A
+    // compact that consumed a not-yet-streamed append keeps its outputs
+    // deliverable — at-least-once beats silent loss — and vacuumed
+    // history degrades the same direction. Shared with the batch
+    // `start_version` incremental read (GraftFormat.excludedAsOf).
+    val excluded = GraftFormat.excludedAsOf(fs, table.dir, from, endManifest)
     endManifest.fragments
-      .filterNot(f => baseIds.contains(f.id) || compactIds.contains(f.id))
+      .filterNot(f => excluded.contains(f.id))
       .map { f =>
         GraftFragmentPartition(
           fragId = f.id,

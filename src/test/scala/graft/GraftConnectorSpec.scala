@@ -144,6 +144,39 @@ class GraftConnectorSpec extends AnyFunSuite {
       .filter(col("tag") === "tag401").count() == 0)
   }
 
+  test("start_version incremental read: only post-version appends, " +
+      "live rows, compact-aware") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.cdc")
+    spark.sql("CREATE TABLE g.db.cdc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.cdc VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("INSERT INTO g.db.cdc VALUES (3, 'c'), (4, 'd')") // v3
+    spark.sql("DELETE FROM g.db.cdc WHERE k = 4") // v4
+    def since(v: Long) = spark.read.option("start_version", v)
+      .table("g.db.cdc").collect().map(_.getLong(0)).sorted.toSeq
+    // appends after v2 = {3,4}; the snapshot's deletion vector drops 4
+    assert(since(2) == Seq(3L), s"got ${since(2)}")
+    assert(since(0).toSet == Set(1L, 2L, 3L),
+      "start_version 0 reads everything live")
+    // count(*) must NOT be answered from the whole-table manifest
+    assert(spark.read.option("start_version", 2).table("g.db.cdc").count() == 1)
+    // unknown start_version fails loudly, never silently full-scans
+    intercept[Exception](since(99))
+
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "cdc.graft").toUri)
+    // a DATA-NEUTRAL compact (consumes only pre-v4 fragments) stays
+    // invisible: changes since v4 = appends after it only
+    graft.ops.Maintenance.compact(spark, dir, minRows = 10) // v5
+    spark.sql("INSERT INTO g.db.cdc VALUES (5, 'e')") // v6
+    assert(since(4) == Seq(5L), s"got ${since(4)}")
+    // a compact that CONSUMED a not-yet-read append must keep its
+    // outputs deliverable (at-least-once), never lose row 5
+    graft.ops.Maintenance.compact(spark, dir, minRows = 10) // v7
+    assert(since(4).contains(5L),
+      "append consumed by a later compact must still be delivered")
+  }
+
   test("insert append creates a new version; time travel reads the old one") {
     wh
     spark.sql("DROP TABLE IF EXISTS g.db.tt")

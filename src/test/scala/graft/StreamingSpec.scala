@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly-once delivery of all rows, got ${all.mkString(",")}")
   }
 
+  test("a compact consuming a not-yet-streamed append cannot lose rows " +
+      "(one micro-batch spans append + compact)") {
+    val wh = Files.createTempDirectory("graft-stream-cl-wh").toString
+    spark.conf.set("spark.sql.catalog.gcl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.db")
+    spark.sql("CREATE TABLE gcl.db.ev (k BIGINT)")
+    spark.sql("INSERT INTO gcl.db.ev VALUES (1), (2)")
+    val ckpt = Files.createTempDirectory("graft-cl-ckpt").toString
+    val out = Files.createTempDirectory("graft-cl-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("gcl.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // checkpoint now points past the first append
+    // ONE un-streamed batch window containing an append AND a compact
+    // that consumes it: the compact's outputs carry the new rows, so
+    // excluding them as "data-neutral" would silently lose k=3
+    spark.sql("INSERT INTO gcl.db.ev VALUES (3)")
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "ev.graft").toUri)
+    graft.ops.Maintenance.compact(spark, dir, minRows = 10)
+    runOnce()
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq
+    assert(got.contains(3L),
+      s"append consumed by compact was lost by the stream: got $got")
+    // at-least-once is the documented degradation: already-streamed
+    // rows may reappear inside the compact outputs, but none vanish
+    assert(Set(1L, 2L, 3L).subsetOf(got.toSet))
+  }
+
   test("streaming incremental dedup: flatMapGroupsWithState keeps " +
       "first-seen docs across micro-batches") {
     val wh = Files.createTempDirectory("graft-sdedup-wh").toString
