@@ -276,7 +276,7 @@ object FormatQueries {
       val dir = new org.apache.hadoop.fs.Path(
         Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
           "ord_zo.graft").toUri)
-      graft.ops.Maintenance.compact(s, dir, minRows = 2000L,
+      graft.ops.Maintenance.compact(s, dir, minRows = 4000L,
         zorderBy = Seq("o_custkey", "o_totalprice"))
       s.table("graft.db.ord_zo")
         .filter(col("o_custkey").between(500, 1000) &&
