@@ -34,7 +34,7 @@ object GraftProcedures {
 
   /** Procedure identifiers, conventionally under the `system` namespace. */
   def identifiers: Array[Identifier] =
-    Array("compact", "vacuum", "history", "bucketize")
+    Array("compact", "vacuum", "history", "bucketize", "rollback")
       .map(Identifier.of(Array("system"), _))
 
   /** `resolve` maps a dotted table name to its directory within the
@@ -54,6 +54,7 @@ object GraftProcedures {
       case "vacuum" => new Vacuum(resolve)
       case "history" => new History(resolve)
       case "bucketize" => new Bucketize(resolve)
+      case "rollback" => new Rollback(resolve)
       case _ => throw new UnsupportedOperationException(
         s"procedure not found: ${ident.namespace().mkString(".")}.${ident.name()}; " +
           s"available: ${identifiers.map(_.name()).mkString(", ")}")
@@ -149,6 +150,20 @@ object GraftProcedures {
           r.getTimestamp(2).getTime * 1000L,
           r.getInt(3), r.getLong(4), r.getLong(5)))
       }
+    }
+  }
+
+  private final class Rollback(resolve: String => (Path, Configuration)) extends MaintenanceProcedure(
+    "rollback",
+    Array(in("table", StringType), in("version", LongType)),
+    StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))) {
+    override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
+      val (dir, conf) = resolve(in.getUTF8String(0).toString)
+      val target = in.getLong(1)
+      val v = Maintenance.rollback(spark, dir, target, conf)
+      Array(new GenericInternalRow(Array[Any](target, v)))
     }
   }
 

@@ -358,6 +358,45 @@ object Maintenance {
       .orderBy(col("version").desc)
   }
 
+  /** Roll the table back to retained version `toVersion` (RESTORE
+    * analog — the undo for a bad write): commits a NEW version whose
+    * fragments, schema, and properties are those of `toVersion`, so
+    * history is preserved (the bad versions stay inspectable and
+    * re-rollbackable until vacuumed) and every reader keeps snapshot
+    * semantics. Metadata-only — no data file is read, copied, or
+    * deleted; the old version's files are still present because vacuum
+    * retention protects every retained manifest's references. Incremental
+    * readers see rows the rollback re-surfaced as appends (they ARE
+    * re-appends from that reader's perspective). Returns the committed
+    * version. */
+  def rollback(spark: SparkSession, dir: Path, toVersion: Long,
+      hadoopConf: Configuration = null): Long = {
+    val conf = resolvedConf(spark, hadoopConf)
+    val fs = dir.getFileSystem(conf)
+    val qualDir = fs.makeQualified(dir)
+    val versions = GraftFormat.listVersions(fs, qualDir)
+    require(versions.contains(toVersion),
+      s"version $toVersion is not retained by $dir " +
+        s"(retained: ${versions.headOption.getOrElse("none")}..${
+          versions.lastOption.getOrElse("none")})")
+    val target = GraftFormat.readManifest(fs, qualDir, toVersion)
+    var committed = 0L
+    GraftFormat.commitWithRetry(fs, qualDir) { latestOpt =>
+      val latest = latestOpt.getOrElse(
+        throw new IllegalStateException(s"table vanished during rollback: $dir"))
+      require(latest.version != toVersion,
+        s"table is already at version $toVersion")
+      committed = latest.version + 1
+      target.copy(
+        version = committed,
+        // future appends must never reuse ids minted after toVersion
+        maxFragmentId = math.max(latest.maxFragmentId, target.maxFragmentId),
+        createdAtMs = System.currentTimeMillis(),
+        operation = "Rollback")
+    }
+    committed
+  }
+
   /** Drop manifest history beyond the latest `keepVersions` versions,
     * then delete any data/deletion/blob/index file not referenced by a
     * retained manifest. `olderThanMs` > 0 additionally protects recent

@@ -350,6 +350,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(b.getInt(0) == 4, b.toString)
     assert(spark.table("mt.db.sq").count() == 200)
 
+    // rollback via SQL: restore the pre-bucketize snapshot, history kept
+    val preRollback = GraftFormat.readLatest(fs, dir).get.version
+    val r = spark.sql(
+      s"CALL mt.system.rollback(`table` => 'db.sq', version => ${preRollback - 1})").head
+    assert(r.getLong(0) == preRollback - 1 && r.getLong(1) == preRollback + 1,
+      r.toString)
+    val rolled = GraftFormat.readLatest(fs, dir).get
+    assert(rolled.operation == "Rollback" && rolled.version == preRollback + 1)
+    assert(spark.table("mt.db.sq").count() == 200)
+    // the rolled-past version is still inspectable (history preserved)
+    assert(spark.sql(s"SELECT * FROM mt.db.sq VERSION AS OF $preRollback")
+      .count() == 200)
+    // rolling back to an unretained version fails loudly
+    intercept[Exception](spark.sql(
+      "CALL mt.system.rollback(`table` => 'db.sq', version => 99)"))
+
+    // zorder compaction via SQL (csv arg -> Maintenance.compact zorderBy)
+    spark.sql("DROP TABLE IF EXISTS mt.db.sqz")
+    spark.sql("CREATE TABLE mt.db.sqz (x BIGINT, y BIGINT)")
+    (0 until 2).foreach(i => spark.sql(
+      s"INSERT INTO mt.db.sqz SELECT id % 16, id div 16 FROM range(256)"))
+    val z = spark.sql(
+      "CALL mt.system.compact(`table` => 'db.sqz', min_rows => 64, " +
+        "zorder_by => 'x,y')").head
+    assert(z.getInt(0) >= 2, z.toString) // every input fragment rewritten
+    val zdir = new Path(Paths.get(wh, "db", "sqz.graft").toUri)
+    assert(GraftFormat.readLatest(fs, zdir).get
+      .properties(GraftFormat.ZOrderByProp) == "x,y")
+    assert(spark.table("mt.db.sqz").count() == 512)
+
     // unknown procedure fails cleanly
     val e = intercept[Exception](spark.sql("CALL mt.system.nope('db.sq')"))
     assert(e.getMessage.toLowerCase.contains("routine"), e.getMessage)
