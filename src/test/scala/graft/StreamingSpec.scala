@@ -383,6 +383,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(m05.nonEmpty && m05.forall(r =>
       r.getAs[Int]("width") >= 8000 && r.getAs[Int]("n_frames") >= 64))
   }
+
+  test("wav codec roundtrip holds for arbitrary rates/channels/samples " +
+      "(ScalaCheck)") {
+    import graft.operators.WavCodec
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genClip = for {
+      rate <- Gen.choose(1, 192000)
+      channels <- Gen.choose(1, 8)
+      frames <- Gen.choose(0, 200)
+      samples <- Gen.listOfN(frames * channels,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    } yield (rate, channels, samples.toArray)
+    val prop = Prop.forAll(genClip) { case (rate, channels, samples) =>
+      val (r, c, f, mean) = WavCodec.decode(
+        WavCodec.encode16(rate, channels, samples))
+      val n = samples.length
+      val expect = if (n == 0) 0.0
+        else math.rint(samples.map(s => math.abs(s.toInt).toLong).sum
+          .toDouble / n / 256.0 * 10000) / 10000
+      r == rate && c == channels && f == n / channels && mean == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"wav roundtrip violated: ${res.status}")
+  }
 }
 
 /** Registered via META-INF/services in TEST resources only — proves a
