@@ -163,6 +163,13 @@ class GraftConnectorSpec extends AnyFunSuite {
     // unknown start_version fails loudly, never silently full-scans
     intercept[Exception](since(99))
 
+    // bounded window: Spark's own versionAsOf option is the end bound
+    val window = spark.read.option("start_version", 2)
+      .option("versionAsOf", 3).table("g.db.cdc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(window == Seq(3L, 4L),
+      s"(v2, v3] window must see both appends, pre-delete; got $window")
+
     val dir = new org.apache.hadoop.fs.Path(
       java.nio.file.Paths.get(wh, "db", "cdc.graft").toUri)
     // a DATA-NEUTRAL compact (consumes only pre-v4 fragments) stays
