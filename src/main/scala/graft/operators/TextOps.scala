@@ -149,6 +149,84 @@ object TextOps {
     corpus.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
+    * character classes, so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRegex = "https?://[^ ]+"
+
+  /** The end-to-end corpus build — the composition a training-data
+    * pipeline actually runs, each stage one of this module's operators:
+    *
+    *   language filter -> quality gates (token count, top-token
+    *   dominance) -> PII scrub -> exact + near dedup (cluster
+    *   survivors) -> benchmark decontamination -> content-hash split
+    *
+    * Scale shape: quality/scrub/split are pure per-row codegen; the
+    * dedup stages are the bounded-shuffle operators ([[jaccardPairs]] /
+    * [[dedupClusters]]); eval grams broadcast so decontamination never
+    * shuffles the corpus. Output = surviving rows of `corpus` with
+    * `clean_text` (redacted), `n_tokens`, and `split` columns added.
+    *
+    * `corpus` needs (doc_id, source, text) — `source` scopes the
+    * near-dup comparisons, as in [[nearDupSurvivors]] — plus `lang`
+    * when `langs` filters. `evalSet` needs (text); docs sharing any
+    * `contaminationGrams`-gram with it are dropped. */
+  def buildCorpus(
+      corpus: DataFrame,
+      langs: Set[String] = Set.empty,
+      minTokens: Int = 5,
+      maxTopTokFrac: Double = 0.5,
+      nearDupThreshold: Double = 0.8,
+      dfCap: Int = 10000,
+      evalSet: Option[DataFrame] = None,
+      contaminationGrams: Int = 13): DataFrame = {
+    val langed =
+      if (langs.isEmpty) corpus
+      else corpus.filter(col("lang").isin(langs.toSeq: _*))
+    // quality gates ride one narrow (doc_id, token)->count aggregation
+    val toks = langed
+      .withColumn("__toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("__toks")))
+      .filter(col("n_tokens") >= minTokens)
+    val dominance = toks
+      .select(col("doc_id"), explode(col("__toks")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max("c") / sum("c")).as("__topfrac"))
+      .filter(col("__topfrac") <= maxTopTokFrac)
+      .select("doc_id")
+    val quality = toks.join(dominance, Seq("doc_id"), "left_semi")
+      .withColumn("clean_text", regexp_replace(
+        regexp_replace(col("text"), EmailRegex, "<EMAIL>"),
+        UrlRegex, "<URL>"))
+      .drop("__toks")
+    // exact dedup first (cheap hash agg shrinks the near-dup input)
+    val exact = quality.join(
+      quality.groupBy(md5(col("text")).as("__h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = nearDupSurvivors(exact, nearDupThreshold, dfCap)
+    val decontaminated = evalSet match {
+      case None => deduped
+      case Some(ev) =>
+        val k = contaminationGrams
+        def gramsOf(df: DataFrame) = df
+          .withColumn("__t", expr(toksExpr))
+          .filter(size(col("__t")) >= k)
+          .select(col("*"), explode(expr(
+            s"array_distinct(transform(sequence(1, size(__t) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(__t, i, $k))))")).as("__gram"))
+        val evalGrams = gramsOf(ev).select("__gram").distinct()
+        val contaminated = gramsOf(deduped)
+          .join(broadcast(evalGrams), Seq("__gram"))
+          .select("doc_id").distinct()
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    decontaminated.withColumn("split",
+      when(substring(md5(col("text")), 1, 2) < "cc", "train")
+        .when(substring(md5(col("text")), 1, 2) < "e6", "val")
+        .otherwise("test"))
+  }
+
   /** Exploded (source, doc_id, word-hash) token stream. Tokens travel
     * as 64-bit hashes so the inverted-index joins stay three-longs
     * narrow. */
@@ -739,8 +817,8 @@ object TextOps {
         |FROM aug
         |ORDER BY doc_id""".stripMargin,
       "PII scrub: email/URL counts + redacted-text digest, pure codegen") { (s, d) =>
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
+      val email = EmailRegex
+      val url = UrlRegex
       docs(s, d)
         .withColumn("t", concat(
           col("text"), lit(" contact user"), col("doc_id").cast("string"),

@@ -236,6 +236,49 @@ class TextOpsSpec extends AnyFunSuite {
     top.foreach(r => assert(r.getDouble(2) == 0.625, r.toString))
   }
 
+  test("buildCorpus: every pipeline stage observable on planted docs") {
+    import spark.implicits._
+    // three unrelated base sentences + a 13-token eval sentence, so
+    // each planted failure trips exactly ONE stage
+    val a = "the quick brown fox jumps over a lazy dog near the river bank"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val c = "red orange yellow green blue indigo violet cyan magenta teal maroon navy"
+    val e = "epsilon zeta eta theta iota kappa lambda mu nu xi omicron rho sigma"
+    val rows = Seq(
+      // survives everything (and carries PII to scrub)
+      (1L, "web", "en", s"$a mail me a@b.com or https://x.y/z now"),
+      (2L, "web", "de", a + " zwei"), // wrong language
+      (3L, "web", "en", "too short"), // under minTokens
+      (4L, "web", "en", "spam spam spam spam spam spam spam ok"), // dominated
+      (5L, "web", "en", b + " alpha beta"), // near-dup pair: survivor
+      (6L, "web", "en", b + " alpha gamma"), // near-dup pair: dropped
+      (7L, "web", "en", e + " trailing tokens here"), // 13-gram eval overlap
+      (8L, "web", "en", c + " wholly unrelated closing words")
+    ).toDF("doc_id", "source", "lang", "text")
+    val eval_ = Seq(("eval", e)).toDF("source", "text")
+    val out = TextOps.buildCorpus(rows,
+      langs = Set("en"), minTokens = 4, maxTopTokFrac = 0.5,
+      nearDupThreshold = 0.7, evalSet = Some(eval_))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 5L, 8L),
+      s"expected survivors {1,5,8}, got ${out.keySet}")
+    // PII scrubbed in clean_text, original text untouched
+    val c1 = out(1L).getAs[String]("clean_text")
+    assert(c1.contains("<EMAIL>") && c1.contains("<URL>") &&
+      !c1.contains("a@b.com"), c1)
+    assert(out(1L).getAs[String]("text").contains("a@b.com"))
+    // split assignment is present, valid, and content-deterministic
+    assert(out.values.forall(r =>
+      Set("train", "val", "test")(r.getAs[String]("split"))))
+    val again = TextOps.buildCorpus(rows.repartition(7),
+      langs = Set("en"), minTokens = 4, maxTopTokFrac = 0.5,
+      nearDupThreshold = 0.7, evalSet = Some(eval_))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(again == out.view.mapValues(_.getAs[String]("split")).toMap,
+      "pipeline output must be partitioning-invariant")
+  }
+
   test("t20 pii scrub plans as pure codegen with zero exchanges") {
     val df = SparkEntry.queries("t20_pii_scrub")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final plan
