@@ -179,6 +179,10 @@ object GraftFormat {
   def excludedAsOf(fs: FileSystem, table: Path, from: Long,
       endManifest: Manifest): Set[Int] = {
     val versions = listVersions(fs, table)
+    // an empty or inverted window (from at-or-past the end snapshot)
+    // contains no appends at all
+    if (from >= endManifest.version)
+      return endManifest.fragments.map(_.id).toSet
     if (from <= 0L || !versions.contains(from)) return Set.empty
     val baseIds = readManifest(fs, table, from).fragments.map(_.id).toSet
     var prev = baseIds

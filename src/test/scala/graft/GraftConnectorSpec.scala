@@ -142,6 +142,28 @@ class GraftConnectorSpec extends AnyFunSuite {
       .filter(col("tag") === "tag400").count() == 1)
     assert(spark.table("g.db.bloomed")
       .filter(col("tag") === "tag401").count() == 0)
+    // mixed-case column names survive the writer-option path (datasource
+    // option keys must not be case-folded before reaching parquet)
+    spark.sql("DROP TABLE IF EXISTS g.db.bloomcase")
+    spark.sql(
+      """CREATE TABLE g.db.bloomcase (id BIGINT, `TagName` STRING)
+        |TBLPROPERTIES ('write.bloom.columns' = 'TagName')""".stripMargin)
+    spark.range(0, 100).selectExpr("id", "concat('t', id) AS TagName")
+      .coalesce(1).createOrReplaceTempView("bloomcase_src")
+    spark.sql("INSERT INTO g.db.bloomcase SELECT * FROM bloomcase_src")
+    val cdir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "bloomcase.graft").toUri)
+    val cm = GraftFormat.readLatest(fs, cdir).get
+    val cr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(cdir, cm.fragments.head.path), conf))
+    try {
+      val ccols = cr.getFooter.getBlocks.get(0).getColumns
+      val tcol = (0 until ccols.size).map(ccols.get)
+        .find(_.getPath.toDotString == "TagName").get
+      assert(tcol.getBloomFilterOffset >= 0,
+        "bloom filter missing for a mixed-case column")
+    } finally cr.close()
   }
 
   test("start_version incremental read: only post-version appends, " +
@@ -169,6 +191,10 @@ class GraftConnectorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(window == Seq(3L, 4L),
       s"(v2, v3] window must see both appends, pre-delete; got $window")
+    // an inverted window (start at-or-past the end snapshot) is empty,
+    // never a leak of rows deleted between the two versions
+    assert(spark.read.option("start_version", 4)
+      .option("versionAsOf", 3).table("g.db.cdc").count() == 0)
 
     val dir = new org.apache.hadoop.fs.Path(
       java.nio.file.Paths.get(wh, "db", "cdc.graft").toUri)
