@@ -132,6 +132,29 @@ class MaintenanceSpec extends AnyFunSuite {
       .contains(GraftFormat.ZOrderByProp))
   }
 
+  test("zorder quantile buckets keep output fragments balanced under " +
+      "90% key skew") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.zskew")
+    spark.sql("CREATE TABLE mt.db.zskew (x BIGINT, y BIGINT)")
+    // 90% of rows share x=7; uniform min/max bucketing would dump them
+    // into one bucket (one giant fragment); equal-frequency quantile
+    // cuts spread them across the y dimension instead
+    spark.sql(
+      """INSERT INTO mt.db.zskew
+        |SELECT CASE WHEN id % 10 < 9 THEN 7 ELSE id % 64 END, id % 97
+        |FROM range(0, 4000, 1, 1)""".stripMargin)
+    val dir = new Path(Paths.get(wh, "db", "zskew.graft").toUri)
+    spark.sql("INSERT INTO mt.db.zskew VALUES (999, 999)") // force 2 frags
+    Maintenance.compact(spark, dir, minRows = 500, zorderBy = Seq("x", "y"))
+    val frags = GraftFormat.readLatest(fs, dir).get.fragments
+    assert(frags.size >= 4, s"expected >=4 fragments, got ${frags.size}")
+    val rows = frags.map(_.rowCount)
+    assert(rows.max <= rows.min * 4,
+      s"skewed key must not produce a dominant fragment: $rows")
+    assert(spark.table("mt.db.zskew").count() == 4001)
+  }
+
   test("TopN pushdown over a sorted table plans only the fragment prefix") {
     wh
     spark.sql("DROP TABLE IF EXISTS mt.db.topn")
