@@ -184,13 +184,17 @@ object GraftFormat {
     if (from >= endManifest.version)
       return endManifest.fragments.map(_.id).toSet
     if (from <= 0L || !versions.contains(from)) return Set.empty
-    val baseIds = readManifest(fs, table, from).fragments.map(_.id).toSet
+    // committed manifests are immutable: serve the walk from the pinned
+    // cache so a steady incremental sync re-reads nothing (a 10k-version
+    // table would otherwise pay O(versions) JSON reads per sync)
+    val baseIds =
+      ManifestCache.readPinned(fs, table, from).fragments.map(_.id).toSet
     var prev = baseIds
     var undelivered = Set.empty[Int] // appended after `from`, not yet read
     val excluded = Set.newBuilder[Int]
     excluded ++= baseIds
     versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
-      val m = readManifest(fs, table, v)
+      val m = ManifestCache.readPinned(fs, table, v)
       val ids = m.fragments.map(_.id).toSet
       val introduced = ids diff prev
       if (m.operation == "Compact") {
