@@ -286,6 +286,51 @@ object FormatQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Persisted inverted TEXT index (the FTS leg of the index family
+    // next to g12's scalar and v-series' vector indexes): postings are
+    // sorted parquet (tok, doc_id, tf, dl) sidecars, and search reads
+    // ONLY the query terms' postings — yet scores are EXACT BM25, so
+    // the oracle is the identical full-scan SQL formulation as t11.
+    Q("g16_text_index",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('vector', 'join', 'filter') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |        * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+        |      AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |          JOIN dl ON tf.doc_id = dl.doc_id
+        |          CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS bm25
+        |FROM scored
+        |ORDER BY round(score, 4) DESC, doc_id
+        |LIMIT 50""".stripMargin,
+      "persisted text index answers exact BM25 from query-term postings only") { (s, d) =>
+      setup(s, d)
+      val dir = new org.apache.hadoop.fs.Path(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_wh", "db",
+          "docs_fts.graft").toUri)
+      graft.BenchPhases.timed("g16_text_index.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.docs_fts")
+        Tables.load(s, d, "documents").createOrReplaceTempView("docs_fts_src")
+        s.sql("CREATE TABLE graft.db.docs_fts AS SELECT * FROM docs_fts_src")
+        graft.ops.TextIndex.build(s, dir, "doc_id", "text")
+      }
+      graft.ops.TextIndex.searchCurrent(
+        s, dir, "text", Seq("vector", "join", "filter"), 50).get
+    },
+
     // Bucketized rewrite (storage-partitioned-join layout): every row
     // moves to the fragment of bucket pmod(key, n); results must stay
     // byte-exact and a bucketized-x-bucketized join must agree with the
