@@ -385,6 +385,14 @@ class GraftScan(
 
   // All statistics are manifest-served: no data-file I/O at plan time
   // (FragmentMeta.sizeBytes is harvested from parquet footers at write).
+  // Beyond rowCount/size, per-column min/max/nullCount fold out of the
+  // zone maps and NDV out of the scalar index's build-time cardinality
+  // (_meta.json only — postings are never read). Catalyst's CBO
+  // (spark.sql.cbo.enabled) turns these into filter selectivity and
+  // join-cardinality estimates; at 100 TB the broadcast-vs-sort-merge
+  // decision is exactly this metadata. The reference feeds Trino's
+  // optimizer only a row count (LanceMetadata.java:561-588) — this
+  // exceeds it.
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(scanFragments.map(_.sizeBytes).sum)
@@ -392,6 +400,76 @@ class GraftScan(
       case Some(_) => OptionalLong.of(scanFragments.map(_.liveRows).sum)
       case None => OptionalLong.of(table.manifest.liveRows)
     }
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      reportedColumnStats
+  }
+
+  /** Zone-map stat string -> boxed estimation value. Catalyst's
+    * estimators reach values through toString->double, so exact boxing
+    * is not load-bearing; types without a numeric ordering (strings,
+    * binary) report nulls/ndv only. Stat strings carry the parquet
+    * physical form (DATE as epoch days, TIMESTAMP as micros, decimals
+    * unscaled) — the same convention ZoneMaps.cmp compares with. */
+  private def statValue(dt: DataType, s: String): Option[AnyRef] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType =>
+      Some(java.lang.Long.valueOf(s.toLong))
+    case FloatType | DoubleType => Some(java.lang.Double.valueOf(s.toDouble))
+    case d: DecimalType =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(s), d.scale))
+    case _ => None
+  }
+
+  private lazy val reportedColumnStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val frags = scanFragments
+    // with a pushed aggregate the scan's output is the agg row, not
+    // table columns — nothing to report against
+    val fields =
+      if (aggs.nonEmpty || frags.isEmpty) Array.empty[StructField]
+      else required.fields
+    fields.foreach { field =>
+      val entries = frags.flatMap(_.stats.get(field.name))
+      // a fragment without a zone-map entry makes every number unknown
+      if (entries.size == frags.size) {
+        val nullsTotal = entries.map(_.nulls).sum
+        // a fragment with no recorded min/max is sound to skip only when
+        // it is all-null (contributes no values); otherwise the column's
+        // range is unknown and min/max must not be reported
+        val rangeSound = frags.forall { f =>
+          val cs = f.stats(field.name)
+          (cs.min.isDefined && cs.max.isDefined) || cs.nulls == f.rowCount
+        }
+        val minStrs = entries.flatMap(_.min)
+        val maxStrs = entries.flatMap(_.max)
+        val mins = minStrs.flatMap(statValue(field.dataType, _))
+        val maxs = maxStrs.flatMap(statValue(field.dataType, _))
+        val haveRange = rangeSound && mins.nonEmpty &&
+          mins.size == minStrs.size && maxs.size == maxStrs.size
+        val ndv = graft.ops.ScalarIndex.ndvAt(
+          table.fs, table.dir, table.manifest.version, field.name)
+        val ord: Ordering[AnyRef] = Ordering.by {
+          case l: java.lang.Long => l.doubleValue()
+          case d: java.lang.Double => d.doubleValue()
+          case b: java.math.BigDecimal => b.doubleValue()
+          case _ => Double.NaN
+        }
+        out.put(Expressions.column(field.name), new ColumnStatistics {
+          override def nullCount(): OptionalLong = OptionalLong.of(nullsTotal)
+          override def min(): java.util.Optional[Object] =
+            if (haveRange) java.util.Optional.of(mins.min(ord)) else java.util.Optional.empty()
+          override def max(): java.util.Optional[Object] =
+            if (haveRange) java.util.Optional.of(maxs.max(ord)) else java.util.Optional.empty()
+          override def distinctCount(): OptionalLong =
+            ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+        })
+      }
+    }
+    out
   }
 
   // Observability: fragment-pruning effectiveness surfaces as SQL-UI

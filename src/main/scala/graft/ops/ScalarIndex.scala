@@ -97,9 +97,17 @@ object ScalarIndex {
         .repartition(buckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .json(dest.toString)
+      // ndv rides along for the CBO stats feed (GraftScan.columnStats):
+      // approximate (HyperLogLog++), the same fidelity ANALYZE TABLE
+      // reports, and free — the build already computed it for sizing
       val out = fs.create(new Path(dest, "_meta.json"), true)
-      try out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
+      try out.write(s"""{"buckets": $buckets, "ndv": $nd}""".getBytes("UTF-8"))
       finally out.close()
+      // the build's own scan probes this very dir for the stats feed
+      // (estimateStatistics -> ndvAt) before the meta exists, negative-
+      // caching it — drop that entry or the fresh index stays invisible
+      // to this driver until a cache sweep
+      metaCache.remove(dest.toString)
       manifest.version
     } finally df.unpersist()
   }
@@ -108,20 +116,21 @@ object ScalarIndex {
 
   // Driver-side caches keyed by the (already version-specific) dir
   // string, so staleness is impossible by construction. Meta cache
-  // holds Integer (bucket count) or NONE; bucket cache holds the
-  // parsed posting map.
-  private val None_ : Integer = Integer.valueOf(-1)
-  private val metaCache = new ConcurrentHashMap[String, Integer]()
+  // holds MetaEntry (bucket count + optional ndv) or NoMeta; bucket
+  // cache holds the parsed posting map.
+  private final case class MetaEntry(buckets: Int, ndv: Long) // ndv -1 = absent
+  private val NoMeta = MetaEntry(-1, -1)
+  private val metaCache = new ConcurrentHashMap[String, MetaEntry]()
   private val bucketCache =
     new ConcurrentHashMap[String, Map[Long, Array[Int]]]()
   private val mapper = new ObjectMapper()
 
   private[graft] def clearCaches(): Unit = { metaCache.clear(); bucketCache.clear() }
 
-  private def readMeta(fs: FileSystem, dir: Path): Option[Int] = {
+  private def readMetaEntry(fs: FileSystem, dir: Path): Option[MetaEntry] = {
     val key = dir.toString
     val cached = metaCache.get(key)
-    if (cached != null) return if (cached == None_) None else Some(cached.toInt)
+    if (cached != null) return if (cached == NoMeta) None else Some(cached)
     val metaPath = new Path(dir, "_meta.json")
     val res =
       if (!fs.exists(metaPath)) None
@@ -129,12 +138,26 @@ object ScalarIndex {
         val in = fs.open(metaPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        Some(mapper.readTree(txt).get("buckets").asInt())
+        val node = mapper.readTree(txt)
+        Some(MetaEntry(node.get("buckets").asInt(),
+          // pre-round-8 indexes have no ndv field
+          Option(node.get("ndv")).map(_.asLong()).getOrElse(-1L)))
       }
     if (metaCache.size > 4096) metaCache.clear()
-    metaCache.put(key, res.map(Integer.valueOf).getOrElse(None_))
+    metaCache.put(key, res.getOrElse(NoMeta))
     res
   }
+
+  private def readMeta(fs: FileSystem, dir: Path): Option[Int] =
+    readMetaEntry(fs, dir).map(_.buckets)
+
+  /** Build-time distinct-value count (HLL-approximate) of the index at
+    * exactly `version`, for the CBO stats feed. None = no index at this
+    * version or a pre-ndv index layout. One cached _meta.json read —
+    * never touches postings. */
+  def ndvAt(fs: FileSystem, table: Path, version: Long, c: String): Option[Long] =
+    readMetaEntry(fs, versionDir(fs.makeQualified(table), c, version))
+      .map(_.ndv).filter(_ >= 0)
 
   private def readBucket(fs: FileSystem, dir: Path,
       b: Int): Map[Long, Array[Int]] = {
