@@ -36,7 +36,8 @@ object GoldenGen {
     "t10_fingerprint", "m01_multimodal_features", "m04_bmp_decode",
     "m05_wav_decode",
     "v02_ann_lsh", "v03_embedding_near_dup", "v05_ann_ivf",
-    "v06_ann_rewrite", "v07_ann_ivfpq", "v08_ann_l2_rewrite")
+    "v06_ann_rewrite", "v07_ann_ivfpq", "v08_ann_l2_rewrite",
+    "v09_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("golden"))

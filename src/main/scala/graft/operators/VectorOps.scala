@@ -57,6 +57,62 @@ object VectorOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** SemDeDup-shaped semantic near-dup resolution (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space, emit
+    * intra-cluster cosine edges above `tau`, resolve connected
+    * components distributed (TextOps.dedupClusters), keep the min-id
+    * representative per component. Returns (vec_id, rep); survivors are
+    * the rows with vec_id == rep.
+    *
+    * Scale shape (100 TB): centroids train on a driver-bounded ordered
+    * sample and broadcast (k × dim doubles); assignment is one narrow
+    * map over the corpus; the quadratic step is confined to within a
+    * cluster, so cost is sum over clusters of |c|² — the paper's k ~
+    * N/100 keeps |c| ~ 100. The skew guard caps that term: any cluster
+    * over `maxClusterSize` is sub-split by the deterministic sign-LSH
+    * bucket, bounding the largest self-join side at the cost of losing
+    * cross-sub-bucket edges in that (pathological) cluster — the same
+    * recall-for-boundedness trade the LSH family already makes, and only
+    * engaged where the quadratic term would otherwise explode. */
+  def semanticDedup(e: DataFrame, k: Int, tau: Double, sampleN: Int = 2048,
+      iters: Int = 8, maxClusterSize: Int = 4096): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // deterministic centroids: ordered driver-bounded sample, Lloyd
+    // iterations shared with the IVF index build
+    val sample = e.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = graft.ops.VectorIndex.Ivf.lloyd(sample, k, iters)
+    val centDf = centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "centroid")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val assigned = e.crossJoin(broadcast(centDf))
+      .withColumn("d2",
+        graft.functions.VectorFunctions.l2_sq(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    // skew guard: sub-split only clusters whose self-join would blow up
+    val big = assigned.groupBy("cid").count()
+      .filter(col("count") > maxClusterSize).select("cid")
+    val sub = withLshBucket(assigned, "embedding")
+      .join(broadcast(big).withColumn("split", lit(true)), Seq("cid"), "left")
+      .withColumn("sub", when(col("split"), col("bucket")).otherwise(lit(0)))
+      .select(col("vec_id"), col("cid"), col("sub"), col("embedding"))
+    val a = sub.select(col("cid"), col("sub"), col("vec_id").as("a_id"),
+      col("embedding").as("qe"))
+    val b = sub.select(col("cid"), col("sub"), col("vec_id").as("b_id"),
+      col("embedding").as("e"))
+    val edges = a.join(b, Seq("cid", "sub"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_raw", cosineCol)
+      .filter(col("cos_raw") >= tau)
+      .select(col("a_id"), col("b_id"))
+    TextOps.dedupClusters(sub.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep").as("rep"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact top-5 cosine neighbors for the first 20 vectors.
@@ -417,6 +473,16 @@ object VectorOps {
         .withColumn("dist", round(sqrt(
           graft.functions.VectorFunctions.l2_sq(col("embedding"), col("c"))), 4))
         .select("vec_id", "label", "dist")
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023): cluster-confined cosine near-dup
+    // resolution over embeddings — every vector labeled with its
+    // component representative; survivors are vec_id == rep.
+    Q.golden("v09_semantic_dedup", Seq("vec_id", "rep"), "vec_id",
+      "SemDeDup: k-means partition, intra-cluster cosine edges, components") {
+      (s, d) =>
+      semanticDedup(emb(s, d), k = 16, tau = 0.30)
         .orderBy("vec_id")
     }
   )

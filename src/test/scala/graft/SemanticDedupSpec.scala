@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** SemDeDup-shaped semantic dedup (VectorOps.semanticDedup): k-means
+  * partition, intra-cluster cosine edges, distributed components,
+  * min-id representative. */
+class SemanticDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def unit(xs: Double*): Seq[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat)
+  }
+
+  test("identical and chained near-dups resolve to one component, min-id rep") {
+    // 0,1 identical; 2 close to 1 (chain); 3 orthogonal; pad dims so
+    // k-means has something to split
+    val d = 8
+    def e(dir: Int, wobble: Double = 0.0): Seq[Float] = {
+      val base = Array.fill(d)(0.0)
+      base(dir) = 1.0
+      base((dir + 1) % d) = wobble
+      unit(base.toIndexedSeq: _*)
+    }
+    val df = vecs(
+      0L -> e(0), 1L -> e(0), 2L -> e(0, 0.25), 3L -> e(4),
+      4L -> e(4, 0.25), 5L -> e(2))
+    val out = VectorOps.semanticDedup(df, k = 2, tau = 0.9, sampleN = 6)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 3L, 5L -> 5L))
+  }
+
+  test("skew guard: a mega-cluster of identical vectors still fully dedups") {
+    import spark.implicits._
+    // 200 identical vectors -> one cluster far over the cap; identical
+    // vectors share the LSH sub-bucket, so the split loses no edges here
+    val df = (0L until 200L).map(i => (i, unit(1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(df, k = 4, tau = 0.99, sampleN = 64,
+      maxClusterSize = 50)
+    assert(out.filter(col("vec_id") === col("rep")).count() === 1L)
+    assert(out.filter(col("rep") === 0L).count() === 200L)
+  }
+
+  test("partitioning-invariant (golden-pin eligibility) on real embeddings") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val a = VectorOps.semanticDedup(e, k = 16, tau = 0.30)
+      .orderBy("vec_id").collect().toSeq
+    val b = VectorOps.semanticDedup(e.repartition(3), k = 16, tau = 0.30)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+    // meaningful at gate scale: at least one multi-member component
+    assert(a.exists(r => r.getLong(0) != r.getLong(1)),
+      "no near-dup components at sf0.001 — threshold too high for the gate")
+  }
+}
