@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions.lit
 object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "t03_minhash_lsh_pairs", "t04_simhash", "t05_simhash_pairs",
-    "t10_fingerprint", "m01_multimodal_features", "m04_bmp_decode",
+    "t10_fingerprint", "t21_perplexity",
+    "m01_multimodal_features", "m04_bmp_decode",
     "m05_wav_decode",
     "v02_ann_lsh", "v03_embedding_near_dup", "v05_ann_ivf",
     "v06_ann_rewrite", "v07_ann_ivfpq", "v08_ann_l2_rewrite",

@@ -149,6 +149,85 @@ object TextOps {
     corpus.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.3 — CCNet filters CommonCrawl by the
+    * perplexity of a KenLM model trained on a clean reference corpus).
+    * Here the model is a capped bigram LM with stupid backoff
+    * (Brants et al. 2007): top-`vocabSize` unigrams (ties broken by
+    * token), top-`maxBigrams` bigrams over kept tokens,
+    *   logP(w|v) = log c(vw)/c(v)        when the bigram is retained,
+    *             = log 0.4 * P_uni(w)    otherwise (backoff), with
+    *   P_uni(w)  = c(w)/(N+1), unknown tokens pooled into an UNK mass
+    *               of N - sum(kept) + 1 so probabilities never hit 0.
+    * A document's ppl = exp(-logp/n) with the first token scored by
+    * P_uni and each subsequent one by its bigram context.
+    *
+    * Scale shape (100 TB): `model` is the (small, clean) REFERENCE
+    * corpus — training is two exact count-aggregates over it, and the
+    * model stays a pair of bounded DataFrames. Scoring never shuffles
+    * the corpus: tokens explode in place (narrow), model lookups are
+    * broadcast hash joins, and the per-doc re-agg map-side-combines to
+    * one partial per document, so the only shuffle carries |docs| rows.
+    * No UDFs — every step is codegen'd Spark SQL. Determinism: counts
+    * are exact integers, top-K cuts are fully tie-broken, and each
+    * doc's log-prob sum folds in token order (one partial per doc), so
+    * the result is partitioning-invariant (SemanticDedupSpec-style
+    * two-config check in PerplexitySpec).
+    *
+    * Returns (doc_id, n_toks, ppl) for every doc with >= 1 token. */
+  def perplexityScore(corpus: DataFrame, model: DataFrame,
+      vocabSize: Int = 1 << 16, maxBigrams: Int = 1 << 20): DataFrame = {
+    // ---- train: exact counts, bounded model
+    val mtoks = model.select(expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val uniAll = mtoks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = uniAll.orderBy(col("cw").desc, col("w")).limit(vocabSize)
+    // two scalars on the driver; everything else stays distributed
+    val nRow = uniAll.agg(sum(col("cw"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val keptRow = vocab.agg(sum(col("cw"))).head()
+    val keptSum = if (keptRow.isNullAt(0)) 0L else keptRow.getLong(0)
+    val unkMass = (n - keptSum + 1).toDouble
+    val denom = (n + 1).toDouble
+    val bi = mtoks
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS v,
+          |              element_at(toks, i + 1) AS w))""".stripMargin))
+        .as("p"))
+      .select(col("p.v"), col("p.w"))
+      .join(broadcast(vocab.select(col("w").as("v"))), Seq("v"), "left_semi")
+      .join(broadcast(vocab.select("w")), Seq("w"), "left_semi")
+      .groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+      .orderBy(col("cvw").desc, col("v"), col("w")).limit(maxBigrams)
+    // ---- score: narrow explode + broadcast lookups + one |docs| shuffle
+    val toks = corpus
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(expr(
+          """transform(sequence(1, size(toks)),
+            |  i -> struct(IF(i = 1, NULL, element_at(toks, i - 1)) AS v,
+            |              element_at(toks, i) AS w))""".stripMargin)))
+      .select(col("doc_id"), col("n_toks"), col("col.v"), col("col.w"))
+    val puni = coalesce(col("cw").cast("double"), lit(unkMass)) / lit(denom)
+    val scored = toks
+      .join(broadcast(vocab.withColumnRenamed("cw", "cv")
+        .withColumnRenamed("w", "v")), Seq("v"), "left")
+      .join(broadcast(vocab), Seq("w"), "left")
+      .join(broadcast(bi), Seq("v", "w"), "left")
+      .withColumn("logp",
+        when(col("v").isNull, log(puni)) // first token: unigram
+          .when(col("cvw").isNotNull,
+            log(col("cvw").cast("double") / col("cv").cast("double")))
+          .otherwise(log(lit(0.4) * puni))) // stupid backoff
+    scored.groupBy("doc_id")
+      .agg(first(col("n_toks")).as("n_toks"), sum(col("logp")).as("lp"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        exp(-col("lp") / col("n_toks")).as("ppl"))
+  }
+
   /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
     * character classes, so Java regex (Spark) and RE2 (DuckDB) agree. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -412,6 +491,17 @@ object TextOps {
   // ====================================================================
 
   val all: Seq[Q] = Seq(
+
+    // CCNet-style perplexity quality scoring, self-trained on the gate
+    // corpus (production passes a clean reference corpus as the model).
+    Q.golden("t21_perplexity", Seq("doc_id", "n_toks", "ppl"), "doc_id",
+      "bigram-LM perplexity per doc (CCNet-style, stupid backoff)") {
+      (s, d) =>
+      val c = docs(s, d)
+      perplexityScore(c, c)
+        .select(col("doc_id"), col("n_toks"), round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    },
 
     // Exact dedup: one shuffle on text, keep lowest doc_id per group.
     Q("t01_exact_dedup",
