@@ -237,8 +237,10 @@ object TextOps {
     * pipeline actually runs, each stage one of this module's operators:
     *
     *   language filter -> quality gates (token count, top-token
-    *   dominance) -> PII scrub -> exact + near dedup (cluster
-    *   survivors) -> benchmark decontamination -> content-hash split
+    *   dominance) -> optional perplexity gate (CCNet-style, vs a clean
+    *   reference model corpus) -> PII scrub -> exact + near dedup
+    *   (cluster survivors) -> benchmark decontamination ->
+    *   content-hash split
     *
     * Scale shape: quality/scrub/split are pure per-row codegen; the
     * dedup stages are the bounded-shuffle operators ([[jaccardPairs]] /
@@ -258,7 +260,9 @@ object TextOps {
       nearDupThreshold: Double = 0.8,
       dfCap: Int = 10000,
       evalSet: Option[DataFrame] = None,
-      contaminationGrams: Int = 13): DataFrame = {
+      contaminationGrams: Int = 13,
+      pplModel: Option[DataFrame] = None,
+      maxPpl: Double = Double.MaxValue): DataFrame = {
     val langed =
       if (langs.isEmpty) corpus
       else corpus.filter(col("lang").isin(langs.toSeq: _*))
@@ -273,7 +277,17 @@ object TextOps {
       .groupBy("doc_id").agg((max("c") / sum("c")).as("__topfrac"))
       .filter(col("__topfrac") <= maxTopTokFrac)
       .select("doc_id")
-    val quality = toks.join(dominance, Seq("doc_id"), "left_semi")
+    // CCNet-style fluency gate: score against the reference LM, drop
+    // the high-perplexity tail ([[perplexityScore]] — the corpus never
+    // shuffles; the keep-list is |docs|-sized)
+    val fluent = pplModel match {
+      case Some(m) if maxPpl < Double.MaxValue =>
+        val keep = perplexityScore(toks, m)
+          .filter(col("ppl") <= maxPpl).select("doc_id")
+        toks.join(keep, Seq("doc_id"), "left_semi")
+      case _ => toks
+    }
+    val quality = fluent.join(dominance, Seq("doc_id"), "left_semi")
       .withColumn("clean_text", regexp_replace(
         regexp_replace(col("text"), EmailRegex, "<EMAIL>"),
         UrlRegex, "<URL>"))

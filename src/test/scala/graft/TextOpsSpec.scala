@@ -279,6 +279,23 @@ class TextOpsSpec extends AnyFunSuite {
       "pipeline output must be partitioning-invariant")
   }
 
+  test("buildCorpus perplexity gate drops the out-of-domain tail") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over a lazy dog near the river bank"
+    val model = Seq((0L, "ref", "en", a)).toDF("doc_id", "source", "lang", "text")
+    val rows = Seq(
+      (1L, "web", "en", a + " extra ending"),
+      (2L, "web", "en", "zxqv blorp wug fnord glip snarf quux blip vex jorp"))
+      .toDF("doc_id", "source", "lang", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // ungated: both survive; gated: only the in-domain doc does
+    assert(ids(TextOps.buildCorpus(rows)) == Set(1L, 2L))
+    val gated = TextOps.buildCorpus(rows,
+      pplModel = Some(model), maxPpl = 20.0)
+    assert(ids(gated) == Set(1L), s"got ${ids(gated)}")
+  }
+
   test("t20 pii scrub plans as pure codegen with zero exchanges") {
     val df = SparkEntry.queries("t20_pii_scrub")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final plan
