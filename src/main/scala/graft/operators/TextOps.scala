@@ -422,12 +422,62 @@ object TextOps {
     * handful of rounds at any corpus size. Per-round driver work is ONE
     * scalar convergence count, never a collect. `maxIters` is a safety
     * cap, far above log2 of any real component. */
+  /** Edge lists at or under this many (doubled) edges resolve on the
+    * driver — the same size-threshold trade Spark's broadcast joins and
+    * GraphFrames' connectedComponents make. Default 2^21 doubled edges
+    * (~32 MB of long pairs). Set 0 to force the distributed loop. */
+  val CcBroadcastEdgesConf = "spark.graft.cc.broadcastEdgeThreshold"
+
   def dedupClusters(vertices: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = vertices.sparkSession
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One count materializes the (reused) edge cache AND sizes the
+    // plan choice: a graph whose edge list fits the driver resolves
+    // with union-find in one pass — identical labels (min id per
+    // component), none of the per-round job overhead that dominates
+    // small graphs. The distributed pointer-jumping loop below remains
+    // the 100 TB path; this is the broadcast-join trade applied to CC
+    // (GraphFrames' connectedComponents ships the same threshold).
+    val doubledCount = edges.count()
+    val bcMax = spark.conf.getOption(CcBroadcastEdgesConf)
+      .map(_.toLong).getOrElse(1L << 21)
+    if (doubledCount <= bcMax) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { e =>
+        val (s, d) = (e.getLong(0), e.getLong(1))
+        parent.putIfAbsent(s, s); parent.putIfAbsent(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd) }
+      }
+      // min member per root, then endpoint -> min label
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      parent.keySet().forEach { v =>
+        val r = find(v)
+        minOfRoot.merge(r, v, (a, b) => math.min(a, b))
+      }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach { v => labels += ((v, minOfRoot.get(find(v)))) }
+      import spark.implicits._
+      val labelDf = labels.toSeq.toDF("doc_id", "cluster_rep")
+      return vertices.select(col("doc_id"))
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+    }
     // localCheckpoint after every round: iterative self-joins grow the
     // logical plan exponentially, and although persist caches the DATA,
     // analysis/optimization time on the compounding plan explodes after

@@ -22,11 +22,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 31L))
-    // maxIters caps adversarial chains: one round = neighbor hop +
-    // pointer jump, so the chain's far end moves TWO hops (4 -> rep 2,
-    // not yet 1) — pins both the cap and the path-halving
-    val capped = TextOps.dedupClusters(vertices, pairs, maxIters = 1)
+    // maxIters caps adversarial chains (distributed loop only — the
+    // broadcast fast path always fully resolves): one round = neighbor
+    // hop + pointer jump, so the chain's far end moves TWO hops
+    // (4 -> rep 2, not yet 1) — pins both the cap and the path-halving
+    spark.conf.set(TextOps.CcBroadcastEdgesConf, "0")
+    val capped = try TextOps.dedupClusters(vertices, pairs, maxIters = 1)
       .filter(col("doc_id") === 4L).head().getLong(1)
+    finally spark.conf.unset(TextOps.CcBroadcastEdgesConf)
     assert(capped == 2L, s"one round moves two hops, got $capped")
   }
 
@@ -39,8 +42,12 @@ class TextOpsSpec extends AnyFunSuite {
     val vertices = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = TextOps.dedupClusters(vertices, pairs)
-    assert(out.filter(col("cluster_rep") === 1L).count() == n)
+    spark.conf.set(TextOps.CcBroadcastEdgesConf, "0") // pin the LOOP's hygiene
+    val out = try {
+      val o = TextOps.dedupClusters(vertices, pairs)
+      assert(o.filter(col("cluster_rep") === 1L).count() == n)
+      o
+    } finally spark.conf.unset(TextOps.CcBroadcastEdgesConf)
     val after = spark.sparkContext.getPersistentRDDs.size
     // only the FINAL label snapshot (the returned DataFrame's backing
     // checkpoint) may remain pinned
@@ -277,6 +284,24 @@ class TextOpsSpec extends AnyFunSuite {
         r.getAs[String]("split")).toMap
     assert(again == out.view.mapValues(_.getAs[String]("split")).toMap,
       "pipeline output must be partitioning-invariant")
+  }
+
+  test("dedupClusters: broadcast fast path and distributed loop agree") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, isolated 20; plus a second chain that
+    // merges through a shared member
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 21L))
+      .toDF("a_id", "b_id")
+    def run() = TextOps.dedupClusters(verts, pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = run()
+    spark.conf.set(TextOps.CcBroadcastEdgesConf, "0")
+    val dist = try run()
+    finally spark.conf.unset(TextOps.CcBroadcastEdgesConf)
+    assert(fast === dist)
+    assert(fast === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 1L))
   }
 
   test("buildCorpus perplexity gate drops the out-of-domain tail") {
