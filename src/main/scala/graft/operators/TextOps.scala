@@ -228,6 +228,33 @@ object TextOps {
         exp(-col("lp") / col("n_toks")).as("ppl"))
   }
 
+  /** Deterministic exact-N per-stratum sampling: the first N ids per
+    * stratum in content-stable hash order (md5 of the id), so the
+    * sample is reproducible across runs, partitionings, and engines —
+    * the "pick N representative docs per source/language/shard" step
+    * every corpus audit and eval-set build runs.
+    *
+    * Scale shape (100 TB): a naive per-stratum window puts each whole
+    * stratum in ONE task — a hot stratum bottlenecks the stage. This
+    * runs two levels: the first rank salts the partition key with the
+    * upstream partition id, spreading a hot stratum over the full
+    * reducer fleet and emitting at most `n` candidates per (stratum,
+    * salt); the final rank then orders at most n x P rows per stratum.
+    * Both windows are plain shuffles; no stratum ever concentrates. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w1 = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(h, col(idCol))
+    val w2 = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("__salt", spark_partition_id())
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= n).drop("__rn1", "__salt")
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= n)
+  }
+
   /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
     * character classes, so Java regex (Spark) and RE2 (DuckDB) agree. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -565,6 +592,23 @@ object TextOps {
       perplexityScore(c, c)
         .select(col("doc_id"), col("n_toks"), round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic exact-N per-stratum sample, hash-rank order —
+    // engine-independent, so DuckDB computes the identical sample.
+    Q("t22_stratified_sample",
+      """SELECT source, rn, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
+      "exact-N per-source sample via salted two-level hash-rank top-N") {
+      (s, d) =>
+      stratifiedSample(docs(s, d), "source", "doc_id", 10)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
     },
 
     // Exact dedup: one shuffle on text, keep lowest doc_id per group.

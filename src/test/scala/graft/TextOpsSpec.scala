@@ -304,6 +304,23 @@ class TextOpsSpec extends AnyFunSuite {
       11L -> 10L, 20L -> 20L, 21L -> 1L))
   }
 
+  test("stratifiedSample: exact N per stratum, partitioning-invariant") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.stratifiedSample(d, "src", "id", 7)
+        .select("src", "rn", "id").orderBy("src", "rn")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run(df)
+    assert(a.size === 21 && a.groupBy(_._1).forall(_._2.size == 7))
+    // the salted first level must not change WHICH rows win
+    assert(a === run(df.repartition(11)) && a === run(df.coalesce(1)))
+    // n larger than a stratum returns the whole stratum
+    val small = TextOps.stratifiedSample(
+      Seq(("x", 1L), ("x", 2L)).toDF("src", "id"), "src", "id", 10)
+    assert(small.count() === 2)
+  }
+
   test("buildCorpus perplexity gate drops the out-of-domain tail") {
     import spark.implicits._
     val a = "the quick brown fox jumps over a lazy dog near the river bank"
