@@ -255,6 +255,94 @@ object TextOps {
       .filter(col("rn") <= n)
   }
 
+  /** Trainable Naive-Bayes text classifier — the fastText-style filter
+    * step of corpus curation (CCNet / GPT-3-style pipelines train one
+    * on "target domain vs crawl" weak labels and keep docs the model
+    * scores target-like). Laplace-smoothed per-token log-likelihood
+    * ratios over a capped vocabulary, plus the class-prior log-odds;
+    * a doc's logit is the prior plus the sum of its tokens' weights
+    * (out-of-vocab tokens contribute 0).
+    *
+    * Fully declarative — no driver-side training loop: token counts
+    * are one narrow (tok, np, nn) shuffle with map-side partial
+    * aggregation, the top-`vocabSize` vocabulary is a TakeOrdered (df
+    * ties broken by token, so the cut is deterministic on any engine),
+    * and scoring joins the broadcast weight table against the exploded
+    * corpus with one (doc_id, w) shuffle. At 100 TB, `train` is
+    * typically a small labeled sample while `score` is the full
+    * corpus — the corpus-sized pass touches only the broadcast join
+    * and the per-doc sum. */
+  def nbClassifier(train: DataFrame, score: DataFrame, positive: Column,
+      vocabSize: Int = 512): DataFrame = {
+    val toks = train.select(positive.cast("boolean").as("pos"),
+      explode(expr(toksExpr)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      .orderBy((col("np") + col("nn")).desc, col("tok"))
+      .limit(vocabSize)
+    val tot = vocab.agg(sum("np").as("tp"), sum("nn").as("tn"),
+      count(lit(1)).as("v"))
+    val prior = train.agg(
+      (log(sum(when(positive, 1L).otherwise(0L)).cast("double")) -
+        log(sum(when(positive, 0L).otherwise(1L)).cast("double"))).as("pr"))
+    val w = vocab.crossJoin(broadcast(tot)).select(col("tok"),
+      (log((col("np") + 1.0) / (col("tp") + col("v"))) -
+        log((col("nn") + 1.0) / (col("tn") + col("v")))).as("w"))
+    score.select(col("doc_id"), explode_outer(expr(toksExpr)).as("tok"))
+      .join(broadcast(w), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum("w"), lit(0.0)).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        round(col("pr") + col("s"), 4).as("nb_logit"),
+        (round(col("pr") + col("s"), 4) > 0).as("pred"))
+  }
+
+  /** Duplicated-substring span detection — the exact-substring half of
+    * training-data dedup (Lee et al. 2021, arXiv:2107.06499, which
+    * removes any >=50-token substring occurring twice in the corpus;
+    * their suffix array is replaced here by the distributed-native
+    * k-gram seed + island merge). A token k-gram occurring more than
+    * once ANYWHERE in the corpus (other docs or the same doc) marks
+    * its position; per doc, marked positions within k-1 of each other
+    * merge into maximal spans (gaps-and-islands over one window).
+    * Returns (doc_id, span_start, span_end, n_dup_grams) with
+    * token-index bounds, the input to span excision or doc filtering.
+    *
+    * Scale shape (100 TB): the gram stream is |corpus tokens| rows and
+    * shuffles twice on the gram key (count >= 2, then the semi-join
+    * back) with map-side partial counts; the window pass shuffles only
+    * marked positions on doc_id. Grams travel as text here so the
+    * DuckDB oracle is bit-exact; at real scale the shuffle key is
+    * xxhash64(gram) (8 bytes, same semantics modulo 2^-64 collisions).
+    * Boilerplate mega-grams make hot keys — partial aggregation
+    * absorbs them in the count, and AQE skew-split handles the join. */
+  def duplicatedSpans(df: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.withColumn("toks", expr(toksExpr))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> array_join(slice(toks, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("pos", "gram")))
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val marked = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("f",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k - 1, 0)
+          .otherwise(1))
+      .withColumn("isl", sum("f").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("isl")
+  }
+
   /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
     * character classes, so Java regex (Spark) and RE2 (DuckDB) agree. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -609,6 +697,81 @@ object TextOps {
       stratifiedSample(docs(s, d), "source", "doc_id", 10)
         .select(col("source"), col("rn"), col("doc_id"))
         .orderBy("source", "rn")
+    },
+
+    // Trainable NB classifier: lang='en' is the weak label (the gate's
+    // stand-in for "target domain vs crawl"); both engines train the
+    // identical model because the vocab cut and smoothing are
+    // deterministic.
+    Q("t23_nb_classifier",
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM tok GROUP BY tok
+        |  ORDER BY np + nn DESC, tok LIMIT 512),
+        |tot AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |w AS (
+        |  SELECT tok, ln((np + 1.0) / (tp + v)) - ln((nn + 1.0) / (tn + v)) AS w
+        |  FROM vocab CROSS JOIN tot),
+        |prior AS (
+        |  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE))
+        |       - ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)) AS pr
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, coalesce(sum(w.w), 0) AS s
+        |  FROM tok t LEFT JOIN w ON t.tok = w.tok
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, round(pr + coalesce(s.s, 0), 4) AS nb_logit,
+        |       round(pr + coalesce(s.s, 0), 4) > 0 AS pred
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |CROSS JOIN prior
+        |ORDER BY d.doc_id""".stripMargin,
+      "trainable NB classifier: smoothed LLR weights + prior, lang weak label") {
+      (s, d) =>
+      val dd = docs(s, d)
+      nbClassifier(dd, dd, col("lang") === "en").orderBy("doc_id")
+    },
+
+    // Exact-substring dedup seed: maximal duplicated >=10-token spans.
+    Q("t24_dup_spans",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s.i - 1 AS pos,
+        |    array_to_string(list_slice(toks, s.i, s.i + 9), ' ') AS gram
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 9)) AS s(i)
+        |  WHERE len(toks) >= 10),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 9
+        |         THEN 0 ELSE 1 END AS f
+        |  FROM p),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM fl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 9 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+      "maximal duplicated 10-gram spans: k-gram seeds + island merge") {
+      (s, d) =>
+      duplicatedSpans(docs(s, d), 10).orderBy("doc_id", "span_start")
     },
 
     // Exact dedup: one shuffle on text, keep lowest doc_id per group.

@@ -321,6 +321,71 @@ class TextOpsSpec extends AnyFunSuite {
     assert(small.count() === 2)
   }
 
+  test("nbClassifier: hand-checked weights, planted signal, invariance") {
+    import spark.implicits._
+    // pos docs are all "good good x", neg are "bad bad x" — "good" and
+    // "bad" are perfectly discriminative, "x" is neutral.
+    val df = Seq(
+      (1L, true, "good good x"), (2L, true, "good good x"),
+      (3L, false, "bad bad x"), (4L, false, "bad bad x"))
+      .toDF("doc_id", "y", "text")
+    val out = TextOps.nbClassifier(df, df, col("y")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    // vocab = {good: (4,0), bad: (0,4), x: (2,2)}; tp = tn = 6, v = 3
+    // w(good) = ln(5/9) - ln(1/9); w(bad) = -w(good); w(x) = 0; pr = 0
+    val wGood = math.log(5.0 / 9) - math.log(1.0 / 9)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) === ((1L, r4(2 * wGood), true)))
+    assert(out(2) === ((3L, r4(-2 * wGood), false)))
+    // same rounded logits under any partitioning
+    val re = TextOps.nbClassifier(df.repartition(7), df.coalesce(1), col("y"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(re.toSeq === out.toSeq)
+    // train/score can be different frames: unseen tokens fall back to
+    // the prior, which reflects the 3:1 train imbalance
+    val train = Seq((10L, true, "good"), (11L, true, "good"),
+      (12L, true, "good"), (13L, false, "bad")).toDF("doc_id", "y", "text")
+    val sc = TextOps.nbClassifier(train, Seq((20L, "zzz unseen"))
+      .toDF("doc_id", "text"), col("y")).collect()
+    assert(sc.length === 1 &&
+      sc(0).getDouble(1) === r4(math.log(3.0)) && sc(0).getBoolean(2))
+    // vocabSize=1 keeps only the most frequent token: "good" (3
+    // instances) beats "bad" (1), so "bad" is out-of-vocab
+    val capped = TextOps.nbClassifier(train,
+      Seq((21L, "bad")).toDF("doc_id", "text"), col("y"), vocabSize = 1)
+      .collect()
+    // "bad" fell outside the capped vocab, so the doc scores the prior
+    assert(capped(0).getDouble(1) === r4(math.log(3.0)))
+  }
+
+  test("duplicatedSpans: shared span found, bounds exact, islands merge") {
+    import spark.implicits._
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 a5 " + common + " a6 a7"),
+      (2L, "b1 b2 " + common),
+      (3L, "solo unique words only here nothing shared at all today ok"),
+      (4L, "short doc")) // < k tokens: generates no grams
+      .toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpans(df, 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 shared tokens → 3 duplicated 10-grams per doc, one merged span
+    // covering exactly the shared region (token indexes, 0-based)
+    assert(out.toSeq === Seq((1L, 5L, 16L, 3L), (2L, 2L, 13L, 3L)))
+    // same-doc repetition counts: one doc repeating a 10-gram twice
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val self = Seq((9L, rep + " gap1 gap2 " + rep)).toDF("doc_id", "text")
+    val so = TextOps.duplicatedSpans(self, 10).orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(so.toSeq === Seq((0L, 9L), (12L, 21L)))
+    // partitioning invariance
+    val re = TextOps.duplicatedSpans(df.repartition(13), 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("buildCorpus perplexity gate drops the out-of-domain tail") {
     import spark.implicits._
     val a = "the quick brown fox jumps over a lazy dog near the river bank"
