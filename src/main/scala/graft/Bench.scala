@@ -83,14 +83,17 @@ object Bench {
     val errs = results.flatMap { case (n, rs, _) =>
       rs.flatMap(_.err).headOption.map(e => "\"" + n + "\":\"" + e + "\"")
     }.mkString("{", ",", "}")
-    // index-build vs probe split for the index-building queries
-    // (v02/v05/v06/v07/g12), taken from each query's median run:
-    // <q>.build recorded inside the closure, <q>.probe = total - build
+    // phase split for the index/table-building queries (v02/v05/v06/
+    // v07/g12/g15/...), taken from each query's median run: sub-phases
+    // (<q>.build, <q>.optimize, ...) are recorded inside the closure,
+    // and <q>.probe = total - sum(recorded sub-phases)
     val phases = obj(medians.flatMap { case (q, run) =>
-      run.phases.toSeq.sortBy(_._1).flatMap { case (span, sec) =>
-        Seq(span -> sec) ++
-          (if (span == s"$q.build") Seq(s"$q.probe" -> (run.sec - sec)) else Nil)
-      }
+      val subs = run.phases.toSeq.sortBy(_._1)
+      val subSum = subs.collect {
+        case (s, sec) if s.startsWith(s"$q.") => sec
+      }.sum
+      subs ++ (if (subs.exists(_._1 == s"$q.build"))
+        Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
     })
     val total = medians.map(_._2.sec).sum
     // cross-check against the previously COMMITTED artifact: if this
