@@ -343,6 +343,66 @@ object TextOps {
       .drop("isl")
   }
 
+  /** Exact-substring dedup (the excision half of [[duplicatedSpans]],
+    * Lee et al. 2021 arXiv:2107.06499): every duplicated k-gram
+    * occurrence EXCEPT the canonical one — the corpus-wide lowest
+    * (doc_id, pos) — is excised from the text, so exactly one copy of
+    * each duplicated passage survives. A token is removed iff some
+    * non-canonical duplicated gram covers it AND no canonical gram
+    * does; the guard keeps self-overlapping repeats (e.g. a run of one
+    * token) from eating their own surviving copy. Returns
+    * (doc_id, text, n_removed) with text rebuilt space-joined from the
+    * kept tokens (whitespace runs normalize; case is preserved —
+    * dedup here is case-sensitive, unlike the lowercased near-dup ops).
+    *
+    * Scale shape (100 TB): the gram/count/rank stages shuffle narrow
+    * (gram, doc_id, pos) rows; coverage explodes only MARKED positions
+    * (k rows each); the rebuild is the one corpus-sized stage — a
+    * posexplode + equi-anti-join + per-doc regroup, i.e. one full
+    * corpus rewrite, the same cost class as a compaction pass. */
+  def dedupSubstrings(df: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rawToks = "filter(split(text, '\\\\s+'), x -> x != '')"
+    val toks = df.select(col("doc_id"), expr(rawToks).as("toks"))
+    val grams = toks.filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> array_join(slice(toks, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("pos", "gram")))
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val marked = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+      .withColumn("canon", rank().over(
+        Window.partitionBy("gram").orderBy("doc_id", "pos")) === 1)
+    val removable = marked
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"),
+        col("canon"))
+      .groupBy("doc_id", "cpos")
+      .agg(max(col("canon")).as("anyCanon"))
+      .filter(!col("anyCanon"))
+      .select(col("doc_id").as("r_doc_id"), col("cpos"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(removable,
+        col("doc_id") === col("r_doc_id") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text"),
+        count(col("tok")).as("n_kept"))
+    // rejoin onto the doc base: a doc whose every token was excised (or
+    // that had no tokens) must still come back, with empty text
+    toks.select(col("doc_id"), expr("size(toks)").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
     * character classes, so Java regex (Spark) and RE2 (DuckDB) agree. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -772,6 +832,47 @@ object TextOps {
       "maximal duplicated 10-gram spans: k-gram seeds + island merge") {
       (s, d) =>
       duplicatedSpans(docs(s, d), 10).orderBy("doc_id", "span_start")
+    },
+
+    // Exact-substring dedup: rebuilt text with every non-canonical
+    // duplicated >=10-token span excised. Case-sensitive raw tokens.
+    Q("t25_substr_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s.i - 1 AS pos,
+        |    array_to_string(list_slice(toks, s.i, s.i + 9), ' ') AS gram
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 9)) AS s(i)
+        |  WHERE len(toks) >= 10),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT g.doc_id, g.pos,
+        |    rank() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) = 1
+        |      AS canon
+        |  FROM g JOIN d USING (gram)),
+        |rem AS (
+        |  SELECT doc_id, pos + o.j AS cpos
+        |  FROM m, LATERAL unnest(generate_series(0, 9)) AS o(j)
+        |  GROUP BY doc_id, cpos HAVING NOT bool_or(canon)),
+        |tok AS (
+        |  SELECT doc_id, s.i - 1 AS pos, toks[s.i] AS tok, len(toks) AS n
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok, tok.n
+        |  FROM tok LEFT JOIN rem
+        |    ON tok.doc_id = rem.doc_id AND tok.pos = rem.cpos
+        |  WHERE rem.doc_id IS NULL)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS text,
+        |  CAST(len(t.toks) - count(kept.tok) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |GROUP BY t.doc_id, len(t.toks)
+        |ORDER BY t.doc_id""".stripMargin,
+      "exact-substring dedup: excise non-canonical duplicated spans") {
+      (s, d) =>
+      dedupSubstrings(docs(s, d), 10).orderBy("doc_id")
     },
 
     // Exact dedup: one shuffle on text, keep lowest doc_id per group.

@@ -386,6 +386,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("dedupSubstrings: canonical copy survives, others excised") {
+    import spark.implicits._
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 a5 " + common + " a6 a7"),
+      (2L, "b1 b2 " + common + " b3"),
+      (3L, "free of any duplication entirely here today with luck"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSubstrings(df, 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1 holds the canonical copy (lowest doc_id): untouched.
+    // doc 2 loses exactly the 12 shared tokens; its frame stays.
+    assert(out(0) === ((1L, "a1 a2 a3 a4 a5 " + common + " a6 a7", 0L)))
+    assert(out(1) === ((2L, "b1 b2 b3", 12L)))
+    assert(out(2)._3 === 0L)
+    // self-overlapping repeat: 14x the same token, k=10 → grams at pos
+    // 0..4 all duplicated, canonical at 0 covers [0,9]; tokens 10..13
+    // are covered only non-canonically → exactly 4 removed
+    val run = Seq((7L, Array.fill(14)("z").mkString(" "))).toDF("doc_id", "text")
+    val ro = TextOps.dedupSubstrings(run, 10).collect()
+    assert(ro(0).getString(1) === Array.fill(10)("z").mkString(" ") &&
+      ro(0).getLong(2) === 4L)
+    // partitioning invariance
+    val re = TextOps.dedupSubstrings(df.repartition(13), 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("buildCorpus perplexity gate drops the out-of-domain tail") {
     import spark.implicits._
     val a = "the quick brown fox jumps over a lazy dog near the river bank"
