@@ -394,13 +394,17 @@ object TextOps {
           s => s.getField("tok")), " ").as("text"),
         count(col("tok")).as("n_kept"))
     // rejoin onto the doc base: a doc whose every token was excised (or
-    // that had no tokens) must still come back, with empty text
-    toks.select(col("doc_id"), expr("size(toks)").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left")
+    // that had no tokens) must still come back, with empty text. The
+    // full input frame passes through with `text` replaced, so the op
+    // composes inside a pipeline (mirrors [[nearDupSurvivors]]).
+    val rebuilt = toks.select(col("doc_id"), expr("size(toks)").as("n_toks"))
+      .join(kept.withColumnRenamed("text", "__rebuilt"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("__rebuilt"), lit("")).as("__rebuilt"),
         (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
           .cast("long").as("n_removed"))
+    df.drop("text").join(rebuilt, Seq("doc_id"))
+      .withColumnRenamed("__rebuilt", "text")
   }
 
   /** PII regexes shared by t20 and [[buildCorpus]]: backtracking-free
@@ -437,12 +441,21 @@ object TextOps {
       evalSet: Option[DataFrame] = None,
       contaminationGrams: Int = 13,
       pplModel: Option[DataFrame] = None,
-      maxPpl: Double = Double.MaxValue): DataFrame = {
+      maxPpl: Double = Double.MaxValue,
+      substrDedupGrams: Int = 0): DataFrame = {
     val langed =
       if (langs.isEmpty) corpus
       else corpus.filter(col("lang").isin(langs.toSeq: _*))
+    // exact-substring excision first (Lee et al. 2021 order: dedup the
+    // text before any quality statistic reads it), so token counts,
+    // dominance, fluency, and the near-dup signatures all see the
+    // excised text
+    val excised =
+      if (substrDedupGrams > 0)
+        dedupSubstrings(langed, substrDedupGrams).drop("n_removed")
+      else langed
     // quality gates ride one narrow (doc_id, token)->count aggregation
-    val toks = langed
+    val toks = excised
       .withColumn("__toks", expr(toksExpr))
       .withColumn("n_tokens", size(col("__toks")))
       .filter(col("n_tokens") >= minTokens)
@@ -872,7 +885,8 @@ object TextOps {
         |ORDER BY t.doc_id""".stripMargin,
       "exact-substring dedup: excise non-canonical duplicated spans") {
       (s, d) =>
-      dedupSubstrings(docs(s, d), 10).orderBy("doc_id")
+      dedupSubstrings(docs(s, d), 10)
+        .select("doc_id", "text", "n_removed").orderBy("doc_id")
     },
 
     // Exact dedup: one shuffle on text, keep lowest doc_id per group.

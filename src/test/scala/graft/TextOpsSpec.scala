@@ -415,6 +415,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("buildCorpus exact-substring stage excises planted duplication") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    val rows = Seq(
+      (1L, "web", "en", boiler + " first unique tail closing words here now"),
+      (2L, "web", "en", boiler + " second distinct ending tokens appear right here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = TextOps.buildCorpus(rows, minTokens = 4, substrDedupGrams = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // doc 1 keeps the canonical boilerplate copy; doc 2's copy is gone
+    // before any downstream stage reads the text
+    assert(out(1L).startsWith(boiler), out(1L))
+    assert(!out(2L).contains("bp1") && out(2L).startsWith("second"), out(2L))
+    // off by default: both docs keep the boilerplate
+    val off = TextOps.buildCorpus(rows, minTokens = 4)
+      .collect().map(r => r.getAs[String]("text")).toSeq
+    assert(off.forall(_.contains("bp1")))
+  }
+
   test("buildCorpus perplexity gate drops the out-of-domain tail") {
     import spark.implicits._
     val a = "the quick brown fox jumps over a lazy dog near the river bank"
