@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions.lit
 object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "t03_minhash_lsh_pairs", "t04_simhash", "t05_simhash_pairs",
-    "t10_fingerprint", "t21_perplexity",
+    "t10_fingerprint", "t21_perplexity", "t26_incremental_dedup",
     "m01_multimodal_features", "m04_bmp_decode",
     "m05_wav_decode",
     "v02_ann_lsh", "v03_embedding_near_dup", "v05_ann_ivf",

@@ -86,23 +86,7 @@ object TextOps {
   def lshCandidatePairs(sigs0: DataFrame, bands: Int = 32, r: Int = 2): DataFrame = {
     val sigs = sigs0.select("doc_id", "minhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        val parts = (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
-        expr(s"xxhash64(${parts.mkString(", ")})")
-      }: _*)).as(Seq("band", "band_hash")))
-    // Guard against degenerate mega-buckets (constant columns at 100 TB
-    // would otherwise turn one bucket into an all-pairs explosion): cap
-    // each (band, bucket) at 64 members, keeping the smallest doc_ids
-    // deterministically.
-    val capped = banded
-      .withColumn("bucket_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))
-          .orderBy(col("doc_id"))))
-      .filter(col("bucket_rank") <= 64)
-      .drop("bucket_rank")
+    val capped = bandBuckets(sigs, bands, r)
     val a = capped.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val b = capped.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     val pairs = a.join(b, Seq("band", "band_hash"))
@@ -116,6 +100,113 @@ object TextOps {
       .join(sigs.select(col("doc_id").as("b_id"), col("minhash").as("sig_b")),
         Seq("b_id"))
       .select("a_id", "b_id", "sig_a", "sig_b")
+  }
+
+  /** (doc_id, band, band_hash) bucket rows derived from a signature
+    * frame. Banding re-hashes 8-byte longs only (pure codegen), so
+    * deriving buckets from a PERSISTED signature index is a narrow
+    * columnar scan, never a recompute of the text shingling. Guard
+    * against degenerate mega-buckets (constant columns at 100 TB would
+    * otherwise turn one bucket into an all-pairs explosion): each
+    * (band, bucket) is capped at 64 members, keeping the smallest
+    * doc_ids deterministically. */
+  private def bandBuckets(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    capBuckets(bandedRows(sigs, bands, r), Seq("band", "band_hash"))
+
+  /** Uncapped (doc_id, band, band_hash) stream — banding alone is pure
+    * codegen over the signature scan, no shuffle. */
+  private def bandedRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        val parts =
+          (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
+        expr(s"xxhash64(${parts.mkString(", ")})")
+      }: _*)).as(Seq("band", "band_hash")))
+
+  /** Keep the 64 smallest doc_ids per bucket key (one window shuffle of
+    * the input stream — apply it to the NARROWEST stream available). */
+  private def capBuckets(banded: DataFrame, key: Seq[String]): DataFrame =
+    banded
+      .withColumn("bucket_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(key.map(col): _*)
+          .orderBy(col("doc_id"))))
+      .filter(col("bucket_rank") <= 64)
+      .drop("bucket_rank")
+
+  /** MinHash signatures for an arbitrary corpus frame (doc_id, text) —
+    * the PERSISTABLE near-dup index: (doc_id, minhash array<bigint>).
+    * ~0.5 KB/doc at 64 permutations, so even a 100 TB corpus's index is
+    * a few tens of GB: write it once (parquet / graft table) and dedup
+    * every future delta batch against it via [[incrementalNearDups]]
+    * without ever touching the indexed text again. */
+  def minhashIndex(corpus: DataFrame, perms: Int = 64): DataFrame =
+    withMinhash(
+      corpus.withColumn("toks", expr(toksExpr))
+        .withColumn("shingles", expr(shinglesExpr)),
+      perms)
+      .select("doc_id", "minhash")
+
+  /** Signature-agreement jaccard estimate between two minhash columns. */
+  private def agreeFrac(a: String, b: String, perms: Int): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)), " +
+      "0, (acc, v) -> acc + v)").cast("double") / perms.toDouble
+
+  /** Incremental near-dup detection — the DAILY corpus-build operation
+    * at 100 TB: flag documents in `delta` that near-duplicate either an
+    * already-indexed document ([[minhashIndex]] output, typically read
+    * back from a persisted table) or an earlier delta document, without
+    * recomputing anything over the indexed corpus. Returns one row per
+    * duplicated delta doc: (doc_id, dup_of, est_jaccard) with `dup_of`
+    * the smallest matching doc (indexed or delta) and `est_jaccard` the
+    * signature-agreement estimate for that match.
+    *
+    * Scale shape: a delta is small by nature (one crawl batch vs the
+    * corpus), so every join keeps the INDEX side shuffle-free — the
+    * delta's bucket rows broadcast against the index's derived bucket
+    * stream, and the surviving candidate list (bounded by |delta| x
+    * bucket cap) broadcasts again to fetch index signatures. The
+    * persisted index is scanned exactly once, columnar, (doc_id,
+    * minhash) only. */
+  def incrementalNearDups(delta: DataFrame, indexSigs: DataFrame,
+      bands: Int = 32, r: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val perms = bands * r
+    val deltaSigs = minhashIndex(delta, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dBuckets = bandBuckets(deltaSigs, bands, r)
+      .withColumnRenamed("doc_id", "new_id")
+    // The index side is deliberately NOT pre-capped: the mega-bucket cap
+    // needs a bucket-key window, i.e. a full shuffle of the 32x-banded
+    // index stream, while joining the RAW banded stream against the
+    // broadcast delta buckets keeps the index scan shuffle-free. The cap
+    // moves after the join — per (bucket, new_id) over only the matched
+    // rows, bounding a degenerate index mega-bucket to 64 candidates per
+    // delta doc per band instead of |index| rows.
+    val cross = capBuckets(
+        bandedRows(indexSigs, bands, r)
+          .join(broadcast(dBuckets), Seq("band", "band_hash")),
+        Seq("band", "band_hash", "new_id"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .distinct()
+    val crossScored = indexSigs
+      .select(col("doc_id").as("old_id"), col("minhash").as("sig_old"))
+      .join(broadcast(cross), Seq("old_id"))
+      .join(broadcast(deltaSigs.select(col("doc_id").as("new_id"),
+        col("minhash").as("sig_new"))), Seq("new_id"))
+      .select(col("new_id"), col("old_id"),
+        agreeFrac("sig_new", "sig_old", perms).as("est_jaccard"))
+    // within-delta: the later doc duplicates the earlier one
+    val within = lshCandidatePairs(deltaSigs, bands, r)
+      .select(col("b_id").as("new_id"), col("a_id").as("old_id"),
+        agreeFrac("sig_a", "sig_b", perms).as("est_jaccard"))
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
+    crossScored.unionByName(within)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("old_id"), col("est_jaccard"))).as("m"))
+      .select(col("new_id").as("doc_id"), col("m.old_id").as("dup_of"),
+        round(col("m.est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** documents projected to (doc_id, source, words) with words = the
@@ -958,6 +1049,31 @@ object TextOps {
         .select("a_id", "b_id", "est_jaccard")
         .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
         .limit(200)
+    },
+
+    // Incremental dedup: the daily-build shape at 100 TB — index 3/4 of
+    // the corpus once ([[minhashIndex]], persisted; phase-split as
+    // .build), then flag near-dups in the remaining 1/4 "delta" against
+    // the persisted index plus within the delta, touching only
+    // (doc_id, minhash) on the indexed side — the indexed TEXT is never
+    // re-read. Golden-pinned (minhash is not SQL-expressible);
+    // two-config bit-stability verified before pinning.
+    Q.golden("t26_incremental_dedup",
+      Seq("doc_id", "dup_of", "est_jaccard"), "doc_id",
+      "delta near-dups vs a persisted minhash index, no corpus recompute") {
+      (s, d) =>
+      val base = docs(s, d).filter(expr("pmod(doc_id, 4) != 0"))
+      val delta = docs(s, d).filter(expr("pmod(doc_id, 4) = 0"))
+      // Path is per-source-dir: callers (GoldenGen) hold lazy plans over
+      // several sf dirs at once, and a shared path would let a later
+      // build invalidate an earlier plan's file listing.
+      val idxPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_t26_idx_${java.lang.Integer.toHexString(d.hashCode)}").toString
+      graft.BenchPhases.timed("t26_incremental_dedup.build") {
+        minhashIndex(base).write.mode("overwrite").parquet(idxPath)
+      }
+      incrementalNearDups(delta, s.read.parquet(idxPath))
+        .orderBy("doc_id")
     },
 
     // Benchmark DECONTAMINATION: the standard 13-gram overlap check

@@ -304,6 +304,38 @@ class TextOpsSpec extends AnyFunSuite {
       11L -> 10L, 20L -> 20L, 21L -> 1L))
   }
 
+  test("incrementalNearDups: delta flags vs index + within-delta, min dup_of") {
+    import spark.implicits._
+    val txtA = "the quick brown fox jumps over the lazy dog again and again"
+    val txtB = "colorless green ideas sleep furiously beneath crystal moons tonight"
+    val txtC = "seven silver submarines circled quietly around distant volcanic islands"
+    val txtD = "every good boy deserves fudge while playing saxophones downtown"
+    val index = TextOps.minhashIndex(
+      Seq((1L, txtA), (2L, txtB)).toDF("doc_id", "text"))
+    val delta = Seq(
+      (100L, txtA), // dup of indexed doc 1
+      (200L, txtC), (201L, txtC), // within-delta pair: 201 dups 200
+      (300L, txtD), // unique -> no row
+      (400L, txtA)  // dups BOTH indexed 1 and delta 100 -> min old wins
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = TextOps.incrementalNearDups(delta, index)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((100L, 1L, 1.0), (201L, 200L, 1.0), (400L, 1L, 1.0)),
+      s"got $got")
+    // the delta signature cache is released by the one-shot listener
+    // after the consuming action; delivery is async, so poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getPersistentRDDs.size
+    while (after - before > 0 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(after - before <= 0,
+      s"deltaSigs cache leak: persistent RDDs grew $before -> $after")
+  }
+
   test("stratifiedSample: exact N per stratum, partitioning-invariant") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
