@@ -20,7 +20,8 @@ import sys
 
 SRC = os.environ.get("GRAFT_SKEW_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("GRAFT_SKEW_DIR", "/tmp/graft_skew/sf0.1skew")
-QUERIES = "t01,t02,t03,t15,t17"
+QUERIES = os.environ.get("GRAFT_SKEW_QUERIES",
+                         "t01,t02,t03,t15,t17,t24,t25,t26")
 CONF = "spark.graft.jaccard.dfCap=256"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -66,7 +67,10 @@ def main():
         "probe": ("adversarial skew (graft.SkewGen): corpus-wide hot token "
                   "(df=corpus), 10k-doc near-dup chain (diameter ~5k), 2k "
                   "shared-prefix docs (LSH mega-buckets); dfCap=256 so the "
-                  "guard binds at probe scale"),
+                  "guard binds at probe scale; the shared-prefix docs double "
+                  "as mega-duplicated grams for the exact-substring family "
+                  "(t24/t25) and as index-side mega-buckets for the "
+                  "incremental path's per-(bucket, delta-doc) cap (t26)"),
         "base_sf_dir": SRC,
         "skew_dir": OUT,
         "rows": {"healthy": rows_healthy, "skewed": rows_skewed},
