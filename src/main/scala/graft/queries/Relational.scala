@@ -26,6 +26,20 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** `events.ts` as epoch NANOS regardless of the parquet physical type.
+    * The driver's generator has shipped the column both ways across
+    * rounds: timestamp[ns] (which Spark reads as raw int64 nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and timestamp[us] (which
+    * reads as TIMESTAMP_NTZ). Queries doing epoch math dispatch on the
+    * LOADED type so both representations produce identical buckets —
+    * matching DuckDB's `epoch_ns(ts)`, which is equally agnostic.
+    * (`unix_micros * 1000` stays well under 2^63 for any real date.) */
+  private def tsNanos(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => col(c)
+      case _ => unix_micros(col(c).cast("timestamp")) * lit(1000L)
+    }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -398,9 +412,10 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
-    // Event-time bucketing on the events table (ts is raw int64 nanos —
-    // see spark.sql.legacy.parquet.nanosAsLong). Integer bucket math so
-    // both engines agree bit-for-bit.
+    // Event-time bucketing on the events table. Integer bucket math in
+    // NANOS so both engines agree bit-for-bit; `tsNanos` dispatches on
+    // the loaded type (int64-nanos vs timestamp — the generator has
+    // shipped both).
     Q("q19_event_hourly",
       """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600 AS bucket_sec,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
@@ -410,8 +425,10 @@ object Relational {
       "hourly event-time buckets via integer epoch math (ts is int64 nanos)") { (s, d) =>
       // NB: `div`, not `/` — epoch nanos exceed 2^53, double division
       // would lose bucket-boundary precision.
-      t(s, d, "events")
-        .withColumn("bucket_sec", expr("ts div 3600000000000") * 3600)
+      val ev = t(s, d, "events")
+      ev
+        .withColumn("__ns", tsNanos(ev, "ts"))
+        .withColumn("bucket_sec", expr("__ns div 3600000000000") * 3600)
         .groupBy(col("bucket_sec"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy("bucket_sec", "event_type")
@@ -525,11 +542,13 @@ object Relational {
         .orderBy(col("ts"), col("event_id"))
       val cumul = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      val ev = t(s, d, "events")
+      ev
+        .withColumn("__ns", tsNanos(ev, "ts"))
+        .withColumn("prev_ns", lag(col("__ns"), 1).over(byUser))
         .withColumn("new_sess",
-          when(col("prev_ts").isNull
-            || col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+          when(col("prev_ns").isNull
+            || col("__ns") - col("prev_ns") > 1800000000000L, 1).otherwise(0))
         .withColumn("sess_id", sum(col("new_sess")).over(cumul))
         .groupBy(col("user_id"), col("sess_id"))
         .agg(count(lit(1)).as("n_events"))
