@@ -113,16 +113,23 @@ object TextOps {
   private def bandBuckets(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     capBuckets(bandedRows(sigs, bands, r), Seq("band", "band_hash"))
 
+  /** The per-band bucket hashes as one array column over `minhash` —
+    * pure codegen; shared with the STREAMING near-dup operator
+    * ([[graft.streaming.StreamingDedup.lshCandidates]]), which must
+    * band identically to interoperate with batch-built state. */
+  private[graft] def bandHashArray(bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val parts =
+        (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
+      expr(s"xxhash64(${parts.mkString(", ")})")
+    }: _*)
+
   /** Uncapped (doc_id, band, band_hash) stream — banding alone is pure
     * codegen over the signature scan, no shuffle. */
   private def bandedRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        val parts =
-          (0 until r).map(j => s"element_at(minhash, ${b * r + j + 1})")
-        expr(s"xxhash64(${parts.mkString(", ")})")
-      }: _*)).as(Seq("band", "band_hash")))
+      posexplode(bandHashArray(bands, r)).as(Seq("band", "band_hash")))
 
   /** Keep the 64 smallest doc_ids per bucket key (one window shuffle of
     * the input stream — apply it to the NARROWEST stream available). */
@@ -374,9 +381,14 @@ object TextOps {
       .limit(vocabSize)
     val tot = vocab.agg(sum("np").as("tp"), sum("nn").as("tn"),
       count(lit(1)).as("v"))
+    // Laplace-smoothed prior: with one-class weak labels (all-positive
+    // or all-negative) an unsmoothed ln(0) is NULL in Spark and would
+    // silently null every logit downstream; +1 on both counts keeps the
+    // degenerate case finite (the logit then leans entirely on the
+    // token weights) and shifts a two-class prior by < 1/min(np,nn).
     val prior = train.agg(
-      (log(sum(when(positive, 1L).otherwise(0L)).cast("double")) -
-        log(sum(when(positive, 0L).otherwise(1L)).cast("double"))).as("pr"))
+      (log(sum(when(positive, 1L).otherwise(0L)).cast("double") + 1.0) -
+        log(sum(when(positive, 0L).otherwise(1L)).cast("double") + 1.0)).as("pr"))
     val w = vocab.crossJoin(broadcast(tot)).select(col("tok"),
       (log((col("np") + 1.0) / (col("tp") + col("v"))) -
         log((col("nn") + 1.0) / (col("tn") + col("v")))).as("w"))
@@ -887,8 +899,8 @@ object TextOps {
         |  SELECT tok, ln((np + 1.0) / (tp + v)) - ln((nn + 1.0) / (tn + v)) AS w
         |  FROM vocab CROSS JOIN tot),
         |prior AS (
-        |  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE))
-        |       - ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)) AS pr
+        |  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |       - ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) + 1.0) AS pr
         |  FROM documents),
         |s AS (
         |  SELECT t.doc_id, coalesce(sum(w.w), 0) AS s
@@ -1066,9 +1078,14 @@ object TextOps {
       val delta = docs(s, d).filter(expr("pmod(doc_id, 4) = 0"))
       // Path is per-source-dir: callers (GoldenGen) hold lazy plans over
       // several sf dirs at once, and a shared path would let a later
-      // build invalidate an earlier plan's file listing.
+      // build invalidate an earlier plan's file listing. Keyed by an md5
+      // of the FULL source path (String.hashCode collides across dirs)
+      // plus the pid, so two concurrent JVMs probing the same sf dir can
+      // never race each other's overwrite/read on a shared index.
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val idxPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_t26_idx_${java.lang.Integer.toHexString(d.hashCode)}").toString
+        s"graft_t26_idx_${dirKey}_p${ProcessHandle.current().pid()}").toString
       graft.BenchPhases.timed("t26_incremental_dedup.build") {
         minhashIndex(base).write.mode("overwrite").parquet(idxPath)
       }

@@ -375,20 +375,30 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
     assert(re.toSeq === out.toSeq)
     // train/score can be different frames: unseen tokens fall back to
-    // the prior, which reflects the 3:1 train imbalance
+    // the Laplace-smoothed prior, ln((3+1)/(1+1)) = ln 2 for the 3:1
+    // train imbalance
     val train = Seq((10L, true, "good"), (11L, true, "good"),
       (12L, true, "good"), (13L, false, "bad")).toDF("doc_id", "y", "text")
     val sc = TextOps.nbClassifier(train, Seq((20L, "zzz unseen"))
       .toDF("doc_id", "text"), col("y")).collect()
     assert(sc.length === 1 &&
-      sc(0).getDouble(1) === r4(math.log(3.0)) && sc(0).getBoolean(2))
+      sc(0).getDouble(1) === r4(math.log(2.0)) && sc(0).getBoolean(2))
     // vocabSize=1 keeps only the most frequent token: "good" (3
     // instances) beats "bad" (1), so "bad" is out-of-vocab
     val capped = TextOps.nbClassifier(train,
       Seq((21L, "bad")).toDF("doc_id", "text"), col("y"), vocabSize = 1)
       .collect()
     // "bad" fell outside the capped vocab, so the doc scores the prior
-    assert(capped(0).getDouble(1) === r4(math.log(3.0)))
+    assert(capped(0).getDouble(1) === r4(math.log(2.0)))
+    // ONE-CLASS weak labels (end-of-r8 ADVICE): an unsmoothed prior is
+    // ln(0) = NULL and silently nulls every logit; smoothing keeps it
+    // finite — all-positive 2-doc train gives pr = ln((2+1)/(0+1))
+    val onePos = Seq((30L, true, "good stuff"), (31L, true, "good things"))
+      .toDF("doc_id", "y", "text")
+    val oneOut = TextOps.nbClassifier(onePos, Seq((40L, "zzz"))
+      .toDF("doc_id", "text"), col("y")).collect()
+    assert(!oneOut(0).isNullAt(1), "one-class prior must stay finite")
+    assert(oneOut(0).getDouble(1) === r4(math.log(3.0)))
   }
 
   test("duplicatedSpans: shared span found, bounds exact, islands merge") {
