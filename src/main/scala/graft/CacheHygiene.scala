@@ -23,20 +23,36 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheHygiene {
 
-  /** Unpersist `cached` after the next SQL action on its session
-    * completes (success or failure), then deregister. One-shot. */
+  /** Unpersist `cached` after the next SQL action that actually READS
+    * `cached` completes (success or failure), then deregister. One-shot.
+    *
+    * "Reads" is decided by plan identity: the completed query's analyzed
+    * plan must contain a subtree `sameResult` to the cached plan. An
+    * interleaved action on the shared session (another query, a stream
+    * batch, or an operator-internal driver action like dedupClusters'
+    * `edges.count()`) therefore does NOT release the cache early — the
+    * failure mode the end-of-r8 ADVICE flagged: an early release made
+    * the one real consumer silently recompute the full persisted work.
+    * If analysis state is unavailable (failed-before-analysis query),
+    * the check degrades to releasing, never to leaking forever while a
+    * consumer already ran. */
   def unpersistAfterNextAction(cached: DataFrame): Unit = {
     val manager = cached.sparkSession.listenerManager
+    val target = cached.queryExecution.analyzed
     val fired = new AtomicBoolean(false)
     val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def fire(): Unit = if (fired.compareAndSet(false, true)) {
-        cached.unpersist(blocking = false)
-        manager.unregister(this)
-      }
+      private def consumes(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(p => p.sameResult(target))
+        catch { case _: Throwable => true }
+      private def fire(qe: QueryExecution): Unit =
+        if (consumes(qe) && fired.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          manager.unregister(this)
+        }
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = fire()
+          durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = fire()
+          exception: Exception): Unit = fire(qe)
     }
     manager.register(listener)
   }
