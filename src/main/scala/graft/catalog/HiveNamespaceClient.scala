@@ -42,6 +42,8 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
     client = new ThriftHiveMetastore.Client(new TBinaryProtocol(transport))
   }
 
+  /** Read-only calls: reconnect-and-retry on a broken transport is
+    * always safe (get/list have no server-side effects). */
   private def withClient[A](f: ThriftHiveMetastore.Client => A): A =
     synchronized {
       if (client == null) connect()
@@ -54,18 +56,42 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
       }
     }
 
+  /** Mutations: if the transport died the FIRST attempt may have
+    * committed server-side before the failure, so the retry can observe
+    * its own success as AlreadyExists (creates) or NoSuchObject (drops).
+    * `ambiguous` maps those retry-only outcomes back to success instead
+    * of misreporting them to the caller (end-of-r8 ADVICE). A first-
+    * attempt AlreadyExists/NoSuchObject still propagates: with a healthy
+    * transport it is a genuine conflict, not an echo. */
+  private def withClientMutation[A](f: ThriftHiveMetastore.Client => A)(
+      ambiguous: PartialFunction[Throwable, A]): A =
+    synchronized {
+      if (client == null) connect()
+      try f(client)
+      catch {
+        case _: TTransportException =>
+          try transport.close() catch { case _: Throwable => () }
+          connect()
+          try f(client) catch ambiguous
+      }
+    }
+
   override def listNamespaceKeys(): Seq[String] =
     withClient(_.get_all_databases().asScala.toSeq).map(graftKey)
 
   override def createNamespace(key: String): Unit =
-    try withClient(_.create_database(
-      new Database(hiveDb(key), "graft namespace", null, null)))
+    try withClientMutation(_.create_database(
+      new Database(hiveDb(key), "graft namespace", null, null))) {
+      case _: AlreadyExistsException => () // first attempt landed
+    }
     catch { case _: AlreadyExistsException => () }
 
   override def dropNamespace(key: String): Boolean =
     try {
-      withClient(_.drop_database(hiveDb(key), /*deleteData=*/ false,
-        /*cascade=*/ false))
+      withClientMutation(_.drop_database(hiveDb(key), /*deleteData=*/ false,
+        /*cascade=*/ false)) {
+        case _: NoSuchObjectException => () // first attempt landed
+      }
       true
     } catch { case _: NoSuchObjectException => false }
 
@@ -104,7 +130,9 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
       t.setTableType("EXTERNAL_TABLE")
       t.setSd(sd)
       t.setParameters(java.util.Collections.emptyMap())
-      withClient(_.create_table(t))
+      withClientMutation(_.create_table(t)) {
+        case _: AlreadyExistsException => () // first attempt landed
+      }
       Registered
     } catch {
       case _: AlreadyExistsException => TableExists
@@ -115,7 +143,10 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
 
   override def deregisterTable(key: String, table: String): Boolean =
     try {
-      withClient(_.drop_table(hiveDb(key), table, /*deleteData=*/ false))
+      withClientMutation(_.drop_table(hiveDb(key), table,
+        /*deleteData=*/ false)) {
+        case _: NoSuchObjectException => () // first attempt landed
+      }
       true
     } catch { case _: NoSuchObjectException => false }
 }

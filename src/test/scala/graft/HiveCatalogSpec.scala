@@ -21,6 +21,19 @@ object FakeHiveMetastore {
   // database -> (table -> location)
   val store = new TrieMap[String, TrieMap[String, String]]()
 
+  // One-shot fault injection: the next MUTATION commits to the store and
+  // then dies with a TTransportException BEFORE the response is written
+  // (libthrift rethrows handler TTransportExceptions, so the server
+  // closes the connection responseless — exactly the "committed but the
+  // client never heard back" window the retry logic must survive).
+  @volatile var killNextMutationAfterCommit = false
+  private def maybeKill(): Unit =
+    if (killNextMutationAfterCommit) {
+      killNextMutationAfterCommit = false
+      throw new org.apache.thrift.transport.TTransportException(
+        "injected post-commit transport death")
+    }
+
   private val handler = new InvocationHandler {
     override def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef =
       m.getName match {
@@ -68,12 +81,13 @@ object FakeHiveMetastore {
               if (ts.contains(t.getTableName))
                 throw new AlreadyExistsException(t.getTableName)
               ts.put(t.getTableName, t.getSd.getLocation)
+              maybeKill()
               null
           }
         case "drop_table" =>
           val d = args(0).asInstanceOf[String]
           val t = args(1).asInstanceOf[String]
-          if (store.get(d).exists(_.remove(t).isDefined)) null
+          if (store.get(d).exists(_.remove(t).isDefined)) { maybeKill(); null }
           else throw new NoSuchObjectException(s"$d.$t")
         case other =>
           throw new UnsupportedOperationException(s"fake HMS: $other")
@@ -177,6 +191,30 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("already exists"))
     spark.sql("ALTER TABLE hc.db.dup ADD COLUMN extra STRING")
     assert(spark.table("hc.db.dup").columns.toSeq == Seq("k", "extra"))
+  }
+
+  test("mutation retry after transport death does not misreport a " +
+      "committed op (end-of-r8 ADVICE)") {
+    import graft.catalog.{HiveNamespaceClient, NamespaceClient}
+    val nc = new HiveNamespaceClient("127.0.0.1", FakeHiveMetastore.port)
+    nc.createNamespace("rtns")
+    // create commits server-side, connection dies responseless; the
+    // reconnect-retry sees AlreadyExists — that is the first attempt's
+    // own success, and must surface as Registered, not TableExists
+    FakeHiveMetastore.killNextMutationAfterCommit = true
+    assert(nc.registerTable("rtns", "t1", "/tmp/rtns_t1") ==
+      NamespaceClient.Registered)
+    assert(nc.describeTable("rtns", "t1").exists(_._1 == "/tmp/rtns_t1"))
+    // a genuine duplicate (healthy transport) still reports TableExists
+    assert(nc.registerTable("rtns", "t1", "/tmp/other") ==
+      NamespaceClient.TableExists)
+    // same for drop: committed-then-died must report true, and a second
+    // drop of the now-gone table reports false
+    FakeHiveMetastore.killNextMutationAfterCommit = true
+    assert(nc.deregisterTable("rtns", "t1"))
+    assert(nc.describeTable("rtns", "t1").isEmpty)
+    assert(!nc.deregisterTable("rtns", "t1"))
+    nc.dropNamespace("rtns")
   }
 
   test("implicit namespace ancestors work over the HMS backend too") {
