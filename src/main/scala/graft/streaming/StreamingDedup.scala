@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -23,38 +23,113 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same operator keyed on (hash, crawl window) upstream.
   *
   * Within one micro-batch the winner among same-hash rows is the
-  * smallest `doc_id` (deterministic, matching t01's min-id survivor
+  * smallest `idCol` (deterministic, matching t01's min-id survivor
   * rule), so replaying a batch emits identical rows.
   */
 object StreamingDedup {
 
-  /** First-seen filter on `hashCol` (any string column; pair it with
-    * `md5(text)` for content identity). Emits the surviving rows with
-    * their original schema plus the hash. Append-mode only — a row,
-    * once emitted, is never retracted. */
+  /** First-seen filter on `md5(textCol)` content identity. Emits the
+    * surviving rows with their ORIGINAL schema — every input column
+    * passes through untouched (the full row rides the state function
+    * as a struct) — plus a trailing `content_hash` column. `idCol`
+    * must cast to long; it only orders the within-batch winner.
+    * Append-mode only — a row, once emitted, is never retracted. */
   def firstSeen(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val hashed = docs
-      .withColumn("content_hash", md5(col(textCol)))
-      .select(col("content_hash"), col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-    hashed
-      .as[(String, Long, String)]
-      .groupByKey(_._1)
+    val schema = docs.schema
+    require(!schema.fieldNames.contains("content_hash"),
+      "input already has a content_hash column")
+    val rowEnc = Encoders.row(schema)
+    val keyed = docs
+      .select(md5(col(textCol)).as("__hash"),
+        col(idCol).cast("long").as("__ord"),
+        struct(schema.fieldNames.toSeq.map(col): _*).as("__row"))
+      .as[(String, Long, Row)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, rowEnc))
+    keyed
+      .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        (hash: String, rows: Iterator[(String, Long, String)],
+        (hash: String, rows: Iterator[(String, Long, Row)],
             state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            // deterministic within-batch winner: smallest doc id
+            // deterministic within-batch winner: smallest id
             val first = rows.minBy(_._2)
-            Iterator((hash, first._2, first._3))
+            Iterator((hash, first._3))
           }
+        })(Encoders.scalaBoolean, Encoders.tuple(Encoders.STRING, rowEnc))
+      .select(col("_2.*"), col("_1").as("content_hash"))
+  }
+
+  /** Per-LSH-bucket state: members seen so far, ids parallel to sigs,
+    * in arrival order (first `cap` occupants hold the bucket). */
+  case class Bucket(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming NEAR-dup candidates — the streaming half of the batch
+    * MinHash-LSH operator (t03): as documents stream in, emit
+    * `(a_id, b_id, est_jaccard)` whenever a new document lands in an
+    * LSH band bucket already holding earlier documents (`a_id` earlier,
+    * `b_id` new, est >= `threshold`). Banding is IDENTICAL to the batch
+    * path ([[graft.operators.TextOps.bandHashArray]] over the same
+    * 64-permutation xxhash64 minhash), so thresholds and recall
+    * calibrated on batch runs transfer unchanged.
+    *
+    * State shape at 100 TB: one entry per occupied (band, band_hash)
+    * bucket holding at most `bucketCap` (id, signature) members —
+    * ~0.5 KB per member at 64 permutations, the same order as the
+    * persisted batch minhash index, hash-partitioned across the state
+    * store's shuffle partitions (RocksDB-backed on a real cluster).
+    * The cap bounds a degenerate mega-bucket (boilerplate shingles) to
+    * `bucketCap` members exactly like the batch bucket cap; docs
+    * arriving after a bucket fills still COMPARE against its members,
+    * they just no longer occupy it.
+    *
+    * A pair sharing several bands emits once per shared band (the
+    * signature-agreement estimate is identical on each); consumers
+    * dedup with `dropDuplicates("a_id", "b_id")` on the sink side.
+    * Within a micro-batch, bucket rows process in ascending doc id, so
+    * replay emits identical rows. Append-mode only. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 32, r: Int = 2, threshold: Double = 0.5,
+      bucketCap: Int = 64): DataFrame = {
+    import graft.operators.TextOps
+    val s = docs.sparkSession
+    import s.implicits._
+    val perms = bands * r
+    val sigs = TextOps.minhashIndex(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")), perms)
+    val banded = sigs
+      .select(col("doc_id"), col("minhash"),
+        posexplode(TextOps.bandHashArray(bands, r))
+          .as(Seq("band", "band_hash")))
+      .as[(Long, Seq[Long], Int, Long)]
+    banded
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+            state: GroupState[Bucket]) => {
+          var bucket = state.getOption.getOrElse(Bucket(Nil, Nil))
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+            if (!bucket.ids.contains(id)) {
+              bucket.ids.iterator.zip(bucket.sigs.iterator).foreach {
+                case (oid, osig) =>
+                  val est = osig.iterator.zip(sig.iterator)
+                    .count { case (x, y) => x == y }.toDouble / sig.size
+                  if (est >= threshold)
+                    out += ((oid, id, math.rint(est * 10000) / 10000))
+              }
+              if (bucket.ids.size < bucketCap)
+                bucket = Bucket(bucket.ids :+ id, bucket.sigs :+ sig)
+            }
+          }
+          state.update(bucket)
+          out.result().iterator
         })
-      .toDF("content_hash", "doc_id", "text")
+      .toDF("a_id", "b_id", "est_jaccard")
   }
 }

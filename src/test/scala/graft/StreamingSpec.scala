@@ -85,10 +85,14 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.sd", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.sd.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS sd.db")
-    spark.sql("CREATE TABLE sd.db.crawl (doc_id BIGINT, body STRING)")
-    // snapshot 1: 'aa' duplicated within the batch (ids 1 and 2)
+    // the extra `src` column pins the pass-through contract: every input
+    // column must survive the state function (end-of-r8 ADVICE — the old
+    // impl silently projected down to 3 renamed columns)
     spark.sql(
-      "INSERT INTO sd.db.crawl VALUES (2, 'aa'), (1, 'aa'), (3, 'bb')")
+      "CREATE TABLE sd.db.crawl (doc_id BIGINT, body STRING, src STRING)")
+    // snapshot 1: 'aa' duplicated within the batch (ids 1 and 2)
+    spark.sql("INSERT INTO sd.db.crawl VALUES " +
+      "(2, 'aa', 'web'), (1, 'aa', 'books'), (3, 'bb', 'web')")
 
     val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
     val out = Files.createTempDirectory("graft-sdedup-out").toString
@@ -104,20 +108,74 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(120000)
     }
     runOnce()
+    // output = ORIGINAL schema + trailing content_hash
+    assert(spark.read.parquet(out).columns.toSeq ==
+      Seq("doc_id", "body", "src", "content_hash"))
     val first = spark.read.parquet(out).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sorted
-    assert(first.sameElements(Array(1L -> "aa", 3L -> "bb")),
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("body"),
+        r.getAs[String]("src"))).sorted
+    assert(first.sameElements(Array((1L, "aa", "books"), (3L, "bb", "web"))),
       s"within-batch dup must keep min doc_id; got ${first.mkString(",")}")
 
     // snapshot 2: 'aa'/'bb' seen in an EARLIER batch (cross-batch
     // state hit), 'cc' genuinely new
-    spark.sql(
-      "INSERT INTO sd.db.crawl VALUES (10, 'aa'), (11, 'cc'), (12, 'bb')")
+    spark.sql("INSERT INTO sd.db.crawl VALUES " +
+      "(10, 'aa', 'web'), (11, 'cc', 'web'), (12, 'bb', 'web')")
     runOnce()
     val all = spark.read.parquet(out).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sorted
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("body")).sorted
     assert(all.sameElements(Array(1L -> "aa", 3L -> "bb", 11L -> "cc")),
       s"cross-batch dups must be dropped by state; got ${all.mkString(",")}")
+    // the hash column is the real md5 of the winning text
+    assert(spark.read.parquet(out).where(col("doc_id") === 11L)
+      .head().getAs[String]("content_hash") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("cc".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("streaming NEAR-dup: LSH bucket state emits cross-batch " +
+      "candidate pairs") {
+    val wh = Files.createTempDirectory("graft-snd-wh").toString
+    spark.conf.set("spark.sql.catalog.snd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.snd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snd.db")
+    spark.sql("CREATE TABLE snd.db.crawl (doc_id BIGINT, body STRING)")
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 1: docs 1/2 near-identical (within-batch pair), 3 unrelated
+    spark.sql("INSERT INTO snd.db.crawl VALUES " +
+      s"(1, '$same'), (2, '$same extra'), " +
+      "(3, 'totally different words nothing shared here at all today ok')")
+
+    val ckpt = Files.createTempDirectory("graft-snd-ckpt").toString
+    val out = Files.createTempDirectory("graft-snd-out").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingDedup.lshCandidates(
+        spark.readStream.table("snd.db.crawl"), "doc_id", "body")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    def pairs() = spark.read.parquet(out)
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set(1L -> 2L),
+      s"within-batch near-dup pair expected; got ${pairs()}")
+    // batch 2: doc 10 duplicates the batch-1 docs (cross-batch STATE
+    // hit), doc 11 unrelated — earlier doc is always a_id
+    spark.sql("INSERT INTO snd.db.crawl VALUES " +
+      s"(10, '$same'), " +
+      "(11, 'another unrelated document with its own vocabulary entirely')")
+    runOnce()
+    assert(pairs() == Set(1L -> 2L, 1L -> 10L, 2L -> 10L),
+      s"cross-batch pairs expected; got ${pairs()}")
+    // estimates are the signature-agreement fraction: identical texts
+    // (1, 10) agree on every permutation
+    val est110 = spark.read.parquet(out)
+      .where(col("a_id") === 1L && col("b_id") === 10L)
+      .head().getDouble(2)
+    assert(est110 == 1.0, s"identical docs must estimate 1.0, got $est110")
   }
 
   test("graft streaming SINK: stream graft->graft with per-epoch commits") {
