@@ -216,6 +216,31 @@ object TextOps {
         round(col("m.est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** One full round of the DAILY incremental-dedup loop — the
+    * composition a 100 TB corpus build actually schedules: flag delta
+    * docs near-duplicating the persisted index or earlier delta docs
+    * ([[incrementalNearDups]]), keep the survivors, and fold ONLY the
+    * survivors' signatures back into the index so tomorrow's delta
+    * deduplicates against today's corpus without the index ever holding
+    * two rows for one near-dup cluster. Both returned frames are lazy;
+    * `updatedIndex` is `|index| + |surviving delta|` rows of
+    * (doc_id, minhash) — callers persist it (parquet / graft table)
+    * as the next round's input, an O(corpus) append-only sidecar of
+    * ~0.5 KB/doc. The indexed corpus TEXT is never re-read. */
+  case class IncrementalDedupRound(
+      dups: DataFrame, survivors: DataFrame, updatedIndex: DataFrame)
+
+  def incrementalDedupRound(delta: DataFrame, indexSigs: DataFrame,
+      bands: Int = 32, r: Int = 2, threshold: Double = 0.5)
+      : IncrementalDedupRound = {
+    val dups = incrementalNearDups(delta, indexSigs, bands, r, threshold)
+    val survivors = delta.join(dups.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val updatedIndex = indexSigs.unionByName(
+      minhashIndex(survivors, bands * r))
+    IncrementalDedupRound(dups, survivors, updatedIndex)
+  }
+
   /** documents projected to (doc_id, source, words) with words = the
     * distinct lower-cased whitespace tokens. */
   def wordSets(s: SparkSession, d: String): DataFrame =

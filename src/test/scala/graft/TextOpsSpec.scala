@@ -336,6 +336,39 @@ class TextOpsSpec extends AnyFunSuite {
       s"deltaSigs cache leak: persistent RDDs grew $before -> $after")
   }
 
+  test("incrementalDedupRound: survivors fold into the index, the next " +
+      "delta dedups against them") {
+    import spark.implicits._
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "totally unrelated document text with different words here now"
+    val txtC = "fresh new content first appearing on day one right here ok"
+    val txtD = "entirely novel day two material nothing shared anywhere at all"
+    val idx0 = TextOps.minhashIndex(
+      Seq((1L, txtA), (2L, txtB)).toDF("doc_id", "text"))
+    // day 1: one dup of the indexed corpus, one genuinely new doc
+    val day1 = Seq((10L, txtA), (11L, txtC)).toDF("doc_id", "text")
+    val r1 = TextOps.incrementalDedupRound(day1, idx0)
+    assert(r1.dups.select("doc_id", "dup_of").as[(Long, Long)]
+      .collect().toSet == Set(10L -> 1L))
+    assert(r1.survivors.select("doc_id").as[Long].collect().toSet ==
+      Set(11L))
+    // ONLY the survivor joined the index — never the flagged dup
+    assert(r1.updatedIndex.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L))
+    // day 2: dup of the day-1 SURVIVOR (provable only via the refresh),
+    // dup of the original corpus (canonical 1, not the dropped 10),
+    // and one new doc
+    val day2 = Seq((20L, txtC), (21L, txtA), (22L, txtD))
+      .toDF("doc_id", "text")
+    val r2 = TextOps.incrementalDedupRound(day2, r1.updatedIndex)
+    assert(r2.dups.select("doc_id", "dup_of").as[(Long, Long)]
+      .collect().toMap == Map(20L -> 11L, 21L -> 1L))
+    assert(r2.survivors.select("doc_id").as[Long].collect().toSet ==
+      Set(22L))
+    assert(r2.updatedIndex.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 22L))
+  }
+
   test("stratifiedSample: exact N per stratum, partitioning-invariant") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
