@@ -66,4 +66,34 @@ class RelationalSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("n")
     assert(n == Tables.load(spark, sf, "lineitem").count())
   }
+
+  test("event-time queries are ts-representation-agnostic " +
+      "(int64 nanos vs timestamp[us])") {
+    // the generator has shipped events.ts both ways across rounds; the
+    // same instants written under either physical type must bucket and
+    // sessionize identically (Relational.tsNanos dispatch)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val us = Seq( // (event_id, epoch_micros, user_id, type, value)
+      (1L, 1700000000000000L, 7L, "click", 1.0),
+      (2L, 1700000300000000L, 7L, "click", 2.0), // same session/hour
+      (3L, 1700005000000000L, 7L, "purchase", 3.0), // >30min gap: new sess
+      (4L, 1700000100000000L, 8L, "click", 4.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val dirT = java.nio.file.Files.createTempDirectory("ev-ts").toString
+    val dirN = java.nio.file.Files.createTempDirectory("ev-ns").toString
+    us.withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirT/events.parquet")
+    us.withColumn("ts", col("us") * 1000L).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirN/events.parquet")
+    for (q <- Seq("q19_event_hourly", "q26_sessionize")) {
+      val a = SparkEntry.queries(q)(spark, dirT).collect().toSeq
+      val b = SparkEntry.queries(q)(spark, dirN).collect().toSeq
+      assert(a == b, s"$q differs across ts representations:\n$a\nvs\n$b")
+      assert(a.nonEmpty, s"$q returned no rows")
+    }
+  }
 }
