@@ -35,7 +35,10 @@ object CacheHygiene {
     * the one real consumer silently recompute the full persisted work.
     * If analysis state is unavailable (failed-before-analysis query),
     * the check degrades to releasing, never to leaking forever while a
-    * consumer already ran. */
+    * consumer already ran. If the caller never executes the consuming
+    * query at all, there are no blocks to leak — persist is lazy, so an
+    * unconsumed cache holds no storage; only the listener object
+    * lingers until a matching query eventually completes. */
   def unpersistAfterNextAction(cached: DataFrame): Unit = {
     val manager = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed

@@ -120,8 +120,13 @@ object StreamingDedup {
                 case (oid, osig) =>
                   val est = osig.iterator.zip(sig.iterator)
                     .count { case (x, y) => x == y }.toDouble / sig.size
+                  // HALF_UP to match the batch path's round(est, 4) —
+                  // 1/64-step estimates tie at .5 often, and rint's
+                  // HALF_EVEN would diverge from t03 on those
                   if (est >= threshold)
-                    out += ((oid, id, math.rint(est * 10000) / 10000))
+                    out += ((oid, id, BigDecimal(est)
+                      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble))
               }
               if (bucket.ids.size < bucketCap)
                 bucket = Bucket(bucket.ids :+ id, bucket.sigs :+ sig)
