@@ -59,23 +59,27 @@ object Bench {
     // lower median: an actual run, so its recorded phases stay attached
     def medianRun(runs: Seq[Run]): Run =
       runs.sortBy(_.sec).apply((runs.size - 1) / 2)
-    // per-query medians from the last CLEAN committed artifact: the
-    // second contention signal. BENCH_r08's driver window was UNIFORMLY
-    // contended (t23 at 32.5s on all three repeats vs 0.41s committed),
-    // which the spread rule is blind to — only a baseline comparison
-    // catches a query that is consistently 3x+ its known-clean cost.
-    val committedQ: Map[String, Double] =
+    // the last CLEAN committed artifact, parsed once: per-query medians
+    // feed the second contention signal below (BENCH_r08's driver window
+    // was UNIFORMLY contended — t23 at 32.5s on all three repeats vs
+    // 0.41s committed — which the spread rule is blind to; only a
+    // baseline comparison catches a query consistently 3x+ its
+    // known-clean cost), and the total feeds the whole-run check.
+    val (committedQ, committedTotal): (Map[String, Double], Option[Double]) =
       try {
         val p = java.nio.file.Paths.get("BENCH_FULL.json")
         if (java.nio.file.Files.exists(p)) {
           val txt = java.nio.file.Files.readString(p)
-          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
             .map(m => """"([A-Za-z0-9_]+)":([0-9.]+)""".r
               .findAllMatchIn(m.group(1))
               .map(q => q.group(1) -> q.group(2).toDouble).toMap)
-            .getOrElse(Map.empty)
-        } else Map.empty
-      } catch { case _: Throwable => Map.empty }
+            .getOrElse(Map.empty[String, Double])
+          val tot = """"metric":"total","value":([0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          (qs, tot)
+        } else (Map.empty, None)
+      } catch { case _: Throwable => (Map.empty, None) }
     // CONTENTION GUARD (r7 VERDICT #1c + r8 uniform-contention lesson):
     // a query is suspect if EITHER (a) its max/min spread exceeds 4x
     // with a non-trivial absolute gap (a noisy-neighbor stall mid-sweep:
@@ -86,7 +90,9 @@ object Bench {
     // Suspects re-run in isolation; the LOWER median of the two run
     // sets is reported — under contention the retry is the honest
     // number, and for a genuine code regression both sets are slow so
-    // the regression still shows.
+    // the regression still shows. A rerun only wins if it is itself
+    // error-free: timeOnce records a failing query as a near-zero
+    // timing, which must never displace a valid measurement.
     val results: Seq[(String, Seq[Run], Boolean)] = firstPass.map { case (name, fn, runs) =>
       val secs = runs.map(_.sec)
       val clean = runs.forall(_.err.isEmpty)
@@ -97,7 +103,9 @@ object Bench {
       }
       if (spreadNoisy || baselineNoisy) {
         val rerun = (1 to repeats).map(_ => timeOnce(fn))
-        (name, if (medianRun(rerun).sec < medianRun(runs).sec) rerun else runs, true)
+        val rerunWins = rerun.forall(_.err.isEmpty) &&
+          medianRun(rerun).sec < medianRun(runs).sec
+        (name, if (rerunWins) rerun else runs, true)
       } else (name, runs, false)
     }
     val retried = results.collect { case (n, _, true) => n }
@@ -130,14 +138,7 @@ object Bench {
     // contended and the artifact says so instead of publishing garbage
     // (BENCH_r07: 206.8s driver run vs 61.2s committed / 57.7s judge)
     val prevTotal: Option[Double] =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_FULL.json")
-        if (java.nio.file.Files.exists(p) && only.isEmpty)
-          """"metric":"total","value":([0-9.]+)""".r
-            .findFirstMatchIn(java.nio.file.Files.readString(p))
-            .map(_.group(1).toDouble)
-        else None
-      } catch { case _: Throwable => None }
+      if (only.isEmpty) committedTotal else None
     val contended = prevTotal.exists(p => total > p * 1.5)
     if (contended) System.err.println(
       s"WARNING: bench total ${r4(total)}s is >1.5x the committed " +

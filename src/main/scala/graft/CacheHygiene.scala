@@ -35,20 +35,25 @@ object CacheHygiene {
     * the one real consumer silently recompute the full persisted work.
     * If analysis state is unavailable (failed-before-analysis query),
     * the check degrades to releasing, never to leaking forever while a
-    * consumer already ran. If the caller never executes the consuming
-    * query at all, there are no blocks to leak — persist is lazy, so an
-    * unconsumed cache holds no storage; only the listener object
-    * lingers until a matching query eventually completes. */
+    * consumer already ran. Two bounds on the lingering cases: an
+    * UNCONSUMED cache holds no storage (persist is lazy), so only the
+    * listener object waits for a matching query; and a cache the caller
+    * materialized but then abandoned is force-released after 256
+    * non-matching query completions — far outside any real operator's
+    * interleave window, but finite, so an abandoned cache cannot pin
+    * executor storage for a long-lived session's lifetime. */
   def unpersistAfterNextAction(cached: DataFrame): Unit = {
     val manager = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed
     val fired = new AtomicBoolean(false)
+    val unmatched = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def consumes(qe: QueryExecution): Boolean =
         try qe.analyzed.exists(p => p.sameResult(target))
         catch { case _: Throwable => true }
       private def fire(qe: QueryExecution): Unit =
-        if (consumes(qe) && fired.compareAndSet(false, true)) {
+        if ((consumes(qe) || unmatched.incrementAndGet() > 256) &&
+            fired.compareAndSet(false, true)) {
           cached.unpersist(blocking = false)
           manager.unregister(this)
         }

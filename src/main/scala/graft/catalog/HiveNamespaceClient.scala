@@ -62,7 +62,15 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
     * `ambiguous` maps those retry-only outcomes back to success instead
     * of misreporting them to the caller (end-of-r8 ADVICE). A first-
     * attempt AlreadyExists/NoSuchObject still propagates: with a healthy
-    * transport it is a genuine conflict, not an echo. */
+    * transport it is a genuine conflict, not an echo.
+    *
+    * The transport can also die on SEND (stale idle socket) with the
+    * first request never delivered, making a retry-side conflict
+    * genuinely another writer's object. For drops and createNamespace
+    * the end state is identical either way, so mapping to success is
+    * safe; registerTable — the one caller where the distinction changes
+    * the answer — disambiguates by probing whether the surviving table
+    * carries OUR location before claiming success. */
   private def withClientMutation[A](f: ThriftHiveMetastore.Client => A)(
       ambiguous: PartialFunction[Throwable, A]): A =
     synchronized {
@@ -131,7 +139,13 @@ final class HiveNamespaceClient(host: String, port: Int) extends NamespaceClient
       t.setSd(sd)
       t.setParameters(java.util.Collections.emptyMap())
       withClientMutation(_.create_table(t)) {
-        case _: AlreadyExistsException => () // first attempt landed
+        // retry-side AlreadyExists is ambiguous: our first attempt may
+        // have landed (transport died on the response), or another
+        // writer may own the name (transport died on send). Only claim
+        // success when the surviving table carries OUR location; the
+        // guard failing lets the exception fall through to TableExists.
+        case _: AlreadyExistsException
+            if describeTable(key, table).exists(_._1 == location) => ()
       }
       Registered
     } catch {

@@ -30,6 +30,21 @@ object TextOps {
   private val toksExpr =
     "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 
+  /** Recursively delete `path` when the JVM exits (one hook per
+    * distinct path). For per-process scratch dirs that no later run
+    * can reuse or overwrite. */
+  private val exitCleanups =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def removeOnExit(path: String): Unit =
+    if (exitCleanups.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+
   /** Word 3-gram shingles (falls back to the whole token list joined
     * when a doc has < 3 tokens), deduplicated. */
   private val shinglesExpr =
@@ -178,9 +193,21 @@ object TextOps {
     * minhash) only. */
   def incrementalNearDups(delta: DataFrame, indexSigs: DataFrame,
       bands: Int = 32, r: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val perms = bands * r
-    val deltaSigs = minhashIndex(delta, perms)
+    val deltaSigs = minhashIndex(delta, bands * r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
+    incrementalNearDupsFromSigs(deltaSigs, indexSigs, bands, r, threshold)
+  }
+
+  /** [[incrementalNearDups]] with PRE-COMPUTED delta signatures —
+    * callers that also need the signatures for other frames (the
+    * round composition below) pass them once instead of re-shingling
+    * the delta text per consumer; persistence of `deltaSigs` is the
+    * caller's concern here. */
+  def incrementalNearDupsFromSigs(deltaSigs: DataFrame,
+      indexSigs: DataFrame, bands: Int = 32, r: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val perms = bands * r
     val dBuckets = bandBuckets(deltaSigs, bands, r)
       .withColumnRenamed("doc_id", "new_id")
     // The index side is deliberately NOT pre-capped: the mega-bucket cap
@@ -207,7 +234,6 @@ object TextOps {
     val within = lshCandidatePairs(deltaSigs, bands, r)
       .select(col("b_id").as("new_id"), col("a_id").as("old_id"),
         agreeFrac("sig_a", "sig_b", perms).as("est_jaccard"))
-    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
     crossScored.unionByName(within)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("new_id"))
@@ -233,11 +259,18 @@ object TextOps {
   def incrementalDedupRound(delta: DataFrame, indexSigs: DataFrame,
       bands: Int = 32, r: Int = 2, threshold: Double = 0.5)
       : IncrementalDedupRound = {
-    val dups = incrementalNearDups(delta, indexSigs, bands, r, threshold)
+    // one signature computation feeds all three frames: dups derive
+    // from it, and the index update anti-joins the SAME signature
+    // frame instead of re-shingling the surviving text
+    val deltaSigs = minhashIndex(delta, bands * r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
+    val dups = incrementalNearDupsFromSigs(deltaSigs, indexSigs,
+      bands, r, threshold)
     val survivors = delta.join(dups.select("doc_id"), Seq("doc_id"),
       "left_anti")
     val updatedIndex = indexSigs.unionByName(
-      minhashIndex(survivors, bands * r))
+      deltaSigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti"))
     IncrementalDedupRound(dups, survivors, updatedIndex)
   }
 
@@ -1111,6 +1144,10 @@ object TextOps {
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val idxPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_t26_idx_${dirKey}_p${ProcessHandle.current().pid()}").toString
+      // pid-suffixed scratch dirs never collide across JVMs, so they
+      // also never get overwritten by later runs — remove on exit or
+      // repeated bench/verify JVMs would accumulate them in tmp
+      removeOnExit(idxPath)
       graft.BenchPhases.timed("t26_incremental_dedup.build") {
         minhashIndex(base).write.mode("overwrite").parquet(idxPath)
       }

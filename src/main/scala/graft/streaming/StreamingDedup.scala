@@ -73,8 +73,9 @@ object StreamingDedup {
     * LSH band bucket already holding earlier documents (`a_id` earlier,
     * `b_id` new, est >= `threshold`). Banding is IDENTICAL to the batch
     * path ([[graft.operators.TextOps.bandHashArray]] over the same
-    * 64-permutation xxhash64 minhash), so thresholds and recall
-    * calibrated on batch runs transfer unchanged.
+    * 64-permutation xxhash64 minhash), so batch-calibrated thresholds
+    * carry over; recall differs from batch only in the full-bucket
+    * regime described below.
     *
     * State shape at 100 TB: one entry per occupied (band, band_hash)
     * bucket holding at most `bucketCap` (id, signature) members —
@@ -82,9 +83,14 @@ object StreamingDedup {
     * persisted batch minhash index, hash-partitioned across the state
     * store's shuffle partitions (RocksDB-backed on a real cluster).
     * The cap bounds a degenerate mega-bucket (boilerplate shingles) to
-    * `bucketCap` members exactly like the batch bucket cap; docs
-    * arriving after a bucket fills still COMPARE against its members,
-    * they just no longer occupy it.
+    * `bucketCap` members like the batch bucket cap, with a streaming
+    * twist: the FIRST `bucketCap` arrivals hold the bucket forever
+    * (batch keeps the smallest ids). Docs arriving after a bucket
+    * fills still compare against its members but no longer occupy it,
+    * so two post-cap docs pair only through a shared band whose bucket
+    * is NOT yet full — a pair is silently missed only when every
+    * shared band is in the mega-bucket regime, where the batch cap is
+    * also dropping candidates (just by id order instead of arrival).
     *
     * A pair sharing several bands emits once per shared band (the
     * signature-agreement estimate is identical on each); consumers

@@ -21,17 +21,25 @@ object FakeHiveMetastore {
   // database -> (table -> location)
   val store = new TrieMap[String, TrieMap[String, String]]()
 
-  // One-shot fault injection: the next MUTATION commits to the store and
-  // then dies with a TTransportException BEFORE the response is written
-  // (libthrift rethrows handler TTransportExceptions, so the server
-  // closes the connection responseless — exactly the "committed but the
-  // client never heard back" window the retry logic must survive).
+  // One-shot fault injection (libthrift rethrows handler
+  // TTransportExceptions, so the server closes the connection
+  // responseless). After-commit = "committed but the client never heard
+  // back"; before-commit = "request effectively never delivered" (the
+  // send-phase stale-socket death) — the two windows a retrying client
+  // must distinguish when the retry then hits a conflict.
   @volatile var killNextMutationAfterCommit = false
+  @volatile var killNextMutationBeforeCommit = false
   private def maybeKill(): Unit =
     if (killNextMutationAfterCommit) {
       killNextMutationAfterCommit = false
       throw new org.apache.thrift.transport.TTransportException(
         "injected post-commit transport death")
+    }
+  private def maybeKillBefore(): Unit =
+    if (killNextMutationBeforeCommit) {
+      killNextMutationBeforeCommit = false
+      throw new org.apache.thrift.transport.TTransportException(
+        "injected pre-commit transport death")
     }
 
   private val handler = new InvocationHandler {
@@ -73,6 +81,7 @@ object FakeHiveMetastore {
               tbl
           }
         case "create_table" =>
+          maybeKillBefore()
           val t = args(0).asInstanceOf[Table]
           store.get(t.getDbName) match {
             case None =>
@@ -208,6 +217,14 @@ class HiveCatalogSpec extends AnyFunSuite {
     // a genuine duplicate (healthy transport) still reports TableExists
     assert(nc.registerTable("rtns", "t1", "/tmp/other") ==
       NamespaceClient.TableExists)
+    // SEND-phase death (request never delivered) against a name another
+    // writer genuinely owns: the retry's AlreadyExists is a real
+    // conflict — the location probe must NOT claim it as our success
+    FakeHiveMetastore.killNextMutationBeforeCommit = true
+    assert(nc.registerTable("rtns", "t1", "/tmp/not_ours") ==
+      NamespaceClient.TableExists)
+    assert(nc.describeTable("rtns", "t1").exists(_._1 == "/tmp/rtns_t1"),
+      "the conflicting registration must not clobber the owner")
     // same for drop: committed-then-died must report true, and a second
     // drop of the now-gone table reports false
     FakeHiveMetastore.killNextMutationAfterCommit = true
