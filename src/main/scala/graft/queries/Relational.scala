@@ -660,6 +660,25 @@ object Relational {
           coalesce(col("ns"), lit(0L)).as("n_debt_suppliers"),
           coalesce(col("nc"), lit(0L)).as("n_debt_customers"))
         .orderBy("nationkey")
+    },
+
+    // ------------------------------------------------------------------
+    // LIMIT + OFFSET pagination (O3; reference documents both,
+    // select.md "LIMIT and OFFSET"). Fully tie-broken ORDER BY so the
+    // page is deterministic on any engine; Spark plans offset+limit as
+    // one TakeOrdered-style global operation, no full sort collect.
+    Q("q30_limit_offset",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+      "pagination: second page of the top orders, deterministic order") {
+      (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .offset(10)
+        .limit(10)
     }
   )
 }

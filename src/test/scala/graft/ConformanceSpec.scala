@@ -29,6 +29,25 @@ class ConformanceSpec extends AnyFunSuite {
         |AS t(regionkey, name)""".stripMargin)
   }
 
+  // reference: docs/src/operations/ddl/{describe-table,show-columns,
+  // show-schemas,show-tables}.md — the introspection DDL a user
+  // switching engines reaches for first
+  test("DESCRIBE / SHOW COLUMNS / SHOW SCHEMAS / SHOW TABLES surface") {
+    wh; mkRegion()
+    val desc = spark.sql("DESCRIBE cf.db.region").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("regionkey").contains("int") &&
+      desc.get("name").contains("string"), s"DESCRIBE gave $desc")
+    // short form resolves identically
+    assert(spark.sql("DESC cf.db.region").collect().nonEmpty)
+    assert(spark.sql("SHOW COLUMNS IN cf.db.region").collect()
+      .map(_.getString(0)).toSet == Set("regionkey", "name"))
+    assert(spark.sql("SHOW SCHEMAS IN cf").collect()
+      .map(_.getString(0)).contains("db"))
+    assert(spark.sql("SHOW TABLES IN cf.db").collect()
+      .map(_.getString(1)).contains("region"))
+  }
+
   // reference: TestLanceConnectorTest.java:289-299 testFilteredLimitQueries
   test("filtered LIMIT queries return correct rows") {
     wh; mkRegion()
