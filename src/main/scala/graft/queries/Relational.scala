@@ -663,6 +663,40 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Exact quantiles + bivariate statistics (A2 depth): Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the same
+    // linear-interpolation definition, and corr/covar_samp are the
+    // textbook sample statistics in both engines, so the results match
+    // to rounding. At 100 TB exact percentile is a per-group sort of
+    // that group's values (Spark's TypedImperativeAggregate buffers per
+    // group); for corpus-wide quantiles at extreme scale the
+    // approx_percentile sketch is the escape hatch — here groups are
+    // few and bounded so exact is the right default.
+    Q("q31_price_quantiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(corr(l_extendedprice, l_quantity), 4)    AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      "exact quartiles + correlation/covariance per return flag") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("cov_pq"))
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
     // LIMIT + OFFSET pagination (O3; reference documents both,
     // select.md "LIMIT and OFFSET"). Fully tie-broken ORDER BY so the
     // page is deterministic on any engine; Spark plans offset+limit as
