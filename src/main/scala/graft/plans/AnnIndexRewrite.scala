@@ -198,8 +198,35 @@ object AnnTopKIndexRewrite {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the rule in
   * at session build; tests can instead append the rule to
-  * `spark.experimental.extraOptimizations` on a live session. */
+  * `spark.experimental.extraOptimizations` on a live session. Also
+  * injects the native codegen'd SQL functions (cosine_sim, l2_sq,
+  * pq_adc, poly_hash64, winnow_fingerprint, simhash64) so an
+  * extension-configured session can call them from pure SQL without
+  * the per-session `VectorFunctions.register` / `TextFunctions
+  * .register` calls (which remain for sessions built without
+  * extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => AnnTopKIndexRewrite(s))
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import graft.functions.{CosineSim, L2Squared, PqAdcDistance, PolyHash64, SimHash64, WinnowFingerprint}
+
+  private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+    "l2_sq" -> (es => L2Squared(es.head, es(1))),
+    "pq_adc" -> (es => PqAdcDistance(es.head, es(1))),
+    "poly_hash64" -> (es => PolyHash64(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue())))
 }

@@ -169,4 +169,34 @@ class AnnRewriteSpec extends AnyFunSuite {
       assert(semiJoins(cc) == 0)
     }
   }
+
+  test("GraftExtensions injects the native SQL functions at session " +
+      "build (no per-session register calls)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force the shared session first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // `spark.sql.extensions` is a static conf ignored once a
+    // SparkContext exists, so in-JVM the programmatic builder hook
+    // exercises the same GraftExtensions.apply injection path the
+    // config string triggers on a fresh deployment
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(e => new graft.plans.GraftExtensions().apply(e))
+      .getOrCreate()
+    try {
+      assert(s2 ne base, "a fresh session must have been built")
+      assert(s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+        .head().getDouble(0) == 1.0)
+      assert(s2.sql("SELECT l2_sq(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+        .head().getDouble(0) == 25.0)
+      assert(s2.sql("SELECT poly_hash64('abc') = poly_hash64('abc')")
+        .head().getBoolean(0))
+      assert(s2.sql("SELECT simhash64(array('some', 'text', 'here'))")
+        .head().get(0) != null)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
