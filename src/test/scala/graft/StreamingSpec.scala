@@ -178,6 +178,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(est110 == 1.0, s"identical docs must estimate 1.0, got $est110")
   }
 
+  test("stateful dedup runs under the RocksDB state store provider " +
+      "(the claimed cluster deployment shape)") {
+    // same scenario as the exact-dedup test, but with the state store
+    // the 100 TB docs point at — proves the Bucket/Boolean state
+    // encoders survive RocksDB serialization, not just the in-memory
+    // HDFS-backed provider the other tests default to
+    val wh = Files.createTempDirectory("graft-rdb-wh").toString
+    spark.conf.set("spark.sql.catalog.rdb", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rdb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rdb.db")
+    spark.sql("CREATE TABLE rdb.db.crawl (doc_id BIGINT, body STRING)")
+    val same = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    spark.sql("INSERT INTO rdb.db.crawl VALUES " +
+      s"(1, '$same'), (2, 'one unrelated document body here'), (3, '$same')")
+    val ckptE = Files.createTempDirectory("graft-rdb-ckpt-e").toString
+    val ckptN = Files.createTempDirectory("graft-rdb-ckpt-n").toString
+    val outE = Files.createTempDirectory("graft-rdb-out-e").toString
+    val outN = Files.createTempDirectory("graft-rdb-out-n").toString
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runBoth(): Unit = {
+        val qe = graft.streaming.StreamingDedup.firstSeen(
+          spark.readStream.table("rdb.db.crawl"), "doc_id", "body")
+          .writeStream.format("parquet")
+          .option("path", outE).option("checkpointLocation", ckptE)
+          .trigger(Trigger.AvailableNow()).start()
+        val qn = graft.streaming.StreamingDedup.lshCandidates(
+          spark.readStream.table("rdb.db.crawl"), "doc_id", "body")
+          .writeStream.format("parquet")
+          .option("path", outN).option("checkpointLocation", ckptN)
+          .trigger(Trigger.AvailableNow()).start()
+        qe.awaitTermination(120000); qn.awaitTermination(120000)
+      }
+      runBoth()
+      assert(spark.read.parquet(outE).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+      assert(spark.read.parquet(outN).dropDuplicates("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set(1L -> 3L))
+      // second batch exercises RocksDB state RECOVERY in a new query
+      spark.sql(s"INSERT INTO rdb.db.crawl VALUES (10, '$same')")
+      runBoth()
+      assert(spark.read.parquet(outE).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L),
+        "cross-batch dup must be dropped by recovered RocksDB state")
+      assert(spark.read.parquet(outN).dropDuplicates("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set(1L -> 3L, 1L -> 10L, 3L -> 10L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("graft streaming SINK: stream graft->graft with per-epoch commits") {
     val wh = Files.createTempDirectory("graft-sink-wh").toString
     spark.conf.set("spark.sql.catalog.gk", "graft.catalog.GraftCatalog")
