@@ -35,7 +35,7 @@ object GoldenGen {
     "t03_minhash_lsh_pairs", "t04_simhash", "t05_simhash_pairs",
     "t10_fingerprint", "t21_perplexity", "t26_incremental_dedup",
     "m01_multimodal_features", "m04_bmp_decode",
-    "m05_wav_decode",
+    "m05_wav_decode", "m06_png_decode",
     "v02_ann_lsh", "v03_embedding_near_dup", "v05_ann_ivf",
     "v06_ann_rewrite", "v07_ann_ivfpq", "v08_ann_l2_rewrite",
     "v09_semantic_dedup")

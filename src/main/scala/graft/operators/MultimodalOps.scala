@@ -119,6 +119,35 @@ object MultimodalOps {
       decodeFeatures(bmps, "bmp").orderBy("doc_id")
     },
 
+    // REAL compressed-image codec through the same seam: documents
+    // rendered as actual zlib-deflated PNGs — filter type rotates over
+    // all five per doc (id % 5), so the gate drives the decoder's full
+    // Sub/Up/Average/Paeth unfilter surface, not just a flat byte walk
+    // like BMP. Golden-pinned: deflate/inflate and the filter math are
+    // bit-stable pure per-row functions.
+    Q.golden("m06_png_decode",
+      Seq("doc_id", "byte_len", "width", "height", "mean_byte", "n_frames"),
+      "doc_id",
+      "real PNG codec via the decoder seam: deflated + filtered scanlines") { (s, d) =>
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false))))
+      val pngs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val txt = r.getString(1).getBytes("UTF-8")
+            val w = 4 + (id % 13).toInt
+            val h = 3 + (id % 11).toInt
+            val rgb = Array.tabulate(w * h * 3)(i =>
+              if (txt.isEmpty) 0.toByte else txt(i % txt.length))
+            Row(id, PngCodec.encodeRGB(w, h, rgb, (id % 5).toInt))
+          }
+        }(enc)
+      decodeFeatures(pngs, "png").orderBy("doc_id")
+    },
+
     // REAL audio codec through the same seam: documents rendered as
     // actual 16-bit PCM WAV clips (rate/channels/samples derived
     // deterministically from doc_id/text), decoded by the

@@ -451,6 +451,58 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Int]("width") >= 4 && r.getAs[Int]("n_frames") == 1))
   }
 
+  test("png decoder inflates + unfilters real scanlines, agreeing with " +
+      "the JDK's own PNG reader across all five filter types") {
+    import graft.operators.{PngCodec, PngMediaDecoder}
+    val (w, h) = (7, 5)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 13 % 256).toByte)
+    for (filter <- 0 to 4) {
+      val png = PngCodec.encodeRGB(w, h, rgb, filter)
+      // independent oracle: ImageIO must read back identical pixels
+      // from our deflated, filtered encoding
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected our PNG (filter $filter)")
+      assert(img.getWidth == w && img.getHeight == h)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val src = (y * w + x) * 3
+        assert(((p >> 16) & 0xff) == (rgb(src) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(src + 1) & 0xff) &&
+          (p & 0xff) == (rgb(src + 2) & 0xff),
+          s"pixel ($x,$y) mismatch under filter $filter")
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      val expectMean = math.rint(sum.toDouble / (w * h * 3) * 10000) / 10000
+      val row = new PngMediaDecoder().decode(9L, png)
+      assert(row.getInt(2) == w && row.getInt(3) == h)
+      assert(row.getDouble(4) == expectMean,
+        s"mean ${row.getDouble(4)} != ImageIO-derived $expectMean " +
+          s"(filter $filter)")
+    }
+    // the JDK's own encoder (which picks its own filters and emits
+    // ancillary chunks we must skip) round-trips through our decoder
+    val img2 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val src = (y * w + x) * 3
+      img2.setRGB(x, y, ((rgb(src) & 0xff) << 16) |
+        ((rgb(src + 1) & 0xff) << 8) | (rgb(src + 2) & 0xff))
+    }
+    val jdkOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", jdkOut)
+    val (w2, h2, ch2, _) = PngCodec.decode(jdkOut.toByteArray)
+    assert(w2 == w && h2 == h && (ch2 == 3 || ch2 == 4))
+    // malformed payloads fail loudly, never silently fabricate features
+    intercept[IllegalArgumentException](
+      new PngMediaDecoder().decode(1L, Array[Byte](1, 2, 3)))
+    // the m06 gate query drives the same decoder through the seam
+    val m06 = SparkEntry.queries("m06_png_decode")(spark, sf).collect()
+    assert(m06.nonEmpty && m06.forall(r =>
+      r.getAs[Int]("width") >= 4 && r.getAs[Int]("n_frames") == 1))
+  }
+
   test("wav decoder parses real PCM frames, agreeing with the JDK's " +
       "own WAV reader") {
     import graft.operators.{WavCodec, WavMediaDecoder}
