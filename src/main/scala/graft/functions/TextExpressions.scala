@@ -144,14 +144,22 @@ object TextFunctions {
   def winnow_fingerprint(c: Column, k: Int): Column =
     GraftShim.column(WinnowFingerprint(GraftShim.expression(c), k))
 
-  /** SQL registration (idempotent): poly_hash64(s), winnow_fingerprint(s, k). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash64", exprs => PolyHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-  }
+  /** The canonical name→builder list — the ONE place these functions
+    * are enumerated; both [[register]] and
+    * `graft.plans.GraftExtensions` (extension-injected SQL functions)
+    * iterate it, so the two registration paths cannot drift. */
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash64" -> (es => PolyHash64(es.head)),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "simhash64" -> (es => SimHash64(es.head)))
+
+  /** SQL registration (idempotent): poly_hash64(s),
+    * winnow_fingerprint(s, k), simhash64(toks). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

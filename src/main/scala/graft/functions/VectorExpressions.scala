@@ -162,13 +162,21 @@ object VectorFunctions {
   def l2_sq(a: Column, b: Column): Column =
     GraftShim.column(L2Squared(GraftShim.expression(a), GraftShim.expression(b)))
 
-  /** SQL registration (idempotent): cosine_sim(a, b), l2_sq(a, b). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_sq", exprs => L2Squared(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_adc", exprs => PqAdcDistance(exprs.head, exprs(1)), "built-in")
-  }
+  /** The canonical name→builder list — the ONE place these functions
+    * are enumerated; both [[register]] and
+    * `graft.plans.GraftExtensions` (extension-injected SQL functions)
+    * iterate it, so the two registration paths cannot drift. */
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+    "l2_sq" -> (es => L2Squared(es.head, es(1))),
+    "pq_adc" -> (es => PqAdcDistance(es.head, es(1))))
+
+  /** SQL registration (idempotent): cosine_sim(a, b), l2_sq(a, b),
+    * pq_adc(codes, table). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

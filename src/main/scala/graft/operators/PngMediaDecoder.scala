@@ -134,11 +134,20 @@ object PngCodec {
           height = intBE(bytes, off + 12)
           val bitDepth = bytes(off + 16) & 0xff
           val colorType = bytes(off + 17) & 0xff
+          val compression = bytes(off + 18) & 0xff
+          val filterMethod = bytes(off + 19) & 0xff
           val interlace = bytes(off + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // bound the plane size so stride/buffer math cannot overflow
+          // Int — a crafted IHDR must throw, never fabricate features
+          require(width < (1 << 24) && height < (1 << 24) &&
+            width.toLong * height * 4 < Int.MaxValue - (1 << 24),
+            s"implausible dimensions ${width}x$height")
           require(bitDepth == 8, s"unsupported bit depth $bitDepth")
           require(colorType == 2 || colorType == 6,
             s"unsupported color type $colorType (8-bit RGB/RGBA only)")
+          require(compression == 0, s"unsupported compression $compression")
+          require(filterMethod == 0, s"unsupported filter method $filterMethod")
           require(interlace == 0, "interlaced PNG unsupported")
           channels = if (colorType == 2) 3 else 4
           seenIhdr = true

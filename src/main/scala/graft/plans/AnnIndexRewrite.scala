@@ -219,14 +219,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.Expression
-  import graft.functions.{CosineSim, L2Squared, PqAdcDistance, PolyHash64, SimHash64, WinnowFingerprint}
 
-  private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSim(es.head, es(1))),
-    "l2_sq" -> (es => L2Squared(es.head, es(1))),
-    "pq_adc" -> (es => PqAdcDistance(es.head, es(1))),
-    "poly_hash64" -> (es => PolyHash64(es.head)),
-    "simhash64" -> (es => SimHash64(es.head)),
-    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head,
-      es(1).eval(null).asInstanceOf[Number].intValue())))
+  /** The injected SQL functions — the SAME name→builder lists
+    * `VectorFunctions.register` / `TextFunctions.register` iterate, so
+    * extension-built and register()-built sessions can never drift. */
+  private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] =
+    graft.functions.VectorFunctions.builders ++
+      graft.functions.TextFunctions.builders
 }

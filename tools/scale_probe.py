@@ -50,7 +50,13 @@ def bench(sf_dir):
     m = re.search(r'\{"metric":.*\}', out)
     if not m:
         sys.exit(f"no bench line in output:\n{out[-2000:]}")
-    return json.loads(m.group(0))
+    parsed = json.loads(m.group(0))
+    # a failing query is recorded by Bench as a near-zero timing with the
+    # failure only in "errs" — which would read as a PERFECT ratio here;
+    # the probe must never publish a verdict over errored runs
+    if parsed.get("errs"):
+        sys.exit(f"bench reported query errors at {sf_dir}: {parsed['errs']}")
+    return parsed
 
 
 def main():
