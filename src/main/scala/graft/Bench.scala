@@ -59,34 +59,35 @@ object Bench {
     // lower median: an actual run, so its recorded phases stay attached
     def medianRun(runs: Seq[Run]): Run =
       runs.sortBy(_.sec).apply((runs.size - 1) / 2)
-    // the last CLEAN committed artifact, parsed once: per-query medians
-    // feed the second contention signal below (BENCH_r08's driver window
-    // was UNIFORMLY contended — t23 at 32.5s on all three repeats vs
-    // 0.41s committed — which the spread rule is blind to; only a
-    // baseline comparison catches a query consistently 3x+ its
-    // known-clean cost), and the total feeds the whole-run check.
-    val (committedQ, committedTotal): (Map[String, Double], Option[Double]) =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_FULL.json")
-        if (java.nio.file.Files.exists(p)) {
-          val txt = java.nio.file.Files.readString(p)
-          val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-            .map(m => """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-              .findAllMatchIn(m.group(1))
-              .map(q => q.group(1) -> q.group(2).toDouble).toMap)
-            .getOrElse(Map.empty[String, Double])
-          val tot = """"metric":"total","value":([0-9.]+)""".r
-            .findFirstMatchIn(txt).map(_.group(1).toDouble)
-          (qs, tot)
-        } else (Map.empty, None)
-      } catch { case _: Throwable => (Map.empty, None) }
-    // CONTENTION GUARD (r7 VERDICT #1c + r8 uniform-contention lesson):
-    // a query is suspect if EITHER (a) its max/min spread exceeds 4x
-    // with a non-trivial absolute gap (a noisy-neighbor stall mid-sweep:
-    // BENCH_r07's t15 at 85.6s median, spread [12.8, 109.6], vs ~7s in
-    // three isolated runs) or (b) its median is >3x the committed
-    // BENCH_FULL median with >0.5s absolute gap (sustained contention,
-    // invisible to the spread rule when all repeats are equally slow).
+    // the last CLEAN committed artifact, parsed once (real JSON reader,
+    // BenchGuard.parseCommitted — the former regex parse could silently
+    // yield an empty baseline and disable the guard, r9 ADVICE):
+    // per-query medians feed the second contention signal below
+    // (BENCH_r08's driver window was UNIFORMLY contended — t23 at
+    // 32.5s on all three repeats vs 0.41s committed — which the spread
+    // rule is blind to), and the total feeds the whole-run check.
+    val (committedQ, committedTotal): (Map[String, Double], Option[Double]) = {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(p)) {
+        try {
+          val parsed = BenchGuard.parseCommitted(java.nio.file.Files.readString(p))
+          if (parsed._1.isEmpty) System.err.println(
+            "WARNING: BENCH_FULL.json parsed to an empty query map — " +
+              "baseline contention guard is INACTIVE this run")
+          parsed
+        } catch { case t: Throwable =>
+          System.err.println("WARNING: BENCH_FULL.json unreadable (" +
+            t.getClass.getSimpleName + ") — baseline contention guard " +
+            "is INACTIVE this run")
+          (Map.empty[String, Double], None)
+        }
+      } else (Map.empty, None)
+    }
+    // CONTENTION GUARD (thresholds + rationale live in BenchGuard,
+    // where they are unit-tested against synthetic run sets): a query
+    // is suspect if EITHER its repeat spread shows a mid-sweep stall
+    // or its median is well above the committed BENCH_FULL median
+    // (r9 VERDICT tightened the baseline rule to >2x with >0.15s gap).
     // Suspects re-run in isolation; the LOWER median of the two run
     // sets is reported — under contention the retry is the honest
     // number, and for a genuine code regression both sets are slow so
@@ -96,16 +97,11 @@ object Bench {
     val results: Seq[(String, Seq[Run], Boolean)] = firstPass.map { case (name, fn, runs) =>
       val secs = runs.map(_.sec)
       val clean = runs.forall(_.err.isEmpty)
-      val spreadNoisy = clean &&
-        secs.max / secs.min.max(1e-9) > 4.0 && secs.max - secs.min > 1.0
-      val baselineNoisy = clean && committedQ.get(name).exists { b =>
-        medianRun(runs).sec > b * 3.0 && medianRun(runs).sec - b > 0.5
-      }
-      if (spreadNoisy || baselineNoisy) {
+      if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
         val rerun = (1 to repeats).map(_ => timeOnce(fn))
-        val rerunWins = rerun.forall(_.err.isEmpty) &&
-          medianRun(rerun).sec < medianRun(runs).sec
-        (name, if (rerunWins) rerun else runs, true)
+        val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
+          rerun.forall(_.err.isEmpty))
+        (name, if (wins) rerun else runs, true)
       } else (name, runs, false)
     }
     val retried = results.collect { case (n, _, true) => n }

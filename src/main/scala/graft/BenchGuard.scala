@@ -1,0 +1,80 @@
+package graft
+
+/** Contention-guard decision logic for [[Bench]], factored out so the
+  * thresholds are unit-testable against synthetic run sets (r9 VERDICT
+  * ask #1: the r9 artifact let six contended medians through because
+  * the baseline trigger required >3x with a >0.5s absolute gap — q12's
+  * gap was 0.49s, g03's ratio 2.26x — so both slipped).
+  *
+  * Current thresholds:
+  *   - spread rule: max/min > 4x AND max-min > 1.0s (one stalled repeat
+  *     mid-sweep; unchanged from r7).
+  *   - baseline rule: median > 1.8x the committed BENCH_FULL median AND
+  *     median-baseline > 0.15s (sustained contention, invisible to the
+  *     spread rule when all repeats are equally slow; tightened from
+  *     3x/0.5s per r9 VERDICT — 1.8 rather than the suggested 2.0
+  *     because r9's m06 inflation was 0.33->0.64s = 1.94x and would
+  *     still have slipped at 2.0; with 1.8x/0.15s all six r9 inflated
+  *     queries re-run in isolation. A false fire only costs one
+  *     isolated re-run, and lower-median-wins keeps honest numbers).
+  */
+object BenchGuard {
+  final val SpreadRatio = 4.0
+  final val SpreadGapSec = 1.0
+  final val BaselineRatio = 1.8
+  final val BaselineGapSec = 0.15
+
+  /** Median of a non-empty run set (lower-middle for even sizes, so the
+    * reported value is always an actually-observed run). */
+  def median(secs: Seq[Double]): Double =
+    secs.sorted.apply((secs.size - 1) / 2)
+
+  /** True when the repeat spread says one run stalled mid-sweep. */
+  def spreadNoisy(secs: Seq[Double]): Boolean =
+    secs.max / secs.min.max(1e-9) > SpreadRatio &&
+      secs.max - secs.min > SpreadGapSec
+
+  /** True when the median is well above the last clean committed
+    * artifact's median for the same query. */
+  def baselineNoisy(secs: Seq[Double], committed: Option[Double]): Boolean =
+    committed.exists { b =>
+      median(secs) > b * BaselineRatio && median(secs) - b > BaselineGapSec
+    }
+
+  /** The re-run-in-isolation trigger: either rule fires on a clean
+    * (error-free) run set. */
+  def suspect(secs: Seq[Double], clean: Boolean,
+              committed: Option[Double]): Boolean =
+    clean && (spreadNoisy(secs) || baselineNoisy(secs, committed))
+
+  /** Whether an isolated re-run displaces the original measurement:
+    * only when itself error-free AND strictly faster at the median —
+    * under contention the retry is the honest number; for a genuine
+    * code regression both sets are slow, so the regression still
+    * shows. */
+  def rerunWins(origSecs: Seq[Double], rerunSecs: Seq[Double],
+                rerunClean: Boolean): Boolean =
+    rerunClean && median(rerunSecs) < median(origSecs)
+
+  /** Parse the committed BENCH_FULL.json artifact with a real JSON
+    * reader (r9 ADVICE: the previous regex parse would silently yield
+    * an empty baseline — quietly disabling the guard — if the artifact
+    * format ever gained nested objects or reordering). Returns
+    * (per-query medians, total). Jackson is on the Spark classpath and
+    * is the inverse of the writer in [[Bench]]. */
+  def parseCommitted(txt: String): (Map[String, Double], Option[Double]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(txt)
+    val qs = Option(root.get("queries")).map { qn =>
+      val it = qn.properties().iterator()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, Double])
+    val tot = Option(root.get("value")).filter(_.isNumber).map(_.asDouble())
+    (qs, tot)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench contention-guard thresholds against the synthetic
+  * shapes that previously slipped through (r9 VERDICT #1: six queries
+  * published 2-4x high because the old >3x/0.5s baseline trigger
+  * missed q12's 0.49s gap and g03's 2.26x ratio). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("r9's six inflated queries all fire the tightened baseline rule") {
+    // (name, contended repeat secs, committed BENCH_FULL median)
+    val r9Inflated = Seq(
+      ("q12", Seq(0.64, 0.66, 0.62), 0.16),
+      ("m01", Seq(0.52, 0.55, 0.50), 0.16),
+      ("t08", Seq(0.36, 0.37, 0.35), 0.17),
+      ("m06", Seq(0.64, 0.65, 0.63), 0.33),
+      ("g13", Seq(1.56, 1.60, 1.52), 0.78),
+      ("g03", Seq(4.75, 4.80, 4.70), 2.10))
+    r9Inflated.foreach { case (name, secs, committed) =>
+      assert(BenchGuard.suspect(secs, clean = true, Some(committed)),
+        s"$name should be suspect under the tightened thresholds")
+    }
+  }
+
+  test("honest run near the committed baseline does not fire") {
+    // 1.5x with a small absolute gap: normal run-to-run variance
+    assert(!BenchGuard.suspect(Seq(0.24, 0.25, 0.23), clean = true, Some(0.16)))
+    // big ratio but tiny absolute gap (0.05s query): noise, not contention
+    assert(!BenchGuard.suspect(Seq(0.14, 0.15, 0.14), clean = true, Some(0.05)))
+    // exactly-at-threshold stays clean (strict >): 0.90 = 1.8x of 0.50
+    assert(!BenchGuard.suspect(Seq(0.90, 0.90, 0.90), clean = true, Some(0.50)))
+  }
+
+  test("spread rule fires on a mid-sweep stall without any baseline") {
+    assert(BenchGuard.suspect(Seq(12.8, 85.6, 109.6), clean = true, None))
+    assert(!BenchGuard.suspect(Seq(7.0, 7.2, 7.1), clean = true, None))
+  }
+
+  test("errored runs are never suspect; retries must be clean and faster") {
+    assert(!BenchGuard.suspect(Seq(0.64, 0.66, 0.62), clean = false, Some(0.16)))
+    assert(BenchGuard.rerunWins(Seq(0.64, 0.66, 0.62), Seq(0.2, 0.21, 0.2),
+      rerunClean = true))
+    // an errored rerun is near-zero-fast but must not displace the original
+    assert(!BenchGuard.rerunWins(Seq(0.64, 0.66, 0.62), Seq(0.01, 0.01, 0.01),
+      rerunClean = false))
+    // a genuine regression: rerun equally slow, original kept (no win either way)
+    assert(!BenchGuard.rerunWins(Seq(0.64, 0.66, 0.62), Seq(0.65, 0.66, 0.64),
+      rerunClean = true))
+  }
+
+  test("parseCommitted reads the writer's artifact shape, including reordering") {
+    val artifact =
+      """{"metric":"total","value":70.77,"unit":"sec",""" +
+        """"queries":{"q12":0.16,"g03":2.10},"spread":{"q12":[0.1,0.2]},""" +
+        """"phases":{"g12.build":1.2},"errs":{},"retried":[],""" +
+        """"contended":false,"repeats":3,"sf":"/root/testdata/sf0.1"}"""
+    val (qs, tot) = BenchGuard.parseCommitted(artifact)
+    assert(qs === Map("q12" -> 0.16, "g03" -> 2.10))
+    assert(tot === Some(70.77))
+    // reordered + nested extras must not break or empty the map
+    val reordered =
+      """{"sf":"x","queries":{"a":1.5,"b":0.25},"extra":{"nested":{"deep":1}},""" +
+        """"value":1.75,"metric":"total"}"""
+    val (qs2, tot2) = BenchGuard.parseCommitted(reordered)
+    assert(qs2 === Map("a" -> 1.5, "b" -> 0.25))
+    assert(tot2 === Some(1.75))
+  }
+}
