@@ -171,8 +171,42 @@ object VectorIndex {
       * previous centroid. Shared by the IVF coarse quantizer and the
       * per-subspace PQ codebooks. */
     private[graft] def lloyd(points: Array[Array[Double]], k0: Int,
-        iters: Int): Array[Array[Double]] = {
-      var centroids: Array[Array[Double]] = points.take(k0).map(_.clone())
+        iters: Int): Array[Array[Double]] =
+      lloydSeeded(points, k0, iters, farthestSeed = false)
+
+    /** Deterministic farthest-point ("k-means++ without the dice")
+      * seeds: start from the first point, then repeatedly take the
+      * sample point farthest from its nearest chosen seed (ties ->
+      * lowest index). O(sample × k × dim) driver work. Used by
+      * semanticDedup, where first-k seeding on replicated/skewed data
+      * produced mega-clusters that blow up the intra-cluster quadratic
+      * term (measured on the 4x scale probe: sum|c|² 12.0M -> 1.12M,
+      * candidate edges 5.0M -> 0.51M). The IVF/PQ index builds keep
+      * first-k seeding: their probe cost is top-k per bucket, not
+      * |c|², and their goldens pin the first-k clustering. */
+    private[graft] def lloydSeeded(points: Array[Array[Double]], k0: Int,
+        iters: Int, farthestSeed: Boolean): Array[Array[Double]] = {
+      var centroids: Array[Array[Double]] =
+        if (!farthestSeed || points.length <= k0) points.take(k0).map(_.clone())
+        else {
+          val n = points.length
+          val chosen = new Array[Int](k0); chosen(0) = 0
+          val d2 = Array.fill(n)(Double.MaxValue)
+          var c = 0
+          while (c < k0 - 1) {
+            var best = 0; var bestD = -1.0; var i = 0
+            while (i < n) {
+              val p = points(i); val q = points(chosen(c))
+              var d = 0.0; var j = 0; val m = math.min(p.length, q.length)
+              while (j < m) { val t = p(j) - q(j); d += t * t; j += 1 }
+              if (d < d2(i)) d2(i) = d
+              if (d2(i) > bestD) { bestD = d2(i); best = i }
+              i += 1
+            }
+            c += 1; chosen(c) = best
+          }
+          chosen.map(points(_).clone())
+        }
       val k = centroids.length
       val dim = points.head.length
       for (_ <- 0 until iters) {
