@@ -38,25 +38,49 @@ object CacheHygiene {
     * consumer already ran. Two bounds on the lingering cases: an
     * UNCONSUMED cache holds no storage (persist is lazy), so only the
     * listener object waits for a matching query; and a cache the caller
-    * materialized but then abandoned is force-released after 256
-    * non-matching query completions — far outside any real operator's
-    * interleave window, but finite, so an abandoned cache cannot pin
-    * executor storage for a long-lived session's lifetime. */
-  def unpersistAfterNextAction(cached: DataFrame): Unit = {
+    * materialized but then abandoned is force-released after
+    * `spark.graft.cache.abandonedReleaseAfter` (default 256)
+    * non-matching BATCH query completions — far outside any real
+    * operator's interleave window, but finite, so an abandoned cache
+    * cannot pin executor storage for a long-lived session's lifetime.
+    * Streaming micro-batch executions do NOT count toward that cap
+    * (r9 ADVICE: a stream emitting hundreds of micro-batch queries
+    * between persist and consume would otherwise drop a materialized
+    * cache before its legitimate late consumer); raise the conf on
+    * sessions whose batch query mix is also that busy.
+    *
+    * `releaseAfterConsumers` (default 1) delays the release until that
+    * many DISTINCT consuming actions completed — for operators that
+    * return several lazy frames reading the same cache
+    * ([[graft.operators.TextOps.incrementalDedupRound]] returns three;
+    * releasing after the first made later frames recompute). */
+  def unpersistAfterNextAction(cached: DataFrame,
+      releaseAfterConsumers: Int = 1): Unit = {
     val manager = cached.sparkSession.listenerManager
+    val abandonCap = cached.sparkSession.conf
+      .getOption("spark.graft.cache.abandonedReleaseAfter")
+      .map(_.toInt).getOrElse(256)
     val target = cached.queryExecution.analyzed
     val fired = new AtomicBoolean(false)
     val unmatched = new java.util.concurrent.atomic.AtomicInteger(0)
+    val consumed = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def consumes(qe: QueryExecution): Boolean =
         try qe.analyzed.exists(p => p.sameResult(target))
         catch { case _: Throwable => true }
-      private def fire(qe: QueryExecution): Unit =
-        if ((consumes(qe) || unmatched.incrementAndGet() > 256) &&
-            fired.compareAndSet(false, true)) {
+      // by simple name, not a type test: IncrementalExecution is an
+      // internal class that moved packages between Spark releases
+      private def isMicroBatch(qe: QueryExecution): Boolean =
+        qe.getClass.getSimpleName == "IncrementalExecution"
+      private def fire(qe: QueryExecution): Unit = {
+        val due =
+          if (consumes(qe)) consumed.incrementAndGet() >= releaseAfterConsumers
+          else !isMicroBatch(qe) && unmatched.incrementAndGet() > abandonCap
+        if (due && fired.compareAndSet(false, true)) {
           cached.unpersist(blocking = false)
           manager.unregister(this)
         }
+      }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution,

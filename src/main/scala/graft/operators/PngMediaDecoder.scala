@@ -127,6 +127,17 @@ object PngCodec {
       require(len >= 0 && off + 12 + len <= bytes.length,
         s"truncated chunk body (len $len at offset $off)")
       val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      // every chunk's stored CRC32(type+data) must verify — a
+      // bit-corrupted payload must throw, never silently decode to
+      // wrong features (ancillary chunks included: their CRC is part
+      // of the container's integrity contract)
+      locally {
+        val crc = new CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        val stored = intBE(bytes, off + 8 + len)
+        require(crc.getValue.toInt == stored,
+          f"CRC mismatch in $typ chunk at offset $off%d")
+      }
       typ match {
         case "IHDR" =>
           require(!seenIhdr && len == 13, "bad IHDR")

@@ -259,12 +259,20 @@ object TextOps {
   def incrementalDedupRound(delta: DataFrame, indexSigs: DataFrame,
       bands: Int = 32, r: Int = 2, threshold: Double = 0.5)
       : IncrementalDedupRound = {
-    // one signature computation feeds all three frames: dups derive
+    // one signature computation feeds the returned frames: dups derive
     // from it, and the index update anti-joins the SAME signature
-    // frame instead of re-shingling the surviving text
+    // frame instead of re-shingling the surviving text. Two consuming
+    // actions (typically one on `dups`/`survivors`, one on
+    // `updatedIndex`) complete before the cache releases — releasing
+    // after the first made a later action on updatedIndex re-shingle
+    // the delta (r9 ADVICE). A caller running MORE than two actions
+    // over these frames should persist deltaSigs itself via
+    // incrementalNearDupsFromSigs, which takes the signature frame
+    // as input and leaves its lifecycle to the caller.
     val deltaSigs = minhashIndex(delta, bands * r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs,
+      releaseAfterConsumers = 2)
     val dups = incrementalNearDupsFromSigs(deltaSigs, indexSigs,
       bands, r, threshold)
     val survivors = delta.join(dups.select("doc_id"), Seq("doc_id"),

@@ -120,7 +120,27 @@ object StreamingDedup {
             state: GroupState[Bucket]) => {
           var bucket = state.getOption.getOrElse(Bucket(Nil, Nil))
           val out = Seq.newBuilder[(Long, Long, Double)]
-          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+          // Bounded batch window (r9 ADVICE: `rows.toSeq` buffered the
+          // whole per-bucket batch group, so ONE degenerate mega-bucket
+          // batch — boilerplate shingles — could hold unbounded
+          // (id, sig) tuples on a task): keep only the 2*bucketCap
+          // smallest ids via a max-at-head priority queue, which is
+          // deterministic regardless of arrival order. Rows beyond the
+          // window in such a batch lose candidate emission — the same
+          // recall-for-boundedness trade the cap family (batch
+          // 64-member bucket cap, dfCap) already makes, and only in
+          // buckets where near-everything is already a mutual
+          // candidate. 2x leaves emission room for rows that compare
+          // against a full bucket without entering state.
+          val window = 2 * bucketCap
+          val pq = scala.collection.mutable.PriorityQueue
+            .empty[(Long, Seq[Long])](Ordering.by[(Long, Seq[Long]), Long](_._1))
+          rows.foreach { case (id, sig, _, _) =>
+            if (pq.size < window) pq.enqueue((id, sig))
+            else if (id < pq.head._1) { pq.dequeue(); pq.enqueue((id, sig)) }
+          }
+          val drained: Seq[(Long, Seq[Long])] = pq.dequeueAll
+          drained.reverse.foreach { case (id, sig) =>
             if (!bucket.ids.contains(id)) {
               bucket.ids.iterator.zip(bucket.sigs.iterator).foreach {
                 case (oid, osig) =>

@@ -178,6 +178,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(est110 == 1.0, s"identical docs must estimate 1.0, got $est110")
   }
 
+  test("streaming NEAR-dup bounds a degenerate mega-bucket batch: " +
+      "only the 2*bucketCap smallest ids are buffered, deterministically") {
+    val wh = Files.createTempDirectory("graft-mb-wh").toString
+    spark.conf.set("spark.sql.catalog.mb", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mb.db")
+    spark.sql("CREATE TABLE mb.db.crawl (doc_id BIGINT, body STRING)")
+    // 40 identical docs in ONE batch: every (band, hash) group sees all
+    // 40. With bucketCap=4 the batch window holds the 8 smallest ids —
+    // ids 1..4 fill state, ids 5..8 emit against them, ids 9..40 fall
+    // outside the window (the documented recall-for-boundedness trade)
+    val same = "omega psi chi phi upsilon tau sigma rho pi omicron words"
+    spark.sql("INSERT INTO mb.db.crawl VALUES " +
+      (1L to 40L).map(i => s"($i, '$same')").mkString(", "))
+    val ckpt = Files.createTempDirectory("graft-mb-ckpt").toString
+    val out = Files.createTempDirectory("graft-mb-out").toString
+    val q = graft.streaming.StreamingDedup.lshCandidates(
+      spark.readStream.table("mb.db.crawl"), "doc_id", "body",
+      bucketCap = 4)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // emissions: ids 1..4 fill state as they process (pairs among
+    // themselves), ids 5..8 each emit against the full state {1..4}
+    val expect = (for {
+      b <- 1L to 8L; a <- 1L until b
+      if a <= 4L
+    } yield a -> b).toSet
+    assert(got == expect,
+      s"window must cap at the 8 smallest ids; got ${got.toSeq.sorted}")
+  }
+
   test("stateful dedup runs under the RocksDB state store provider " +
       "(the claimed cluster deployment shape)") {
     // same scenario as the exact-dedup test, but with the state store
@@ -497,6 +532,12 @@ class StreamingSpec extends AnyFunSuite {
     // malformed payloads fail loudly, never silently fabricate features
     intercept[IllegalArgumentException](
       new PngMediaDecoder().decode(1L, Array[Byte](1, 2, 3)))
+    // a single flipped bit inside a chunk body must fail the stored
+    // CRC32 check, not decode to wrong features (r9 ADVICE)
+    val corrupt = PngCodec.encodeRGB(w, h, rgb, 0).clone()
+    corrupt(45) = (corrupt(45) ^ 0x10).toByte // inside IDAT data
+    val ex = intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    assert(ex.getMessage.contains("CRC"), s"wrong failure: ${ex.getMessage}")
     // the m06 gate query drives the same decoder through the seam
     val m06 = SparkEntry.queries("m06_png_decode")(spark, sf).collect()
     assert(m06.nonEmpty && m06.forall(r =>
