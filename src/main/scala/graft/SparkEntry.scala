@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{MultimodalOps, TextOps, VectorOps}
-import graft.queries.{FormatQueries, Q, Relational}
+import graft.queries.{FormatQueries, Q, Relational, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md section 7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   /** All registered query groups. Extended as operators land. */
   private def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++
-      FormatQueries.all
+      FormatQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary — aggregation + filter pushdown in one. */
