@@ -211,6 +211,26 @@ object GraftFormat {
     excluded.result()
   }
 
+  /** Fragments of `neu` that are pure APPENDS since `old`: Some(delta)
+    * when every fragment of `old` survives in `neu` untouched (same
+    * path and deletion state), else None. The fast-path guard for
+    * incremental index refresh — a mutated or compacted-away old
+    * fragment means existing index entries could serve deleted rows, so
+    * callers must fall back to a full rebuild. New fragments may carry
+    * their own deletion vectors (the snapshot reader applies them). */
+  def appendedDelta(old: Manifest, neu: Manifest): Option[Seq[FragmentMeta]] = {
+    val byId = neu.fragments.map(f => f.id -> f).toMap
+    val untouched = old.fragments.forall { f =>
+      byId.get(f.id).exists(n => n.path == f.path &&
+        n.deletionPath == f.deletionPath && n.deletedCount == f.deletedCount)
+    }
+    if (!untouched) None
+    else {
+      val oldIds = old.fragments.map(_.id).toSet
+      Some(neu.fragments.filterNot(f => oldIds.contains(f.id)))
+    }
+  }
+
   /** Latest version whose commit time is <= tsMs (reference semantics:
     * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388). */
   def versionAtTimestamp(fs: FileSystem, table: Path, tsMs: Long): Option[Long] = {

@@ -1,0 +1,105 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.format.GraftFormat
+
+/** Segmented (merge-on-read) layout shared by every persisted index —
+  * the machinery behind incremental refresh-on-append (reference
+  * analog: Lance's automatic index updates over newly-written
+  * fragments, docs/src/performance.md "Index Usage"; Lance likewise
+  * keeps the trained index and covers appended fragments with delta
+  * structures rather than retraining).
+  *
+  * A freshly BUILT index stays monolithic: `v=<V>/` holds the payload
+  * directly (postings/, assign/, codes/, bucket=*). A REFRESHED index
+  * writes only the delta: a root-level `seg-<uuid>/` directory holding
+  * the same payload shape for the appended fragments, plus a
+  * `v=<V2>/_segments.json` manifest listing, relative to the index
+  * root, every directory whose payloads make up version V2 — the prior
+  * version's directories (expanded, never nested) and the new delta
+  * segment. Readers resolve a version to its data-directory list and
+  * union payloads; refresh cost is O(appended data + index metadata),
+  * never O(corpus).
+  *
+  * Vacuum contract: an index directory (monolithic `v=<N>` or
+  * `seg-*`) stays alive while ANY retained version's manifest
+  * references it, even after version N's table manifest is dropped —
+  * [[referencedDirs]] computes that live set for Maintenance.vacuum.
+  */
+object IndexSegments {
+
+  val ManifestName = "_segments.json"
+  private val mapper = new ObjectMapper()
+
+  final case class SegManifest(segments: Seq[String], extra: Map[String, String])
+
+  def manifestPath(versionDir: Path): Path = new Path(versionDir, ManifestName)
+
+  def newSegmentName(): String = s"seg-${java.util.UUID.randomUUID()}"
+
+  def write(fs: FileSystem, versionDir: Path, m: SegManifest): Unit = {
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("segments")
+    m.segments.foreach(arr.add)
+    val ex = node.putObject("extra")
+    m.extra.toSeq.sortBy(_._1).foreach { case (k, v) => ex.put(k, v) }
+    fs.mkdirs(versionDir)
+    val out = fs.create(manifestPath(versionDir), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  def read(fs: FileSystem, versionDir: Path): Option[SegManifest] = {
+    val p = manifestPath(versionDir)
+    if (!fs.exists(p)) return None
+    val node = mapper.readTree(GraftFormat.readBytes(fs, p))
+    val segs = Seq.newBuilder[String]
+    node.get("segments").forEach(s => segs += s.asText())
+    val extra = Map.newBuilder[String, String]
+    val ex = node.get("extra")
+    if (ex != null) ex.properties().forEach(e => extra += e.getKey -> e.getValue.asText())
+    Some(SegManifest(segs.result(), extra.result()))
+  }
+
+  /** The data directories whose payloads make up the index at
+    * `versionDir`: the listed segments when a manifest exists (resolved
+    * against `indexRoot`, recursively in case a manifest ever lists a
+    * manifest-bearing version dir), else the version dir itself.
+    * Returns Nil when the version dir does not exist. */
+  def dataDirs(fs: FileSystem, indexRoot: Path, versionDir: Path): Seq[Path] = {
+    if (!fs.exists(versionDir)) return Seq.empty
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(dir: Path): Unit = read(fs, dir) match {
+      case Some(m) => m.segments.foreach { rel =>
+        val d = new Path(indexRoot, rel)
+        if (!seen.contains(d.toString)) walk(d)
+      }
+      case None => seen += dir.toString
+    }
+    walk(versionDir)
+    seen.toSeq.map(new Path(_))
+  }
+
+  /** The segment list a NEW manifest should carry to cover everything
+    * `priorVersionDir` covers: its manifest's segments when present
+    * (expansion keeps chains flat), else the prior dir itself. */
+  def expandPrior(fs: FileSystem, indexRoot: Path, priorVersionDir: Path): Seq[String] =
+    read(fs, priorVersionDir) match {
+      case Some(m) => m.segments
+      case None => Seq(priorVersionDir.getName)
+    }
+
+  /** Index-root-relative names of every directory referenced by the
+    * given version dirs' manifests (transitively) — the set vacuum must
+    * NOT delete even when the referenced version itself is dropped. */
+  def referencedDirs(fs: FileSystem, indexRoot: Path,
+      versionDirs: Seq[Path]): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    def walk(dir: Path): Unit = read(fs, dir).foreach(_.segments.foreach { rel =>
+      if (out.add(rel)) walk(new Path(indexRoot, rel))
+    })
+    versionDirs.foreach(walk)
+    out.toSet
+  }
+}

@@ -454,22 +454,37 @@ object Maintenance {
       }
     }
     // index sidecar GC: an _indices/<col>.<kind>/v=<N> directory is
-    // reachable only through manifest version N — once N's manifest is
-    // dropped, the index version is garbage (current-version indexes
-    // are never touched: the latest manifest is always retained)
+    // reachable through manifest version N OR through a retained
+    // version's segment manifest (incremental refresh references prior
+    // index content rather than rewriting it — IndexSegments). Delete a
+    // v=<N> dir only when N's manifest is dropped AND no retained
+    // version references it; delete root-level seg-* delta segments
+    // when no retained version references them. (Current-version
+    // indexes are never touched: the latest manifest is always
+    // retained.)
     val idxRoot = GraftFormat.indicesDir(qualDir)
     val retainedVersions = keep.toSet
     if (fs.exists(idxRoot)) {
       fs.listStatus(idxRoot).filter(_.isDirectory).foreach { colIdx =>
-        fs.listStatus(colIdx.getPath)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-          .foreach { vd =>
-            val v = vd.getPath.getName.stripPrefix("v=").toLongOption
-            if (v.exists(!retainedVersions.contains(_))) {
-              fs.delete(vd.getPath, true)
-              deleted += 1
-            }
+        val entries = fs.listStatus(colIdx.getPath).filter(_.isDirectory)
+        val retainedVDirs = entries.map(_.getPath).filter { p =>
+          p.getName.startsWith("v=") &&
+            p.getName.stripPrefix("v=").toLongOption
+              .exists(retainedVersions.contains)
+        }
+        val referenced = IndexSegments.referencedDirs(
+          fs, colIdx.getPath, retainedVDirs.toSeq)
+        entries.map(_.getPath).foreach { p =>
+          val name = p.getName
+          val staleVersion = name.startsWith("v=") &&
+            name.stripPrefix("v=").toLongOption
+              .exists(!retainedVersions.contains(_))
+          val orphanSegment = name.startsWith("seg-")
+          if ((staleVersion || orphanSegment) && !referenced.contains(name)) {
+            fs.delete(p, true)
+            deleted += 1
           }
+        }
       }
     }
     // blob sidecar GC: the live set stays DISTRIBUTED — candidate names

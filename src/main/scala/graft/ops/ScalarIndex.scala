@@ -77,6 +77,20 @@ object ScalarIndex {
       throw new IllegalArgumentException(s"not a graft table: $table"))
     require(manifest.schema.fieldNames.contains(c),
       s"no such column: $c")
+    val dest = versionDir(qual, c, manifest.version)
+    // a rebuild at a version that previously held a refreshed (manifest-
+    // bearing) index must drop the manifest, or readers would resolve
+    // the stale segment list instead of the fresh monolithic payload
+    fs.delete(IndexSegments.manifestPath(dest), false)
+    writeSegment(spark, fs, qual, manifest, c, dest)
+    manifest.version
+  }
+
+  /** One bucketed posting segment over `manifest`'s fragments, written
+    * at `dest`. Returns the segment's ndv. */
+  private def writeSegment(spark: SparkSession, fs: FileSystem, qual: Path,
+      manifest: GraftFormat.Manifest, c: String, dest: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
     // deletion-aware snapshot scan through the normal connector reader;
     // the fragment id comes from the row address (frag << 32 | idx)
     val df = GraftShim.tableDF(spark,
@@ -90,7 +104,6 @@ object ScalarIndex {
       val nd = df.agg(approx_count_distinct(col("vh"))).head().getLong(0)
       val buckets =
         math.max(1L, math.min(MaxBuckets, nd / TargetBucketEntries + 1)).toInt
-      val dest = versionDir(qual, c, manifest.version)
       df.withColumn("bucket", pmod(col("vh"), lit(buckets.toLong)).cast("int"))
         .groupBy(col("bucket"), col("vh"))
         .agg(sort_array(collect_set(col("frag"))).as("frags"))
@@ -108,8 +121,71 @@ object ScalarIndex {
       // caching it — drop that entry or the fresh index stays invisible
       // to this driver until a cache sweep
       metaCache.remove(dest.toString)
-      manifest.version
+      segCache.remove(dest.toString)
+      nd
     } finally df.unpersist()
+  }
+
+  // ----------------------------------------------------------- refresh
+
+  /** Incremental refresh-on-append: index ONLY the fragments committed
+    * since the newest indexed version and publish the result as a
+    * merge-on-read segment list at the current version (see
+    * [[IndexSegments]]). Falls back to a full [[build]] when there is
+    * no prior index, the prior manifest was vacuumed, or old fragments
+    * were mutated (deletes/compaction) — stale postings may only ever
+    * RETAIN a fragment, never serve one, and mutation breaks even that.
+    * Cost on the append-only fast path: one scan of the appended
+    * fragments plus O(index metadata); the existing corpus is never
+    * re-read. Returns the indexed version. */
+  def refresh(spark: SparkSession, table: Path, c: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val qual = fs.makeQualified(table)
+    val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $table"))
+    val prior = indexedVersions(spark, table, c).filter(_ <= manifest.version)
+    if (prior.isEmpty) return build(spark, table, c)
+    val v1 = prior.max
+    if (v1 == manifest.version) return v1
+    val oldManifest =
+      try GraftFormat.readManifest(fs, qual, v1)
+      catch { case _: java.io.FileNotFoundException => return build(spark, table, c) }
+    GraftFormat.appendedDelta(oldManifest, manifest) match {
+      case None => build(spark, table, c)
+      case Some(delta) =>
+        val root = indexRoot(qual, c)
+        val priorDir = versionDir(qual, c, v1)
+        val priorSegs = IndexSegments.expandPrior(fs, root, priorDir)
+        val dest = versionDir(qual, c, manifest.version)
+        val segs =
+          if (delta.isEmpty) priorSegs
+          else {
+            val segName = IndexSegments.newSegmentName()
+            // clustering claims talk about fragments the delta manifest
+            // does not carry — strip them so the subset scan plans plain
+            writeSegment(spark, fs, qual,
+              manifest.copy(fragments = delta,
+                properties = manifest.properties -- GraftFormat.ClusteringProps),
+              c, new Path(root, segName))
+            priorSegs :+ segName
+          }
+        // merged ndv for the CBO feed: values recur across segments, so
+        // re-estimate over the UNION of posting keys — an index-sized
+        // read (distinct values), never a corpus re-scan
+        val vhSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vh",
+            org.apache.spark.sql.types.LongType)))
+        val ndv = segs.map(s => spark.read.schema(vhSchema)
+            .json(new Path(root, s).toString).select("vh"))
+          .reduce(_ unionAll _)
+          .agg(approx_count_distinct(col("vh"))).head().getLong(0)
+        IndexSegments.write(fs, dest,
+          IndexSegments.SegManifest(segs, Map("ndv" -> ndv.toString)))
+        segCache.remove(dest.toString)
+        metaCache.remove(dest.toString)
+        manifest.version
+    }
   }
 
   // ------------------------------------------------------------ lookup
@@ -123,9 +199,23 @@ object ScalarIndex {
   private val metaCache = new ConcurrentHashMap[String, MetaEntry]()
   private val bucketCache =
     new ConcurrentHashMap[String, Map[Long, Array[Int]]]()
+  private val segCache =
+    new ConcurrentHashMap[String, Option[IndexSegments.SegManifest]]()
   private val mapper = new ObjectMapper()
 
-  private[graft] def clearCaches(): Unit = { metaCache.clear(); bucketCache.clear() }
+  private[graft] def clearCaches(): Unit =
+    { metaCache.clear(); bucketCache.clear(); segCache.clear() }
+
+  private def segManifest(fs: FileSystem,
+      dir: Path): Option[IndexSegments.SegManifest] = {
+    val key = dir.toString
+    val cached = segCache.get(key)
+    if (cached != null) return cached
+    val res = IndexSegments.read(fs, dir)
+    if (segCache.size > 4096) segCache.clear()
+    segCache.put(key, res)
+    res
+  }
 
   private def readMetaEntry(fs: FileSystem, dir: Path): Option[MetaEntry] = {
     val key = dir.toString
@@ -155,9 +245,15 @@ object ScalarIndex {
     * exactly `version`, for the CBO stats feed. None = no index at this
     * version or a pre-ndv index layout. One cached _meta.json read —
     * never touches postings. */
-  def ndvAt(fs: FileSystem, table: Path, version: Long, c: String): Option[Long] =
-    readMetaEntry(fs, versionDir(fs.makeQualified(table), c, version))
-      .map(_.ndv).filter(_ >= 0)
+  def ndvAt(fs: FileSystem, table: Path, version: Long, c: String): Option[Long] = {
+    val dir = versionDir(fs.makeQualified(table), c, version)
+    segManifest(fs, dir) match {
+      // refreshed (segmented) index: the merged estimate lives in the
+      // version's segment manifest
+      case Some(m) => m.extra.get("ndv").flatMap(_.toLongOption).filter(_ >= 0)
+      case None => readMetaEntry(fs, dir).map(_.ndv).filter(_ >= 0)
+    }
+  }
 
   private def readBucket(fs: FileSystem, dir: Path,
       b: Int): Map[Long, Array[Int]] = {
@@ -201,16 +297,28 @@ object ScalarIndex {
   def fragmentsForValues(fs: FileSystem, table: Path, version: Long,
       c: String, dt: DataType, values: Seq[Any]): Option[Set[Int]] = {
     if (values.isEmpty || values.length > MaxLookupValues) return None
-    val dir = versionDir(fs.makeQualified(table), c, version)
-    readMeta(fs, dir).map { buckets =>
-      val allowed = mutable.HashSet.empty[Int]
+    val qual = fs.makeQualified(table)
+    val dir = versionDir(qual, c, version)
+    // merge-on-read: a refreshed index is a list of posting segments
+    // (each with its own bucket count); a lookup probes ONE bucket per
+    // (value, segment) and unions — fragment count stays O(values ×
+    // segments) metadata I/O
+    val dirs = IndexSegments.dataDirs(fs, indexRoot(qual, c), dir)
+    if (dirs.isEmpty) return None
+    val withBuckets = dirs.map(d => d -> readMeta(fs, d))
+    // any segment without readable meta makes pruning unsound — serve
+    // "no index" rather than a partial answer
+    if (withBuckets.exists(_._2.isEmpty)) return None
+    val allowed = mutable.HashSet.empty[Int]
+    withBuckets.foreach { case (d, bucketsOpt) =>
+      val buckets = bucketsOpt.get
       values.foreach { v =>
         val vh = hashValue(v, dt)
         val b = java.lang.Math.floorMod(vh, buckets.toLong).toInt
-        readBucket(fs, dir, b).get(vh).foreach(allowed ++= _)
+        readBucket(fs, d, b).get(vh).foreach(allowed ++= _)
       }
-      allowed.toSet
     }
+    Some(allowed.toSet)
   }
 
   /** Versions with a persisted scalar index for `c`. */

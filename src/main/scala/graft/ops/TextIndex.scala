@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,8 +20,18 @@ import graft.format.GraftFormat
   *     queried tokens (parquet min/max + optional bloom), and the
   *     per-doc length rides denormalized on each posting — scoring
   *     never joins a second table.
-  *   - `meta/` — one-row parquet (n, avgdl): the corpus-level BM25
-  *     constants, read driver-side.
+  *   - `meta/` — one-row parquet (n, avgdl, sumdl): the corpus-level
+  *     BM25 constants, read driver-side.
+  *
+  * A REFRESHED version ([[refresh]]) is instead a segment list
+  * ([[IndexSegments]]): the prior version's posting directories plus
+  * one new segment covering only the appended fragments, with the
+  * merged BM25 constants (n, sumdl — exact long sums, so merged
+  * avgdl is bit-identical to a full rebuild's) in the segment
+  * manifest. Lucene-style merge-on-read: a query unions the term's
+  * postings across segments; df/tf/dl are per-(token, doc) facts, so
+  * over disjoint doc sets the union IS the full rebuild, score for
+  * score.
   *
   * Versioned like every other index: the directory embeds the manifest
   * version it was built at, and [[searchCurrent]] only serves an index
@@ -31,11 +41,14 @@ import graft.format.GraftFormat
   * Scale shape (100 TB): the build is one linear scan + one
   * (doc_id, tok) aggregation + a range-partitioned sorted write;
   * postings size is the corpus' token-type mass, not its byte size. A
-  * query touches ONLY the postings of its terms (pushed `tok IN (...)`
-  * prunes row groups on the sort order), so search cost scales with
-  * term document-frequency — independent of corpus size for selective
-  * terms. Exact BM25, not an approximation: scores equal the full-scan
-  * formulation (t11) term-for-term.
+  * refresh re-reads ONLY the appended fragments (plus, by default, a
+  * doc_id-column sanity scan of existing postings — disable with
+  * `spark.graft.index.refresh.verifyDisjoint=false` when ids are a
+  * trusted key). A query touches ONLY the postings of its terms
+  * (pushed `tok IN (...)` prunes row groups on the sort order), so
+  * search cost scales with term document-frequency — independent of
+  * corpus size for selective terms. Exact BM25, not an approximation:
+  * scores equal the full-scan formulation (t11) term-for-term.
   */
 object TextIndex {
 
@@ -47,6 +60,8 @@ object TextIndex {
 
   private val toksOf = "filter(split(lower(%s), '\\\\s+'), x -> x != '')"
 
+  val VerifyDisjointKey = "spark.graft.index.refresh.verifyDisjoint"
+
   /** Build (or rebuild) the inverted index for `textCol` at the table's
     * latest version. Returns the indexed version. */
   def build(spark: SparkSession, table: Path, idCol: String,
@@ -56,6 +71,20 @@ object TextIndex {
     val qual = fs.makeQualified(table)
     val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
       throw new IllegalArgumentException(s"not a graft table: $table"))
+    val dest = versionDir(qual, textCol, manifest.version)
+    // a rebuild over a previously-refreshed version must drop the
+    // segment manifest or readers would resolve the stale segment list
+    fs.delete(IndexSegments.manifestPath(dest), false)
+    writeSegment(spark, fs, qual, manifest, idCol, textCol, dest)
+    manifest.version
+  }
+
+  /** One posting segment over `manifest`'s fragments at `dest`
+    * (postings/ + meta/). Returns (docs, sumdl) for merge accounting. */
+  private def writeSegment(spark: SparkSession, fs: FileSystem, qual: Path,
+      manifest: GraftFormat.Manifest, idCol: String, textCol: String,
+      dest: Path): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
     // deletion-aware snapshot scan through the normal connector reader
     val df = GraftShim.tableDF(spark,
       new GraftTable(s"index:$qual", qual, manifest, conf))
@@ -67,22 +96,118 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"))
       .join(dl, Seq("doc_id"))
       .select("tok", "doc_id", "tf", "dl")
-    val dest = versionDir(qual, textCol, manifest.version)
     postings
       .repartitionByRange(col("tok"))
       .sortWithinPartitions("tok", "doc_id")
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#tok", "true")
       .parquet(new Path(dest, "postings").toString)
-    dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(new Path(dest, "meta").toString)
-    manifest.version
+    val meta = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      sum(col("dl")).as("sumdl"))
+    meta.write.mode("overwrite").parquet(new Path(dest, "meta").toString)
+    val row = spark.read.parquet(new Path(dest, "meta").toString).head()
+    (row.getAs[Long]("n"), row.getAs[Long]("sumdl"))
+  }
+
+  /** (docs, sumdl) totals of the index at `dir` — from the segment
+    * manifest when present, else the legacy/monolithic meta parquet
+    * (pre-sumdl layouts recover the sum from n × avgdl, exact for
+    * integer document lengths within double precision). */
+  private def totalsOf(spark: SparkSession, fs: FileSystem,
+      dir: Path): (Long, Long) =
+    IndexSegments.read(fs, dir) match {
+      case Some(m) =>
+        (m.extra("n").toLong, m.extra("sumdl").toLong)
+      case None =>
+        val row = spark.read.parquet(new Path(dir, "meta").toString).head()
+        val n = row.getAs[Long]("n")
+        val sumdl =
+          if (row.schema.fieldNames.contains("sumdl")) row.getAs[Long]("sumdl")
+          else math.round(n * row.getAs[Double]("avgdl"))
+        (n, sumdl)
+    }
+
+  /** Incremental refresh-on-append (see [[IndexSegments]]): tokenize
+    * ONLY the fragments appended since the newest indexed version and
+    * publish prior segments + the delta under the current version.
+    * Falls back to a full [[build]] when no prior index exists, the
+    * prior manifest was vacuumed, old fragments were mutated (a deleted
+    * doc's postings would keep scoring), or — unless
+    * `spark.graft.index.refresh.verifyDisjoint=false` — an appended
+    * doc_id already exists in the index (its tf/dl facts would
+    * double-count instead of merging). Returns the indexed version. */
+  def refresh(spark: SparkSession, table: Path, idCol: String,
+      textCol: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val qual = fs.makeQualified(table)
+    val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $table"))
+    val root = indexRoot(qual, textCol)
+    val prior = indexedVersions(spark, table, textCol)
+      .filter(_ <= manifest.version)
+    if (prior.isEmpty) return build(spark, table, idCol, textCol)
+    val v1 = prior.max
+    if (v1 == manifest.version) return v1
+    val oldManifest =
+      try GraftFormat.readManifest(fs, qual, v1)
+      catch { case _: java.io.FileNotFoundException =>
+        return build(spark, table, idCol, textCol) }
+    GraftFormat.appendedDelta(oldManifest, manifest) match {
+      case None => build(spark, table, idCol, textCol)
+      case Some(delta) =>
+        val priorDir = versionDir(qual, textCol, v1)
+        val priorSegs = IndexSegments.expandPrior(fs, root, priorDir)
+        val (n0, sum0) = totalsOf(spark, fs, priorDir)
+        val dest = versionDir(qual, textCol, manifest.version)
+        if (delta.isEmpty) {
+          IndexSegments.write(fs, dest, IndexSegments.SegManifest(priorSegs,
+            Map("n" -> n0.toString, "sumdl" -> sum0.toString)))
+          return manifest.version
+        }
+        val deltaManifest = manifest.copy(fragments = delta,
+          properties = manifest.properties -- GraftFormat.ClusteringProps)
+        if (spark.conf.get(VerifyDisjointKey, "true").toBoolean) {
+          // column-pruned doc_id-only scan of existing postings — index
+          // I/O, never a corpus re-scan
+          val oldIds = priorSegs.map(s => spark.read
+              .parquet(new Path(new Path(root, s), "postings").toString)
+              .select("doc_id"))
+            .reduce(_ unionAll _).distinct()
+          val deltaIds = GraftShim.tableDF(spark,
+              new GraftTable(s"index:$qual#delta", qual, deltaManifest, conf))
+            .select(col(idCol).cast("long").as("doc_id")).distinct()
+          if (deltaIds.join(oldIds, Seq("doc_id"), "left_semi").limit(1)
+              .count() > 0)
+            return build(spark, table, idCol, textCol)
+        }
+        val segName = IndexSegments.newSegmentName()
+        val (n1, sum1) = writeSegment(spark, fs, qual, deltaManifest,
+          idCol, textCol, new Path(root, segName))
+        IndexSegments.write(fs, dest,
+          IndexSegments.SegManifest(priorSegs :+ segName,
+            Map("n" -> (n0 + n1).toString, "sumdl" -> (sum0 + sum1).toString)))
+        manifest.version
+    }
+  }
+
+  /** Versions with a persisted text index for `col`. */
+  def indexedVersions(spark: SparkSession, table: Path, col: String): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val root = indexRoot(fs.makeQualified(table), col)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
   }
 
   /** Exact BM25 top-`k` over the persisted index of the table's LATEST
     * version; None when no current index exists (callers fall back to
     * the full-scan formulation). Only the query terms' postings are
-    * read. Ties break on doc_id for determinism. */
+    * read — across every segment of a refreshed index. Ties break on
+    * doc_id for determinism. */
   def searchCurrent(spark: SparkSession, table: Path, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75)
       : Option[DataFrame] = {
@@ -91,10 +216,13 @@ object TextIndex {
     val qual = fs.makeQualified(table)
     val current = GraftFormat.latestVersion(fs, qual).getOrElse(return None)
     val dir = versionDir(qual, textCol, current)
-    if (!fs.exists(dir)) return None
-    val meta = spark.read.parquet(new Path(dir, "meta").toString).head()
-    val (n, avgdl) = (meta.getAs[Long]("n"), meta.getAs[Double]("avgdl"))
-    val hits = spark.read.parquet(new Path(dir, "postings").toString)
+    val root = indexRoot(qual, textCol)
+    val dataDirs = IndexSegments.dataDirs(fs, root, dir)
+    if (dataDirs.isEmpty) return None
+    val (n, sumdl) = totalsOf(spark, fs, dir)
+    val avgdl = sumdl.toDouble / n
+    val hits = spark.read
+      .parquet(dataDirs.map(d => new Path(d, "postings").toString): _*)
       .filter(col("tok").isin(terms.map(_.toLowerCase): _*))
     val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
     Some(hits

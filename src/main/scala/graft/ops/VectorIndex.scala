@@ -40,26 +40,79 @@ object VectorIndex {
     val qual = fs.makeQualified(table)
     val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
       throw new IllegalArgumentException(s"not a graft table: $table"))
+    val dest = versionDir(qual, embCol, manifest.version)
+    fs.delete(IndexSegments.manifestPath(dest), false)
+    writeSegment(spark, qual, manifest, idCol, embCol, dest)
+    manifest.version
+  }
+
+  private def writeSegment(spark: SparkSession, qual: Path,
+      manifest: GraftFormat.Manifest, idCol: String, embCol: String,
+      dest: Path): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     // deletion-aware snapshot scan through the normal connector reader
     val df = GraftShim.tableDF(spark,
       new GraftTable(s"index:$qual", qual, manifest, conf))
     val bucketed = VectorOps.withLshBucket(df.select(idCol, embCol), embCol)
       .select(col(idCol), col("bucket"))
-    val dest = versionDir(qual, embCol, manifest.version)
     bucketed.write.mode("overwrite").parquet(dest.toString)
-    manifest.version
+  }
+
+  /** Incremental refresh-on-append ([[IndexSegments]]): sign-LSH
+    * bucketing is a stateless per-row function of fixed hyperplanes, so
+    * the delta segment's assignments are bit-identical to what a full
+    * rebuild would produce — the segment union IS the rebuild. Falls
+    * back to [[build]] when the fast path doesn't apply (no prior
+    * index, vacuumed prior manifest, mutated old fragments). */
+  def refresh(spark: SparkSession, table: Path, idCol: String,
+      embCol: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val qual = fs.makeQualified(table)
+    val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $table"))
+    val prior = indexedVersions(spark, table, embCol).filter(_ <= manifest.version)
+    if (prior.isEmpty) return build(spark, table, idCol, embCol)
+    val v1 = prior.max
+    if (v1 == manifest.version) return v1
+    val oldManifest =
+      try GraftFormat.readManifest(fs, qual, v1)
+      catch { case _: java.io.FileNotFoundException =>
+        return build(spark, table, idCol, embCol) }
+    GraftFormat.appendedDelta(oldManifest, manifest) match {
+      case None => build(spark, table, idCol, embCol)
+      case Some(delta) =>
+        val root = indexRoot(qual, embCol)
+        val priorSegs =
+          IndexSegments.expandPrior(fs, root, versionDir(qual, embCol, v1))
+        val dest = versionDir(qual, embCol, manifest.version)
+        val segs =
+          if (delta.isEmpty) priorSegs
+          else {
+            val segName = IndexSegments.newSegmentName()
+            writeSegment(spark, qual,
+              manifest.copy(fragments = delta,
+                properties = manifest.properties -- GraftFormat.ClusteringProps),
+              idCol, embCol, new Path(root, segName))
+            priorSegs :+ segName
+          }
+        IndexSegments.write(fs, dest, IndexSegments.SegManifest(segs, Map.empty))
+        manifest.version
+    }
   }
 
   /** The (idCol, bucket) index for the table's LATEST version, if one
-    * was built; None means build (or fall back to scan-time bucketing). */
+    * was built; None means build (or fall back to scan-time bucketing).
+    * A refreshed index reads as the union of its segments. */
   def readCurrent(spark: SparkSession, table: Path, embCol: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = table.getFileSystem(conf)
     val qual = fs.makeQualified(table)
     val current = GraftFormat.latestVersion(fs, qual).getOrElse(return None)
-    val dir = versionDir(qual, embCol, current)
-    if (!fs.exists(dir)) None
-    else Some(spark.read.parquet(dir.toString))
+    val dirs = IndexSegments.dataDirs(fs, indexRoot(qual, embCol),
+      versionDir(qual, embCol, current))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }
 
   /** Versions with a persisted index for `embCol`. */
@@ -139,6 +192,7 @@ object VectorIndex {
       }
 
       val dest = versionDir(qual, embCol, manifest.version)
+      fs.delete(IndexSegments.manifestPath(dest), false)
       spark.createDataset(centroids.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")
@@ -152,7 +206,10 @@ object VectorIndex {
     }
 
     /** (centroids, assignments) for the table's LATEST version, if an
-      * index was built at it; None = stale or absent. */
+      * index was built at it; None = stale or absent. A refreshed
+      * version serves the union of its assignment segments; its
+      * centroids live in the version dir itself (copied at refresh —
+      * they are nLists×dim, a few KB). */
     def readCurrent(spark: SparkSession, table: Path,
         embCol: String): Option[(DataFrame, DataFrame)] = {
       val conf = spark.sessionState.newHadoopConf()
@@ -160,10 +217,92 @@ object VectorIndex {
       val qual = fs.makeQualified(table)
       val current = GraftFormat.latestVersion(fs, qual).getOrElse(return None)
       val dir = versionDir(qual, embCol, current)
-      if (!fs.exists(dir)) None
+      val dirs = IndexSegments.dataDirs(fs, root(qual, embCol), dir)
+      if (dirs.isEmpty) None
       else Some((
         spark.read.parquet(new Path(dir, "centroids").toString),
-        spark.read.parquet(new Path(dir, "assign").toString)))
+        spark.read.parquet(dirs.map(d => new Path(d, "assign").toString): _*)))
+    }
+
+    /** Versions with a persisted IVF index for `embCol`. */
+    def indexedVersions(spark: SparkSession, table: Path,
+        embCol: String): Seq[Long] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val r = root(fs.makeQualified(table), embCol)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+    }
+
+    /** Incremental refresh-on-append ([[IndexSegments]]): the trained
+      * coarse quantizer is FROZEN — appended vectors are assigned to
+      * the EXISTING centroids (the same contract as Lance's index
+      * updates over new fragments: cover the delta, retrain only on
+      * explicit rebuild) and written as one new assignment segment;
+      * centroids are copied into the new version dir (a few KB).
+      * Because assignment is a pure function of the frozen centroids,
+      * probe results over the refreshed index equal a probe over
+      * "rebuild with these centroids" exactly. Falls back to a full
+      * [[build]] (which RETRAINS) when the fast path doesn't apply. */
+    def refresh(spark: SparkSession, table: Path, idCol: String,
+        embCol: String, nLists: Int = 16, iters: Int = 4,
+        trainCap: Long = 100000L): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val qual = fs.makeQualified(table)
+      val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+        throw new IllegalArgumentException(s"not a graft table: $table"))
+      val prior = indexedVersions(spark, table, embCol)
+        .filter(_ <= manifest.version)
+      if (prior.isEmpty)
+        return build(spark, table, idCol, embCol, nLists, iters, trainCap)
+      val v1 = prior.max
+      if (v1 == manifest.version) return v1
+      val oldManifest =
+        try GraftFormat.readManifest(fs, qual, v1)
+        catch { case _: java.io.FileNotFoundException =>
+          return build(spark, table, idCol, embCol, nLists, iters, trainCap) }
+      GraftFormat.appendedDelta(oldManifest, manifest) match {
+        case None => build(spark, table, idCol, embCol, nLists, iters, trainCap)
+        case Some(delta) =>
+          val r = root(qual, embCol)
+          val priorDir = versionDir(qual, embCol, v1)
+          val priorSegs = IndexSegments.expandPrior(fs, r, priorDir)
+          val dest = versionDir(qual, embCol, manifest.version)
+          val centDF = spark.read
+            .parquet(new Path(priorDir, "centroids").toString)
+          val segs =
+            if (delta.isEmpty) priorSegs
+            else {
+              val cents = centDF.collect()
+                .map(row => row.getInt(0) -> row.getSeq[Double](1).toArray)
+                .sortBy(_._1).map(_._2)
+              val df = GraftShim.tableDF(spark,
+                new GraftTable(s"index:$qual#delta", qual,
+                  manifest.copy(fragments = delta,
+                    properties = manifest.properties -- GraftFormat.ClusteringProps),
+                  conf))
+                .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
+              import spark.implicits._
+              val bc = spark.sparkContext.broadcast(cents)
+              val segName = IndexSegments.newSegmentName()
+              df.as[(Long, Seq[Float])]
+                .map { case (id, e) => (id, Ivf.nearest(bc.value, e)) }
+                .toDF("__id", "cid")
+                .select(col("__id").as(idCol), col("cid"))
+                .write.mode("overwrite")
+                .parquet(new Path(new Path(r, segName), "assign").toString)
+              priorSegs :+ segName
+            }
+          centDF.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(dest, "centroids").toString)
+          IndexSegments.write(fs, dest,
+            IndexSegments.SegManifest(segs, Map.empty))
+          manifest.version
+      }
     }
 
     /** Lloyd's k-means on a driver-bounded sample: deterministic
@@ -345,6 +484,7 @@ object VectorIndex {
       }.toDF("__id", "cid", "code")
 
       val dest = versionDir(qual, embCol, manifest.version)
+      fs.delete(IndexSegments.manifestPath(dest), false)
       spark.createDataset(cents.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")
@@ -363,7 +503,9 @@ object VectorIndex {
     }
 
     /** (centroids, codebooks, codes) at the table's LATEST version;
-      * None = stale or absent. */
+      * None = stale or absent. A refreshed version serves the union of
+      * its code segments; centroids/codebooks live in the version dir
+      * itself (copied at refresh — a few hundred KB at most). */
     def readCurrent(spark: SparkSession, table: Path, embCol: String)
         : Option[(DataFrame, DataFrame, DataFrame)] = {
       val conf = spark.sessionState.newHadoopConf()
@@ -371,11 +513,114 @@ object VectorIndex {
       val qual = fs.makeQualified(table)
       val current = GraftFormat.latestVersion(fs, qual).getOrElse(return None)
       val dir = versionDir(qual, embCol, current)
-      if (!fs.exists(dir)) None
+      val dirs = IndexSegments.dataDirs(fs, root(qual, embCol), dir)
+      if (dirs.isEmpty) None
       else Some((
         spark.read.parquet(new Path(dir, "centroids").toString),
         spark.read.parquet(new Path(dir, "codebooks").toString),
-        spark.read.parquet(new Path(dir, "codes").toString)))
+        spark.read.parquet(dirs.map(d => new Path(d, "codes").toString): _*)))
+    }
+
+    /** Versions with a persisted IVF_PQ index for `embCol`. */
+    def indexedVersions(spark: SparkSession, table: Path,
+        embCol: String): Seq[Long] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val r = root(fs.makeQualified(table), embCol)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+    }
+
+    /** Incremental refresh-on-append ([[IndexSegments]]): coarse
+      * centroids AND per-subspace codebooks are FROZEN — appended
+      * vectors are coarse-assigned and PQ-encoded against the existing
+      * trained structures and written as one new code segment;
+      * centroids/codebooks are copied into the new version dir. Falls
+      * back to a full retraining [[build]] when the fast path doesn't
+      * apply. */
+    def refresh(spark: SparkSession, table: Path, idCol: String,
+        embCol: String, nLists: Int = 16, m: Int = 16, iters: Int = 4,
+        trainCap: Long = 100000L): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.getFileSystem(conf)
+      val qual = fs.makeQualified(table)
+      val manifest = GraftFormat.readLatest(fs, qual).getOrElse(
+        throw new IllegalArgumentException(s"not a graft table: $table"))
+      val prior = indexedVersions(spark, table, embCol)
+        .filter(_ <= manifest.version)
+      if (prior.isEmpty)
+        return build(spark, table, idCol, embCol, nLists, m, iters, trainCap)
+      val v1 = prior.max
+      if (v1 == manifest.version) return v1
+      val oldManifest =
+        try GraftFormat.readManifest(fs, qual, v1)
+        catch { case _: java.io.FileNotFoundException =>
+          return build(spark, table, idCol, embCol, nLists, m, iters, trainCap) }
+      GraftFormat.appendedDelta(oldManifest, manifest) match {
+        case None => build(spark, table, idCol, embCol, nLists, m, iters, trainCap)
+        case Some(delta) =>
+          val r = root(qual, embCol)
+          val priorDir = versionDir(qual, embCol, v1)
+          val priorSegs = IndexSegments.expandPrior(fs, r, priorDir)
+          val dest = versionDir(qual, embCol, manifest.version)
+          val centDF = spark.read
+            .parquet(new Path(priorDir, "centroids").toString)
+          val bookDF = spark.read
+            .parquet(new Path(priorDir, "codebooks").toString)
+          val segs =
+            if (delta.isEmpty) priorSegs
+            else {
+              val cents = centDF.collect()
+                .map(row => row.getInt(0) -> row.getSeq[Double](1).toArray)
+                .sortBy(_._1).map(_._2)
+              val books: Array[Array[Array[Double]]] = bookDF.collect()
+                .map(row => (row.getInt(0), row.getInt(1),
+                  row.getSeq[Double](2).toArray))
+                .groupBy(_._1).toSeq.sortBy(_._1)
+                .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+              val mm = books.length
+              val sub = cents.head.length / mm
+              val df = GraftShim.tableDF(spark,
+                new GraftTable(s"index:$qual#delta", qual,
+                  manifest.copy(fragments = delta,
+                    properties = manifest.properties -- GraftFormat.ClusteringProps),
+                  conf))
+                .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
+              import spark.implicits._
+              val bcC = spark.sparkContext.broadcast(cents)
+              val bcB = spark.sparkContext.broadcast(books)
+              val segName = IndexSegments.newSegmentName()
+              df.as[(Long, Seq[Float])].map { case (id, e) =>
+                val cs = bcC.value; val bks = bcB.value
+                val cid = Ivf.nearest(cs, e)
+                val cent = cs(cid)
+                val code = new Array[Byte](mm)
+                var j = 0
+                while (j < mm) {
+                  val p = new Array[Double](sub)
+                  var i = 0
+                  while (i < sub) { p(i) = e(j * sub + i) - cent(j * sub + i); i += 1 }
+                  code(j) = Ivf.nearestD(bks(j), p).toByte
+                  j += 1
+                }
+                (id, cid, code)
+              }.toDF("__id", "cid", "code")
+                .select(col("__id").as(idCol), col("cid"), col("code"))
+                .write.mode("overwrite")
+                .parquet(new Path(new Path(r, segName), "codes").toString)
+              priorSegs :+ segName
+            }
+          centDF.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(dest, "centroids").toString)
+          bookDF.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(dest, "codebooks").toString)
+          IndexSegments.write(fs, dest,
+            IndexSegments.SegManifest(segs, Map.empty))
+          manifest.version
+      }
     }
 
     /** Flattened m×256 ADC lookup table for one (query, list) pair:

@@ -153,13 +153,13 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def candidatePlan(table: GraftTable, embName: String,
       qv: Array[Double]): Option[(LogicalPlan, String)] = {
     val fs = table.dir.getFileSystem(table.conf)
-    val (vdir, assignFile) =
+    val (idxRoot, vdir, assignFile) =
       Seq((s"$embName.ivfpq", "codes"), (s"$embName.ivf", "assign"))
         .map { case (kind, file) =>
-          (new Path(new Path(GraftFormat.indicesDir(table.dir), kind),
-            s"v=${table.manifest.version}"), file)
+          val root = new Path(GraftFormat.indicesDir(table.dir), kind)
+          (root, new Path(root, s"v=${table.manifest.version}"), file)
         }
-        .find { case (dir, _) => fs.exists(dir) }
+        .find { case (_, dir, _) => fs.exists(dir) }
         .getOrElse(return None)
     val cents = AnnTopKIndexRewrite.centroids(spark, vdir)
     val nprobe = spark.conf.get("spark.graft.ann.nprobe", "4").toInt
@@ -172,7 +172,13 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
-    val assign = spark.read.parquet(new Path(vdir, assignFile).toString)
+    // a refreshed index's assignments/codes are a segment union
+    // (IndexSegments merge-on-read); a monolithic index resolves to the
+    // version dir itself — centroids always live in the version dir
+    val assignDirs = graft.ops.IndexSegments.dataDirs(fs, idxRoot, vdir)
+      .map(d => new Path(d, assignFile).toString)
+    if (assignDirs.isEmpty) return None
+    val assign = spark.read.parquet(assignDirs: _*)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
     val cand = assign.filter(col("cid").isin(probed.toIndexedSeq: _*))

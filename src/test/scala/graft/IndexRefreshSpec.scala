@@ -1,0 +1,274 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IndexSegments, ScalarIndex, TextIndex, VectorIndex}
+
+/** Incremental index refresh-on-append (reference analog: Lance's
+  * automatic index updates over newly-written fragments,
+  * docs/src/performance.md "Index Usage"): refresh indexes ONLY the
+  * appended fragments, publishes a merge-on-read segment list, costs
+  * O(delta) by job metrics, and falls back to a full rebuild whenever
+  * the append-only fast path would be unsound. */
+class IndexRefreshSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-ir-wh").toString
+    spark.conf.set("spark.sql.catalog.ir", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ir.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.db")
+    dir
+  }
+
+  private def tablePath(name: String) =
+    new Path(s"file:$wh/db/$name.graft")
+
+  private def fs = tablePath("x").getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Total records read cluster-wide while `body` runs (listener-bus
+    * flush by polling to a stable value). */
+  private def recordsRead(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var spins = 0
+      while (acc.get() != prev && spins < 40) {
+        prev = acc.get(); Thread.sleep(100); spins += 1
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+
+  // ------------------------------------------------------------- scalar
+
+  test("scalar refresh: appended fragment joins pruning without re-scanning " +
+      "the corpus; stale-version lookups unchanged") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ir.db.s")
+    spark.sql("CREATE TABLE ir.db.s (k BIGINT, s STRING)")
+    // 4 interleaved fragments: every k in [0,4000) lives in exactly one
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO ir.db.s SELECT id * 4 + $i, concat('grp', $i) " +
+        "FROM range(0, 1000, 1, 1)")
+    }
+    val dir = tablePath("s")
+    val v1 = ScalarIndex.build(spark, dir, "k")
+    ScalarIndex.clearCaches()
+    // append 50 brand-new values as one fragment
+    spark.sql("INSERT INTO ir.db.s SELECT id + 4000, 'delta' FROM range(0, 50, 1, 1)")
+    val reads = recordsRead {
+      val v2 = ScalarIndex.refresh(spark, dir, "k")
+      assert(v2 == v1 + 1)
+    }
+    // O(delta): the 4000-row base corpus is never re-scanned — refresh
+    // reads the 50 appended rows plus index metadata (posting keys)
+    assert(reads < 4000 + 50 + 4200,
+      s"refresh read $reads records — smells like a corpus re-scan")
+    ScalarIndex.clearCaches()
+    val all = spark.table("ir.db.s")
+    // old value: exactly the one old fragment; new value: the delta one
+    assert(plannedPartitions(all.filter(col("k") === 1501L)) == 1)
+    assert(all.filter(col("k") === 1501L).count() == 1)
+    assert(plannedPartitions(all.filter(col("k") === 4010L)) == 1)
+    assert(all.filter(col("k") === 4010L).count() == 1)
+    // absent value still prunes everything across both segments
+    assert(plannedPartitions(all.filter(col("k") === 999999L)) == 0)
+    // ndv survives the merge for the CBO feed (≈4050 distinct)
+    val ndv = ScalarIndex.ndvAt(fs, dir, v1 + 1, "k").get
+    assert(ndv > 3600 && ndv < 4500, s"merged ndv off: $ndv")
+    // the prior version's monolithic index still answers (time travel)
+    val oldFrags = ScalarIndex.fragmentsForValues(fs, dir, v1, "k",
+      org.apache.spark.sql.types.LongType, Seq(1501L)).get
+    assert(oldFrags.size == 1)
+  }
+
+  test("scalar refresh falls back to a full rebuild when old fragments were " +
+      "mutated (DELETE)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ir.db.sm")
+    spark.sql("CREATE TABLE ir.db.sm (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO ir.db.sm SELECT id, 'a' FROM range(0, 100, 1, 1)")
+    val dir = tablePath("sm")
+    ScalarIndex.build(spark, dir, "k")
+    spark.sql("DELETE FROM ir.db.sm WHERE k < 10")
+    spark.sql("INSERT INTO ir.db.sm SELECT id + 100, 'b' FROM range(0, 10, 1, 1)")
+    ScalarIndex.clearCaches()
+    val v = ScalarIndex.refresh(spark, dir, "k")
+    // fallback rebuild is monolithic: no segment manifest
+    val vdir = new Path(ScalarIndex.indexRoot(fs.makeQualified(dir), "k"), s"v=$v")
+    assert(!fs.exists(IndexSegments.manifestPath(vdir)),
+      "mutated history must trigger a monolithic rebuild")
+    ScalarIndex.clearCaches()
+    val all = spark.table("ir.db.sm")
+    assert(all.filter(col("k") === 105L).count() == 1)
+    assert(all.filter(col("k") === 5L).count() == 0)
+  }
+
+  // --------------------------------------------------------------- text
+
+  test("text refresh: BM25 over segments equals a full rebuild score for " +
+      "score; duplicate doc_id appends fall back to rebuild") {
+    wh
+    for (t <- Seq("d", "dtwin", "ddup")) spark.sql(s"DROP TABLE IF EXISTS ir.db.$t")
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("ir_docs")
+    spark.sql("CREATE TABLE ir.db.d AS SELECT * FROM ir_docs")
+    val dir = tablePath("d")
+    val v1 = TextIndex.build(spark, dir, "doc_id", "text")
+    spark.sql("INSERT INTO ir.db.d VALUES " +
+      "(999991, 'vector join filter vector', 'en', 'web', 26), " +
+      "(999992, 'filter filter join', 'en', 'web', 18)")
+    val v2 = TextIndex.refresh(spark, dir, "doc_id", "text")
+    assert(v2 == v1 + 1)
+    // twin table with the identical corpus, indexed monolithically
+    spark.sql("CREATE TABLE ir.db.dtwin AS SELECT * FROM ir.db.d")
+    TextIndex.build(spark, tablePath("dtwin"), "doc_id", "text")
+    val terms = Seq("vector", "join", "filter")
+    val seg = TextIndex.searchCurrent(spark, dir, "text", terms, 50)
+      .get.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mono = TextIndex.searchCurrent(spark, tablePath("dtwin"), "text", terms, 50)
+      .get.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(seg == mono, s"segmented BM25 diverged: ${seg.take(3)} vs ${mono.take(3)}")
+    assert(seg.exists(_._1 == 999991L), "appended doc must rank")
+
+    // duplicate doc_id in the delta -> tf/dl facts would double-count:
+    // refresh must detect and rebuild monolithically
+    spark.sql("CREATE TABLE ir.db.ddup AS SELECT * FROM ir_docs")
+    val ddir = tablePath("ddup")
+    TextIndex.build(spark, ddir, "doc_id", "text")
+    val existing = spark.table("ir.db.ddup").select("doc_id").head().getLong(0)
+    spark.sql(s"INSERT INTO ir.db.ddup VALUES ($existing, 'vector join', 'en', 'web', 11)")
+    val vd = TextIndex.refresh(spark, ddir, "doc_id", "text")
+    val vdir = new Path(TextIndex.indexRoot(fs.makeQualified(ddir), "text"), s"v=$vd")
+    assert(!fs.exists(IndexSegments.manifestPath(vdir)),
+      "duplicate ids must trigger a monolithic rebuild")
+    assert(TextIndex.searchCurrent(spark, ddir, "text", terms, 50).isDefined)
+  }
+
+  // ------------------------------------------------------------- vector
+
+  test("ivf refresh: frozen centroids, delta-only assignment; lsh refresh " +
+      "equals a rebuild exactly") {
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-ivfr").resolve("e.graft").toUri)
+    val lfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(lfs, dir, e, overwrite = true)
+    val n = e.count()
+    import graft.ops.VectorIndex.Ivf
+    Ivf.build(spark, dir, "vec_id", "embedding", nLists = 8)
+    val (cents1, _) = Ivf.readCurrent(spark, dir, "embedding").get
+    val pinned = cents1.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    VectorIndex.build(spark, dir, "vec_id", "embedding")
+
+    val delta = e.limit(7)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"), col("label"))
+    graft.connector.GraftWriter.write(lfs, dir, delta, overwrite = false)
+
+    val reads = recordsRead {
+      Ivf.refresh(spark, dir, "vec_id", "embedding", nLists = 8)
+      VectorIndex.refresh(spark, dir, "vec_id", "embedding")
+    }
+    assert(reads < n, s"refresh read $reads records over a $n-row corpus " +
+      "— smells like a re-scan/retrain")
+
+    val (cents2, assign2) = Ivf.readCurrent(spark, dir, "embedding").get
+    assert(cents2.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).sameElements(pinned), "refresh must not retrain centroids")
+    assert(assign2.count() == n + 7, "every row incl. delta must be assigned")
+    // delta assignments equal a fresh nearest-centroid computation
+    val cArr = pinned.map(_._2.toArray)
+    val got = assign2.filter(col("vec_id") >= 500000L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    delta.select("vec_id", "embedding").collect().foreach { r =>
+      val want = Ivf.nearest(cArr, r.getSeq[Float](1))
+      assert(got(r.getLong(0)) == want, s"delta row ${r.getLong(0)} misassigned")
+    }
+    // LSH: stateless bucketing -> segment union IS the rebuild
+    val seg = VectorIndex.readCurrent(spark, dir, "embedding").get
+    val full = graft.operators.VectorOps
+      .withLshBucket(e.select("vec_id", "embedding")
+        .unionAll(delta.select("vec_id", "embedding")), "embedding")
+      .select("vec_id", "bucket")
+    assert(seg.except(full).isEmpty && full.except(seg).isEmpty,
+      "refreshed LSH index must equal scan-time bucketing exactly")
+  }
+
+  test("pq refresh: frozen codebooks encode the delta; ADC probe serves all rows") {
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-pqr").resolve("e.graft").toUri)
+    val lfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(lfs, dir, e, overwrite = true)
+    import graft.ops.VectorIndex.Pq
+    Pq.build(spark, dir, "vec_id", "embedding", nLists = 8, m = 8)
+    val (_, books1, _) = Pq.readCurrent(spark, dir, "embedding").get
+    val booksPinned = books1.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).sortBy(t => (t._1, t._2))
+    graft.connector.GraftWriter.write(lfs, dir,
+      e.limit(4).select((col("vec_id") + 600000).as("vec_id"),
+        col("embedding"), col("label")),
+      overwrite = false)
+    Pq.refresh(spark, dir, "vec_id", "embedding", nLists = 8, m = 8)
+    val (_, books2, codes2) = Pq.readCurrent(spark, dir, "embedding").get
+    assert(books2.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).sameElements(booksPinned),
+      "refresh must not retrain codebooks")
+    assert(codes2.count() == e.count() + 4)
+    assert(codes2.filter(col("vec_id") >= 600000L).count() == 4)
+    assert(codes2.select(length(col("code"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8), "delta codes must be m bytes")
+  }
+
+  // ------------------------------------------------------------- vacuum
+
+  test("vacuum keeps index dirs referenced by a retained refresh chain, " +
+      "drops unreferenced ones; search still answers") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ir.db.vc")
+    Tables.load(spark, sf, "documents").limit(120).createOrReplaceTempView("ir_vc")
+    spark.sql("CREATE TABLE ir.db.vc AS SELECT * FROM ir_vc")
+    val dir = tablePath("vc")
+    val v1 = TextIndex.build(spark, dir, "doc_id", "text")
+    spark.sql("INSERT INTO ir.db.vc VALUES (888801, 'vector join probe', 'en', 'web', 17)")
+    val v2 = TextIndex.refresh(spark, dir, "doc_id", "text")
+    val root = TextIndex.indexRoot(fs.makeQualified(dir), "text")
+    val segs = IndexSegments.read(fs, new Path(root, s"v=$v2")).get.segments
+    assert(segs.contains(s"v=$v1") && segs.exists(_.startsWith("seg-")),
+      s"refresh chain malformed: $segs")
+    // plant an orphan segment: nothing references it -> vacuum garbage
+    fs.mkdirs(new Path(root, "seg-orphan-test"))
+
+    // retain only the latest version: v1's manifest drops, but v=1's
+    // index content is REFERENCED by v=2's segment manifest -> survives
+    graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+    assert(graft.format.GraftFormat.listVersions(fs, dir) == Seq(v2))
+    assert(fs.exists(new Path(root, s"v=$v1")),
+      "index content referenced by a retained refresh chain must survive vacuum")
+    assert(!fs.exists(new Path(root, "seg-orphan-test")),
+      "unreferenced segments are garbage")
+    val hits = TextIndex.searchCurrent(spark, dir, "text",
+      Seq("vector", "join"), 20).get.collect()
+    assert(hits.exists(_.getLong(0) == 888801L),
+      "post-vacuum search must still serve the refreshed chain")
+  }
+}
