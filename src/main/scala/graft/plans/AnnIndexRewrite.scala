@@ -26,12 +26,21 @@ import graft.functions.{CosineSim, L2Squared}
   * over a graft relation (optionally through a Project) and
   * replaces the corpus with a LEFT SEMI join against the ids of the
   * `nprobe` nearest IVF lists, so only nprobe/nLists of the corpus is
-  * scanned and sorted. The result is APPROXIMATE (that is the point),
-  * so the rule only fires when `spark.graft.ann.indexRewrite=true` —
-  * same contract as the reference, where building a vector index makes
-  * ANN queries approximate.
+  * scanned and sorted.
   *
-  * Conf: `spark.graft.ann.indexRewrite` (default false),
+  * Firing contract (matches the reference): building a vector index is
+  * the opt-in — once a `_indices/` sidecar exists at the scan's exact
+  * version, ANN queries become approximate index probes automatically,
+  * exactly as the reference's scans flip vector indexes on when the
+  * Lance sidecar is present (LanceFragmentPageSource.java:126). The
+  * staleness gate is exact-version match ([[candidatePlan]]): any
+  * commit after the build makes the index invisible, so a stale index
+  * can never change results — queries silently revert to the exact
+  * scan until a rebuild/refresh.
+  *
+  * Conf: `spark.graft.ann.indexRewrite` — `auto` (default: probe when
+  * a current index exists), `true` (same), `false` (never rewrite —
+  * force exact results even where an index exists);
   * `spark.graft.ann.nprobe` (default 4).
   *
   * Scale shape: centroids (k×dim doubles) are read once per (table,
@@ -46,7 +55,7 @@ import graft.functions.{CosineSim, L2Squared}
 case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.get("spark.graft.ann.indexRewrite", "false").toBoolean)
+    if (spark.conf.get("spark.graft.ann.indexRewrite", "auto") == "false")
       return plan
     plan.transformDown {
       // column pruning may slide a Project between the limit and the

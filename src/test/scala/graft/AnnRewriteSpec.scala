@@ -149,15 +149,19 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("rewrite does not fire: conf off, no index, non-literal query") {
+  test("rewrite does not fire: conf false, no index, non-literal query") {
     dir
-    // conf off (rule installed but disabled)
+    // conf explicitly false forces exact results despite the index
     val rule = graft.plans.AnnTopKIndexRewrite(spark)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ rule
+    spark.conf.set("spark.graft.ann.indexRewrite", "false")
     try assert(semiJoins(topK(5)) == 0)
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    finally {
+      spark.conf.unset("spark.graft.ann.indexRewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
     withRule {
       // ascending sort (farthest-first) must not be rewritten
       val asc = tableDF.orderBy(VectorFunctions.cosine_sim(
@@ -168,6 +172,50 @@ class AnnRewriteSpec extends AnyFunSuite {
         col("embedding"), col("embedding")).desc).limit(5)
       assert(semiJoins(cc) == 0)
     }
+  }
+
+  test("auto-fire: a fresh index probes with NO session conf set; a stale " +
+      "index silently reverts to the exact scan") {
+    // own table: appends here must not stale the shared fixture
+    val d = new Path(java.nio.file.Files
+      .createTempDirectory("graft-annauto").resolve("e.graft").toUri)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(fs, d, e, overwrite = true)
+    Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+    def df = {
+      val conf = spark.sessionState.newHadoopConf()
+      val manifest = graft.format.GraftFormat.readLatest(fs, d).get
+      org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"annauto:$d", d, manifest, conf))
+    }
+    def q = df.orderBy(VectorFunctions.cosine_sim(
+      col("embedding"), typedlit(queryVec)).desc).limit(5).select("vec_id")
+    val rule = graft.plans.AnnTopKIndexRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    assert(spark.conf.getOption("spark.graft.ann.indexRewrite").isEmpty,
+      "precondition: no session conf")
+    try {
+      // index presence alone flips the probe on (reference contract:
+      // a built vector index makes ANN approximate automatically)
+      assert(semiJoins(q) == 1,
+        "fresh index + no conf must auto-fire:\n" + q.queryExecution.optimizedPlan)
+      // append -> version mismatch -> the probe must NOT fire, and the
+      // result must be the exact scan's
+      graft.connector.GraftWriter.write(fs, d,
+        e.limit(2).select((col("vec_id") + 900000).as("vec_id"),
+          col("embedding"), col("label")),
+        overwrite = false)
+      val stale = q
+      assert(semiJoins(stale) == 0,
+        "stale index must be invisible — exactness over staleness")
+      val exactNoRule = df.orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc).limit(5).select("vec_id")
+      assert(stale.collect().map(_.getLong(0)).toSeq ==
+        exactNoRule.collect().map(_.getLong(0)).toSeq)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
   }
 
   test("GraftExtensions injects the native SQL functions at session " +
