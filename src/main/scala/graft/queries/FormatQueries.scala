@@ -515,6 +515,38 @@ object FormatQueries {
       s.sql("CREATE TABLE graft.db.ord_addr AS SELECT * FROM ord_addr_src")
       s.table("graft.db.ord_addr")
         .agg(countDistinct(col("_row_address")).as("n_rows"))
+    },
+
+    // Object-store deployment: the ENTIRE table lifecycle — distributed
+    // parquet write, fragment adoption, conditional-put manifest CAS,
+    // deletion-vector write, merge-on-read scan with ranged GETs — runs
+    // over real s3a:// URIs against an in-process S3 REST endpoint
+    // (reference analog: the S3/LocalStack conformance leg,
+    // TestLanceS3DefaultConnectorTest.java, LanceQueryRunner.java:82-94).
+    Q("g17_s3_object_store",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |WHERE c_custkey % 3 <> 0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+      "CTAS + DELETE + aggregate read-back over s3a:// (in-process S3)") { (s, d) =>
+      val srv = graft.sources.S3LiteServer.shared
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
+      s.conf.set("spark.sql.catalog.graft_s3", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_s3.warehouse", "s3a://graft/wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_s3.db")
+      s.sql("DROP TABLE IF EXISTS graft_s3.db.cust_s3")
+      Tables.load(s, d, "customer").createOrReplaceTempView("cust_s3_src")
+      s.sql("CREATE TABLE graft_s3.db.cust_s3 AS SELECT * FROM cust_s3_src")
+      s.sql("DELETE FROM graft_s3.db.cust_s3 WHERE c_custkey % 3 = 0")
+      s.table("graft_s3.db.cust_s3")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("c_mktsegment")
     }
   )
 }

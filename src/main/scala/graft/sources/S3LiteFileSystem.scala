@@ -1,0 +1,441 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI, URL, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A dependency-free Hadoop FileSystem speaking the S3 REST protocol
+  * (path-style requests) against any S3-compatible endpoint. Reference
+  * analog: the S3/LocalStack conformance leg the reference treats as a
+  * first-class deployment (TestLanceS3DefaultConnectorTest.java,
+  * LanceQueryRunner.java:82-94). hadoop-aws is not on this classpath,
+  * so the wire protocol is implemented directly over the JDK HTTP
+  * client — tests register this class as `fs.s3a.impl` and drive the
+  * full catalog/commit/scan/DML surface over real `s3a://` URIs
+  * against an in-process S3 server.
+  *
+  * Semantics mirror a real object store, NOT a filesystem:
+  *  - no atomic rename: rename = server-side COPY (x-amz-copy-source)
+  *    + DELETE, per object;
+  *  - directories are virtual: mkdirs is a no-op, a "directory" exists
+  *    iff some key extends its prefix (probed via ListObjectsV2 with
+  *    max-keys=1);
+  *  - create(overwrite=false) is a TRUE conditional put: the object
+  *    body uploads with `If-None-Match: *` and a lost race surfaces as
+  *    HTTP 412 at close() — mapped to FileAlreadyExistsException, which
+  *    is exactly the contract [[graft.format.GraftFormat.createExclusive]]'s
+  *    'conditional' strategy requires. The capability is advertised via
+  *    `fs.capability.conditional.create` (same capability hadoop-aws
+  *    >= 3.4.1 advertises with fs.s3a.create.conditional.enabled);
+  *  - recursive delete pages keys and issues S3 multi-object DELETE
+  *    (POST ?delete, up to 1000 keys per request) — one round-trip per
+  *    page, not per key, so vacuum over a 100 TB table is O(pages);
+  *  - reads are ranged GETs (`Range: bytes=a-b`), so a parquet footer
+  *    probe never downloads the fragment.
+  *
+  * Auth is intentionally out of scope (SigV4 signing adds nothing to
+  * the commit-protocol proof); the endpoint is taken from
+  * [[S3LiteFileSystem.EndpointKey]].
+  */
+class S3LiteFileSystem extends FileSystem {
+
+  import S3LiteFileSystem._
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var workingDir: Path = _
+  private var listPageSize: Int = 1000
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    bucket = name.getAuthority
+    endpoint = conf.getTrimmed(EndpointKey, "")
+    if (endpoint.isEmpty)
+      throw new IOException(s"$EndpointKey is required for ${name.getScheme}:// access")
+    if (endpoint.endsWith("/")) endpoint = endpoint.dropRight(1)
+    listPageSize = conf.getInt(ListPageSizeKey, 1000)
+    workingDir = new Path(fsUri.toString + "/")
+    statistics = FileSystem.getStatistics(name.getScheme, getClass)
+  }
+
+  override def getScheme: String = if (fsUri == null) "s3a" else fsUri.getScheme
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    capability == "fs.capability.conditional.create" ||
+      super.hasPathCapability(path, capability)
+
+  /** Object key for a path: qualified, authority-stripped, no leading slash. */
+  private def key(p: Path): String = {
+    val raw = makeQualified(p).toUri.getPath
+    if (raw.startsWith("/")) raw.drop(1) else raw
+  }
+
+  // -------------------------------------------------------------- HTTP
+
+  private def connect(method: String, k: String, query: String = null,
+      headers: Map[String, String] = Map.empty): HttpURLConnection = {
+    val encKey = k.split('/').map(seg =>
+      URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
+    val q = if (query == null) "" else s"?$query"
+    val url = new URL(s"$endpoint/$bucket/$encKey$q")
+    val c = url.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(30000)
+    c.setReadTimeout(120000)
+    headers.foreach { case (h, v) => c.setRequestProperty(h, v) }
+    c
+  }
+
+  private def drain(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  private def finish(c: HttpURLConnection): (Int, Array[Byte]) = {
+    val code = c.getResponseCode
+    val body =
+      if (code >= 400) { Option(c.getErrorStream).map(drain).getOrElse(Array.empty) }
+      else drain(c.getInputStream)
+    (code, body)
+  }
+
+  // ------------------------------------------------------------ status
+
+  /** HEAD the object; None on 404. */
+  private def headObject(k: String): Option[FileStatus] = {
+    val c = connect("HEAD", k)
+    val code = c.getResponseCode
+    c.disconnect()
+    if (code == 200) {
+      val len = c.getHeaderFieldLong("Content-Length", 0L)
+      val mtime = c.getHeaderFieldDate("Last-Modified", 0L)
+      Some(new FileStatus(len, false, 1, DefaultBlockSize, mtime,
+        makeQualified(new Path("/" + k))))
+    } else None
+  }
+
+  /** A "directory" exists iff some key extends `k/` (or k is the root). */
+  private def isPrefix(k: String): Boolean =
+    k.isEmpty || listPage(k + "/", delimiter = null, maxKeys = 1, token = null)
+      ._1.nonEmpty
+
+  override def getFileStatus(p: Path): FileStatus = {
+    val k = key(p)
+    if (k.isEmpty)
+      return new FileStatus(0, true, 1, DefaultBlockSize, 0, makeQualified(p))
+    headObject(k) match {
+      case Some(st) => st
+      case None if isPrefix(k) =>
+        new FileStatus(0, true, 1, DefaultBlockSize, 0, makeQualified(p))
+      case None => throw new FileNotFoundException(p.toString)
+    }
+  }
+
+  override def exists(p: Path): Boolean =
+    try { getFileStatus(p); true } catch { case _: FileNotFoundException => false }
+
+  // -------------------------------------------------------------- list
+
+  /** One ListObjectsV2 page: (contents (key,size,mtime), commonPrefixes,
+    * nextToken). */
+  private def listPage(prefix: String, delimiter: String, maxKeys: Int,
+      token: String): (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
+    val qs = new StringBuilder("list-type=2")
+    qs.append("&prefix=").append(URLEncoder.encode(prefix, UTF_8.name))
+    if (delimiter != null)
+      qs.append("&delimiter=").append(URLEncoder.encode(delimiter, UTF_8.name))
+    qs.append("&max-keys=").append(maxKeys)
+    if (token != null)
+      qs.append("&continuation-token=").append(URLEncoder.encode(token, UTF_8.name))
+    val (code, body) = finish(connect("GET", "", qs.toString))
+    if (code != 200) throw new IOException(s"LIST $prefix -> HTTP $code")
+    parseListXml(new String(body, UTF_8))
+  }
+
+  private def listAll(prefix: String, delimiter: String): (Seq[(String, Long, Long)], Seq[String]) = {
+    val contents = Seq.newBuilder[(String, Long, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      val (cs, ps, next) = listPage(prefix, delimiter, listPageSize, token.orNull)
+      contents ++= cs
+      prefixes ++= ps
+      token = next
+    }
+    (contents.result(), prefixes.result().distinct)
+  }
+
+  override def listStatus(p: Path): Array[FileStatus] = {
+    val k = key(p)
+    headObject(k) match {
+      case Some(st) => Array(st)
+      case None =>
+        val prefix = if (k.isEmpty) "" else k + "/"
+        val (contents, prefixes) = listAll(prefix, "/")
+        if (k.nonEmpty && contents.isEmpty && prefixes.isEmpty)
+          throw new FileNotFoundException(p.toString)
+        val files = contents.map { case (ck, size, mtime) =>
+          new FileStatus(size, false, 1, DefaultBlockSize, mtime,
+            makeQualified(new Path("/" + ck)))
+        }
+        val dirs = prefixes.map { pre =>
+          new FileStatus(0, true, 1, DefaultBlockSize, 0,
+            makeQualified(new Path("/" + pre.stripSuffix("/"))))
+        }
+        (files ++ dirs).toArray
+    }
+  }
+
+  // -------------------------------------------------------------- read
+
+  override def open(p: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(p)
+    if (st.isDirectory) throw new FileNotFoundException(s"is a directory: $p")
+    new FSDataInputStream(new S3Input(key(p), st.getLen))
+  }
+
+  /** Seekable + positioned reads over ranged GETs. Every read fetches
+    * exactly the requested byte range — parquet's footer-then-column
+    * access pattern never pulls the whole object. */
+  private class S3Input(k: String, len: Long) extends FSInputStream {
+    private var pos = 0L
+    private var closed = false
+
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new java.io.EOFException(s"seek($p) len=$len")
+      pos = p
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    private def rangeGet(start: Long, n: Int): Array[Byte] = {
+      val end = math.min(len, start + n) - 1
+      val (code, body) = finish(connect("GET", k,
+        headers = Map("Range" -> s"bytes=$start-$end")))
+      if (code != 206 && code != 200)
+        throw new IOException(s"GET $k range $start-$end -> HTTP $code")
+      body
+    }
+
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (closed) throw new IOException("stream closed")
+      if (pos >= len) return -1
+      val n = math.min(l.toLong, len - pos).toInt
+      if (n <= 0) return 0
+      val data = rangeGet(pos, n)
+      System.arraycopy(data, 0, b, off, data.length)
+      pos += data.length
+      data.length
+    }
+
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Int = {
+      if (position >= len) return -1
+      val n = math.min(length.toLong, len - position).toInt
+      if (n <= 0) return 0
+      val data = rangeGet(position, n)
+      System.arraycopy(data, 0, buffer, offset, data.length)
+      data.length
+    }
+
+    override def available(): Int = math.min(len - pos, Int.MaxValue.toLong).toInt
+    override def close(): Unit = { closed = true }
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Buffered upload; the object materializes atomically at close().
+    * overwrite=false carries `If-None-Match: *` and maps 412 to
+    * FileAlreadyExistsException — a true store-enforced conditional put. */
+  private class S3Output(k: String, overwrite: Boolean) extends OutputStream {
+    private val buf = new ByteArrayOutputStream()
+    override def write(b: Int): Unit = buf.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      buf.write(b, off, len)
+    override def close(): Unit = {
+      val headers =
+        if (overwrite) Map.empty[String, String]
+        else Map("If-None-Match" -> "*")
+      val c = connect("PUT", k, headers = headers)
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(buf.size())
+      val out = c.getOutputStream
+      buf.writeTo(out)
+      out.close()
+      val (code, _) = finish(c)
+      if (code == 412)
+        throw new FileAlreadyExistsException(s"conditional put lost: $k")
+      if (code != 200)
+        throw new IOException(s"PUT $k -> HTTP $code")
+    }
+  }
+
+  override def create(p: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val k = key(p)
+    if (k.isEmpty) throw new IOException("cannot create bucket root")
+    // no client-side exists pre-check: the STORE enforces exclusivity
+    // via If-None-Match at close() (412 -> FileAlreadyExistsException),
+    // which is the only race-free contract an object store offers
+    new FSDataOutputStream(new S3Output(k, overwrite), statistics)
+  }
+
+  override def append(p: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("object store: no append")
+
+  override def mkdirs(p: Path, permission: FsPermission): Boolean = true
+
+  // ------------------------------------------------------------ delete
+
+  /** Multi-object delete: POST ?delete with up to 1000 keys per page. */
+  private def deleteBatch(keys: Seq[String]): Unit =
+    keys.grouped(1000).foreach { page =>
+      val xml = new StringBuilder("<Delete>")
+      page.foreach(k => xml.append("<Object><Key>").append(xmlEsc(k))
+        .append("</Key></Object>"))
+      xml.append("</Delete>")
+      val c = connect("POST", "", "delete")
+      c.setDoOutput(true)
+      val bytes = xml.toString.getBytes(UTF_8)
+      c.setFixedLengthStreamingMode(bytes.length)
+      val out = c.getOutputStream
+      out.write(bytes)
+      out.close()
+      val (code, _) = finish(c)
+      if (code != 200) throw new IOException(s"multi-delete -> HTTP $code")
+    }
+
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    val k = key(p)
+    headObject(k) match {
+      case Some(_) =>
+        val (code, _) = finish(connect("DELETE", k))
+        code == 204 || code == 200
+      case None =>
+        val prefix = if (k.isEmpty) "" else k + "/"
+        val (contents, _) = listAll(prefix, null)
+        if (contents.isEmpty) return false
+        if (!recursive)
+          throw new IOException(s"directory not empty: $p")
+        deleteBatch(contents.map(_._1))
+        true
+    }
+  }
+
+  // ------------------------------------------------------------ rename
+
+  private def copyObject(src: String, dst: String): Unit = {
+    val c = connect("PUT", dst,
+      headers = Map("x-amz-copy-source" -> s"/$bucket/$src"))
+    val (code, _) = finish(c)
+    if (code != 200) throw new IOException(s"COPY $src -> $dst: HTTP $code")
+  }
+
+  /** Object-store rename: per-object server-side COPY then DELETE.
+    * NOT atomic — the graft commit protocol never relies on rename
+    * atomicity over schemes in the conditional-put set (the manifest
+    * CAS is the only commit point; data files are invisible until a
+    * manifest references them). Follows the Hadoop contract: renaming
+    * onto an existing directory moves the source UNDER it. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val sk = key(src)
+    val dstStatus = try Some(getFileStatus(dst)) catch {
+      case _: FileNotFoundException => None
+    }
+    val effDst = dstStatus match {
+      case Some(st) if st.isDirectory => new Path(dst, src.getName)
+      case Some(_) => return false // dst file exists
+      // no dst-parent existence check: directories are virtual and only
+      // exist once populated, so a parent probe would reject legitimate
+      // first-object renames (e.g. staging -> data/ fragment adoption)
+      case None => dst
+    }
+    val dk = key(effDst)
+    if (sk == dk) return true
+    headObject(sk) match {
+      case Some(_) =>
+        if (headObject(dk).isDefined) return false
+        copyObject(sk, dk)
+        finish(connect("DELETE", sk))
+        true
+      case None if isPrefix(sk) =>
+        val (contents, _) = listAll(sk + "/", null)
+        contents.foreach { case (ck, _, _) =>
+          copyObject(ck, dk + "/" + ck.stripPrefix(sk + "/"))
+        }
+        deleteBatch(contents.map(_._1))
+        true
+      case None => false
+    }
+  }
+
+  // --------------------------------------------------------- XML parse
+
+  private def parseListXml(xml: String): (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
+    val contents = ContentsRe.findAllMatchIn(xml).map { m =>
+      val block = m.group(1)
+      val k = tagValue(block, "Key").getOrElse("")
+      val size = tagValue(block, "Size").map(_.toLong).getOrElse(0L)
+      // S3 ISO8601 instant, e.g. 2009-10-12T17:50:30.000Z
+      val mtime = tagValue(block, "LastModified")
+        .flatMap(s => scala.util.Try(
+          java.time.Instant.parse(s).toEpochMilli).toOption)
+        .getOrElse(0L)
+      (xmlUnesc(k), size, mtime)
+    }.toSeq
+    val prefixes = PrefixRe.findAllMatchIn(xml)
+      .flatMap(m => tagValue(m.group(1), "Prefix")).map(xmlUnesc).toSeq
+    val token = tagValue(xml, "NextContinuationToken").map(xmlUnesc)
+    (contents, prefixes, token)
+  }
+}
+
+object S3LiteFileSystem {
+  /** Endpoint URL of the S3-compatible store, e.g. http://127.0.0.1:9000 */
+  val EndpointKey = "graft.s3.endpoint"
+
+  /** ListObjectsV2 page size (max-keys). Default 1000, S3's ceiling. */
+  val ListPageSizeKey = "graft.s3.list.pageSize"
+
+  private val DefaultBlockSize = 32L * 1024 * 1024
+
+  private val ContentsRe = "(?s)<Contents>(.*?)</Contents>".r
+  private val PrefixRe = "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r
+
+  private def tagValue(xml: String, tag: String): Option[String] =
+    s"(?s)<$tag>(.*?)</$tag>".r.findFirstMatchIn(xml).map(_.group(1))
+
+  private[graft] def xmlEsc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c => c.toString
+  }
+
+  private[graft] def xmlUnesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+}

@@ -1,0 +1,226 @@
+package graft
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat
+import graft.format.GraftFormat.Manifest
+import graft.sources.{S3LiteFileSystem, S3LiteServer}
+
+/** S3 deployment conformance over REAL s3a:// URIs and real HTTP
+  * (reference matrix: TestLanceS3DefaultConnectorTest.java,
+  * TestLanceS3SingleLevelConnectorSmokeTest.java, runner wiring at
+  * LanceQueryRunner.java:82-94 — LocalStack replaced by the in-process
+  * [[S3LiteServer]], hadoop-aws by the wire-compatible
+  * [[S3LiteFileSystem]], since neither ships offline).
+  *
+  * Wire counters prove the protocol features actually crossed HTTP:
+  * conditional puts carry If-None-Match and losers get 412; parquet
+  * scans issue ranged GETs; recursive deletes use multi-object DELETE.
+  */
+class S3IntegrationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val srv = S3LiteServer.shared
+
+  private def newConf(pageSize: Int = 1000): Configuration = {
+    val conf = new Configuration()
+    conf.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+    conf.set(S3LiteFileSystem.EndpointKey, srv.endpoint)
+    conf.setInt(S3LiteFileSystem.ListPageSizeKey, pageSize)
+    conf.setBoolean("fs.s3a.impl.disable.cache", true)
+    conf
+  }
+
+  private def fsFor(bucket: String, pageSize: Int = 1000): FileSystem =
+    new Path(s"s3a://$bucket/").getFileSystem(newConf(pageSize))
+
+  private def writeObj(fs: FileSystem, p: Path, content: String,
+      overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readObj(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("fs contract: put/get/ranged read/list/rename/delete over HTTP") {
+    val fs = fsFor("contract")
+    val base = new Path("s3a://contract/a")
+    writeObj(fs, new Path(base, "x.txt"), "hello s3 world")
+    writeObj(fs, new Path(base, "sub/y.txt"), "nested")
+
+    // status + read-back
+    val st = fs.getFileStatus(new Path(base, "x.txt"))
+    assert(!st.isDirectory && st.getLen == 14)
+    assert(st.getModificationTime > 0, "LastModified must round-trip")
+    assert(readObj(fs, new Path(base, "x.txt")) == "hello s3 world")
+
+    // ranged read: seek + positioned read hit the Range path
+    val before = srv.rangeGets.get()
+    val in = fs.open(new Path(base, "x.txt"))
+    try {
+      in.seek(6)
+      val buf = new Array[Byte](2)
+      in.readFully(buf)
+      assert(new String(buf, "UTF-8") == "s3")
+      val buf2 = new Array[Byte](5)
+      in.readFully(0L, buf2)
+      assert(new String(buf2, "UTF-8") == "hello")
+    } finally in.close()
+    assert(srv.rangeGets.get() > before, "reads must use ranged GETs")
+
+    // directory emulation: virtual dirs, delimiter listing
+    assert(fs.getFileStatus(base).isDirectory)
+    val names = fs.listStatus(base).map(_.getPath.getName).sorted
+    assert(names.sameElements(Array("sub", "x.txt")), names.mkString(","))
+
+    // rename = COPY + DELETE on the wire
+    val copiesBefore = srv.copies.get()
+    assert(fs.rename(new Path(base, "x.txt"), new Path(base, "z.txt")))
+    assert(srv.copies.get() > copiesBefore)
+    assert(!fs.exists(new Path(base, "x.txt")))
+    assert(readObj(fs, new Path(base, "z.txt")) == "hello s3 world")
+    // rename onto an existing directory moves the source UNDER it
+    assert(fs.rename(new Path(base, "z.txt"), new Path(base, "sub")))
+    assert(readObj(fs, new Path(base, "sub/z.txt")) == "hello s3 world")
+
+    // recursive delete goes through multi-object DELETE
+    val mdBefore = srv.multiDeletes.get()
+    assert(fs.delete(base, true))
+    assert(srv.multiDeletes.get() > mdBefore)
+    assert(!fs.exists(base))
+  }
+
+  test("list pagination: continuation tokens traverse >1 page") {
+    val fs = fsFor("paging", pageSize = 25)
+    val dir = new Path("s3a://paging/many")
+    (0 until 90).foreach(i => writeObj(fs, new Path(dir, f"k$i%04d"), i.toString))
+    val listsBefore = srv.lists.get()
+    val listed = fs.listStatus(dir)
+    assert(listed.length == 90)
+    assert(srv.lists.get() - listsBefore >= 4,
+      "90 keys at page size 25 must take >= 4 LIST round-trips")
+    fs.delete(dir, true)
+  }
+
+  test("conditional put: If-None-Match crosses the wire, loser gets 412") {
+    val fs = fsFor("cas")
+    val p = new Path("s3a://cas/obj")
+    val condBefore = srv.conditionalPuts.get()
+    val lostBefore = srv.lostRaces.get()
+    writeObj(fs, p, "first", overwrite = false)
+    intercept[FileAlreadyExistsException] {
+      writeObj(fs, p, "second", overwrite = false)
+    }
+    assert(readObj(fs, p) == "first", "losing put must not overwrite")
+    assert(srv.conditionalPuts.get() >= condBefore + 1)
+    assert(srv.lostRaces.get() == lostBefore + 1,
+      "the loss must be store-enforced (HTTP 412), not a client pre-check")
+    assert(fs.hasPathCapability(p, "fs.capability.conditional.create"))
+    fs.delete(p, false)
+  }
+
+  test("8-writer commit storm over s3a: gapless CAS chain, typed losers") {
+    val fs = fsFor("storm")
+    val dir = new Path("s3a://storm/t.graft")
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    val writers = 8
+    val commitsEach = 5
+    val pool = Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { w =>
+        pool.submit(new Callable[Unit] {
+          override def call(): Unit =
+            (1 to commitsEach).foreach { i =>
+              GraftFormat.commitWithRetry(fs, dir) { base =>
+                Manifest(
+                  version = base.map(_.version + 1).getOrElse(1L),
+                  schemaJson = schemaJson,
+                  fragments = Seq.empty,
+                  maxFragmentId = 0,
+                  createdAtMs = System.currentTimeMillis(),
+                  operation = if (base.isEmpty) "Create" else "Append",
+                  properties = Map("writer" -> w.toString, "seq" -> i.toString))
+              }
+            }
+        })
+      }
+      futures.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    val total = writers * commitsEach
+    val versions = GraftFormat.listVersions(fs, dir)
+    assert(versions == (1L to total.toLong),
+      s"version chain has gaps or extras: $versions")
+    val identities = versions.map { v =>
+      val m = GraftFormat.readManifest(fs, dir, v)
+      assert(m.version == v)
+      (m.properties("writer"), m.properties("seq"))
+    }
+    assert(identities.distinct.size == total,
+      "a commit landed at two versions (overwrite/duplication)")
+    fs.delete(new Path("s3a://storm/"), true)
+  }
+
+  test("spark lifecycle over s3a: ctas, append, dv delete, time travel") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+    hc.set(S3LiteFileSystem.EndpointKey, srv.endpoint)
+    spark.conf.set("spark.sql.catalog.s3it", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.s3it.warehouse", "s3a://sparkit/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS s3it.db")
+    spark.sql("DROP TABLE IF EXISTS s3it.db.nat")
+
+    val nation = Tables.load(spark, sf, "nation")
+    nation.createOrReplaceTempView("s3_nat_src")
+
+    val condBefore = srv.conditionalPuts.get()
+    spark.sql("CREATE TABLE s3it.db.nat AS SELECT * FROM s3_nat_src")
+    assert(srv.conditionalPuts.get() > condBefore,
+      "manifest commit must use a wire-level conditional put")
+
+    // scan back over HTTP — parquet footers read via ranged GETs
+    val rangeBefore = srv.rangeGets.get()
+    assert(spark.table("s3it.db.nat").count() == 25)
+    assert(srv.rangeGets.get() > rangeBefore,
+      "parquet scan must issue ranged GETs, not whole-object downloads")
+
+    // append -> v2; DV delete -> v3; verify merge-on-read + time travel
+    spark.sql("INSERT INTO s3it.db.nat SELECT * FROM s3_nat_src")
+    assert(spark.table("s3it.db.nat").count() == 50)
+    spark.sql("DELETE FROM s3it.db.nat WHERE n_regionkey = 0")
+    val afterDelete = spark.table("s3it.db.nat").count()
+    val expectDeleted = 2 * nation.filter(col("n_regionkey") === 0).count()
+    assert(afterDelete == 50 - expectDeleted)
+    assert(spark.sql("SELECT * FROM s3it.db.nat VERSION AS OF 1").count() == 25)
+    assert(spark.sql("SELECT * FROM s3it.db.nat VERSION AS OF 2").count() == 50)
+
+    // predicate pushdown still reaches the scan over s3a
+    val pruned = spark.table("s3it.db.nat").filter(col("n_nationkey") === 7)
+    assert(pruned.count() == (50 - expectDeleted) / 25 ||
+      pruned.count() <= 2) // nation 7 not in region 0 -> 2 copies
+    spark.sql("DROP TABLE s3it.db.nat")
+    assert(srv.objectCount("sparkit") < 5,
+      "drop must leave no orphan objects behind")
+  }
+
+  test("g17 gate query answers correctly over s3a") {
+    val df = SparkEntry.queries("g17_s3_object_store")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val expected = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 3 =!= 0).count()
+    assert(n == expected, s"s3a read-back row count $n != $expected")
+  }
+}
