@@ -241,6 +241,7 @@ class S3LiteFileSystem extends FileSystem {
 
     override def read(b: Array[Byte], off: Int, l: Int): Int = {
       if (closed) throw new IOException("stream closed")
+      if (l == 0) return 0 // InputStream contract: len 0 -> 0 even at EOF
       if (pos >= len) return -1
       val n = math.min(l.toLong, len - pos).toInt
       if (n <= 0) return 0
@@ -252,6 +253,7 @@ class S3LiteFileSystem extends FileSystem {
 
     override def read(position: Long, buffer: Array[Byte], offset: Int,
         length: Int): Int = {
+      if (length == 0) return 0
       if (position >= len) return -1
       val n = math.min(length.toLong, len - position).toInt
       if (n <= 0) return 0
@@ -271,10 +273,13 @@ class S3LiteFileSystem extends FileSystem {
     * FileAlreadyExistsException — a true store-enforced conditional put. */
   private class S3Output(k: String, overwrite: Boolean) extends OutputStream {
     private val buf = new ByteArrayOutputStream()
+    private var closed = false
     override def write(b: Int): Unit = buf.write(b)
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       buf.write(b, off, len)
     override def close(): Unit = {
+      if (closed) return // idempotent: a second close must not re-PUT
+      closed = true
       val headers =
         if (overwrite) Map.empty[String, String]
         else Map("If-None-Match" -> "*")
@@ -349,8 +354,12 @@ class S3LiteFileSystem extends FileSystem {
   // ------------------------------------------------------------ rename
 
   private def copyObject(src: String, dst: String): Unit = {
+    // copy-source must be percent-encoded the same way object paths are,
+    // or keys with spaces/special chars miss against a real endpoint
+    val encSrc = src.split('/').map(seg =>
+      URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
     val c = connect("PUT", dst,
-      headers = Map("x-amz-copy-source" -> s"/$bucket/$src"))
+      headers = Map("x-amz-copy-source" -> s"/$bucket/$encSrc"))
     val (code, _) = finish(c)
     if (code != 200) throw new IOException(s"COPY $src -> $dst: HTTP $code")
   }

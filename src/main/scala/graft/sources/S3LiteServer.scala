@@ -98,7 +98,10 @@ class S3LiteServer {
         val copySource = ex.getRequestHeaders.getFirst("x-amz-copy-source")
         if (copySource != null) {
           copies.incrementAndGet()
-          Option(store.get(copySource.stripPrefix("/"))) match {
+          // copy-source arrives percent-encoded (same as object paths)
+          val srcId = copySource.stripPrefix("/").split('/')
+            .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
+          Option(store.get(srcId)) match {
             case Some(src) =>
               store.put(id, Obj(src.bytes, System.currentTimeMillis()))
               respond(ex, 200, copyResultXml())
@@ -127,19 +130,25 @@ class S3LiteServer {
             Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(r) =>
                 rangeGets.incrementAndGet()
-                val RangeRe = "bytes=(\\d+)-(\\d+)".r
-                r match {
-                  case RangeRe(a, b) =>
-                    val start = a.toLong
-                    val end = math.min(b.toLong, obj.bytes.length - 1L)
-                    if (start > end) respond(ex, 416, errXml("InvalidRange"))
-                    else {
-                      val slice = java.util.Arrays.copyOfRange(
-                        obj.bytes, start.toInt, end.toInt + 1)
-                      ex.getResponseHeaders.set("Content-Range",
-                        s"bytes $start-$end/${obj.bytes.length}")
-                      respond(ex, 206, slice)
-                    }
+                // all three RFC 7233 byte-range forms standard S3 clients
+                // use: bytes=a-b, open-ended bytes=a-, suffix bytes=-n
+                val ClosedRe = "bytes=(\\d+)-(\\d+)".r
+                val OpenRe = "bytes=(\\d+)-".r
+                val SuffixRe = "bytes=-(\\d+)".r
+                val len = obj.bytes.length.toLong
+                val parsed: Option[(Long, Long)] = r match {
+                  case ClosedRe(a, b) => Some((a.toLong, math.min(b.toLong, len - 1)))
+                  case OpenRe(a) => Some((a.toLong, len - 1))
+                  case SuffixRe(n) => Some((math.max(0L, len - n.toLong), len - 1))
+                  case _ => None
+                }
+                parsed match {
+                  case Some((start, end)) if start <= end && start < len =>
+                    val slice = java.util.Arrays.copyOfRange(
+                      obj.bytes, start.toInt, end.toInt + 1)
+                    ex.getResponseHeaders.set("Content-Range",
+                      s"bytes $start-$end/$len")
+                    respond(ex, 206, slice)
                   case _ => respond(ex, 416, errXml("InvalidRange"))
                 }
               case None => respond(ex, 200, obj.bytes)
@@ -212,8 +221,10 @@ class S3LiteServer {
           case Some(common) =>
             if (!prefixes.contains(common)) { prefixes += common; taken += 1 }
             // every key under the emitted prefix is covered by it; the
-            // resume point must skip the whole group
-            lastKey = k
+            // resume point must skip the WHOLE group, or the next page
+            // re-emits the same CommonPrefix (the token is the group's
+            // lexicographic upper bound: last char of the prefix + 1)
+            lastKey = common.init + (common.last + 1).toChar
           case None =>
             contents += ((k, obj)); taken += 1; lastKey = k
         }

@@ -111,6 +111,67 @@ class S3IntegrationSpec extends AnyFunSuite {
     fs.delete(dir, true)
   }
 
+  test("wire edge cases: range forms, encoded copy, zero-len read, double close") {
+    val fs = fsFor("edge")
+    val p = new Path("s3a://edge/base.bin")
+    writeObj(fs, p, "0123456789")
+
+    // open-ended (bytes=a-) and suffix (bytes=-n) ranges, straight HTTP —
+    // standard S3 clients/hadoop-aws use these; a LocalStack stand-in must too
+    def rawRange(range: String): (Int, String) = {
+      val c = new java.net.URL(s"${srv.endpoint}/edge/base.bin")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestProperty("Range", range)
+      val code = c.getResponseCode
+      val body = if (code < 400) {
+        val in = c.getInputStream
+        val bytes = in.readAllBytes(); in.close(); new String(bytes, "UTF-8")
+      } else { Option(c.getErrorStream).foreach(_.close()); "" }
+      (code, body)
+    }
+    assert(rawRange("bytes=3-6") == ((206, "3456")))
+    assert(rawRange("bytes=7-") == ((206, "789")))
+    assert(rawRange("bytes=-4") == ((206, "6789")))
+    assert(rawRange("bytes=99-")._1 == 416)
+
+    // copy of keys with spaces/specials: rename percent-encodes copy-source
+    val odd = new Path("s3a://edge/dir/a b+c%.txt")
+    writeObj(fs, odd, "odd name")
+    assert(fs.rename(odd, new Path("s3a://edge/dir/d e.txt")))
+    assert(readObj(fs, new Path("s3a://edge/dir/d e.txt")) == "odd name")
+
+    // zero-length read returns 0 even at EOF (InputStream contract)
+    val in = fs.open(p)
+    try {
+      in.seek(10)
+      assert(in.read(new Array[Byte](4), 0, 0) == 0)
+      assert(in.read(10L, new Array[Byte](4), 0, 0) == 0)
+      assert(in.read(new Array[Byte](4), 0, 4) == -1)
+    } finally in.close()
+
+    // double close must not re-PUT (nor re-send If-None-Match -> spurious 412)
+    val exc = new Path("s3a://edge/once")
+    val out = fs.create(exc, false)
+    out.write("one".getBytes("UTF-8"))
+    out.close()
+    out.close() // second close: must be a no-op
+    assert(readObj(fs, exc) == "one")
+
+    fs.delete(new Path("s3a://edge/"), true)
+  }
+
+  test("paged delimiter listing never duplicates a CommonPrefix") {
+    val fs = fsFor("prefpage", pageSize = 3)
+    val root = new Path("s3a://prefpage/r")
+    // 6 subdirs x 4 keys: groups straddle the 3-item page boundary
+    for (d <- 0 until 6; i <- 0 until 4)
+      writeObj(fs, new Path(root, f"d$d%02d/k$i"), "x")
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    assert(dirs.length == dirs.distinct.length, s"duplicate prefixes: ${dirs.mkString(",")}")
+    assert(dirs.sorted.sameElements((0 until 6).map(d => f"d$d%02d")))
+    fs.delete(new Path("s3a://prefpage/"), true)
+  }
+
   test("conditional put: If-None-Match crosses the wire, loser gets 412") {
     val fs = fsFor("cas")
     val p = new Path("s3a://cas/obj")
