@@ -202,6 +202,9 @@ object ManifestCache {
       val it = pinned.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(k + "@")) it.remove()
     }
+    // index segment-list resolutions live under the table path and die
+    // with the same events (drop/replace/vacuum)
+    graft.ops.IndexSegments.invalidateUnder(fs, table)
   }
 
   def clearAll(): Unit = {

@@ -33,6 +33,32 @@ object IndexSegments {
   val ManifestName = "_segments.json"
   private val mapper = new ObjectMapper()
 
+  // Resolved version -> data-directory lists, process-wide. A version
+  // dir's manifest state is fixed once the dir exists (refresh writes
+  // manifests only into NEW v=<V> dirs), so entries need no TTL — only
+  // invalidation on table drop/replace/vacuum (hooked from
+  // ManifestCache.purge) and on write (idempotency). Without this every
+  // index-backed query re-probes _segments.json — an exists + read +
+  // parse per index per query, two object-store round trips at scale.
+  private val resolvedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong()
+  val cacheMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  private def cacheKey(fs: FileSystem, versionDir: Path): String =
+    s"${fs.getUri}::${versionDir.toUri.getPath}"
+
+  /** Drop cached resolutions for every index version dir under `table`
+    * on this FileSystem — the table was dropped, replaced, or vacuumed. */
+  def invalidateUnder(fs: FileSystem, table: Path): Unit = {
+    val prefix = s"${fs.getUri}::${table.toUri.getPath}"
+    resolvedCache.keys.foreach { k =>
+      if (k.startsWith(prefix)) resolvedCache.remove(k)
+    }
+  }
+
+  def clearCache(): Unit = resolvedCache.clear()
+
   final case class SegManifest(segments: Seq[String], extra: Map[String, String])
 
   def manifestPath(versionDir: Path): Path = new Path(versionDir, ManifestName)
@@ -48,6 +74,7 @@ object IndexSegments {
     fs.mkdirs(versionDir)
     val out = fs.create(manifestPath(versionDir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    resolvedCache.remove(cacheKey(fs, versionDir))
   }
 
   def read(fs: FileSystem, versionDir: Path): Option[SegManifest] = {
@@ -68,7 +95,14 @@ object IndexSegments {
     * manifest-bearing version dir), else the version dir itself.
     * Returns Nil when the version dir does not exist. */
   def dataDirs(fs: FileSystem, indexRoot: Path, versionDir: Path): Seq[Path] = {
-    if (!fs.exists(versionDir)) return Seq.empty
+    val ck = cacheKey(fs, versionDir)
+    resolvedCache.get(ck) match {
+      case Some(dirs) =>
+        cacheHits.incrementAndGet()
+        return dirs.map(new Path(_))
+      case None => cacheMisses.incrementAndGet()
+    }
+    if (!fs.exists(versionDir)) return Seq.empty // absent: may appear later, never cached
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     def walk(dir: Path): Unit = read(fs, dir) match {
       case Some(m) => m.segments.foreach { rel =>
@@ -78,7 +112,9 @@ object IndexSegments {
       case None => seen += dir.toString
     }
     walk(versionDir)
-    seen.toSeq.map(new Path(_))
+    val out = seen.toSeq
+    resolvedCache.put(ck, out)
+    out.map(new Path(_))
   }
 
   /** The segment list a NEW manifest should carry to cover everything

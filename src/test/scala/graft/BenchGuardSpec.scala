@@ -28,8 +28,11 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.suspect(Seq(0.24, 0.25, 0.23), clean = true, Some(0.16)))
     // big ratio but tiny absolute gap (0.05s query): noise, not contention
     assert(!BenchGuard.suspect(Seq(0.14, 0.15, 0.14), clean = true, Some(0.05)))
-    // exactly-at-threshold stays clean (strict >): 0.90 = 1.8x of 0.50
-    assert(!BenchGuard.suspect(Seq(0.90, 0.90, 0.90), clean = true, Some(0.50)))
+    // exactly-at-threshold stays clean (strict >): 0.75 = 1.5x of 0.50
+    assert(!BenchGuard.suspect(Seq(0.75, 0.75, 0.75), clean = true, Some(0.50)))
+    // (0.90 uniform vs 0.50 — formerly clean at exactly 1.8x — now
+    // correctly retries under the r11 uniform-slowdown rule)
+    assert(BenchGuard.suspect(Seq(0.90, 0.90, 0.90), clean = true, Some(0.50)))
   }
 
   test("spread rule fires on a mid-sweep stall without any baseline") {
@@ -47,6 +50,23 @@ class BenchGuardSpec extends AnyFunSuite {
     // a genuine regression: rerun equally slow, original kept (no win either way)
     assert(!BenchGuard.rerunWins(Seq(0.64, 0.66, 0.62), Seq(0.65, 0.66, 0.64),
       rerunClean = true))
+  }
+
+  test("uniform-slowdown rule: three uniformly-slow repeats vs baseline retry") {
+    // r10's t16_decontamination: baseline 0.864s, repeats [1.30, 1.52,
+    // 1.63] — spread 1.25x (invisible to the spread rule), median 1.76x
+    // baseline (0.04 under the 1.8x trigger). Must now fire.
+    assert(BenchGuard.uniformSlowdown(Seq(1.30, 1.52, 1.63), Some(0.864)))
+    assert(BenchGuard.suspect(Seq(1.30, 1.52, 1.63), clean = true, Some(0.864)))
+    // r10's g01 drift (1.28 -> 1.64 = 1.28x): below 1.5x, stays quiet
+    assert(!BenchGuard.uniformSlowdown(Seq(1.60, 1.64, 1.70), Some(1.28)))
+    // 1.6x ratio but wide spread (one fast repeat): the uniform rule
+    // must not fire — that shape belongs to the spread/baseline rules
+    assert(!BenchGuard.uniformSlowdown(Seq(0.90, 1.55, 1.60), Some(0.95)))
+    // tiny absolute gap (0.08s on a 0.1s query): quiet under the gap floor
+    assert(!BenchGuard.uniformSlowdown(Seq(0.18, 0.18, 0.19), Some(0.10)))
+    // no committed baseline: rule cannot apply
+    assert(!BenchGuard.uniformSlowdown(Seq(1.30, 1.52, 1.63), None))
   }
 
   test("parseCommitted reads the writer's artifact shape, including reordering") {

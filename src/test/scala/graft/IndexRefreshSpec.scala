@@ -271,4 +271,50 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(hits.exists(_.getLong(0) == 888801L),
       "post-vacuum search must still serve the refreshed chain")
   }
+
+  // -------------------------------------------------- resolution cache
+
+  test("segment-list resolution is cached across queries; purge invalidates") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ir.db.segc")
+    spark.sql("CREATE TABLE ir.db.segc (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO ir.db.segc SELECT id, 'a' FROM range(0, 500, 1, 1)")
+    val dir = tablePath("segc")
+    val v1 = ScalarIndex.build(spark, dir, "k")
+    spark.sql("INSERT INTO ir.db.segc SELECT id + 500, 'b' FROM range(0, 50, 1, 1)")
+    val v2 = ScalarIndex.refresh(spark, dir, "k")
+    assert(v2 == v1 + 1)
+
+    val qual = fs.makeQualified(dir)
+    val root = ScalarIndex.indexRoot(qual, "k")
+    val vdir = new Path(root, s"v=$v2")
+    IndexSegments.clearCache()
+
+    val d1 = IndexSegments.dataDirs(fs, root, vdir)
+    assert(d1.size == 2, s"expected prior + delta segment, got $d1")
+    val misses = IndexSegments.cacheMisses.get()
+    val hits = IndexSegments.cacheHits.get()
+    val d2 = IndexSegments.dataDirs(fs, root, vdir)
+    assert(d2.map(_.toString) == d1.map(_.toString))
+    assert(IndexSegments.cacheMisses.get() == misses &&
+      IndexSegments.cacheHits.get() == hits + 1,
+      "second resolution must be a pure cache hit (zero FS reads)")
+
+    // real queries resolve through the same cache: two index-pruned
+    // scans cost zero additional misses
+    ScalarIndex.clearCaches()
+    val before = IndexSegments.cacheMisses.get()
+    val t = spark.table("ir.db.segc")
+    assert(t.filter(org.apache.spark.sql.functions.col("k") === 10L).count() == 1)
+    assert(t.filter(org.apache.spark.sql.functions.col("k") === 510L).count() == 1)
+    assert(IndexSegments.cacheMisses.get() <= before + 1,
+      "per-query re-resolution: segment manifest read more than once")
+
+    // drop purges the resolution (same event that purges manifests)
+    spark.sql("DROP TABLE ir.db.segc")
+    val m2 = IndexSegments.cacheMisses.get()
+    assert(IndexSegments.dataDirs(fs, root, vdir).isEmpty)
+    assert(IndexSegments.cacheMisses.get() == m2 + 1,
+      "drop must invalidate cached segment resolutions for the table")
+  }
 }
