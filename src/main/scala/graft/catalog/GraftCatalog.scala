@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
@@ -238,7 +238,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    fs.listStatus(warehouse)
+    // a brand-new warehouse root may not exist yet (object stores have
+    // no empty directories): zero namespaces, not an error
+    (try fs.listStatus(warehouse)
+     catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
       .filter(st => st.isDirectory && !st.getPath.getName.endsWith(".graft"))
       .map(st => Array(st.getPath.getName))
 

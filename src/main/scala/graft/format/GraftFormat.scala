@@ -478,7 +478,11 @@ object GraftFormat {
     * format_version 1 tables are written without sizeBytes/stats content
     * (the fields serialize as 0/empty) to stay readable by v1 readers. */
   def commit(fs: FileSystem, table: Path, m: Manifest): Unit = {
-    init(fs, table)
+    // only the chain's first commit may need the layout dirs; for v2+
+    // they exist by construction, and re-probing them here would sit on
+    // the readLatest->CAS critical path (on an object store that is
+    // real HTTP round trips, widening the race window under contention)
+    if (m.version == 1L) init(fs, table)
     val toWrite =
       if (m.formatVersion >= 2) m
       else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))

@@ -22,9 +22,11 @@ import org.apache.hadoop.util.Progressable
   * Semantics mirror a real object store, NOT a filesystem:
   *  - no atomic rename: rename = server-side COPY (x-amz-copy-source)
   *    + DELETE, per object;
-  *  - directories are virtual: mkdirs is a no-op, a "directory" exists
-  *    iff some key extends its prefix (probed via ListObjectsV2 with
-  *    max-keys=1);
+  *  - directories are virtual: a "directory" exists iff some key
+  *    extends its prefix (probed via ListObjectsV2 with max-keys=1);
+  *    mkdirs on an empty prefix writes a `key/` directory-marker object
+  *    (hadoop-aws convention) so empty namespaces are visible; the
+  *    self-marker is invisible to listings and emptiness checks;
   *  - create(overwrite=false) is a TRUE conditional put: the object
   *    body uploads with `If-None-Match: *` and a lost race surfaces as
   *    HTTP 412 at close() — mapped to FileAlreadyExistsException, which
@@ -85,7 +87,7 @@ class S3LiteFileSystem extends FileSystem {
 
   private def connect(method: String, k: String, query: String = null,
       headers: Map[String, String] = Map.empty): HttpURLConnection = {
-    val encKey = k.split('/').map(seg =>
+    val encKey = k.split("/", -1).map(seg =>
       URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
     val q = if (query == null) "" else s"?$query"
     val url = new URL(s"$endpoint/$bucket/$encKey$q")
@@ -188,9 +190,10 @@ class S3LiteFileSystem extends FileSystem {
       case Some(st) => Array(st)
       case None =>
         val prefix = if (k.isEmpty) "" else k + "/"
-        val (contents, prefixes) = listAll(prefix, "/")
-        if (k.nonEmpty && contents.isEmpty && prefixes.isEmpty)
+        val (all, prefixes) = listAll(prefix, "/")
+        if (k.nonEmpty && all.isEmpty && prefixes.isEmpty)
           throw new FileNotFoundException(p.toString)
+        val contents = all.filterNot(_._1 == prefix) // self dir-marker
         val files = contents.map { case (ck, size, mtime) =>
           new FileStatus(size, false, 1, DefaultBlockSize, mtime,
             makeQualified(new Path("/" + ck)))
@@ -312,7 +315,20 @@ class S3LiteFileSystem extends FileSystem {
       progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("object store: no append")
 
-  override def mkdirs(p: Path, permission: FsPermission): Boolean = true
+  /** Directory-marker semantics (same convention as hadoop-aws): an
+    * empty object at `key/` makes an empty "directory" visible, so
+    * CREATE NAMESPACE on an object-store warehouse exists before any
+    * table populates it. Listings and emptiness checks treat the
+    * self-marker as invisible. */
+  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
+    val k = key(p)
+    if (k.isEmpty || isPrefix(k)) return true // root, or already populated
+    if (headObject(k).isDefined)
+      throw new IOException(s"file exists at directory path: $p")
+    val out = new S3Output(k + "/", overwrite = true)
+    out.close()
+    true
+  }
 
   // ------------------------------------------------------------ delete
 
@@ -344,7 +360,8 @@ class S3LiteFileSystem extends FileSystem {
         val prefix = if (k.isEmpty) "" else k + "/"
         val (contents, _) = listAll(prefix, null)
         if (contents.isEmpty) return false
-        if (!recursive)
+        // an empty directory is its marker alone — deletable either way
+        if (!recursive && contents.exists(_._1 != prefix))
           throw new IOException(s"directory not empty: $p")
         deleteBatch(contents.map(_._1))
         true
@@ -356,7 +373,7 @@ class S3LiteFileSystem extends FileSystem {
   private def copyObject(src: String, dst: String): Unit = {
     // copy-source must be percent-encoded the same way object paths are,
     // or keys with spaces/special chars miss against a real endpoint
-    val encSrc = src.split('/').map(seg =>
+    val encSrc = src.split("/", -1).map(seg =>
       URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
     val c = connect("PUT", dst,
       headers = Map("x-amz-copy-source" -> s"/$bucket/$encSrc"))

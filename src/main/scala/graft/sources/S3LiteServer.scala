@@ -88,7 +88,7 @@ class S3LiteServer {
     val bucket = if (slash < 0) raw else raw.take(slash)
     val key =
       if (slash < 0) ""
-      else raw.drop(slash + 1).split('/')
+      else raw.drop(slash + 1).split("/", -1)
         .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
     val query = parseQuery(ex.getRequestURI.getRawQuery)
     val id = s"$bucket/$key"
@@ -99,7 +99,7 @@ class S3LiteServer {
         if (copySource != null) {
           copies.incrementAndGet()
           // copy-source arrives percent-encoded (same as object paths)
-          val srcId = copySource.stripPrefix("/").split('/')
+          val srcId = copySource.stripPrefix("/").split("/", -1)
             .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
           Option(store.get(srcId)) match {
             case Some(src) =>
