@@ -193,6 +193,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: JMap[String, String]): StagedTable = {
     if (GraftFormat.exists(fs, tableDir(ident)))
       throw new TableAlreadyExistsException(ident)
+    // CTAS into a namespace that does not exist is SCHEMA_NOT_FOUND,
+    // same as plain CREATE TABLE (reference: testCreateTableAsSelect-
+    // SchemaNotFound) — without this the staged commit would silently
+    // materialize the namespace
+    if (!isDir(tableDir(ident).getParent))
+      throw new NoSuchNamespaceException(ident.namespace())
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
       replace = false, GraftCatalog.userProperties(properties), conf)
   }
@@ -210,9 +216,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): StagedTable =
+      properties: JMap[String, String]): StagedTable = {
+    if (!isDir(tableDir(ident).getParent))
+      throw new NoSuchNamespaceException(ident.namespace())
     new StagedGraftTable(ident.toString, tableDir(ident), schema,
       replace = true, GraftCatalog.userProperties(properties), conf)
+  }
 
   /** Schema evolution as a metadata-only Evolve commit (extension —
     * the reference's only schema change is CREATE OR REPLACE):
@@ -378,10 +387,37 @@ object GraftCatalog {
     * (BaseLanceConnectorTest.java:174-180 — "Lance does not support
     * column names with special characters like dots"); a dot would also
     * be ambiguous with nested-field access in SQL. */
-  def validateColumnNames(schema: StructType): Unit =
+  def validateColumnNames(schema: StructType): Unit = {
     schema.fieldNames.filter(_.contains(".")).foreach { n =>
       throw new IllegalArgumentException(
         s"graft (like the reference) does not support column names " +
           s"containing dots: '$n'")
     }
+    // typed unsupported-type errors at CREATE time (reference analog:
+    // BaseLanceConnectorTest.java:148-164 type gates): parquet cannot
+    // represent a void column, and letting one through produces
+    // confusing failures on later scans/DML instead of here
+    def checkType(path: String, dt: org.apache.spark.sql.types.DataType): Unit =
+      dt match {
+        case org.apache.spark.sql.types.NullType =>
+          throw new IllegalArgumentException(
+            s"column '$path' has unsupported type VOID (all-NULL, no " +
+              "declared type); CAST the value to a concrete type, e.g. " +
+              s"CAST(NULL AS STRING) AS $path")
+        case _: org.apache.spark.sql.types.CalendarIntervalType =>
+          throw new IllegalArgumentException(
+            s"column '$path' has unsupported type INTERVAL; store the " +
+              "two ANSI interval types (YEAR TO MONTH / DAY TO SECOND) " +
+              "or a BIGINT of micros instead")
+        case s: StructType =>
+          s.fields.foreach(f => checkType(s"$path.${f.name}", f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          checkType(s"$path.element", a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          checkType(s"$path.key", m.keyType)
+          checkType(s"$path.value", m.valueType)
+        case _ => ()
+      }
+    schema.fields.foreach(f => checkType(f.name, f.dataType))
+  }
 }
