@@ -102,8 +102,12 @@ object TextIndex {
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#tok", "true")
       .parquet(new Path(dest, "postings").toString)
+    // doc_min/doc_max let refresh prove delta-vs-index doc_id
+    // disjointness from ONE metadata row per segment instead of a
+    // postings scan (O(segments), not O(index))
     val meta = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
-      sum(col("dl")).as("sumdl"))
+      sum(col("dl")).as("sumdl"),
+      min(col("doc_id")).as("doc_min"), max(col("doc_id")).as("doc_max"))
     meta.write.mode("overwrite").parquet(new Path(dest, "meta").toString)
     val row = spark.read.parquet(new Path(dest, "meta").toString).head()
     (row.getAs[Long]("n"), row.getAs[Long]("sumdl"))
@@ -168,18 +172,36 @@ object TextIndex {
         val deltaManifest = manifest.copy(fragments = delta,
           properties = manifest.properties -- GraftFormat.ClusteringProps)
         if (spark.conf.get(VerifyDisjointKey, "true").toBoolean) {
-          // column-pruned doc_id-only scan of existing postings — index
-          // I/O, never a corpus re-scan
-          val oldIds = priorSegs.map(s => spark.read
-              .parquet(new Path(new Path(root, s), "postings").toString)
-              .select("doc_id"))
-            .reduce(_ unionAll _).distinct()
-          val deltaIds = GraftShim.tableDF(spark,
+          // fast path: each segment's meta row carries its doc_id
+          // [min, max] — when the delta's id range is disjoint from
+          // every segment's, disjointness is proven from O(segments)
+          // metadata rows (the steady-state monotone-id ingest shape).
+          // Only on range overlap (or a pre-range legacy segment) does
+          // the exact column-pruned postings doc_id check run.
+          val deltaRange = GraftShim.tableDF(spark,
               new GraftTable(s"index:$qual#delta", qual, deltaManifest, conf))
-            .select(col(idCol).cast("long").as("doc_id")).distinct()
-          if (deltaIds.join(oldIds, Seq("doc_id"), "left_semi").limit(1)
-              .count() > 0)
-            return build(spark, table, idCol, textCol)
+            .agg(min(col(idCol).cast("long")).as("lo"),
+              max(col(idCol).cast("long")).as("hi")).head()
+          val (dLo, dHi) = (deltaRange.getLong(0), deltaRange.getLong(1))
+          val segMetas = priorSegs.map(s => spark.read
+            .parquet(new Path(new Path(root, s), "meta").toString).head())
+          val disjointByRange = segMetas.forall { r =>
+            r.schema.fieldNames.contains("doc_min") && !r.isNullAt(
+              r.fieldIndex("doc_min")) &&
+              (dLo > r.getAs[Long]("doc_max") || dHi < r.getAs[Long]("doc_min"))
+          }
+          if (!disjointByRange) {
+            val oldIds = priorSegs.map(s => spark.read
+                .parquet(new Path(new Path(root, s), "postings").toString)
+                .select("doc_id"))
+              .reduce(_ unionAll _).distinct()
+            val deltaIds = GraftShim.tableDF(spark,
+                new GraftTable(s"index:$qual#delta", qual, deltaManifest, conf))
+              .select(col(idCol).cast("long").as("doc_id")).distinct()
+            if (deltaIds.join(oldIds, Seq("doc_id"), "left_semi").limit(1)
+                .count() > 0)
+              return build(spark, table, idCol, textCol)
+          }
         }
         val segName = IndexSegments.newSegmentName()
         val (n1, sum1) = writeSegment(spark, fs, qual, deltaManifest,

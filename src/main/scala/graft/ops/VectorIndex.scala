@@ -25,6 +25,18 @@ import graft.operators.VectorOps
   */
 object VectorIndex {
 
+  /** Publish a frozen trained structure (centroids/codebooks parquet
+    * dir) under a new version by FILE copy, not a Spark read+rewrite:
+    * the structure is immutable by the refresh contract, and a Spark
+    * rewrite costs a full extra read of it per refresh — for PQ that is
+    * m x 256 codebook rows on every append. */
+  private def copyFrozen(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+  }
+
   def indexRoot(table: Path, col: String): Path =
     new Path(GraftFormat.indicesDir(table), s"$col.lsh")
 
@@ -297,8 +309,8 @@ object VectorIndex {
                 .parquet(new Path(new Path(r, segName), "assign").toString)
               priorSegs :+ segName
             }
-          centDF.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(dest, "centroids").toString)
+          copyFrozen(fs, new Path(priorDir, "centroids"),
+            new Path(dest, "centroids"), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           manifest.version
@@ -613,10 +625,10 @@ object VectorIndex {
                 .parquet(new Path(new Path(r, segName), "codes").toString)
               priorSegs :+ segName
             }
-          centDF.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(dest, "centroids").toString)
-          bookDF.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(dest, "codebooks").toString)
+          copyFrozen(fs, new Path(priorDir, "centroids"),
+            new Path(dest, "centroids"), conf)
+          copyFrozen(fs, new Path(priorDir, "codebooks"),
+            new Path(dest, "codebooks"), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           manifest.version

@@ -272,6 +272,48 @@ class IndexRefreshSpec extends AnyFunSuite {
       "post-vacuum search must still serve the refreshed chain")
   }
 
+  test("text refresh disjointness: metadata range fast path reads no " +
+      "postings; overlapping-but-disjoint ids still refresh exactly") {
+    wh
+    // case 1: monotone append (delta ids above every prior id) — the
+    // per-segment doc_min/doc_max metadata proves disjointness; the
+    // postings parquet must not be read at all
+    spark.sql("DROP TABLE IF EXISTS ir.db.tr")
+    spark.sql("CREATE TABLE ir.db.tr (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO ir.db.tr SELECT id, concat('alpha bravo doc', id) " +
+      "FROM range(0, 2000, 1, 2)")
+    val dir = tablePath("tr")
+    TextIndex.build(spark, dir, "doc_id", "text")
+    spark.sql("INSERT INTO ir.db.tr SELECT id + 5000, 'charlie delta' " +
+      "FROM range(0, 100, 1, 1)")
+    val reads = recordsRead {
+      TextIndex.refresh(spark, dir, "doc_id", "text")
+    }
+    // delta rows + segment meta rows only — far under the ~4000+ term
+    // rows a postings doc_id scan would add
+    assert(reads < 1000, s"range fast path still read $reads records")
+
+    // case 2: interleaved ids (ranges overlap, ids disjoint): the exact
+    // postings check runs and must NOT force a rebuild
+    spark.sql("DROP TABLE IF EXISTS ir.db.tri")
+    spark.sql("CREATE TABLE ir.db.tri (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO ir.db.tri SELECT id * 2, 'echo foxtrot' " +
+      "FROM range(0, 500, 1, 1)")
+    val dirI = tablePath("tri")
+    val vI = TextIndex.build(spark, dirI, "doc_id", "text")
+    spark.sql("INSERT INTO ir.db.tri SELECT id * 2 + 1, 'golf hotel' " +
+      "FROM range(0, 50, 1, 1)")
+    val v2 = TextIndex.refresh(spark, dirI, "doc_id", "text")
+    assert(v2 == vI + 1)
+    val rootI = TextIndex.indexRoot(fs.makeQualified(dirI), "text")
+    assert(fs.exists(IndexSegments.manifestPath(new Path(rootI, s"v=$v2"))),
+      "overlapping ranges with disjoint ids must refresh as a segment, " +
+        "not rebuild")
+    val hits = TextIndex.searchCurrent(spark, dirI, "text",
+      Seq("golf"), 5).get.collect()
+    assert(hits.nonEmpty && hits.forall(_.getLong(0) % 2 == 1))
+  }
+
   // -------------------------------------------------- resolution cache
 
   test("segment-list resolution is cached across queries; purge invalidates") {
