@@ -275,6 +275,99 @@ class S3IntegrationSpec extends AnyFunSuite {
       "drop must leave no orphan objects behind")
   }
 
+  test("concurrent row-level DML over s3a: typed conflicts, clean retry, " +
+      "no lost or doubled effects") {
+    // the reference ABORTS its concurrent row-level tests
+    // (TestLanceConnectorTest.java:393-410: "Lance does not support
+    // concurrent updates reliably") and detects conflicts by string
+    // match (LanceMetadata.java:1492-1513). graft makes both typed and
+    // deterministic — here over real-HTTP object storage.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+    hc.set(S3LiteFileSystem.EndpointKey, srv.endpoint)
+    spark.conf.set("spark.sql.catalog.s3cc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.s3cc.warehouse", "s3a://s3ccwh/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS s3cc.db")
+    spark.sql("DROP TABLE IF EXISTS s3cc.db.t")
+    // ONE fragment of 200 rows: every row-level op below overlaps it
+    spark.sql("CREATE TABLE s3cc.db.t AS SELECT id AS k, 0L AS v " +
+      "FROM range(0, 200, 1, 1)")
+
+    // deterministic typed conflict: an op pinned at v1 loses to a
+    // committed DELETE on the same fragment — same assertion as the
+    // local GraftDmlSpec case, but the manifest CAS and DV files cross
+    // HTTP here
+    val dir = new Path("s3a://s3ccwh/wh/db/t.graft")
+    val fs = dir.getFileSystem(hc)
+    val qual = fs.makeQualified(dir)
+    val pinnedManifest = GraftFormat.readLatest(fs, qual).get
+    val pinned = new graft.connector.GraftTable("s3cc.db.t", qual,
+      pinnedManifest, hc)
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "s3-conflict"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        pinnedManifest.schema
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    val write = new graft.connector.GraftDeltaWrite(pinned, info)
+    spark.sql("DELETE FROM s3cc.db.t WHERE k = 199")
+    val fragId = pinnedManifest.fragments.head.id
+    val partial = GraftFormat.writeDeletionFile(fs, qual, fragId, 0L, Array(3L))
+    intercept[GraftFormat.ConcurrentModificationException] {
+      write.commit(Array(graft.connector.GraftDeltaCommit(
+        Seq.empty, Seq((fragId, partial)))))
+    }
+    assert(spark.table("s3cc.db.t").count() == 199,
+      "the conflicting op must not commit")
+
+    // storm: 6 threads x (DELETE own keys | UPDATE own keys), all on the
+    // one shared fragment; losers retry the STATEMENT (re-reading the
+    // new version) — the reference's unreliable case, made reliable
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger()
+    def retrying(sql: String): Unit = {
+      var attempts = 0
+      while (attempts < 25) {
+        attempts += 1
+        try { spark.sql(sql); return }
+        catch {
+          case t: Throwable =>
+            def isTyped(x: Throwable): Boolean =
+              x != null && (x.isInstanceOf[
+                GraftFormat.ConcurrentModificationException] ||
+                isTyped(x.getCause))
+            if (!isTyped(t)) throw t
+            conflicts.incrementAndGet()
+        }
+      }
+      fail(s"statement never committed after 25 attempts: $sql")
+    }
+    val pool = Executors.newFixedThreadPool(6)
+    try {
+      val futures = (0 until 6).map { w =>
+        pool.submit(new Callable[Unit] {
+          override def call(): Unit =
+            if (w % 2 == 0) retrying(s"DELETE FROM s3cc.db.t WHERE k % 6 = $w")
+            else retrying(s"UPDATE s3cc.db.t SET v = ${w + 100} WHERE k % 6 = $w")
+        })
+      }
+      futures.foreach(_.get(180, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    // every op applied exactly once: k%6 in {0,2,4} = all 100 evens
+    // deleted; the 99 surviving odds (100 minus the pre-storm k=199)
+    // carry their writer's value
+    val rows = spark.table("s3cc.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (k, _) => k % 2 == 1 }, "evens survived delete")
+    assert(rows.length == 99, s"expected 99 odd rows, got ${rows.length}")
+    rows.foreach { case (k, v) =>
+      assert(v == (k % 6) + 100, s"k=$k has v=$v, writer effect lost")
+    }
+    System.err.println(s"[s3cc] typed conflicts retried: ${conflicts.get()}")
+    spark.sql("DROP TABLE s3cc.db.t")
+  }
+
   test("g17 gate query answers correctly over s3a") {
     val df = SparkEntry.queries("g17_s3_object_store")(spark, sf)
     val rows = df.collect()
