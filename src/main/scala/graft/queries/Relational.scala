@@ -674,9 +674,9 @@ object Relational {
     // few and bounded so exact is the right default.
     Q("q31_price_quantiles",
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.25), 1) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 1) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 1) AS p75,
         |  round(corr(l_extendedprice, l_quantity), 4)    AS corr_pq,
         |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
         |FROM lineitem
@@ -686,9 +686,12 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+          // 1dp, not 2: Spark interpolates lower+(upper-lower)*frac,
+          // DuckDB lower*(1-frac)+upper*frac — equal in R, one ulp apart
+          // in FP, and at sf0.001 that ulp once straddled a cent boundary
+          round(expr("percentile(l_extendedprice, 0.25)"), 1).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 1).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 1).as("p75"),
           round(corr(col("l_extendedprice"), col("l_quantity")), 4)
             .as("corr_pq"),
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2)

@@ -88,6 +88,67 @@ object StreamingQueries {
       s.read.parquet(out)
         .select(col("doc_id"), col("content_hash"))
         .orderBy("doc_id")
+    },
+
+    // Event-time windowed aggregation with a watermark over the graft
+    // streaming source: daily tumbling windows per event_type in APPEND
+    // mode (only watermark-closed windows reach the sink), drained
+    // across two checkpoint-resumed queries. A far-future sentinel row
+    // in the last batch advances the watermark past every real window,
+    // and Spark's no-data flush batch emits them before AvailableNow
+    // terminates — so the append-mode output equals the batch GROUP BY
+    // the oracle computes. Sums round to 2dp on both sides (q01
+    // precedent for FP accumulation-order differences).
+    Q("s02_streaming_window",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+      "watermarked daily tumbling-window agg: 2 micro-batch queries, " +
+        "checkpoint resume, sentinel close-out") { (s, d) =>
+      setup(s, d)
+      val ev0 = Tables.load(s, d, "events")
+      val tsCol = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")) // long epoch-nanos form
+        case _ => col("ts").cast("timestamp")
+      }
+      val ev = ev0.select(col("event_id"), tsCol.as("ts"),
+        col("event_type"), col("value"))
+      val mid = ev.agg(((min("event_id") + max("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val ckpt = Files.createTempDirectory("graft-s02-ckpt").toString
+      val out = Files.createTempDirectory("graft-s02-out").toString
+      graft.BenchPhases.timed("s02_streaming_window.build") {
+        s.sql("DROP TABLE IF EXISTS graft.db.s02_events")
+        ev.filter(col("event_id") <= mid)
+          .createOrReplaceTempView("s02_b1")
+        s.sql("CREATE TABLE graft.db.s02_events AS SELECT * FROM s02_b1")
+        def drain(): Unit = {
+          val q = s.readStream.table("graft.db.s02_events")
+            .withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(300000)
+        }
+        drain()
+        val sentinel = s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, " +
+          "TIMESTAMP'2030-01-01 00:00:00' AS ts, " +
+          "'sentinel' AS event_type, CAST(0 AS DOUBLE) AS value")
+        ev.filter(col("event_id") > mid).unionByName(sentinel)
+          .createOrReplaceTempView("s02_b2")
+        s.sql("INSERT INTO graft.db.s02_events SELECT * FROM s02_b2")
+        drain()
+      }
+      s.read.parquet(out)
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("date").as("wday"), col("event_type"),
+          col("n"), round(col("total_raw"), 2).as("total"))
+        .orderBy("wday", "event_type")
     }
   )
 }

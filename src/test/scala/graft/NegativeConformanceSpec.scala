@@ -223,6 +223,33 @@ class NegativeConformanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE neg.db.updm")
   }
 
+  // reference capability matrix: SUPPORTS_TRUNCATE -> false
+  test("TRUNCATE TABLE empties in one metadata commit — exceeds the reference") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS neg.db.trunc")
+    spark.sql("CREATE TABLE neg.db.trunc AS SELECT id FROM range(0, 50, 1, 2)")
+    spark.sql("TRUNCATE TABLE neg.db.trunc")
+    assert(spark.table("neg.db.trunc").count() == 0)
+    // schema survives; the pre-truncate snapshot is still time-travelable
+    spark.sql("INSERT INTO neg.db.trunc VALUES (7)")
+    assert(spark.table("neg.db.trunc").head.getLong(0) == 7)
+    assert(spark.sql("SELECT count(*) FROM neg.db.trunc VERSION AS OF 1")
+      .head.getLong(0) == 50)
+    spark.sql("DROP TABLE neg.db.trunc")
+  }
+
+  // reference: BaseLanceConnectorTest.java testShowCreateTable
+  test("SHOW CREATE TABLE reproduces schema and catalog identity") {
+    ready
+    spark.sql("DROP TABLE IF EXISTS neg.db.sct")
+    spark.sql("CREATE TABLE neg.db.sct (regionkey BIGINT, name STRING)")
+    val ddl = spark.sql("SHOW CREATE TABLE neg.db.sct")
+      .head.getString(0)
+    assert(ddl.contains("neg.db.sct") && ddl.contains("regionkey BIGINT") &&
+      ddl.contains("name STRING"), ddl)
+    spark.sql("DROP TABLE neg.db.sct")
+  }
+
   test("INSERT with mismatched column count: typed arity error") {
     ready
     spark.sql("DROP TABLE IF EXISTS neg.db.arity")
