@@ -211,6 +211,36 @@ class RestSingleLevelDeploymentConformance extends DeploymentConformanceBase {
   }
 }
 
+/** Glue backend: AWS Glue JSON protocol against the in-process stub
+  * (reference: the glue namespace impl, LanceConfig.java:43-65). */
+class GlueDeploymentConformance extends DeploymentConformanceBase {
+  import TestSpark._
+  protected def cat = "dcglue"
+  override protected def ns = "gluedc"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-dcglue-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftGlueCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.endpoint",
+      s"http://127.0.0.1:${FakeGlueService.port}")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+}
+
+/** Hive backend: real HMS Thrift binary protocol against the in-process
+  * metastore (reference: hive2/hive3 namespace impls). */
+class HiveDeploymentConformance extends DeploymentConformanceBase {
+  import TestSpark._
+  protected def cat = "dchive"
+  override protected def ns = "hivedc"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-dchive-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftHiveCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri",
+      s"thrift://127.0.0.1:${FakeHiveMetastore.port}")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+}
+
 /** Both dimensions at once: REST single-level catalog whose tables live
   * on the S3 object store — the far corner of the reference's matrix
   * (TestLanceS3SingleLevelConnectorSmokeTest). */
