@@ -537,11 +537,17 @@ object FormatQueries {
       hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
       s.conf.set("spark.sql.catalog.graft_s3", "graft.catalog.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_s3.warehouse", "s3a://graft/wh")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_s3.db")
-      s.sql("DROP TABLE IF EXISTS graft_s3.db.cust_s3")
-      Tables.load(s, d, "customer").createOrReplaceTempView("cust_s3_src")
-      s.sql("CREATE TABLE graft_s3.db.cust_s3 AS SELECT * FROM cust_s3_src")
-      s.sql("DELETE FROM graft_s3.db.cust_s3 WHERE c_custkey % 3 = 0")
+      graft.BenchPhases.timed("g17_s3_object_store.setup") {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_s3.db")
+        s.sql("DROP TABLE IF EXISTS graft_s3.db.cust_s3")
+        Tables.load(s, d, "customer").createOrReplaceTempView("cust_s3_src")
+      }
+      graft.BenchPhases.timed("g17_s3_object_store.ctas") {
+        s.sql("CREATE TABLE graft_s3.db.cust_s3 AS SELECT * FROM cust_s3_src")
+      }
+      graft.BenchPhases.timed("g17_s3_object_store.delete") {
+        s.sql("DELETE FROM graft_s3.db.cust_s3 WHERE c_custkey % 3 = 0")
+      }
       s.table("graft_s3.db.cust_s3")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),

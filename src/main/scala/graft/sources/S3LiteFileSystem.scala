@@ -322,7 +322,14 @@ class S3LiteFileSystem extends FileSystem {
     * self-marker as invisible. */
   override def mkdirs(p: Path, permission: FsPermission): Boolean = {
     val k = key(p)
-    if (k.isEmpty || isPrefix(k)) return true // root, or already populated
+    if (k.isEmpty) return true
+    // Hadoop committer work dirs (_temporary/<appAttempt>/<taskAttempt>)
+    // are mkdirs'd once per task and only ever listed AFTER files land in
+    // them — a marker there is 2-3 wasted round trips per task per job.
+    // Real directory visibility is only needed for dirs that must exist
+    // while EMPTY (namespaces); skip the committer convention entirely.
+    if (k.split('/').contains("_temporary")) return true
+    if (isPrefix(k)) return true // already populated
     if (headObject(k).isDefined)
       throw new IOException(s"file exists at directory path: $p")
     val out = new S3Output(k + "/", overwrite = true)

@@ -40,6 +40,10 @@ class S3LiteServer {
   val copies = new AtomicLong()
   val multiDeletes = new AtomicLong()
   val lists = new AtomicLong()
+  val puts = new AtomicLong()
+  val gets = new AtomicLong()
+  val heads = new AtomicLong()
+  val requests = new AtomicLong()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 64)
   // daemon threads: the embedded store must never pin the JVM open after
@@ -92,7 +96,13 @@ class S3LiteServer {
         .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
     val query = parseQuery(ex.getRequestURI.getRawQuery)
     val id = s"$bucket/$key"
-
+    requests.incrementAndGet()
+    ex.getRequestMethod match {
+      case "PUT" => puts.incrementAndGet()
+      case "GET" => gets.incrementAndGet()
+      case "HEAD" => heads.incrementAndGet()
+      case _ => ()
+    }
     ex.getRequestMethod match {
       case "PUT" =>
         val copySource = ex.getRequestHeaders.getFirst("x-amz-copy-source")
