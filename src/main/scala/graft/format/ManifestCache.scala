@@ -210,5 +210,8 @@ object ManifestCache {
   def clearAll(): Unit = {
     entries.synchronized(entries.clear())
     pinned.synchronized(pinned.clear())
+    // same lifecycle symmetry as the purge hook: a full reset must not
+    // leave stale segment-list resolutions behind
+    graft.ops.IndexSegments.clearCache()
   }
 }

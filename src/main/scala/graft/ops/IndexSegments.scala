@@ -44,6 +44,14 @@ object IndexSegments {
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   val cacheHits = new java.util.concurrent.atomic.AtomicLong()
   val cacheMisses = new java.util.concurrent.atomic.AtomicLong()
+  // TOCTOU guard (same pattern as ManifestCache's per-table gens, one
+  // global counter here): a dataDirs racing drop/vacuum between the
+  // purge and the fs.delete could otherwise re-cache the dying
+  // generation's segment list — and a later monolithic build() at the
+  // same version dir writes no segment manifest, so nothing would ever
+  // invalidate it. Resolutions only cache when no invalidation landed
+  // mid-read; a lost race costs one re-read.
+  private val generation = new java.util.concurrent.atomic.AtomicLong()
 
   private def cacheKey(fs: FileSystem, versionDir: Path): String =
     s"${fs.getUri}::${versionDir.toUri.getPath}"
@@ -51,13 +59,17 @@ object IndexSegments {
   /** Drop cached resolutions for every index version dir under `table`
     * on this FileSystem — the table was dropped, replaced, or vacuumed. */
   def invalidateUnder(fs: FileSystem, table: Path): Unit = {
+    generation.incrementAndGet()
     val prefix = s"${fs.getUri}::${table.toUri.getPath}"
     resolvedCache.keys.foreach { k =>
       if (k.startsWith(prefix)) resolvedCache.remove(k)
     }
   }
 
-  def clearCache(): Unit = resolvedCache.clear()
+  def clearCache(): Unit = {
+    generation.incrementAndGet()
+    resolvedCache.clear()
+  }
 
   final case class SegManifest(segments: Seq[String], extra: Map[String, String])
 
@@ -102,6 +114,7 @@ object IndexSegments {
         return dirs.map(new Path(_))
       case None => cacheMisses.incrementAndGet()
     }
+    val genAtStart = generation.get()
     if (!fs.exists(versionDir)) return Seq.empty // absent: may appear later, never cached
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     def walk(dir: Path): Unit = read(fs, dir) match {
@@ -113,7 +126,12 @@ object IndexSegments {
     }
     walk(versionDir)
     val out = seen.toSeq
-    resolvedCache.put(ck, out)
+    if (generation.get() == genAtStart) {
+      resolvedCache.put(ck, out)
+      // an invalidation may land between the check and the put; re-check
+      // and withdraw rather than serve a dying generation for ever
+      if (generation.get() != genAtStart) resolvedCache.remove(ck)
+    }
     out.map(new Path(_))
   }
 

@@ -79,11 +79,16 @@ object TextIndex {
     manifest.version
   }
 
+  /** Per-segment totals + doc_id range, as written to the segment's
+    * meta parquet. Ranges are None for an empty segment. */
+  private final case class SegTotals(n: Long, sumdl: Long,
+      range: Option[(Long, Long)])
+
   /** One posting segment over `manifest`'s fragments at `dest`
-    * (postings/ + meta/). Returns (docs, sumdl) for merge accounting. */
+    * (postings/ + meta/). Returns totals for merge accounting. */
   private def writeSegment(spark: SparkSession, fs: FileSystem, qual: Path,
       manifest: GraftFormat.Manifest, idCol: String, textCol: String,
-      dest: Path): (Long, Long) = {
+      dest: Path): SegTotals = {
     val conf = spark.sessionState.newHadoopConf()
     // deletion-aware snapshot scan through the normal connector reader
     val df = GraftShim.tableDF(spark,
@@ -110,7 +115,39 @@ object TextIndex {
       min(col("doc_id")).as("doc_min"), max(col("doc_id")).as("doc_max"))
     meta.write.mode("overwrite").parquet(new Path(dest, "meta").toString)
     val row = spark.read.parquet(new Path(dest, "meta").toString).head()
-    (row.getAs[Long]("n"), row.getAs[Long]("sumdl"))
+    val range =
+      if (row.isNullAt(row.fieldIndex("doc_min"))) None
+      else Some((row.getAs[Long]("doc_min"), row.getAs[Long]("doc_max")))
+    SegTotals(row.getAs[Long]("n"), row.getAs[Long]("sumdl"), range)
+  }
+
+  /** doc_id [min, max] per segment name, preferring the version
+    * manifest's carried `range:<seg>` entries (zero I/O beyond the
+    * manifest itself); segments not covered there fall back to one
+    * meta-parquet read each (legacy/monolithic — happens once per
+    * chain, after which the next manifest carries the range forward).
+    * None = range unknown (pre-range layout or empty segment). */
+  private def segRangesOf(spark: SparkSession, fs: FileSystem, root: Path,
+      priorDir: Path, segs: Seq[String]): Map[String, Option[(Long, Long)]] = {
+    val carried: Map[String, (Long, Long)] =
+      IndexSegments.read(fs, priorDir).map(_.extra).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith("range:") =>
+          val Array(lo, hi) = v.split(',')
+          k.stripPrefix("range:") -> (lo.toLong, hi.toLong)
+        }
+    segs.map { s =>
+      s -> (carried.get(s) match {
+        case some @ Some(_) => some
+        case None =>
+          val metaPath = new Path(new Path(root, s), "meta")
+          try {
+            val row = spark.read.parquet(metaPath.toString).head()
+            if (!row.schema.fieldNames.contains("doc_min") ||
+                row.isNullAt(row.fieldIndex("doc_min"))) None
+            else Some((row.getAs[Long]("doc_min"), row.getAs[Long]("doc_max")))
+          } catch { case _: Exception => None }
+      })
+    }.toMap
   }
 
   /** (docs, sumdl) totals of the index at `dir` — from the segment
@@ -163,32 +200,36 @@ object TextIndex {
         val priorDir = versionDir(qual, textCol, v1)
         val priorSegs = IndexSegments.expandPrior(fs, root, priorDir)
         val (n0, sum0) = totalsOf(spark, fs, priorDir)
+        val priorRanges = segRangesOf(spark, fs, root, priorDir, priorSegs)
+        def rangeEntries(rs: Map[String, Option[(Long, Long)]]): Map[String, String] =
+          rs.collect { case (s, Some((lo, hi))) => s"range:$s" -> s"$lo,$hi" }
         val dest = versionDir(qual, textCol, manifest.version)
         if (delta.isEmpty) {
           IndexSegments.write(fs, dest, IndexSegments.SegManifest(priorSegs,
-            Map("n" -> n0.toString, "sumdl" -> sum0.toString)))
+            Map("n" -> n0.toString, "sumdl" -> sum0.toString) ++
+              rangeEntries(priorRanges)))
           return manifest.version
         }
         val deltaManifest = manifest.copy(fragments = delta,
           properties = manifest.properties -- GraftFormat.ClusteringProps)
         if (spark.conf.get(VerifyDisjointKey, "true").toBoolean) {
-          // fast path: each segment's meta row carries its doc_id
-          // [min, max] — when the delta's id range is disjoint from
-          // every segment's, disjointness is proven from O(segments)
-          // metadata rows (the steady-state monotone-id ingest shape).
-          // Only on range overlap (or a pre-range legacy segment) does
-          // the exact column-pruned postings doc_id check run.
+          // fast path: the prior manifest carries every segment's doc_id
+          // [min, max] (legacy segments read their meta row once) — when
+          // the delta's id range is disjoint from every segment's,
+          // disjointness is proven from O(segments) metadata with zero
+          // extra Spark jobs (the steady-state monotone-id ingest
+          // shape). Only on range overlap, an unknown range, or an
+          // all-null delta id range does the exact column-pruned
+          // postings doc_id check run.
           val deltaRange = GraftShim.tableDF(spark,
               new GraftTable(s"index:$qual#delta", qual, deltaManifest, conf))
             .agg(min(col(idCol).cast("long")).as("lo"),
               max(col(idCol).cast("long")).as("hi")).head()
-          val (dLo, dHi) = (deltaRange.getLong(0), deltaRange.getLong(1))
-          val segMetas = priorSegs.map(s => spark.read
-            .parquet(new Path(new Path(root, s), "meta").toString).head())
-          val disjointByRange = segMetas.forall { r =>
-            r.schema.fieldNames.contains("doc_min") && !r.isNullAt(
-              r.fieldIndex("doc_min")) &&
-              (dLo > r.getAs[Long]("doc_max") || dHi < r.getAs[Long]("doc_min"))
+          val disjointByRange = !deltaRange.isNullAt(0) && {
+            val (dLo, dHi) = (deltaRange.getLong(0), deltaRange.getLong(1))
+            priorSegs.forall(s => priorRanges.getOrElse(s, None).exists {
+              case (lo, hi) => dLo > hi || dHi < lo
+            })
           }
           if (!disjointByRange) {
             val oldIds = priorSegs.map(s => spark.read
@@ -204,11 +245,13 @@ object TextIndex {
           }
         }
         val segName = IndexSegments.newSegmentName()
-        val (n1, sum1) = writeSegment(spark, fs, qual, deltaManifest,
+        val st = writeSegment(spark, fs, qual, deltaManifest,
           idCol, textCol, new Path(root, segName))
         IndexSegments.write(fs, dest,
           IndexSegments.SegManifest(priorSegs :+ segName,
-            Map("n" -> (n0 + n1).toString, "sumdl" -> (sum0 + sum1).toString)))
+            Map("n" -> (n0 + st.n).toString,
+              "sumdl" -> (sum0 + st.sumdl).toString) ++
+              rangeEntries(priorRanges ++ Map(segName -> st.range))))
         manifest.version
     }
   }

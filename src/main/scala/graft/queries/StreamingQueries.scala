@@ -77,7 +77,11 @@ object StreamingQueries {
             .writeStream.format("parquet")
             .option("path", out).option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination(300000)
+          if (!q.awaitTermination(300000)) {
+            q.stop() // never start a second query on a live checkpoint
+            throw new IllegalStateException(
+              "s01 micro-batch drain did not finish within 300s")
+          }
         }
         drain()
         docs.filter(col("doc_id") > mid).unionByName(copies)
@@ -133,7 +137,11 @@ object StreamingQueries {
             .writeStream.format("parquet")
             .option("path", out).option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination(300000)
+          if (!q.awaitTermination(300000)) {
+            q.stop() // never start a second query on a live checkpoint
+            throw new IllegalStateException(
+              "s02 micro-batch drain did not finish within 300s")
+          }
         }
         drain()
         val sentinel = s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, " +

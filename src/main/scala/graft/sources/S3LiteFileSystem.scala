@@ -53,6 +53,7 @@ class S3LiteFileSystem extends FileSystem {
   private var endpoint: String = _
   private var workingDir: Path = _
   private var listPageSize: Int = 1000
+  private var readAhead: Int = 65536
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -64,6 +65,7 @@ class S3LiteFileSystem extends FileSystem {
       throw new IOException(s"$EndpointKey is required for ${name.getScheme}:// access")
     if (endpoint.endsWith("/")) endpoint = endpoint.dropRight(1)
     listPageSize = conf.getInt(ListPageSizeKey, 1000)
+    readAhead = conf.getInt(ReadAheadKey, 65536)
     workingDir = new Path(fsUri.toString + "/")
     statistics = FileSystem.getStatistics(name.getScheme, getClass)
   }
@@ -87,8 +89,7 @@ class S3LiteFileSystem extends FileSystem {
 
   private def connect(method: String, k: String, query: String = null,
       headers: Map[String, String] = Map.empty): HttpURLConnection = {
-    val encKey = k.split("/", -1).map(seg =>
-      URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
+    val encKey = S3LiteFileSystem.encodeKey(k)
     val q = if (query == null) "" else s"?$query"
     val url = new URL(s"$endpoint/$bucket/$encKey$q")
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
@@ -214,12 +215,19 @@ class S3LiteFileSystem extends FileSystem {
     new FSDataInputStream(new S3Input(key(p), st.getLen))
   }
 
-  /** Seekable + positioned reads over ranged GETs. Every read fetches
-    * exactly the requested byte range — parquet's footer-then-column
-    * access pattern never pulls the whole object. */
+  /** Seekable + positioned reads over ranged GETs. Sequential reads
+    * fetch at least [[ReadAheadKey]] bytes (default 64 KB, the same
+    * default as s3a's fs.s3a.readahead.range) and serve subsequent
+    * reads from the buffer — parquet footer parsing issues a burst of
+    * tiny reads that would otherwise each cost a round trip (~20 ms on
+    * real S3). Positioned reads (parquet's chunk-sized preads) bypass
+    * the buffer and fetch exactly the requested range, so the
+    * footer-then-column access pattern never pulls the whole object. */
   private class S3Input(k: String, len: Long) extends FSInputStream {
     private var pos = 0L
     private var closed = false
+    private var bufStart = 0L
+    private var buf: Array[Byte] = null
 
     override def seek(p: Long): Unit = {
       if (p < 0 || p > len) throw new java.io.EOFException(s"seek($p) len=$len")
@@ -248,10 +256,15 @@ class S3LiteFileSystem extends FileSystem {
       if (pos >= len) return -1
       val n = math.min(l.toLong, len - pos).toInt
       if (n <= 0) return 0
-      val data = rangeGet(pos, n)
-      System.arraycopy(data, 0, b, off, data.length)
-      pos += data.length
-      data.length
+      // serve from the readahead buffer when it covers pos
+      if (buf == null || pos < bufStart || pos >= bufStart + buf.length) {
+        buf = rangeGet(pos, math.max(n, readAhead))
+        bufStart = pos
+      }
+      val avail = math.min(n.toLong, bufStart + buf.length - pos).toInt
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, avail)
+      pos += avail
+      avail
     }
 
     override def read(position: Long, buffer: Array[Byte], offset: Int,
@@ -380,10 +393,9 @@ class S3LiteFileSystem extends FileSystem {
   private def copyObject(src: String, dst: String): Unit = {
     // copy-source must be percent-encoded the same way object paths are,
     // or keys with spaces/special chars miss against a real endpoint
-    val encSrc = src.split("/", -1).map(seg =>
-      URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
     val c = connect("PUT", dst,
-      headers = Map("x-amz-copy-source" -> s"/$bucket/$encSrc"))
+      headers = Map("x-amz-copy-source" ->
+        s"/$bucket/${S3LiteFileSystem.encodeKey(src)}"))
     val (code, _) = finish(c)
     if (code != 200) throw new IOException(s"COPY $src -> $dst: HTTP $code")
   }
@@ -453,6 +465,17 @@ object S3LiteFileSystem {
 
   /** ListObjectsV2 page size (max-keys). Default 1000, S3's ceiling. */
   val ListPageSizeKey = "graft.s3.list.pageSize"
+
+  /** Minimum bytes fetched per sequential ranged GET (readahead buffer;
+    * s3a analog: fs.s3a.readahead.range, same 64 KB default). */
+  val ReadAheadKey = "graft.s3.readahead"
+
+  /** Percent-encode an object key per path segment, preserving empty
+    * segments (directory markers end in '/'). [[decodeKey]] in
+    * [[S3LiteServer]] is the inverse — keep them in sync. */
+  private[sources] def encodeKey(k: String): String =
+    k.split("/", -1).map(seg =>
+      URLEncoder.encode(seg, UTF_8.name).replace("+", "%20")).mkString("/")
 
   private val DefaultBlockSize = 32L * 1024 * 1024
 

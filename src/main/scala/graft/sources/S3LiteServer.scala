@@ -90,10 +90,7 @@ class S3LiteServer {
     val raw = ex.getRequestURI.getRawPath.stripPrefix("/")
     val slash = raw.indexOf('/')
     val bucket = if (slash < 0) raw else raw.take(slash)
-    val key =
-      if (slash < 0) ""
-      else raw.drop(slash + 1).split("/", -1)
-        .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
+    val key = if (slash < 0) "" else S3LiteServer.decodeKey(raw.drop(slash + 1))
     val query = parseQuery(ex.getRequestURI.getRawQuery)
     val id = s"$bucket/$key"
     requests.incrementAndGet()
@@ -109,8 +106,7 @@ class S3LiteServer {
         if (copySource != null) {
           copies.incrementAndGet()
           // copy-source arrives percent-encoded (same as object paths)
-          val srcId = copySource.stripPrefix("/").split("/", -1)
-            .map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
+          val srcId = S3LiteServer.decodeKey(copySource.stripPrefix("/"))
           Option(store.get(srcId)) match {
             case Some(src) =>
               store.put(id, Obj(src.bytes, System.currentTimeMillis()))
@@ -201,27 +197,35 @@ class S3LiteServer {
     val prefix = query.getOrElse("prefix", "")
     val delimiter = query.get("delimiter").filter(_.nonEmpty)
     val maxKeys = query.get("max-keys").map(_.toInt).getOrElse(1000)
-    val startAfter = query.getOrElse("continuation-token", "")
+    // Tokens are typed so resume semantics can differ per producer:
+    //  gt:<key>    resume strictly after a content key
+    //  ge:<bound>  resume at-or-after a CommonPrefix group's upper bound
+    //              (bound = prefix with its last char + 1; `>` here
+    //              would skip a REAL object whose key equals the bound)
+    val token = query.getOrElse("continuation-token", "")
+    val (inclusive, startAfter) =
+      if (token.startsWith("ge:")) (true, token.drop(3))
+      else if (token.startsWith("gt:")) (false, token.drop(3))
+      else (false, token) // no/legacy token
     val bucketPrefix = bucket + "/"
 
     import scala.jdk.CollectionConverters._
     val matching = store.entrySet().asScala.toSeq
       .filter(_.getKey.startsWith(bucketPrefix))
       .map(e => (e.getKey.drop(bucketPrefix.length), e.getValue))
-      .filter { case (k, _) => k.startsWith(prefix) && k > startAfter }
+      .filter { case (k, _) => k.startsWith(prefix) &&
+        (if (inclusive) k >= startAfter else k > startAfter) }
       .sortBy(_._1)
 
     val contents = scala.collection.mutable.ArrayBuffer[(String, Obj)]()
     val prefixes = scala.collection.mutable.LinkedHashSet[String]()
     var taken = 0
-    // continuation token = last key/prefix emitted this page, i.e. a
-    // lexicographic resume point (S3 start-after semantics)
-    var lastKey = ""
+    var lastToken = ""
     var truncatedAt: Option[String] = None
     val it = matching.iterator
     while (it.hasNext && truncatedAt.isEmpty) {
       val (k, obj) = it.next()
-      if (taken >= maxKeys) truncatedAt = Some(lastKey)
+      if (taken >= maxKeys) truncatedAt = Some(lastToken)
       else {
         delimiter.flatMap { d =>
           val rest = k.drop(prefix.length)
@@ -230,13 +234,12 @@ class S3LiteServer {
         } match {
           case Some(common) =>
             if (!prefixes.contains(common)) { prefixes += common; taken += 1 }
-            // every key under the emitted prefix is covered by it; the
-            // resume point must skip the WHOLE group, or the next page
-            // re-emits the same CommonPrefix (the token is the group's
-            // lexicographic upper bound: last char of the prefix + 1)
-            lastKey = common.init + (common.last + 1).toChar
+            // skip the WHOLE group on resume (else the next page
+            // re-emits the same CommonPrefix), but inclusively: a real
+            // key may equal the computed bound
+            lastToken = "ge:" + common.init + (common.last + 1).toChar
           case None =>
-            contents += ((k, obj)); taken += 1; lastKey = k
+            contents += ((k, obj)); taken += 1; lastToken = "gt:" + k
         }
       }
     }
@@ -299,4 +302,9 @@ object S3LiteServer {
     * runner invokes many queries against one session; per-query server
     * churn would invalidate the FileSystem cache's endpoint). */
   lazy val shared: S3LiteServer = new S3LiteServer
+
+  /** Inverse of [[S3LiteFileSystem.encodeKey]]: per-segment percent
+    * decode, preserving empty segments (directory markers). */
+  private[sources] def decodeKey(raw: String): String =
+    raw.split("/", -1).map(URLDecoder.decode(_, UTF_8.name)).mkString("/")
 }

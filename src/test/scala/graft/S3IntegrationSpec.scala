@@ -140,6 +140,19 @@ class S3IntegrationSpec extends AnyFunSuite {
     assert(fs.rename(odd, new Path("s3a://edge/dir/d e.txt")))
     assert(readObj(fs, new Path("s3a://edge/dir/d e.txt")) == "odd name")
 
+    // sequential readahead: a burst of tiny reads costs ONE ranged GET
+    val rg0 = srv.rangeGets.get()
+    val seqIn = fs.open(p)
+    try {
+      (0 until 10).foreach { i =>
+        val one = new Array[Byte](1)
+        assert(seqIn.read(one, 0, 1) == 1 && one(0) == ('0' + i).toByte)
+      }
+    } finally seqIn.close()
+    assert(srv.rangeGets.get() == rg0 + 1,
+      s"10 sequential 1-byte reads took ${srv.rangeGets.get() - rg0} GETs " +
+        "— readahead buffer not engaged")
+
     // zero-length read returns 0 even at EOF (InputStream contract)
     val in = fs.open(p)
     try {
@@ -170,6 +183,19 @@ class S3IntegrationSpec extends AnyFunSuite {
     assert(dirs.length == dirs.distinct.length, s"duplicate prefixes: ${dirs.mkString(",")}")
     assert(dirs.sorted.sameElements((0 until 6).map(d => f"d$d%02d")))
     fs.delete(new Path("s3a://prefpage/"), true)
+
+    // adversarial: an object whose key EQUALS a group's resume bound
+    // ('a' + '/'+1 = "a0") must still be listed after a mid-group
+    // truncation — a strictly-greater resume filter would skip it
+    val fs2 = fsFor("prefbound", pageSize = 2)
+    val r2 = new Path("s3a://prefbound/r")
+    for (i <- 0 until 4) writeObj(fs2, new Path(r2, s"a/k$i"), "x")
+    writeObj(fs2, new Path(r2, "a0"), "bound-key")
+    val names = fs2.listStatus(r2).map(_.getPath.getName).sorted
+    assert(names.sameElements(Array("a", "a0")), names.mkString(","))
+    assert(readObj(fs2, new Path(r2, "a0")) == "bound-key")
+    fs2.delete(new Path("s3a://prefbound/"), true)
+    assert(!fs2.exists(new Path(r2, "a0")), "recursive delete must reach the bound key")
   }
 
   test("conditional put: If-None-Match crosses the wire, loser gets 412") {
