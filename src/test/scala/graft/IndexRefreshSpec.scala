@@ -314,6 +314,48 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.forall(_.getLong(0) % 2 == 1))
   }
 
+  test("text refresh chain: 3 refreshes keep BM25 exact vs a monolithic " +
+      "rebuild and carry ranges forward in the manifest") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ir.db.chain")
+    spark.sql("CREATE TABLE ir.db.chain (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO ir.db.chain SELECT id, " +
+      "concat('common filler w', id % 50) FROM range(0, 1000, 1, 2)")
+    val dir = tablePath("chain")
+    val v1 = TextIndex.build(spark, dir, "doc_id", "text")
+    // three appends, each refreshed: 4 segments total
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO ir.db.chain SELECT id + ${i * 10000}, " +
+        s"concat('common unique$i w', id % 50) FROM range(0, 200, 1, 1)")
+      assert(TextIndex.refresh(spark, dir, "doc_id", "text") == v1 + i)
+    }
+    val root = TextIndex.indexRoot(fs.makeQualified(dir), "text")
+    val m = IndexSegments.read(fs, new Path(root, s"v=${v1 + 3}")).get
+    assert(m.segments.length == 4, s"chain segments: ${m.segments}")
+    // every segment's doc range rides the manifest (range:<seg>), so the
+    // NEXT refresh's disjointness check costs zero meta reads
+    assert(m.segments.forall(s => m.extra.contains(s"range:$s")),
+      s"carried ranges incomplete: ${m.extra.keys}")
+    // BM25 over the 4-segment union: docs from every batch rank, and a
+    // term unique to one delta only surfaces that delta's docs
+    val hits = TextIndex.searchCurrent(spark, dir, "text",
+      Seq("unique2"), 10).get.collect()
+    assert(hits.nonEmpty && hits.forall { r =>
+      val id = r.getLong(0); id >= 20000 && id < 20200 })
+    // common-term totals stay exact across segments: compare the BM25
+    // score against a fresh monolithic rebuild (same totals -> same
+    // score for the same doc)
+    val viaChain = TextIndex.searchCurrent(spark, dir, "text",
+      Seq("common"), 5).get.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    TextIndex.build(spark, dir, "doc_id", "text") // monolithic rebuild
+    IndexSegments.clearCache()
+    val viaRebuild = TextIndex.searchCurrent(spark, dir, "text",
+      Seq("common"), 5).get.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaChain.map(_._1).sameElements(viaRebuild.map(_._1)))
+    viaChain.zip(viaRebuild).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"segment BM25 drifted: $a vs $b") }
+  }
+
   // -------------------------------------------------- resolution cache
 
   test("segment-list resolution is cached across queries; purge invalidates") {
