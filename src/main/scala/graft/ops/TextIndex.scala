@@ -131,10 +131,15 @@ object TextIndex {
       priorDir: Path, segs: Seq[String]): Map[String, Option[(Long, Long)]] = {
     val carried: Map[String, (Long, Long)] =
       IndexSegments.read(fs, priorDir).map(_.extra).getOrElse(Map.empty)
-        .collect { case (k, v) if k.startsWith("range:") =>
-          val Array(lo, hi) = v.split(',')
-          k.stripPrefix("range:") -> (lo.toLong, hi.toLong)
-        }
+        .iterator.flatMap { case (k, v) =>
+          // malformed entries degrade to "range unknown" (meta-read
+          // fallback), never crash the refresh
+          if (!k.startsWith("range:")) None
+          else scala.util.Try {
+            val Array(lo, hi) = v.split(',')
+            k.stripPrefix("range:") -> (lo.toLong, hi.toLong)
+          }.toOption
+        }.toMap
     segs.map { s =>
       s -> (carried.get(s) match {
         case some @ Some(_) => some
