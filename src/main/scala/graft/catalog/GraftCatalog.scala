@@ -237,7 +237,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!GraftFormat.exists(fs, dir)) return false
     graft.format.ManifestCache.purge(fs, dir)
-    fs.delete(dir, true)
+    val ok = fs.delete(dir, true)
+    // purge AGAIN after the delete: a read that started between the
+    // first purge and the delete saw the old files and may have
+    // re-cached the dying generation (its generation snapshot is now
+    // stale, so this second bump invalidates it)
+    graft.format.ManifestCache.purge(fs, dir)
+    ok
   }
 
   override def renameTable(old: Identifier, to: Identifier): Unit =

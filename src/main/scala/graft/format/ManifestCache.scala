@@ -208,6 +208,9 @@ object ManifestCache {
   }
 
   def clearAll(): Unit = {
+    // bump every known generation FIRST: a latest() in flight must not
+    // guardedPut its pre-clear entry back after the clear
+    gens.values.foreach(_.incrementAndGet())
     entries.synchronized(entries.clear())
     pinned.synchronized(pinned.clear())
     // same lifecycle symmetry as the purge hook: a full reset must not

@@ -44,30 +44,52 @@ object IndexSegments {
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   val cacheHits = new java.util.concurrent.atomic.AtomicLong()
   val cacheMisses = new java.util.concurrent.atomic.AtomicLong()
-  // TOCTOU guard (same pattern as ManifestCache's per-table gens, one
-  // global counter here): a dataDirs racing drop/vacuum between the
-  // purge and the fs.delete could otherwise re-cache the dying
-  // generation's segment list — and a later monolithic build() at the
-  // same version dir writes no segment manifest, so nothing would ever
-  // invalidate it. Resolutions only cache when no invalidation landed
-  // mid-read; a lost race costs one re-read.
-  private val generation = new java.util.concurrent.atomic.AtomicLong()
+  // TOCTOU guard (same pattern as ManifestCache's per-table gens): a
+  // dataDirs racing drop/vacuum between the purge and the fs.delete
+  // could otherwise re-cache the dying generation's segment list — and
+  // a later monolithic build() at the same version dir writes no
+  // segment manifest, so nothing would ever invalidate it. Resolutions
+  // only cache when their table's generation did not move mid-read; a
+  // lost race costs one re-read, and churn on OTHER tables never
+  // suppresses caching here (per-table counters, never removed — a
+  // remove-then-recreate reset could revive a dead generation).
+  private val gens = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def gen(tableKey: String): java.util.concurrent.atomic.AtomicLong =
+    gens.getOrElseUpdate(tableKey, new java.util.concurrent.atomic.AtomicLong)
 
   private def cacheKey(fs: FileSystem, versionDir: Path): String =
     s"${fs.getUri}::${versionDir.toUri.getPath}"
 
+  /** The owning table's generation key for an index root
+    * (…/table/_indices/col.kind → …/table). */
+  private def tableKeyOf(fs: FileSystem, indexRoot: Path): String = {
+    val table = Option(indexRoot.getParent).flatMap(p => Option(p.getParent))
+      .getOrElse(indexRoot)
+    s"${fs.getUri}::${table.toUri.getPath}"
+  }
+
   /** Drop cached resolutions for every index version dir under `table`
-    * on this FileSystem — the table was dropped, replaced, or vacuumed. */
+    * on this FileSystem — the table was dropped, replaced, or vacuumed.
+    * Call BEFORE deleting (so readers stop serving the old generation)
+    * and AFTER (so a resolution that started in between cannot re-cache
+    * the dying generation: its cached entry is removed and its gen
+    * snapshot is stale). */
   def invalidateUnder(fs: FileSystem, table: Path): Unit = {
-    generation.incrementAndGet()
+    gen(s"${fs.getUri}::${table.toUri.getPath}").incrementAndGet()
     val prefix = s"${fs.getUri}::${table.toUri.getPath}"
     resolvedCache.keys.foreach { k =>
       if (k.startsWith(prefix)) resolvedCache.remove(k)
     }
   }
 
+  /** Drop the cached resolution of ONE version dir — a rebuild at this
+    * dir deleted/replaced its segment manifest. */
+  def invalidateDir(fs: FileSystem, versionDir: Path): Unit =
+    resolvedCache.remove(cacheKey(fs, versionDir))
+
   def clearCache(): Unit = {
-    generation.incrementAndGet()
+    gens.values.foreach(_.incrementAndGet())
     resolvedCache.clear()
   }
 
@@ -114,7 +136,8 @@ object IndexSegments {
         return dirs.map(new Path(_))
       case None => cacheMisses.incrementAndGet()
     }
-    val genAtStart = generation.get()
+    val tk = tableKeyOf(fs, indexRoot)
+    val genAtStart = gen(tk).get()
     if (!fs.exists(versionDir)) return Seq.empty // absent: may appear later, never cached
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     def walk(dir: Path): Unit = read(fs, dir) match {
@@ -126,11 +149,11 @@ object IndexSegments {
     }
     walk(versionDir)
     val out = seen.toSeq
-    if (generation.get() == genAtStart) {
+    if (gen(tk).get() == genAtStart) {
       resolvedCache.put(ck, out)
       // an invalidation may land between the check and the put; re-check
       // and withdraw rather than serve a dying generation for ever
-      if (generation.get() != genAtStart) resolvedCache.remove(ck)
+      if (gen(tk).get() != genAtStart) resolvedCache.remove(ck)
     }
     out.map(new Path(_))
   }

@@ -486,6 +486,10 @@ object Maintenance {
           }
         }
       }
+      // a resolution that started between the purge above and these
+      // deletes may have re-cached a dying segment list; bumping the
+      // table's generation AFTER the deletes invalidates it
+      IndexSegments.invalidateUnder(fs, qualDir)
     }
     // blob sidecar GC: the live set stays DISTRIBUTED — candidate names
     // are left-anti-joined against the union of descriptor scans over

@@ -82,6 +82,7 @@ object ScalarIndex {
     // bearing) index must drop the manifest, or readers would resolve
     // the stale segment list instead of the fresh monolithic payload
     fs.delete(IndexSegments.manifestPath(dest), false)
+    IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
     writeSegment(spark, fs, qual, manifest, c, dest)
     manifest.version
   }

@@ -75,6 +75,7 @@ object TextIndex {
     // a rebuild over a previously-refreshed version must drop the
     // segment manifest or readers would resolve the stale segment list
     fs.delete(IndexSegments.manifestPath(dest), false)
+    IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
     writeSegment(spark, fs, qual, manifest, idCol, textCol, dest)
     manifest.version
   }
@@ -121,47 +122,72 @@ object TextIndex {
     SegTotals(row.getAs[Long]("n"), row.getAs[Long]("sumdl"), range)
   }
 
-  /** doc_id [min, max] per segment name, preferring the version
-    * manifest's carried `range:<seg>` entries (zero I/O beyond the
-    * manifest itself); segments not covered there fall back to one
-    * meta-parquet read each (legacy/monolithic — happens once per
-    * chain, after which the next manifest carries the range forward).
-    * None = range unknown (pre-range layout or empty segment). */
-  private def segRangesOf(spark: SparkSession, fs: FileSystem, root: Path,
-      priorDir: Path, segs: Seq[String]): Map[String, Option[(Long, Long)]] = {
-    val carried: Map[String, (Long, Long)] =
-      IndexSegments.read(fs, priorDir).map(_.extra).getOrElse(Map.empty)
-        .iterator.flatMap { case (k, v) =>
-          // malformed entries degrade to "range unknown" (meta-read
-          // fallback), never crash the refresh
-          if (!k.startsWith("range:")) None
-          else scala.util.Try {
-            val Array(lo, hi) = v.split(',')
-            k.stripPrefix("range:") -> (lo.toLong, hi.toLong)
-          }.toOption
-        }.toMap
+  /** A segment's doc_id coverage, as carried in the version manifest:
+    * a known [lo, hi] range, provably empty (zero docs — vacuously
+    * disjoint from any delta), or unknown (pre-range layout —
+    * conservatively treated as overlapping). All three serialize into
+    * the manifest so legacy segments pay their meta-read fallback at
+    * most ONCE per chain. */
+  private sealed trait SegRange
+  private final case class KnownRange(lo: Long, hi: Long) extends SegRange
+  private case object EmptyRange extends SegRange
+  private case object UnknownRange extends SegRange
+
+  private def fmtRange(r: SegRange): String = r match {
+    case KnownRange(lo, hi) => s"$lo,$hi"
+    case EmptyRange => "none"
+    case UnknownRange => "unknown"
+  }
+
+  private def parseRange(v: String): SegRange = v match {
+    case "none" => EmptyRange
+    case "unknown" => UnknownRange
+    case s =>
+      // malformed entries degrade to "unknown" (conservative), never
+      // crash the refresh
+      scala.util.Try {
+        val Array(lo, hi) = s.split(',')
+        KnownRange(lo.toLong, hi.toLong): SegRange
+      }.getOrElse(UnknownRange)
+  }
+
+  /** doc_id coverage per segment name, preferring the (already-read)
+    * version manifest's carried `range:<seg>` entries — zero extra I/O;
+    * segments not covered there fall back to one meta-parquet read each
+    * (legacy/monolithic — once per chain, since the next manifest
+    * carries the answer forward whatever it was). */
+  private def segRangesOf(spark: SparkSession, root: Path,
+      priorManifest: Option[IndexSegments.SegManifest],
+      segs: Seq[String]): Map[String, SegRange] = {
+    val carried: Map[String, SegRange] =
+      priorManifest.map(_.extra).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith("range:") =>
+          k.stripPrefix("range:") -> parseRange(v)
+        }
     segs.map { s =>
-      s -> (carried.get(s) match {
-        case some @ Some(_) => some
-        case None =>
-          val metaPath = new Path(new Path(root, s), "meta")
-          try {
-            val row = spark.read.parquet(metaPath.toString).head()
-            if (!row.schema.fieldNames.contains("doc_min") ||
-                row.isNullAt(row.fieldIndex("doc_min"))) None
-            else Some((row.getAs[Long]("doc_min"), row.getAs[Long]("doc_max")))
-          } catch { case _: Exception => None }
+      s -> carried.getOrElse(s, {
+        val metaPath = new Path(new Path(root, s), "meta")
+        try {
+          val row = spark.read.parquet(metaPath.toString).head()
+          if (row.schema.fieldNames.contains("n") && row.getAs[Long]("n") == 0L)
+            EmptyRange
+          else if (!row.schema.fieldNames.contains("doc_min") ||
+              row.isNullAt(row.fieldIndex("doc_min"))) UnknownRange
+          else KnownRange(row.getAs[Long]("doc_min"), row.getAs[Long]("doc_max"))
+        } catch { case _: Exception => UnknownRange }
       })
     }.toMap
   }
 
-  /** (docs, sumdl) totals of the index at `dir` — from the segment
-    * manifest when present, else the legacy/monolithic meta parquet
-    * (pre-sumdl layouts recover the sum from n × avgdl, exact for
-    * integer document lengths within double precision). */
-  private def totalsOf(spark: SparkSession, fs: FileSystem,
-      dir: Path): (Long, Long) =
-    IndexSegments.read(fs, dir) match {
+  /** (docs, sumdl) totals of the index at `dir` — from the (pre-read)
+    * segment manifest when present, else the legacy/monolithic meta
+    * parquet (pre-sumdl layouts recover the sum from n × avgdl, exact
+    * for integer document lengths within double precision). Callers
+    * pass the manifest they already hold so a refresh reads
+    * _segments.json exactly once. */
+  private def totalsOf(spark: SparkSession, dir: Path,
+      manifest: Option[IndexSegments.SegManifest]): (Long, Long) =
+    manifest match {
       case Some(m) =>
         (m.extra("n").toLong, m.extra("sumdl").toLong)
       case None =>
@@ -203,11 +229,15 @@ object TextIndex {
       case None => build(spark, table, idCol, textCol)
       case Some(delta) =>
         val priorDir = versionDir(qual, textCol, v1)
-        val priorSegs = IndexSegments.expandPrior(fs, root, priorDir)
-        val (n0, sum0) = totalsOf(spark, fs, priorDir)
-        val priorRanges = segRangesOf(spark, fs, root, priorDir, priorSegs)
-        def rangeEntries(rs: Map[String, Option[(Long, Long)]]): Map[String, String] =
-          rs.collect { case (s, Some((lo, hi))) => s"range:$s" -> s"$lo,$hi" }
+        // the prior version's segment manifest is read ONCE and shared
+        // by segment expansion, totals, and range resolution below
+        val priorManifest = IndexSegments.read(fs, priorDir)
+        val priorSegs = priorManifest.map(_.segments)
+          .getOrElse(Seq(priorDir.getName))
+        val (n0, sum0) = totalsOf(spark, priorDir, priorManifest)
+        val priorRanges = segRangesOf(spark, root, priorManifest, priorSegs)
+        def rangeEntries(rs: Map[String, SegRange]): Map[String, String] =
+          rs.map { case (s, r) => s"range:$s" -> fmtRange(r) }
         val dest = versionDir(qual, textCol, manifest.version)
         if (delta.isEmpty) {
           IndexSegments.write(fs, dest, IndexSegments.SegManifest(priorSegs,
@@ -219,21 +249,24 @@ object TextIndex {
           properties = manifest.properties -- GraftFormat.ClusteringProps)
         if (spark.conf.get(VerifyDisjointKey, "true").toBoolean) {
           // fast path: the prior manifest carries every segment's doc_id
-          // [min, max] (legacy segments read their meta row once) — when
-          // the delta's id range is disjoint from every segment's,
-          // disjointness is proven from O(segments) metadata with zero
-          // extra Spark jobs (the steady-state monotone-id ingest
-          // shape). Only on range overlap, an unknown range, or an
-          // all-null delta id range does the exact column-pruned
-          // postings doc_id check run.
+          // coverage (legacy segments read their meta row once, then the
+          // answer rides forward) — when the delta's id range is
+          // disjoint from every segment's, disjointness is proven from
+          // O(segments) metadata with zero extra Spark jobs (the
+          // steady-state monotone-id ingest shape). An all-null delta
+          // range means an empty delta: vacuously disjoint. Only on
+          // range overlap or an unknown legacy range does the exact
+          // column-pruned postings doc_id check run.
           val deltaRange = GraftShim.tableDF(spark,
               new GraftTable(s"index:$qual#delta", qual, deltaManifest, conf))
             .agg(min(col(idCol).cast("long")).as("lo"),
               max(col(idCol).cast("long")).as("hi")).head()
-          val disjointByRange = !deltaRange.isNullAt(0) && {
+          val disjointByRange = deltaRange.isNullAt(0) || {
             val (dLo, dHi) = (deltaRange.getLong(0), deltaRange.getLong(1))
-            priorSegs.forall(s => priorRanges.getOrElse(s, None).exists {
-              case (lo, hi) => dLo > hi || dHi < lo
+            priorSegs.forall(s => priorRanges(s) match {
+              case KnownRange(lo, hi) => dLo > hi || dHi < lo
+              case EmptyRange => true
+              case UnknownRange => false
             })
           }
           if (!disjointByRange) {
@@ -252,11 +285,14 @@ object TextIndex {
         val segName = IndexSegments.newSegmentName()
         val st = writeSegment(spark, fs, qual, deltaManifest,
           idCol, textCol, new Path(root, segName))
+        val newRange: SegRange =
+          st.range.map { case (lo, hi) => KnownRange(lo, hi) }
+            .getOrElse(EmptyRange)
         IndexSegments.write(fs, dest,
           IndexSegments.SegManifest(priorSegs :+ segName,
             Map("n" -> (n0 + st.n).toString,
               "sumdl" -> (sum0 + st.sumdl).toString) ++
-              rangeEntries(priorRanges ++ Map(segName -> st.range))))
+              rangeEntries(priorRanges ++ Map(segName -> newRange))))
         manifest.version
     }
   }
@@ -289,7 +325,7 @@ object TextIndex {
     val root = indexRoot(qual, textCol)
     val dataDirs = IndexSegments.dataDirs(fs, root, dir)
     if (dataDirs.isEmpty) return None
-    val (n, sumdl) = totalsOf(spark, fs, dir)
+    val (n, sumdl) = totalsOf(spark, dir, IndexSegments.read(fs, dir))
     val avgdl = sumdl.toDouble / n
     val hits = spark.read
       .parquet(dataDirs.map(d => new Path(d, "postings").toString): _*)

@@ -54,6 +54,7 @@ object VectorIndex {
       throw new IllegalArgumentException(s"not a graft table: $table"))
     val dest = versionDir(qual, embCol, manifest.version)
     fs.delete(IndexSegments.manifestPath(dest), false)
+    IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
     writeSegment(spark, qual, manifest, idCol, embCol, dest)
     manifest.version
   }
@@ -205,6 +206,7 @@ object VectorIndex {
 
       val dest = versionDir(qual, embCol, manifest.version)
       fs.delete(IndexSegments.manifestPath(dest), false)
+      IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
       spark.createDataset(centroids.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")
@@ -497,6 +499,7 @@ object VectorIndex {
 
       val dest = versionDir(qual, embCol, manifest.version)
       fs.delete(IndexSegments.manifestPath(dest), false)
+      IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
       spark.createDataset(cents.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")

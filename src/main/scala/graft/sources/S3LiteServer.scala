@@ -196,7 +196,9 @@ class S3LiteServer {
   private def listV2(bucket: String, query: Map[String, String]): Array[Byte] = {
     val prefix = query.getOrElse("prefix", "")
     val delimiter = query.get("delimiter").filter(_.nonEmpty)
-    val maxKeys = query.get("max-keys").map(_.toInt).getOrElse(1000)
+    // clamp to >= 1: max-keys=0 would truncate before the first item
+    // with an empty resume token, spinning the client forever
+    val maxKeys = math.max(1, query.get("max-keys").map(_.toInt).getOrElse(1000))
     // Tokens are typed so resume semantics can differ per producer:
     //  gt:<key>    resume strictly after a content key
     //  ge:<bound>  resume at-or-after a CommonPrefix group's upper bound

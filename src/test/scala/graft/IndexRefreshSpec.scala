@@ -347,8 +347,9 @@ class IndexRefreshSpec extends AnyFunSuite {
     // score for the same doc)
     val viaChain = TextIndex.searchCurrent(spark, dir, "text",
       Seq("common"), 5).get.collect().map(r => (r.getLong(0), r.getDouble(1)))
-    TextIndex.build(spark, dir, "doc_id", "text") // monolithic rebuild
-    IndexSegments.clearCache()
+    // monolithic rebuild at the same version: build() itself must
+    // invalidate the cached segment resolution — no manual cache clear
+    TextIndex.build(spark, dir, "doc_id", "text")
     val viaRebuild = TextIndex.searchCurrent(spark, dir, "text",
       Seq("common"), 5).get.collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(viaChain.map(_._1).sameElements(viaRebuild.map(_._1)))
