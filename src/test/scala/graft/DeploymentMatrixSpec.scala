@@ -128,6 +128,23 @@ abstract class DeploymentConformanceBase extends AnyFunSuite {
     spark.sql(s"DROP TABLE ${t("gen")}")
   }
 
+  test(s"[$cat] schema evolution and TRUNCATE ride every backend") {
+    ready
+    spark.sql(s"DROP TABLE IF EXISTS ${t("evo")}")
+    spark.sql(s"CREATE TABLE ${t("evo")} AS SELECT id AS k FROM range(0, 20, 1, 1)")
+    spark.sql(s"ALTER TABLE ${t("evo")} ADD COLUMN note STRING")
+    assert(spark.table(t("evo")).columns.toSeq == Seq("k", "note"))
+    assert(spark.table(t("evo")).where("note IS NULL").count() == 20)
+    spark.sql(s"INSERT INTO ${t("evo")} VALUES (100, 'tagged')")
+    assert(spark.table(t("evo")).where("note = 'tagged'").count() == 1)
+    spark.sql(s"TRUNCATE TABLE ${t("evo")}")
+    assert(spark.table(t("evo")).count() == 0)
+    // pre-truncate snapshot still time-travelable through this backend
+    assert(spark.sql(s"SELECT count(*) FROM ${t("evo")} VERSION AS OF 1")
+      .head.getLong(0) == 20)
+    spark.sql(s"DROP TABLE ${t("evo")}")
+  }
+
   test(s"[$cat] namespace mode contract") {
     ready
     if (singleLevel) {
