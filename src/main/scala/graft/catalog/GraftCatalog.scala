@@ -296,7 +296,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // re-created at the same path could serve the previous generation's
     // pinned time-travel manifests.
     purgeTablesUnder(dir)
-    fs.delete(dir, true)
+    val ok = fs.delete(dir, true)
+    // close the resolve-between-purge-and-delete window for index
+    // segment resolutions (prefix covers every child table); manifest
+    // entries for children were purged above and cannot be re-cached
+    // post-delete (readLatest finds no manifest)
+    graft.ops.IndexSegments.invalidateUnder(fs, dir)
+    ok
   }
 
   private def purgeTablesUnder(dir: Path): Unit =

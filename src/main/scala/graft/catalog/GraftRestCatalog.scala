@@ -352,8 +352,12 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
       case Some(dir) =>
         val deregistered =
           client.deregisterTable(nsKey(ident.namespace()), ident.name())
-        graft.format.ManifestCache.purge(dir.getFileSystem(conf), dir)
-        dir.getFileSystem(conf).delete(dir, true)
+        val dfs = dir.getFileSystem(conf)
+        graft.format.ManifestCache.purge(dfs, dir)
+        dfs.delete(dir, true)
+        // second purge closes the resolve-between-purge-and-delete
+        // window (same rationale as GraftCatalog.dropTable)
+        graft.format.ManifestCache.purge(dfs, dir)
         deregistered
     }
 
