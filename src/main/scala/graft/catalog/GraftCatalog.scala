@@ -294,24 +294,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BEFORE deleting, exactly as dropTable does: within the TTL a
     // dropped table would otherwise still appear to exist, and a table
     // re-created at the same path could serve the previous generation's
-    // pinned time-travel manifests.
-    purgeTablesUnder(dir)
+    // pinned time-travel manifests. Capture the table dirs now — the
+    // post-delete listing can no longer find them.
+    val tables = tablesUnder(dir)
+    tables.foreach(t => graft.format.ManifestCache.purge(fs, t))
     val ok = fs.delete(dir, true)
-    // close the resolve-between-purge-and-delete window for index
-    // segment resolutions (prefix covers every child table); manifest
-    // entries for children were purged above and cannot be re-cached
-    // post-delete (readLatest finds no manifest)
-    graft.ops.IndexSegments.invalidateUnder(fs, dir)
+    // purge AGAIN per table after the delete, mirroring dropTable's
+    // second purge: a latest()/readPinned/dataDirs that started between
+    // the first purge and the delete saw the old files and may re-cache
+    // the dying generation. Each per-table purge bumps that table's OWN
+    // manifest and IndexSegments generations — a namespace-path bump
+    // alone would not invalidate a segment resolution that snapshotted
+    // the TABLE-path generation (it guards against tableKeyOf, not the
+    // namespace key).
+    tables.foreach(t => graft.format.ManifestCache.purge(fs, t))
     ok
   }
 
-  private def purgeTablesUnder(dir: Path): Unit =
-    fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory) {
-        if (st.getPath.getName.endsWith(".graft"))
-          graft.format.ManifestCache.purge(fs, st.getPath)
-        else purgeTablesUnder(st.getPath)
-      }
+  private def tablesUnder(dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      if (!st.isDirectory) Nil
+      else if (st.getPath.getName.endsWith(".graft")) Seq(st.getPath)
+      else tablesUnder(st.getPath)
     }
 }
 

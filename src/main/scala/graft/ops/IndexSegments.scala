@@ -77,11 +77,22 @@ object IndexSegments {
     * snapshot is stale). */
   def invalidateUnder(fs: FileSystem, table: Path): Unit = {
     gen(s"${fs.getUri}::${table.toUri.getPath}").incrementAndGet()
-    val prefix = s"${fs.getUri}::${table.toUri.getPath}"
+    // match on a path-separator boundary: cache keys under `table`
+    // always continue with "/_indices/...", and a bare startsWith would
+    // also evict every sibling whose name extends the prefix (table
+    // "t" evicting "t2" — over-invalidation that silently defeats the
+    // cache for same-prefix table names under churn)
+    val prefix = s"${fs.getUri}::${table.toUri.getPath}/"
     resolvedCache.keys.foreach { k =>
       if (k.startsWith(prefix)) resolvedCache.remove(k)
     }
   }
+
+  /** Test-only: the TOCTOU generation counter for a table path. Lets
+    * specs assert lifecycle events bump the generation an in-flight
+    * dataDirs actually snapshots (the TABLE key, not an ancestor's). */
+  private[graft] def generationOf(fs: FileSystem, table: Path): Long =
+    gen(s"${fs.getUri}::${table.toUri.getPath}").get()
 
   /** Drop the cached resolution of ONE version dir — a rebuild at this
     * dir deleted/replaced its segment manifest. */

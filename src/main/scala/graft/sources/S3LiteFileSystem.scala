@@ -236,13 +236,22 @@ class S3LiteFileSystem extends FileSystem {
     override def getPos: Long = pos
     override def seekToNewSource(targetPos: Long): Boolean = false
 
-    private def rangeGet(start: Long, n: Int): Array[Byte] = {
+    /** Ranged GET; returns (offset the body starts at, body). 206 means
+      * the endpoint honored the Range (body starts at `start`); 200
+      * means it IGNORED the header and returned the WHOLE object, whose
+      * body starts at 0 — treating that body as if it began at `start`
+      * would serve every later buffered read shifted by `start` bytes
+      * (silent corruption once the readahead buffer persists it). */
+    private def rangeGet(start: Long, n: Int): (Long, Array[Byte]) = {
       val end = math.min(len, start + n) - 1
       val (code, body) = finish(connect("GET", k,
         headers = Map("Range" -> s"bytes=$start-$end")))
-      if (code != 206 && code != 200)
-        throw new IOException(s"GET $k range $start-$end -> HTTP $code")
-      body
+      code match {
+        case 206 => (start, body)
+        case 200 => (0L, body)
+        case _ =>
+          throw new IOException(s"GET $k range $start-$end -> HTTP $code")
+      }
     }
 
     override def read(): Int = {
@@ -258,8 +267,9 @@ class S3LiteFileSystem extends FileSystem {
       if (n <= 0) return 0
       // serve from the readahead buffer when it covers pos
       if (buf == null || pos < bufStart || pos >= bufStart + buf.length) {
-        buf = rangeGet(pos, math.max(n, readAhead))
-        bufStart = pos
+        val (start0, body) = rangeGet(pos, math.max(n, readAhead))
+        buf = body
+        bufStart = start0
       }
       val avail = math.min(n.toLong, bufStart + buf.length - pos).toInt
       System.arraycopy(buf, (pos - bufStart).toInt, b, off, avail)
@@ -273,9 +283,13 @@ class S3LiteFileSystem extends FileSystem {
       if (position >= len) return -1
       val n = math.min(length.toLong, len - position).toInt
       if (n <= 0) return 0
-      val data = rangeGet(position, n)
-      System.arraycopy(data, 0, buffer, offset, data.length)
-      data.length
+      val (start0, data) = rangeGet(position, n)
+      // start0 < position on a Range-ignoring 200 (whole object): slice
+      val skip = (position - start0).toInt
+      val avail = math.min(n.toLong, (data.length - skip).toLong).toInt
+      if (avail <= 0) return -1
+      System.arraycopy(data, skip, buffer, offset, avail)
+      avail
     }
 
     override def available(): Int = math.min(len - pos, Int.MaxValue.toLong).toInt

@@ -34,6 +34,14 @@ class S3LiteServer {
   // store-enforced conditional put
   private val store = new ConcurrentHashMap[String, Obj]()
 
+  /** Conformance-probe knob: when true, GET pretends to be an
+    * S3-compatible endpoint that IGNORES the Range header and answers
+    * 200 with the whole object (such endpoints exist; RFC 7233 allows
+    * it). Lets specs prove the client stays correct — a client that
+    * buffers a 200 body as if it started at the requested offset serves
+    * shifted bytes on every later read. */
+  @volatile var ignoreRange = false
+
   val conditionalPuts = new AtomicLong()
   val lostRaces = new AtomicLong()
   val rangeGets = new AtomicLong()
@@ -133,7 +141,8 @@ class S3LiteServer {
         Option(store.get(id)) match {
           case None => respond(ex, 404, errXml("NoSuchKey"))
           case Some(obj) =>
-            Option(ex.getRequestHeaders.getFirst("Range")) match {
+            Option(ex.getRequestHeaders.getFirst("Range"))
+              .filterNot(_ => ignoreRange) match {
               case Some(r) =>
                 rangeGets.incrementAndGet()
                 // all three RFC 7233 byte-range forms standard S3 clients

@@ -402,4 +402,95 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(IndexSegments.cacheMisses.get() == m2 + 1,
       "drop must invalidate cached segment resolutions for the table")
   }
+
+  test("invalidateUnder stops at the path boundary: dropping table 't' " +
+      "must not evict sibling 't2' resolutions") {
+    wh
+    for (n <- Seq("sib", "sib2")) {
+      spark.sql(s"DROP TABLE IF EXISTS ir.db.$n")
+      spark.sql(s"CREATE TABLE ir.db.$n (k BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO ir.db.$n SELECT id, 'a' FROM range(0, 200, 1, 1)")
+    }
+    val v1 = ScalarIndex.build(spark, tablePath("sib"), "k")
+    val v2 = ScalarIndex.build(spark, tablePath("sib2"), "k")
+
+    val root2 = ScalarIndex.indexRoot(fs.makeQualified(tablePath("sib2")), "k")
+    val vdir2 = new Path(root2, s"v=$v2")
+    IndexSegments.clearCache()
+    val d2 = IndexSegments.dataDirs(fs, root2, vdir2) // warm sib2
+    assert(d2.nonEmpty)
+
+    // invalidate sib's table path — "sib" is a strict prefix of "sib2",
+    // so a boundary-less startsWith would evict sib2's entry too
+    IndexSegments.invalidateUnder(fs, fs.makeQualified(tablePath("sib")))
+    val hits = IndexSegments.cacheHits.get()
+    assert(IndexSegments.dataDirs(fs, root2, vdir2).map(_.toString) ==
+      d2.map(_.toString))
+    assert(IndexSegments.cacheHits.get() == hits + 1,
+      "sibling table's cached resolution was evicted by a prefix match " +
+        "without a path-separator boundary")
+    spark.sql("DROP TABLE ir.db.sib")
+    spark.sql("DROP TABLE ir.db.sib2")
+    assert(v1 >= 1)
+  }
+
+  test("a dataDirs racing DROP NAMESPACE cannot re-cache the dying " +
+      "segment list") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.db9")
+    spark.sql("CREATE TABLE ir.db9.rt (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO ir.db9.rt SELECT id, 'a' FROM range(0, 200, 1, 1)")
+    val dir = new Path(s"file:$wh/db9/rt.graft")
+    val v = ScalarIndex.build(spark, dir, "k")
+    val root = ScalarIndex.indexRoot(fs.makeQualified(dir), "k")
+    val vdir = new Path(root, s"v=$v")
+    IndexSegments.clearCache()
+
+    // A FileSystem whose exists() of the version dir fires the FULL
+    // namespace drop (purge + delete + per-table re-purge) exactly
+    // inside dataDirs' window between its generation snapshot and its
+    // cache put — the TOCTOU the advice flagged: the resolution
+    // snapshots the TABLE-path generation, so only a post-delete bump
+    // of that SAME key can make the guard fire.
+    var fired = false
+    val racingFs = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def exists(p: Path): Boolean = {
+        val r = super.exists(p)
+        if (!fired && p.toString.contains("v=")) {
+          fired = true
+          spark.sql("DROP NAMESPACE ir.db9 CASCADE")
+        }
+        r
+      }
+    }
+    IndexSegments.dataDirs(racingFs, root, vdir)
+    assert(fired, "race hook did not fire")
+    // the racing resolution read the pre-delete state; it must NOT have
+    // been cached — a cached entry here would serve the dead segment
+    // list (TTL-less) for ever
+    val misses = IndexSegments.cacheMisses.get()
+    assert(IndexSegments.dataDirs(fs, root, vdir).isEmpty,
+      "dropped namespace's segment list served from cache post-delete")
+    assert(IndexSegments.cacheMisses.get() == misses + 1)
+  }
+
+  test("DROP NAMESPACE bumps each child TABLE's generation after the " +
+      "delete, not just the namespace key") {
+    // The discriminating invariant behind the race above: an in-flight
+    // dataDirs snapshots the TABLE-path generation (tableKeyOf). If it
+    // starts after dropNamespace's pre-delete purge and completes after
+    // the delete, only a POST-delete bump of that same table key makes
+    // its guard fire. A namespace-path bump is invisible to it — so the
+    // table generation must move twice across the drop (pre + post).
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.db8")
+    spark.sql("CREATE TABLE ir.db8.gt (k BIGINT)")
+    spark.sql("INSERT INTO ir.db8.gt VALUES (1)")
+    val dir = fs.makeQualified(new Path(s"file:$wh/db8/gt.graft"))
+    val g0 = IndexSegments.generationOf(fs, dir)
+    spark.sql("DROP NAMESPACE ir.db8 CASCADE")
+    assert(IndexSegments.generationOf(fs, dir) >= g0 + 2,
+      "post-delete per-table purge missing: a resolution racing the " +
+        "delete could re-cache the dying generation")
+  }
 }

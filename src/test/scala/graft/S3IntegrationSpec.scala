@@ -394,6 +394,49 @@ class S3IntegrationSpec extends AnyFunSuite {
     spark.sql("DROP TABLE s3cc.db.t")
   }
 
+  test("Range-ignoring endpoint (200 full body): reads stay byte-correct") {
+    // RFC 7233 lets a server ignore Range and answer 200 with the whole
+    // object; some S3-compatible endpoints do. The client must treat
+    // that body as starting at offset 0 — buffering it as if it began
+    // at the requested offset would serve every later read shifted.
+    // Dedicated server instance: the knob is global per server, and
+    // suites may run concurrently against the shared one.
+    val local = new S3LiteServer
+    local.ignoreRange = true
+    try {
+      val conf = new Configuration()
+      conf.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+      conf.set(S3LiteFileSystem.EndpointKey, local.endpoint)
+      conf.setBoolean("fs.s3a.impl.disable.cache", true)
+      val fs = new Path("s3a://norange/").getFileSystem(conf)
+      val p = new Path("s3a://norange/blob.bin")
+      // > 64 KB readahead so a honored range would be a strict subset
+      val content = Array.tabulate(300000)(i => (i % 251).toByte)
+      val out = fs.create(p, true)
+      try out.write(content) finally out.close()
+
+      val in = fs.open(p)
+      try {
+        // buffered sequential path from a mid-object seek
+        in.seek(100003)
+        val b = new Array[Byte](1024)
+        in.readFully(b)
+        assert(b.toSeq == content.slice(100003, 101027).toSeq,
+          "buffered read served shifted bytes after a 200 full-body GET")
+        // positioned (pread) path
+        val b2 = new Array[Byte](512)
+        in.readFully(200001L, b2)
+        assert(b2.toSeq == content.slice(200001, 200513).toSeq,
+          "positioned read served shifted bytes after a 200 full-body GET")
+        // re-read through the persisted buffer
+        in.seek(5)
+        val b3 = new Array[Byte](16)
+        in.readFully(b3)
+        assert(b3.toSeq == content.slice(5, 21).toSeq)
+      } finally in.close()
+    } finally local.stop()
+  }
+
   test("g17 gate query answers correctly over s3a") {
     val df = SparkEntry.queries("g17_s3_object_store")(spark, sf)
     val rows = df.collect()
