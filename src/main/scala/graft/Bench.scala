@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
 object Bench {
+  /** One bench phase's worth of results, in artifact order. The batch
+    * phase produces one in-process; the streaming phase (s01/s02, extra
+    * SparkSessions + RocksDB state stores) runs in its OWN child JVM
+    * (r11 VERDICT ask #2: sharing the sweep JVM with 89 batch queries
+    * pushed the suite into memory/scheduler saturation — 13 isolated
+    * retries on the closing pass — drowning round-over-round signal)
+    * and is parsed back from the child's artifact line. */
+  private case class PhaseResults(
+      queries: Seq[(String, Double)],
+      spread: Seq[(String, (Double, Double))],
+      phases: Seq[(String, Double)],
+      errs: Seq[(String, String)],
+      retried: Seq[String])
+
+  /** Queries that run in the isolated streaming phase: the two
+    * streaming gate lifecycles. */
+  private def isStreaming(name: String): Boolean = name.startsWith("s0")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,8 +75,17 @@ object Bench {
       }
       Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot, err)
     }
+    // Phase split: on a full (driver-contract) run, the streaming
+    // lifecycles leave the shared JVM entirely — a child JVM runs them
+    // after every batch measurement (first pass AND retries) has
+    // finished. A BENCH_ONLY run keeps the old single-JVM behavior so
+    // isolated re-measures of streaming queries still work.
+    val childPhase = only.isEmpty && selected.keys.exists(isStreaming)
+    val batchSelected =
+      if (childPhase) selected.filterNot { case (n, _) => isStreaming(n) }
+      else selected
     val firstPass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Seq[Run])] =
-      selected.toSeq.map { case (name, fn) => (name, fn, (1 to repeats).map(_ => timeOnce(fn))) }
+      batchSelected.toSeq.map { case (name, fn) => (name, fn, (1 to repeats).map(_ => timeOnce(fn))) }
     // lower median: an actual run, so its recorded phases stay attached
     def medianRun(runs: Seq[Run]): Run =
       runs.sortBy(_.sec).apply((runs.size - 1) / 2)
@@ -85,9 +115,9 @@ object Bench {
     }
     // CONTENTION GUARD (thresholds + rationale live in BenchGuard,
     // where they are unit-tested against synthetic run sets): a query
-    // is suspect if EITHER its repeat spread shows a mid-sweep stall
-    // or its median is well above the committed BENCH_FULL median
-    // (r9 VERDICT tightened the baseline rule to >2x with >0.15s gap).
+    // is suspect if its repeat spread shows a mid-sweep stall, its
+    // median is well above the committed BENCH_FULL median, or every
+    // repeat is uniformly slow vs committed (min-based floor, r11).
     // Suspects re-run in isolation; the LOWER median of the two run
     // sets is reported — under contention the retry is the honest
     // number, and for a genuine code regression both sets are slow so
@@ -104,31 +134,65 @@ object Bench {
         (name, if (wins) rerun else runs, true)
       } else (name, runs, false)
     }
-    val retried = results.collect { case (n, _, true) => n }
     val medians = results.map { case (n, rs, _) => n -> medianRun(rs) }
+    val batchPhase = PhaseResults(
+      queries = medians.map { case (n, r) => n -> r.sec },
+      spread = results.map { case (n, rs, _) =>
+        n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
+      // phase split for the index/table-building queries (v02/v05/v06/
+      // v07/g12/g15/...), taken from each query's median run: sub-phases
+      // (<q>.build, <q>.optimize, ...) are recorded inside the closure,
+      // and <q>.probe = total - sum(recorded sub-phases)
+      phases = medians.flatMap { case (q, run) =>
+        val subs = run.phases.toSeq.sortBy(_._1)
+        val subSum = subs.collect {
+          case (s, sec) if s.startsWith(s"$q.") => sec
+        }.sum
+        subs ++ (if (subs.exists(_._1 == s"$q.build"))
+          Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
+      },
+      errs = results.flatMap { case (n, rs, _) =>
+        rs.flatMap(_.err).headOption.map(n -> _) },
+      retried = results.collect { case (n, _, true) => n })
+
+    // streaming phase, own JVM. The batch SparkSession stays up but
+    // idle (its threads park; the machine's only active workload is the
+    // child). If the child cannot be launched or returns no artifact
+    // line, fall back to running the streaming queries in-process so
+    // the round artifact is never missing gate rows.
+    val streamingNames = selected.keys.filter(isStreaming).toSeq.sorted
+    val streamingPhase: Option[PhaseResults] =
+      if (!childPhase) None
+      else runChildPhase(streamingNames, sfDir, cpus, repeats).orElse {
+        System.err.println("WARNING: streaming child JVM failed; " +
+          "running streaming queries in-process (shared JVM)")
+        val sel = selected.filter { case (n, _) => isStreaming(n) }
+        val runs = sel.toSeq.map { case (n, fn) =>
+          (n, (1 to repeats).map(_ => timeOnce(fn))) }
+        Some(PhaseResults(
+          queries = runs.map { case (n, rs) => n -> medianRun(rs).sec },
+          spread = runs.map { case (n, rs) =>
+            n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
+          phases = runs.flatMap { case (q, rs) =>
+            medianRun(rs).phases.toSeq.sortBy(_._1) },
+          errs = runs.flatMap { case (n, rs) =>
+            rs.flatMap(_.err).headOption.map(n -> _) },
+          retried = Nil))
+      }
+
+    val all = Seq(Some(batchPhase), streamingPhase).flatten
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val qs = obj(medians.map { case (n, r) => n -> r.sec })
-    val spread = results.map { case (n, rs, _) =>
-      "\"" + n + "\":[" + r4(rs.map(_.sec).min) + "," + r4(rs.map(_.sec).max) + "]"
+    val qs = obj(all.flatMap(_.queries))
+    val spread = all.flatMap(_.spread).map { case (n, (lo, hi)) =>
+      "\"" + n + "\":[" + r4(lo) + "," + r4(hi) + "]"
     }.mkString("{", ",", "}")
-    val errs = results.flatMap { case (n, rs, _) =>
-      rs.flatMap(_.err).headOption.map(e => "\"" + n + "\":\"" + e + "\"")
-    }.mkString("{", ",", "}")
-    // phase split for the index/table-building queries (v02/v05/v06/
-    // v07/g12/g15/...), taken from each query's median run: sub-phases
-    // (<q>.build, <q>.optimize, ...) are recorded inside the closure,
-    // and <q>.probe = total - sum(recorded sub-phases)
-    val phases = obj(medians.flatMap { case (q, run) =>
-      val subs = run.phases.toSeq.sortBy(_._1)
-      val subSum = subs.collect {
-        case (s, sec) if s.startsWith(s"$q.") => sec
-      }.sum
-      subs ++ (if (subs.exists(_._1 == s"$q.build"))
-        Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
-    })
-    val total = medians.map(_._2.sec).sum
+    val errs = all.flatMap(_.errs).map { case (n, e) =>
+      "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val phases = obj(all.flatMap(_.phases))
+    val retried = all.flatMap(_.retried)
+    val total = all.flatMap(_.queries).map(_._2).sum
     // cross-check against the previously COMMITTED artifact: if this
     // run's total disagrees by >1.5x on the full suite, the machine was
     // contended and the artifact says so instead of publishing garbage
@@ -155,5 +219,65 @@ object Bench {
       line + "\n")
     println(line)
     spark.stop()
+  }
+
+  /** Run the named queries in a child `graft.Bench` JVM (same
+    * classpath + JVM flags as this forked run) and parse its artifact
+    * line back into a [[PhaseResults]]. The child sees
+    * SPARK_GRAFT_BENCH_ONLY, so it follows the single-JVM path, applies
+    * the same repeat/median/guard machinery against the same committed
+    * baseline, and writes BENCH_PARTIAL.json (which we ignore — its
+    * stdout line is the hand-off). Returns None on any launch/parse
+    * failure so the caller can fall back in-process. */
+  private def runChildPhase(names: Seq[String], sfDir: String, cpus: String,
+      repeats: Int): Option[PhaseResults] = {
+    if (names.isEmpty) return None
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS", repeats.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val exit = p.waitFor()
+      val line = out.linesIterator
+        .filter(_.contains("\"metric\"")).toSeq.lastOption
+      if (exit != 0 || line.isEmpty) {
+        System.err.println(s"WARNING: streaming child exited $exit " +
+          s"with ${if (line.isEmpty) "no" else "an"} artifact line")
+        return None
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(line.get)
+      def strMap(field: String): Seq[(String, String)] =
+        Option(root.get(field)).toSeq.flatMap { n =>
+          n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText()) }
+      def numMap(field: String): Seq[(String, Double)] =
+        Option(root.get(field)).toSeq.flatMap { n =>
+          n.properties().asScala.toSeq.collect {
+            case e if e.getValue.isNumber => e.getKey -> e.getValue.asDouble() } }
+      Some(PhaseResults(
+        queries = numMap("queries"),
+        spread = Option(root.get("spread")).toSeq.flatMap { n =>
+          n.properties().asScala.toSeq.map { e =>
+            e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble()) } },
+        phases = numMap("phases"),
+        errs = strMap("errs"),
+        retried = Option(root.get("retried")).toSeq.flatMap(
+          _.elements().asScala.toSeq.map(_.asText()))))
+    } catch {
+      case t: Throwable =>
+        System.err.println("WARNING: streaming child JVM launch failed: " +
+          t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse(""))
+        None
+    }
   }
 }

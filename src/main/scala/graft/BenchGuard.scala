@@ -27,10 +27,16 @@ object BenchGuard {
   // consistent slowdown — every repeat slow, so the spread rule can
   // never see it — that still sits under the 1.8x baseline trigger.
   // r10's t16 regressed 1.76x with spread 1.25x and skated 0.04 under
-  // the trigger by construction; 1.5x-with-tight-spread catches it at
-  // the cost of one isolated re-run.
+  // the trigger by construction. The precondition is a MIN-based floor
+  // (r11 VERDICT ask #1): "every repeat slow" is secs.min well above
+  // the committed median, stated directly. The previous spread CEILING
+  // (<1.3x) encoded the same idea indirectly and r11's t17 escaped it
+  // by 0.04 of spread ([5.48, 6.39, 7.35] vs 3.69 = spread 1.34) —
+  // the exact structural repeat of how t16 escaped the baseline rule.
+  // A single-stall set ([1.0, 1.0, 9.0]) still routes to the spread
+  // rule: its MEDIAN stays near the baseline so this rule stays quiet.
   final val UniformRatio = 1.5
-  final val UniformMaxSpread = 1.3
+  final val UniformMinRatio = 1.2
   final val UniformGapSec = 0.15
 
   /** Median of a non-empty run set (lower-middle for even sizes, so the
@@ -51,8 +57,8 @@ object BenchGuard {
     }
 
   /** True when every repeat is uniformly slower than the committed
-    * median: ratio above [[UniformRatio]] while the repeats agree with
-    * each other (spread under [[UniformMaxSpread]]). Shared-JVM memory
+    * median: the median above [[UniformRatio]] AND the FASTEST repeat
+    * above [[UniformMinRatio]] times the committed median. Shared-JVM
     * pressure produces exactly this shape; so does a real regression —
     * either way the honest answer is an isolated re-run (a regression
     * stays slow in isolation and still shows). */
@@ -60,7 +66,7 @@ object BenchGuard {
     committed.exists { b =>
       median(secs) > b * UniformRatio &&
         median(secs) - b > UniformGapSec &&
-        secs.max / secs.min.max(1e-9) < UniformMaxSpread
+        secs.min > b * UniformMinRatio
     }
 
   /** The re-run-in-isolation trigger: any rule fires on a clean

@@ -60,9 +60,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.suspect(Seq(1.30, 1.52, 1.63), clean = true, Some(0.864)))
     // r10's g01 drift (1.28 -> 1.64 = 1.28x): below 1.5x, stays quiet
     assert(!BenchGuard.uniformSlowdown(Seq(1.60, 1.64, 1.70), Some(1.28)))
-    // 1.6x ratio but wide spread (one fast repeat): the uniform rule
-    // must not fire — that shape belongs to the spread/baseline rules
+    // r11's t17_near_dup_survivors replay: [5.48, 6.39, 7.35] vs
+    // committed 3.69 — spread 1.34 escaped the old <1.3x spread
+    // ceiling by 0.04; the min-based floor fires (min 5.48 = 1.49x,
+    // median 6.39 = 1.73x). The exact shape that published a 1.56x
+    // inflated t17 in BENCH_r11.
+    assert(BenchGuard.uniformSlowdown(Seq(5.48, 6.39, 7.35), Some(3.69)))
+    assert(BenchGuard.suspect(Seq(5.48, 6.39, 7.35), clean = true, Some(3.69)))
+    // 1.6x median ratio but one FAST repeat near baseline: not a
+    // uniform slowdown — that shape belongs to the spread/baseline rules
     assert(!BenchGuard.uniformSlowdown(Seq(0.90, 1.55, 1.60), Some(0.95)))
+    // single-stall set: median at baseline, the uniform rule stays
+    // quiet and the spread rule handles it
+    assert(!BenchGuard.uniformSlowdown(Seq(1.0, 1.05, 9.0), Some(1.0)))
+    assert(BenchGuard.suspect(Seq(1.0, 1.05, 9.0), clean = true, Some(1.0)))
     // tiny absolute gap (0.08s on a 0.1s query): quiet under the gap floor
     assert(!BenchGuard.uniformSlowdown(Seq(0.18, 0.18, 0.19), Some(0.10)))
     // no committed baseline: rule cannot apply
