@@ -120,14 +120,19 @@ object GraftProcedures {
     "vacuum",
     Array(in("table", StringType),
       inDefault("keep_versions", IntegerType, "10"),
-      inDefault("older_than_ms", LongType, "0")),
+      inDefault("older_than_ms", LongType, "0"),
+      // -1 = use spark.graft.vacuum.minVersionsRetained (default 2)
+      inDefault("min_versions_retained", IntegerType, "-1"),
+      // -1 = use spark.graft.vacuum.orphanGraceMs (default 10 min)
+      inDefault("orphan_grace_ms", LongType, "-1")),
     StructType(Seq(
       StructField("versions_dropped", IntegerType, nullable = false),
       StructField("files_deleted", IntegerType, nullable = false)))) {
     override def run(in: InternalRow, spark: SparkSession): Array[InternalRow] = {
       val (dir, conf) = resolve(in.getUTF8String(0).toString)
       val (dropped, deleted) =
-        Maintenance.vacuum(spark, dir, in.getInt(1), in.getLong(2), conf)
+        Maintenance.vacuum(spark, dir, in.getInt(1), in.getLong(2), conf,
+          in.getInt(3), in.getLong(4))
       Array(new GenericInternalRow(Array[Any](dropped, deleted)))
     }
   }

@@ -3,7 +3,7 @@ package graft.ops
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
@@ -36,6 +36,22 @@ object Maintenance {
     * fallback only when no catalog conf is supplied. */
   private def resolvedConf(spark: SparkSession, c: Configuration): Configuration =
     Option(c).getOrElse(spark.sessionState.newHadoopConf())
+
+  /** Newest modification time of any file under `p` (or `p`'s own when
+    * it is a file / an empty dir). Object-store "directories" are
+    * virtual with mtime 0, so the vacuum orphan-grace check must look
+    * at contained files; index segment dirs hold a handful of files, so
+    * the recursion is cheap. */
+  private def newestMtimeUnder(fs: FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (st.isFile) st.getModificationTime
+    else {
+      val children = fs.listStatus(p)
+      (st.getModificationTime +: children.toSeq.map { c =>
+        if (c.isFile) c.getModificationTime else newestMtimeUnder(fs, c.getPath)
+      }).max
+    }
+  }
 
   /** The keys where `conf` differs from the bare session Hadoop conf —
     * i.e. the catalog/vended storage options. Passed as READ/WRITE
@@ -403,15 +419,45 @@ object Maintenance {
     * history: a version is only dropped when its commit is at least
     * that old (the lakehouse retention guard — readers/streams pinned
     * to a recent snapshot keep working while old history ages out).
+    *
+    * The time guard alone cannot protect a pinned time-travel reader
+    * from a misconfigured `olderThanMs = 0`, so a SECOND guard floors
+    * the version count (Delta `retentionDurationCheck` / Iceberg
+    * `min-snapshots-to-keep` precedent): the effective keep count is
+    * at least `spark.graft.vacuum.minVersionsRetained` (default 2 —
+    * latest plus one prior snapshot). Pass `minVersionsRetained >= 1`
+    * to override per call (tests / operators who accept the risk);
+    * -1 means "use the session conf".
+    *
+    * Unreferenced files split two ways (the streaming×maintenance storm
+    * caught the difference): files referenced by a manifest DROPPED in
+    * this pass are dead history and delete immediately, but a file
+    * referenced by NO manifest at all may be an IN-FLIGHT two-phase
+    * append (data/blob/index-segment files land on disk BEFORE their
+    * manifest commits — deleting them fails the commit or strands a
+    * reader on a vanished file). True orphans are crash debris, so they
+    * age out instead: deleted only once older than `orphanGraceMs`
+    * (conf `spark.graft.vacuum.orphanGraceMs`, default 10 min — the
+    * Iceberg remove_orphan_files / Delta vacuum-retention precedent).
     * Returns (versionsDropped, filesDeleted). */
   def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10,
-      olderThanMs: Long = 0L, hadoopConf: Configuration = null): (Int, Int) = {
+      olderThanMs: Long = 0L, hadoopConf: Configuration = null,
+      minVersionsRetained: Int = -1, orphanGraceMs: Long = -1L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    val floor =
+      if (minVersionsRetained >= 1) minVersionsRetained
+      else spark.conf
+        .get("spark.graft.vacuum.minVersionsRetained", "2").toInt.max(1)
+    val grace =
+      if (orphanGraceMs >= 0L) orphanGraceMs
+      else spark.conf
+        .get("spark.graft.vacuum.orphanGraceMs", "600000").toLong.max(0L)
+    val effKeep = math.max(keepVersions, floor)
     val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val versions = GraftFormat.listVersions(fs, qualDir)
-    val (drop0, keep0) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val (drop0, keep0) = versions.splitAt(math.max(0, versions.size - effKeep))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val (drop, keep) =
       if (olderThanMs <= 0L) (drop0, keep0)
@@ -424,6 +470,13 @@ object Maintenance {
     val referenced: Set[String] = retained.flatMap { m =>
       m.fragments.flatMap(f => f.path +: f.deletionPath.toSeq)
     }.toSet
+    // dead history: referenced only by manifests dropped in THIS pass —
+    // captured before their manifest files go, deletable immediately
+    // (no grace: their version is out of every retention window)
+    val droppedRefs: Set[String] = drop.flatMap { v =>
+      GraftFormat.readManifest(fs, qualDir, v).fragments
+        .flatMap(f => f.path +: f.deletionPath.toSeq)
+    }.toSet -- referenced
     drop.foreach { v =>
       val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
       if (fs.exists(p)) fs.delete(p, false)
@@ -441,12 +494,17 @@ object Maintenance {
     // dropped versions may sit in the pinned (time-travel) manifest cache
     if (drop.nonEmpty) graft.format.ManifestCache.purge(fs, qualDir)
     var deleted = 0
+    val orphanCutoffMs = System.currentTimeMillis() - grace
     for (sub <- Seq("data", "_deletions")) {
       val d = new Path(qualDir, sub)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         if (st.isFile) {
           val rel = s"$sub/${st.getPath.getName}"
-          if (!referenced.contains(rel)) {
+          // dead history deletes now; a true orphan may be an in-flight
+          // two-phase append's file — only crash debris (older than the
+          // grace window) goes
+          if (!referenced.contains(rel) && (droppedRefs.contains(rel) ||
+              st.getModificationTime < orphanCutoffMs)) {
             fs.delete(st.getPath, false)
             deleted += 1
           }
@@ -479,7 +537,13 @@ object Maintenance {
           val staleVersion = name.startsWith("v=") &&
             name.stripPrefix("v=").toLongOption
               .exists(!retainedVersions.contains(_))
-          val orphanSegment = name.startsWith("seg-")
+          // a seg-* dir an IN-FLIGHT refresh just wrote is not yet
+          // referenced by any version manifest (the v=<V> publish comes
+          // after the segment lands) — only age-outs are orphans. Dir
+          // mtimes are unreliable on object stores, so use the newest
+          // contained file.
+          val orphanSegment = name.startsWith("seg-") &&
+            newestMtimeUnder(fs, p) < orphanCutoffMs
           if ((staleVersion || orphanSegment) && !referenced.contains(name)) {
             fs.delete(p, true)
             deleted += 1
@@ -537,7 +601,12 @@ object Maintenance {
       val it = fs.listStatusIterator(blobDir)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile)
+        // blob sidecars land BEFORE the manifest referencing their
+        // descriptors commits (two-phase append): young unreferenced
+        // blobs may be in flight, so only age-outs are GC candidates —
+        // an overwritten generation's blobs go on the next vacuum past
+        // the grace window (deferred, never lost)
+        if (st.isFile && st.getModificationTime < orphanCutoffMs)
           batch += s"${BlobStore.BlobDirName}/${st.getPath.getName}"
         if (batch.size >= batchSize) flush()
       }

@@ -108,7 +108,8 @@ class BlobSpec extends AnyFunSuite {
     val fresh = after -- before
     assert(fresh.nonEmpty, "overwrite wrote no new sidecars")
     val (_, deletedCount) =
-      graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+      graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1,
+        minVersionsRetained = 1, orphanGraceMs = 0)
     val remaining = Files.list(blobDir).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert((before -- after).isEmpty)
@@ -149,7 +150,8 @@ class BlobSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.vacuum.blobBatchSize", "16")
     try {
       val (_, deletedCount) =
-        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1,
+        minVersionsRetained = 1, orphanGraceMs = 0)
       assert(deletedCount > 0)
       val remaining = names
       assert(remaining.intersect(fresh) == fresh, "live sidecars deleted")

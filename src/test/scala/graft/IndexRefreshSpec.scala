@@ -259,8 +259,11 @@ class IndexRefreshSpec extends AnyFunSuite {
     fs.mkdirs(new Path(root, "seg-orphan-test"))
 
     // retain only the latest version: v1's manifest drops, but v=1's
-    // index content is REFERENCED by v=2's segment manifest -> survives
-    graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1)
+    // index content is REFERENCED by v=2's segment manifest -> survives.
+    // orphanGraceMs=0: the planted orphan is seconds old and would be
+    // (correctly) treated as a possibly-in-flight refresh otherwise
+    graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 1,
+      minVersionsRetained = 1, orphanGraceMs = 0)
     assert(graft.format.GraftFormat.listVersions(fs, dir) == Seq(v2))
     assert(fs.exists(new Path(root, s"v=$v1")),
       "index content referenced by a retained refresh chain must survive vacuum")

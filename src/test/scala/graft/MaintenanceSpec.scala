@@ -310,9 +310,73 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM mt.db.ret VERSION AS OF 1")
       .head().getLong(0) == 0)
     // without the window the same call drops them
-    val (dropped2, _) = Maintenance.vacuum(spark, dir, keepVersions = 1)
+    val (dropped2, _) = Maintenance.vacuum(spark, dir, keepVersions = 1,
+      minVersionsRetained = 1)
     assert(dropped2 == 3)
     assert(spark.table("mt.db.ret").count() == 3)
+  }
+
+  test("vacuum orphan grace: a young never-referenced file (in-flight " +
+      "two-phase append) survives; dead history still deletes now") {
+    // the streaming x maintenance storm caught vacuum deleting a data
+    // file an in-flight INSERT had written but not yet committed a
+    // manifest for — unreferenced-by-any-manifest files must age out,
+    // not die instantly
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.og")
+    spark.sql("CREATE TABLE mt.db.og (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO mt.db.og VALUES ($i)"))
+    val dir = new Path(Paths.get(wh, "db", "og.graft").toUri)
+    // plant a young orphan: on disk, referenced by no manifest — the
+    // exact on-disk state of an append between its file write and its
+    // manifest CAS
+    val orphan = new Path(dir, "data/in-flight-append.parquet")
+    val out = fs.create(orphan, false)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    Maintenance.vacuum(spark, dir, keepVersions = 2, minVersionsRetained = 1)
+    assert(fs.exists(orphan),
+      "vacuum deleted a young orphan — an in-flight append's data file")
+    // dead history (referenced only by manifests dropped this pass) has
+    // no grace: version 1's file went in the same call
+    assert(GraftFormat.listVersions(fs, dir).size == 2)
+    // crash debris: the same orphan past the grace window goes
+    val (_, deleted) = Maintenance.vacuum(spark, dir, keepVersions = 2,
+      minVersionsRetained = 1, orphanGraceMs = 0)
+    assert(!fs.exists(orphan), "aged-out orphan must be GC'd")
+    assert(deleted >= 1)
+    spark.sql("DROP TABLE mt.db.og")
+  }
+
+  test("vacuum minVersionsRetained floor: keep_versions=1 with " +
+      "olderThanMs=0 still retains a prior snapshot by default") {
+    // r11 VERDICT stretch #7: the time guard cannot protect a pinned
+    // time-travel reader from a misconfigured olderThanMs=0 — the
+    // version-count floor (default 2) can.
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.floor")
+    spark.sql("CREATE TABLE mt.db.floor (k BIGINT)")
+    (0 until 2).foreach(i => spark.sql(s"INSERT INTO mt.db.floor VALUES ($i)"))
+    val dir = new Path(Paths.get(wh, "db", "floor.graft").toUri)
+    assert(GraftFormat.listVersions(fs, dir).size == 3)
+    val (dropped, _) = Maintenance.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped == 1, "default floor of 2 must retain latest + 1 prior")
+    // the pinned reader one snapshot back keeps working
+    assert(spark.sql("SELECT count(*) FROM mt.db.floor VERSION AS OF 2")
+      .head().getLong(0) == 1)
+    // a raised session floor wins over keep_versions; restore after
+    spark.conf.set("spark.graft.vacuum.minVersionsRetained", "5")
+    try {
+      spark.sql("INSERT INTO mt.db.floor VALUES (9)")
+      val (d2, _) = Maintenance.vacuum(spark, dir, keepVersions = 1)
+      assert(d2 == 0, "session floor of 5 must protect all 3 versions")
+    } finally spark.conf.unset("spark.graft.vacuum.minVersionsRetained")
+    // the explicit opt-out (SQL surface) restores keep_versions=1
+    val row = spark.sql("CALL mt.system.vacuum(`table` => 'db.floor', " +
+      "keep_versions => 1, min_versions_retained => 1)").head
+    assert(row.getInt(0) == 2, s"opt-out should drop 2 priors, got $row")
+    assert(GraftFormat.listVersions(fs, dir).size == 1)
+    assert(spark.table("mt.db.floor").count() == 3)
+    spark.sql("DROP TABLE mt.db.floor")
   }
 
   test("vacuum GCs index sidecars of dropped versions, keeps current ones") {
@@ -331,7 +395,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val v2 = VectorIndex.build(spark, dir, "vec_id", "embedding")
     assert(VectorIndex.indexedVersions(spark, dir, "embedding") == Seq(v1, v2))
 
-    Maintenance.vacuum(spark, dir, keepVersions = 1)
+    Maintenance.vacuum(spark, dir, keepVersions = 1, minVersionsRetained = 1)
     // v1's LSH and IVF sidecars are garbage; v2's LSH survives and the
     // current-version read still works
     assert(VectorIndex.indexedVersions(spark, dir, "embedding") == Seq(v2))
@@ -361,9 +425,12 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(h.head.getString(1) == "Compact")
     assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted.reverse)
 
-    // vacuum via SQL drops pre-compact history
+    // vacuum via SQL drops pre-compact history (explicit floor opt-out:
+    // the default minVersionsRetained=2 would keep one pre-compact
+    // version alive)
     val v = spark.sql(
-      "CALL mt.system.vacuum(`table` => 'db.sq', keep_versions => 1)").head
+      "CALL mt.system.vacuum(`table` => 'db.sq', keep_versions => 1, " +
+        "min_versions_retained => 1)").head
     assert(v.getInt(0) >= 4, v.toString) // versions dropped
     assert(v.getInt(1) > 0, v.toString)  // files deleted
     assert(spark.table("mt.db.sq").count() == 200)

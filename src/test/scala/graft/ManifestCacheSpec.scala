@@ -231,7 +231,8 @@ class ManifestCacheSpec extends AnyFunSuite {
     (1 to 3).foreach(i => spark.sql(s"INSERT INTO mc.db.t7 VALUES ($i, 'x')"))
     // warm the pinned cache with an old version, then vacuum it away
     spark.sql("SELECT * FROM mc.db.t7 VERSION AS OF 1").count()
-    graft.ops.Maintenance.vacuum(spark, tdir("t7"), keepVersions = 1)
+    graft.ops.Maintenance.vacuum(spark, tdir("t7"), keepVersions = 1,
+      minVersionsRetained = 1)
     intercept[Exception] {
       spark.sql("SELECT * FROM mc.db.t7 VERSION AS OF 1").count()
     }

@@ -5,21 +5,33 @@ import java.nio.file.Files
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.{S3LiteFileSystem, S3LiteServer}
+
 /** The reference inherits a large negative/edge corpus from Trino's
   * BaseConnectorTest (BaseLanceConnectorTest.java:100-420 — an explicit
-  * capability matrix plus typed failures for everything outside it).
-  * This is the graft slice: every case asserts either the behavior a
-  * user gets (where graft exceeds the reference's aborted capability)
-  * or a typed, helpful error — never a stack trace from deep inside
-  * the storage layer. */
-class NegativeConformanceSpec extends AnyFunSuite {
+  * capability matrix plus typed failures for everything outside it) —
+  * and inherits it in EVERY deployment subclass of its matrix
+  * (T/TestLanceS3DefaultConnectorTest.java, T/TestLanceRest*), so a
+  * backend that gives an untyped error where another gives a typed one
+  * is a test failure there. Same here (r11 VERDICT ask #4): ONE shared
+  * negative corpus, instantiated over {dir, s3a, rest-default} — the
+  * backends diverge exactly where these tests look (the r11 REST
+  * purge-before-delete race was found by hand, not by a suite).
+  *
+  * Every case asserts either the behavior a user gets (where graft
+  * exceeds the reference's aborted capability) or a typed, helpful
+  * error — never a stack trace from deep inside the storage layer. */
+abstract class NegativeConformanceBase extends AnyFunSuite {
   import TestSpark._
 
+  /** Spark catalog name — unique per instantiation. */
+  protected def cat: String
+  /** Wire the catalog (and any FS) into the shared session. */
+  protected def configure(): Unit
+
   private lazy val ready: Unit = {
-    val wh = Files.createTempDirectory("graft-neg-wh").toString
-    spark.conf.set("spark.sql.catalog.neg", "graft.catalog.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.neg.warehouse", wh)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS neg.db")
+    configure()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
   }
 
   private def rootMsgs(t: Throwable): String =
@@ -27,238 +39,289 @@ class NegativeConformanceSpec extends AnyFunSuite {
 
   // reference: BaseConnectorTest testCreateTableSchemaNotFound /
   // testCreateTableAsSelectSchemaNotFound
-  test("CREATE TABLE / CTAS into a missing namespace: typed SCHEMA_NOT_FOUND") {
+  test(s"[$cat] CREATE TABLE / CTAS into a missing namespace: typed " +
+      "SCHEMA_NOT_FOUND") {
     ready
     val e1 = intercept[Exception] {
-      spark.sql("CREATE TABLE neg.no_such_ns.t (k BIGINT)")
+      spark.sql(s"CREATE TABLE $cat.no_such_ns.t (k BIGINT)")
     }
     assert(e1.isInstanceOf[NoSuchNamespaceException] ||
       rootMsgs(e1).contains("SCHEMA_NOT_FOUND"), rootMsgs(e1))
     val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE neg.no_such_ns.t AS SELECT 1 AS k")
+      spark.sql(s"CREATE TABLE $cat.no_such_ns.t AS SELECT 1 AS k")
     }
     assert(rootMsgs(e2).contains("SCHEMA_NOT_FOUND") ||
       e2.isInstanceOf[NoSuchNamespaceException], rootMsgs(e2))
   }
 
-  test("SELECT / INSERT / DROP on a missing table: typed TABLE_NOT_FOUND") {
+  test(s"[$cat] SELECT / INSERT / DROP on a missing table: typed " +
+      "TABLE_NOT_FOUND") {
     ready
-    val e1 = intercept[Exception](spark.table("neg.db.missing").count())
+    val e1 = intercept[Exception](spark.table(s"$cat.db.missing").count())
     assert(rootMsgs(e1).contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e1.isInstanceOf[NoSuchTableException], rootMsgs(e1))
     val e2 = intercept[Exception](
-      spark.sql("INSERT INTO neg.db.missing VALUES (1)"))
+      spark.sql(s"INSERT INTO $cat.db.missing VALUES (1)"))
     assert(rootMsgs(e2).contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e2.isInstanceOf[NoSuchTableException], rootMsgs(e2))
-    val e3 = intercept[Exception](spark.sql("DROP TABLE neg.db.missing"))
+    val e3 = intercept[Exception](spark.sql(s"DROP TABLE $cat.db.missing"))
     assert(rootMsgs(e3).contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e3.isInstanceOf[NoSuchTableException], rootMsgs(e3))
     // tolerant form succeeds silently
-    spark.sql("DROP TABLE IF EXISTS neg.db.missing")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.missing")
   }
 
-  test("duplicate CREATE TABLE: typed exists error; IF NOT EXISTS tolerated") {
+  test(s"[$cat] duplicate CREATE TABLE: typed exists error; IF NOT " +
+      "EXISTS tolerated") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.dup")
-    spark.sql("CREATE TABLE neg.db.dup (k BIGINT)")
-    val e = intercept[Exception](spark.sql("CREATE TABLE neg.db.dup (k BIGINT)"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.dup")
+    spark.sql(s"CREATE TABLE $cat.db.dup (k BIGINT)")
+    val e = intercept[Exception](spark.sql(s"CREATE TABLE $cat.db.dup (k BIGINT)"))
     assert(e.isInstanceOf[TableAlreadyExistsException] ||
       rootMsgs(e).contains("TABLE_OR_VIEW_ALREADY_EXISTS"), rootMsgs(e))
-    spark.sql("CREATE TABLE IF NOT EXISTS neg.db.dup (k BIGINT)") // no-op
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.dup (k BIGINT)") // no-op
     val e2 = intercept[Exception](
-      spark.sql("CREATE TABLE neg.db.dup AS SELECT 1 AS k"))
+      spark.sql(s"CREATE TABLE $cat.db.dup AS SELECT 1 AS k"))
     assert(e2.isInstanceOf[TableAlreadyExistsException] ||
       rootMsgs(e2).contains("TABLE_OR_VIEW_ALREADY_EXISTS"), rootMsgs(e2))
-    spark.sql("DROP TABLE neg.db.dup")
+    spark.sql(s"DROP TABLE $cat.db.dup")
   }
 
-  test("REPLACE TABLE on a missing table: typed error; CREATE OR REPLACE ok") {
+  test(s"[$cat] REPLACE TABLE on a missing table: typed error; CREATE " +
+      "OR REPLACE ok") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.rt")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.rt")
     val e = intercept[Exception](
-      spark.sql("REPLACE TABLE neg.db.rt AS SELECT 1 AS k"))
+      spark.sql(s"REPLACE TABLE $cat.db.rt AS SELECT 1 AS k"))
     assert(e.isInstanceOf[NoSuchTableException] ||
       rootMsgs(e).contains("TABLE_OR_VIEW_NOT_FOUND"), rootMsgs(e))
-    spark.sql("CREATE OR REPLACE TABLE neg.db.rt AS SELECT 1 AS k")
-    assert(spark.table("neg.db.rt").count() == 1)
-    spark.sql("DROP TABLE neg.db.rt")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.rt AS SELECT 1 AS k")
+    assert(spark.table(s"$cat.db.rt").count() == 1)
+    spark.sql(s"DROP TABLE $cat.db.rt")
   }
 
   // reference: PARTITIONED BY is outside the model (fragments partition)
-  test("PARTITIONED BY is rejected with a helpful message") {
+  test(s"[$cat] PARTITIONED BY is rejected with a helpful message") {
     ready
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE neg.db.pt (k BIGINT, p STRING) PARTITIONED BY (p)")
+      spark.sql(s"CREATE TABLE $cat.db.pt (k BIGINT, p STRING) PARTITIONED BY (p)")
     }
     assert(rootMsgs(e).contains("fragment-partitioned"), rootMsgs(e))
   }
 
   // reference: RENAME TABLE unsupported (BaseLanceConnectorTest
   // capability matrix SUPPORTS_RENAME_TABLE -> false)
-  test("ALTER TABLE RENAME is rejected with a helpful message") {
+  test(s"[$cat] ALTER TABLE RENAME is rejected with a helpful message") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.rn")
-    spark.sql("CREATE TABLE neg.db.rn (k BIGINT)")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.rn")
+    spark.sql(s"CREATE TABLE $cat.db.rn (k BIGINT)")
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE neg.db.rn RENAME TO neg.db.rn2"))
+      spark.sql(s"ALTER TABLE $cat.db.rn RENAME TO $cat.db.rn2"))
     assert(rootMsgs(e).contains("RENAME"), rootMsgs(e))
-    spark.sql("DROP TABLE neg.db.rn")
+    spark.sql(s"DROP TABLE $cat.db.rn")
   }
 
-  test("time travel to a nonexistent version or pre-creation timestamp: " +
-      "typed errors") {
+  test(s"[$cat] time travel to a nonexistent version or pre-creation " +
+      "timestamp: typed errors") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.tt")
-    spark.sql("CREATE TABLE neg.db.tt AS SELECT 1 AS k")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.tt")
+    spark.sql(s"CREATE TABLE $cat.db.tt AS SELECT 1 AS k")
     val e1 = intercept[Exception](
-      spark.sql("SELECT * FROM neg.db.tt VERSION AS OF 99").count())
+      spark.sql(s"SELECT * FROM $cat.db.tt VERSION AS OF 99").count())
     assert(rootMsgs(e1).contains("version 99 does not exist"), rootMsgs(e1))
     val e2 = intercept[Exception](
-      spark.sql("SELECT * FROM neg.db.tt TIMESTAMP AS OF '1990-01-01'").count())
+      spark.sql(s"SELECT * FROM $cat.db.tt TIMESTAMP AS OF '1990-01-01'").count())
     assert(rootMsgs(e2).toLowerCase.contains("timestamp"), rootMsgs(e2))
-    spark.sql("DROP TABLE neg.db.tt")
+    spark.sql(s"DROP TABLE $cat.db.tt")
   }
 
-  test("DROP NAMESPACE with tables requires CASCADE; cascade removes all") {
+  test(s"[$cat] DROP NAMESPACE with tables requires CASCADE; cascade " +
+      "removes all") {
     ready
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS neg.full_ns")
-    spark.sql("CREATE TABLE neg.full_ns.t AS SELECT 1 AS k")
-    val e = intercept[Exception](spark.sql("DROP NAMESPACE neg.full_ns"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.full_ns")
+    spark.sql(s"CREATE TABLE $cat.full_ns.t AS SELECT 1 AS k")
+    val e = intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.full_ns"))
     assert(rootMsgs(e).toLowerCase.contains("not empty") ||
       rootMsgs(e).contains("SCHEMA_NOT_EMPTY"), rootMsgs(e))
-    spark.sql("DROP NAMESPACE neg.full_ns CASCADE")
-    assert(!spark.sql("SHOW NAMESPACES IN neg").collect()
+    spark.sql(s"DROP NAMESPACE $cat.full_ns CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
       .map(_.getString(0)).contains("full_ns"))
   }
 
   // the reference aborts its negative-date tests (unsupported there);
   // graft on parquet serves them — a user switching keeps their data
-  test("negative (BCE) dates roundtrip — exceeds the reference") {
+  test(s"[$cat] negative (BCE) dates roundtrip — exceeds the reference") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.bce")
-    spark.sql("CREATE TABLE neg.db.bce AS " +
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.bce")
+    spark.sql(s"CREATE TABLE $cat.db.bce AS " +
       "SELECT DATE'0001-01-01' AS d UNION ALL SELECT DATE'1582-10-04'")
-    val ds = spark.table("neg.db.bce").orderBy("d").collect().map(_.getDate(0).toString)
+    val ds = spark.table(s"$cat.db.bce").orderBy("d").collect()
+      .map(_.getDate(0).toString)
     assert(ds.sameElements(Array("0001-01-01", "1582-10-04")), ds.mkString(","))
-    spark.sql("DROP TABLE neg.db.bce")
+    spark.sql(s"DROP TABLE $cat.db.bce")
   }
 
   // reference: testInsertMap aborted (MAP unsupported there); graft
   // stores map/struct/array columns natively
-  test("MAP / ARRAY / STRUCT columns roundtrip — exceeds the reference") {
+  test(s"[$cat] MAP / ARRAY / STRUCT columns roundtrip — exceeds the " +
+      "reference") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.cplx")
-    spark.sql("CREATE TABLE neg.db.cplx AS SELECT " +
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.cplx")
+    spark.sql(s"CREATE TABLE $cat.db.cplx AS SELECT " +
       "map('a', 1, 'b', 2) AS m, array(1L, 2L, 3L) AS a, " +
       "named_struct('x', 1, 'y', 'z') AS s")
-    val r = spark.table("neg.db.cplx").head()
+    val r = spark.table(s"$cat.db.cplx").head()
     assert(r.getMap[String, Int](0).toMap == Map("a" -> 1, "b" -> 2))
     assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
     assert(r.getStruct(2).getInt(0) == 1 && r.getStruct(2).getString(1) == "z")
-    spark.sql("DROP TABLE neg.db.cplx")
+    spark.sql(s"DROP TABLE $cat.db.cplx")
   }
 
   // reference: testDescribeTable aborted because varchar lengths are
   // not preserved; Spark's char/varchar are stored as string — document
   // the normalization rather than hiding it
-  test("CHAR/VARCHAR columns normalize to string (documented behavior)") {
+  test(s"[$cat] CHAR/VARCHAR columns normalize to string (documented " +
+      "behavior)") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.vch")
-    spark.sql("CREATE TABLE neg.db.vch (c CHAR(5), v VARCHAR(10))")
-    spark.sql("INSERT INTO neg.db.vch VALUES ('ab', 'hello')")
-    val row = spark.table("neg.db.vch").head()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.vch")
+    spark.sql(s"CREATE TABLE $cat.db.vch (c CHAR(5), v VARCHAR(10))")
+    spark.sql(s"INSERT INTO $cat.db.vch VALUES ('ab', 'hello')")
+    val row = spark.table(s"$cat.db.vch").head()
     // CHAR pads to declared length on read; VARCHAR does not
     assert(row.getString(0) == "ab   " && row.getString(1) == "hello")
-    spark.sql("DROP TABLE neg.db.vch")
+    spark.sql(s"DROP TABLE $cat.db.vch")
   }
 
-  test("CTAS of an all-NULL (void) column: typed unsupported-type error") {
+  test(s"[$cat] CTAS of an all-NULL (void) column: typed " +
+      "unsupported-type error") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.voidc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.voidc")
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE neg.db.voidc AS SELECT 1 AS k, NULL AS broken")
+      spark.sql(s"CREATE TABLE $cat.db.voidc AS SELECT 1 AS k, NULL AS broken")
     }
     assert(rootMsgs(e).contains("UNSUPPORTED") ||
       rootMsgs(e).toLowerCase.contains("void") ||
       rootMsgs(e).toLowerCase.contains("null type"), rootMsgs(e))
   }
 
-  test("duplicate column names in CTAS: typed analysis error") {
+  test(s"[$cat] duplicate column names in CTAS: typed analysis error") {
     ready
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE neg.db.dupe_col AS SELECT 1 AS a, 2 AS a")
+      spark.sql(s"CREATE TABLE $cat.db.dupe_col AS SELECT 1 AS a, 2 AS a")
     }
     assert(rootMsgs(e).contains("COLUMN_ALREADY_EXISTS") ||
       rootMsgs(e).toLowerCase.contains("duplicate"), rootMsgs(e))
   }
 
-  test("ALTER TABLE ADD COLUMN is nullable-only; DROP of a missing " +
-      "column is typed") {
+  test(s"[$cat] ALTER TABLE ADD COLUMN is nullable-only; DROP of a " +
+      "missing column is typed") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.alt")
-    spark.sql("CREATE TABLE neg.db.alt AS SELECT 1L AS k")
-    spark.sql("ALTER TABLE neg.db.alt ADD COLUMN extra STRING")
-    assert(spark.table("neg.db.alt").columns.toSeq == Seq("k", "extra"))
-    assert(spark.table("neg.db.alt").head.isNullAt(1))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.alt")
+    spark.sql(s"CREATE TABLE $cat.db.alt AS SELECT 1L AS k")
+    spark.sql(s"ALTER TABLE $cat.db.alt ADD COLUMN extra STRING")
+    assert(spark.table(s"$cat.db.alt").columns.toSeq == Seq("k", "extra"))
+    assert(spark.table(s"$cat.db.alt").head.isNullAt(1))
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE neg.db.alt DROP COLUMN nope"))
+      spark.sql(s"ALTER TABLE $cat.db.alt DROP COLUMN nope"))
     assert(rootMsgs(e).toLowerCase.contains("missing field") ||
       rootMsgs(e).contains("UNRESOLVED") ||
       rootMsgs(e).toLowerCase.contains("nope"), rootMsgs(e))
-    spark.sql("DROP TABLE neg.db.alt")
+    spark.sql(s"DROP TABLE $cat.db.alt")
   }
 
-  test("UPDATE / DELETE referencing a missing column: analysis error, " +
-      "no partial write") {
+  test(s"[$cat] UPDATE / DELETE referencing a missing column: analysis " +
+      "error, no partial write") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.updm")
-    spark.sql("CREATE TABLE neg.db.updm AS SELECT 1L AS k")
-    intercept[Exception](spark.sql("UPDATE neg.db.updm SET nope = 1"))
-    intercept[Exception](spark.sql("DELETE FROM neg.db.updm WHERE nope = 1"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.updm")
+    spark.sql(s"CREATE TABLE $cat.db.updm AS SELECT 1L AS k")
+    intercept[Exception](spark.sql(s"UPDATE $cat.db.updm SET nope = 1"))
+    intercept[Exception](spark.sql(s"DELETE FROM $cat.db.updm WHERE nope = 1"))
     // the failed statements committed nothing: data intact, no version 2
-    assert(spark.table("neg.db.updm").count() == 1)
+    assert(spark.table(s"$cat.db.updm").count() == 1)
     val e = intercept[Exception](
-      spark.sql("SELECT * FROM neg.db.updm VERSION AS OF 2").count())
+      spark.sql(s"SELECT * FROM $cat.db.updm VERSION AS OF 2").count())
     assert(rootMsgs(e).contains("version 2 does not exist"), rootMsgs(e))
-    spark.sql("DROP TABLE neg.db.updm")
+    spark.sql(s"DROP TABLE $cat.db.updm")
   }
 
   // reference capability matrix: SUPPORTS_TRUNCATE -> false
-  test("TRUNCATE TABLE empties in one metadata commit — exceeds the reference") {
+  test(s"[$cat] TRUNCATE TABLE empties in one metadata commit — exceeds " +
+      "the reference") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.trunc")
-    spark.sql("CREATE TABLE neg.db.trunc AS SELECT id FROM range(0, 50, 1, 2)")
-    spark.sql("TRUNCATE TABLE neg.db.trunc")
-    assert(spark.table("neg.db.trunc").count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.trunc")
+    spark.sql(s"CREATE TABLE $cat.db.trunc AS SELECT id FROM range(0, 50, 1, 2)")
+    spark.sql(s"TRUNCATE TABLE $cat.db.trunc")
+    assert(spark.table(s"$cat.db.trunc").count() == 0)
     // schema survives; the pre-truncate snapshot is still time-travelable
-    spark.sql("INSERT INTO neg.db.trunc VALUES (7)")
-    assert(spark.table("neg.db.trunc").head.getLong(0) == 7)
-    assert(spark.sql("SELECT count(*) FROM neg.db.trunc VERSION AS OF 1")
+    spark.sql(s"INSERT INTO $cat.db.trunc VALUES (7)")
+    assert(spark.table(s"$cat.db.trunc").head.getLong(0) == 7)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.trunc VERSION AS OF 1")
       .head.getLong(0) == 50)
-    spark.sql("DROP TABLE neg.db.trunc")
+    spark.sql(s"DROP TABLE $cat.db.trunc")
   }
 
   // reference: BaseLanceConnectorTest.java testShowCreateTable
-  test("SHOW CREATE TABLE reproduces schema and catalog identity") {
+  test(s"[$cat] SHOW CREATE TABLE reproduces schema and catalog identity") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.sct")
-    spark.sql("CREATE TABLE neg.db.sct (regionkey BIGINT, name STRING)")
-    val ddl = spark.sql("SHOW CREATE TABLE neg.db.sct")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.sct")
+    spark.sql(s"CREATE TABLE $cat.db.sct (regionkey BIGINT, name STRING)")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.db.sct")
       .head.getString(0)
-    assert(ddl.contains("neg.db.sct") && ddl.contains("regionkey BIGINT") &&
+    assert(ddl.contains(s"$cat.db.sct") && ddl.contains("regionkey BIGINT") &&
       ddl.contains("name STRING"), ddl)
-    spark.sql("DROP TABLE neg.db.sct")
+    spark.sql(s"DROP TABLE $cat.db.sct")
   }
 
-  test("INSERT with mismatched column count: typed arity error") {
+  test(s"[$cat] INSERT with mismatched column count: typed arity error") {
     ready
-    spark.sql("DROP TABLE IF EXISTS neg.db.arity")
-    spark.sql("CREATE TABLE neg.db.arity (a BIGINT, b STRING)")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.arity")
+    spark.sql(s"CREATE TABLE $cat.db.arity (a BIGINT, b STRING)")
     val e = intercept[Exception](
-      spark.sql("INSERT INTO neg.db.arity VALUES (1, 'x', 99)"))
+      spark.sql(s"INSERT INTO $cat.db.arity VALUES (1, 'x', 99)"))
     assert(rootMsgs(e).contains("INSERT_COLUMN_ARITY_MISMATCH") ||
       rootMsgs(e).toLowerCase.contains("columns"), rootMsgs(e))
-    assert(spark.table("neg.db.arity").count() == 0)
-    spark.sql("DROP TABLE neg.db.arity")
+    assert(spark.table(s"$cat.db.arity").count() == 0)
+    spark.sql(s"DROP TABLE $cat.db.arity")
+  }
+}
+
+/** Directory catalog on the local FS — the original instantiation. */
+class NegativeConformanceSpec extends NegativeConformanceBase {
+  import TestSpark._
+  protected def cat = "neg"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-neg-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+}
+
+/** Directory catalog over s3a:// — every byte over HTTP against the
+  * in-process object store (reference: the corpus inherited by
+  * T/TestLanceS3DefaultConnectorTest.java). */
+class S3aNegativeConformance extends NegativeConformanceBase {
+  import TestSpark._
+  protected def cat = "negs3"
+  protected def configure(): Unit = {
+    val srv = S3LiteServer.shared
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+    hc.set(S3LiteFileSystem.EndpointKey, srv.endpoint)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "s3a://negs3wh/wh")
+  }
+}
+
+/** REST namespace service, default (multi-level) mode (reference: the
+  * corpus inherited by the BaseLanceRestConnectorTest subclasses). */
+class RestNegativeConformance extends NegativeConformanceBase {
+  import TestSpark._
+  protected def cat = "negrest"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-negrest-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftRestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri",
+      s"http://127.0.0.1:${FakeNamespaceService.port}")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
   }
 }

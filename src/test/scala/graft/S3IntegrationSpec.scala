@@ -229,7 +229,11 @@ class S3IntegrationSpec extends AnyFunSuite {
         pool.submit(new Callable[Unit] {
           override def call(): Unit =
             (1 to commitsEach).foreach { i =>
-              GraftFormat.commitWithRetry(fs, dir) { base =>
+              // 8 contenders x 5 commits: a scheduler-starved writer can
+              // legitimately lose up to 39 consecutive CAS rounds under
+              // a parallel-suite-loaded box; the production default (20)
+              // bounds commit latency, the storm needs the full budget
+              GraftFormat.commitWithRetry(fs, dir, maxAttempts = 120) { base =>
                 Manifest(
                   version = base.map(_.version + 1).getOrElse(1L),
                   schemaJson = schemaJson,

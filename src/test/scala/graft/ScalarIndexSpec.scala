@@ -202,7 +202,8 @@ class ScalarIndexSpec extends AnyFunSuite {
     val v2 = ScalarIndex.build(spark, tablePath("t5"), "k")
     assert(ScalarIndex.indexedVersions(spark, tablePath("t5"), "k")
       == Seq(v1, v2))
-    graft.ops.Maintenance.vacuum(spark, tablePath("t5"), keepVersions = 1)
+    graft.ops.Maintenance.vacuum(spark, tablePath("t5"), keepVersions = 1,
+      minVersionsRetained = 1)
     assert(ScalarIndex.indexedVersions(spark, tablePath("t5"), "k") == Seq(v2),
       "dropped version's index dir must be GC'd; current retained")
   }
