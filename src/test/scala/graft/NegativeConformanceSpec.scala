@@ -325,3 +325,29 @@ class RestNegativeConformance extends NegativeConformanceBase {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
   }
 }
+
+/** Glue backend over the in-process AWS-Glue-protocol stub. */
+class GlueNegativeConformance extends NegativeConformanceBase {
+  import TestSpark._
+  protected def cat = "negglue"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-negglue-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftGlueCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.endpoint",
+      s"http://127.0.0.1:${FakeGlueService.port}")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+}
+
+/** Hive backend over the in-process HMS Thrift metastore. */
+class HiveNegativeConformance extends NegativeConformanceBase {
+  import TestSpark._
+  protected def cat = "neghive"
+  protected def configure(): Unit = {
+    val wh = Files.createTempDirectory("graft-neghive-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftHiveCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri",
+      s"thrift://127.0.0.1:${FakeHiveMetastore.port}")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+}
