@@ -124,60 +124,60 @@ object Bench {
     // the regression still shows. A rerun only wins if it is itself
     // error-free: timeOnce records a failing query as a near-zero
     // timing, which must never displace a valid measurement.
-    val results: Seq[(String, Seq[Run], Boolean)] = firstPass.map { case (name, fn, runs) =>
-      val secs = runs.map(_.sec)
-      val clean = runs.forall(_.err.isEmpty)
-      if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
-        val rerun = (1 to repeats).map(_ => timeOnce(fn))
-        val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
-          rerun.forall(_.err.isEmpty))
-        (name, if (wins) rerun else runs, true)
-      } else (name, runs, false)
+    def guardAndAssemble(
+        pass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Seq[Run])])
+        : PhaseResults = {
+      val results: Seq[(String, Seq[Run], Boolean)] = pass.map { case (name, fn, runs) =>
+        val secs = runs.map(_.sec)
+        val clean = runs.forall(_.err.isEmpty)
+        if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
+          val rerun = (1 to repeats).map(_ => timeOnce(fn))
+          val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
+            rerun.forall(_.err.isEmpty))
+          (name, if (wins) rerun else runs, true)
+        } else (name, runs, false)
+      }
+      val medians = results.map { case (n, rs, _) => n -> medianRun(rs) }
+      PhaseResults(
+        queries = medians.map { case (n, r) => n -> r.sec },
+        spread = results.map { case (n, rs, _) =>
+          n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
+        // phase split for the index/table-building queries (v02/v05/
+        // v06/v07/g12/g15/...), taken from each query's median run:
+        // sub-phases (<q>.build, <q>.optimize, ...) are recorded inside
+        // the closure, and <q>.probe = total - sum(recorded sub-phases)
+        phases = medians.flatMap { case (q, run) =>
+          val subs = run.phases.toSeq.sortBy(_._1)
+          val subSum = subs.collect {
+            case (s, sec) if s.startsWith(s"$q.") => sec
+          }.sum
+          subs ++ (if (subs.exists(_._1 == s"$q.build"))
+            Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
+        },
+        errs = results.flatMap { case (n, rs, _) =>
+          rs.flatMap(_.err).headOption.map(n -> _) },
+        retried = results.collect { case (n, _, true) => n })
     }
-    val medians = results.map { case (n, rs, _) => n -> medianRun(rs) }
-    val batchPhase = PhaseResults(
-      queries = medians.map { case (n, r) => n -> r.sec },
-      spread = results.map { case (n, rs, _) =>
-        n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
-      // phase split for the index/table-building queries (v02/v05/v06/
-      // v07/g12/g15/...), taken from each query's median run: sub-phases
-      // (<q>.build, <q>.optimize, ...) are recorded inside the closure,
-      // and <q>.probe = total - sum(recorded sub-phases)
-      phases = medians.flatMap { case (q, run) =>
-        val subs = run.phases.toSeq.sortBy(_._1)
-        val subSum = subs.collect {
-          case (s, sec) if s.startsWith(s"$q.") => sec
-        }.sum
-        subs ++ (if (subs.exists(_._1 == s"$q.build"))
-          Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
-      },
-      errs = results.flatMap { case (n, rs, _) =>
-        rs.flatMap(_.err).headOption.map(n -> _) },
-      retried = results.collect { case (n, _, true) => n })
+    val batchPhase = guardAndAssemble(firstPass)
 
     // streaming phase, own JVM. The batch SparkSession stays up but
     // idle (its threads park; the machine's only active workload is the
     // child). If the child cannot be launched or returns no artifact
-    // line, fall back to running the streaming queries in-process so
-    // the round artifact is never missing gate rows.
+    // line, fall back to running the streaming queries in-process —
+    // through the SAME guard/retry machinery as everything else — so
+    // the round artifact is never missing gate rows, and the artifact
+    // records which JVM the streaming rows came from.
     val streamingNames = selected.keys.filter(isStreaming).toSeq.sorted
+    var streamingJvm = if (childPhase) "child" else "n/a"
     val streamingPhase: Option[PhaseResults] =
       if (!childPhase) None
       else runChildPhase(streamingNames, sfDir, cpus, repeats).orElse {
         System.err.println("WARNING: streaming child JVM failed; " +
           "running streaming queries in-process (shared JVM)")
+        streamingJvm = "inproc-fallback"
         val sel = selected.filter { case (n, _) => isStreaming(n) }
-        val runs = sel.toSeq.map { case (n, fn) =>
-          (n, (1 to repeats).map(_ => timeOnce(fn))) }
-        Some(PhaseResults(
-          queries = runs.map { case (n, rs) => n -> medianRun(rs).sec },
-          spread = runs.map { case (n, rs) =>
-            n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
-          phases = runs.flatMap { case (q, rs) =>
-            medianRun(rs).phases.toSeq.sortBy(_._1) },
-          errs = runs.flatMap { case (n, rs) =>
-            rs.flatMap(_.err).headOption.map(n -> _) },
-          retried = Nil))
+        Some(guardAndAssemble(sel.toSeq.map { case (name, fn) =>
+          (name, fn, (1 to repeats).map(_ => timeOnce(fn))) }))
       }
 
     val all = Seq(Some(batchPhase), streamingPhase).flatten
@@ -206,7 +206,7 @@ object Bench {
         "artifact flagged \"contended\":true, do not publish as-is")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
     // the full JSON also lands as a file: the driver's stdout tail can
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
     // judge diffs rounds from this artifact. A contended run must NOT

@@ -308,6 +308,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the TABLE-path generation (it guards against tableKeyOf, not the
     // namespace key).
     tables.foreach(t => graft.format.ManifestCache.purge(fs, t))
+    // belt over the braces: a table CREATED between the capture above
+    // and the delete is in neither purge loop — sweep every cached
+    // segment resolution under the namespace prefix so at least its
+    // already-cached entries die with the namespace
+    graft.ops.IndexSegments.invalidateUnder(fs, dir)
     ok
   }
 

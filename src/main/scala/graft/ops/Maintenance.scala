@@ -37,21 +37,25 @@ object Maintenance {
   private def resolvedConf(spark: SparkSession, c: Configuration): Configuration =
     Option(c).getOrElse(spark.sessionState.newHadoopConf())
 
-  /** Newest modification time of any file under `p` (or `p`'s own when
-    * it is a file / an empty dir). Object-store "directories" are
-    * virtual with mtime 0, so the vacuum orphan-grace check must look
-    * at contained files; index segment dirs hold a handful of files, so
-    * the recursion is cheap. */
-  private def newestMtimeUnder(fs: FileSystem, p: Path): Long = {
-    val st = fs.getFileStatus(p)
-    if (st.isFile) st.getModificationTime
-    else {
-      val children = fs.listStatus(p)
-      (st.getModificationTime +: children.toSeq.map { c =>
-        if (c.isFile) c.getModificationTime else newestMtimeUnder(fs, c.getPath)
-      }).max
-    }
-  }
+  /** Newest modification time of any file under `p`, for the vacuum
+    * orphan-grace check. Object-store "directories" are virtual with
+    * mtime 0, so only contained FILES are dated; index segment dirs
+    * hold a handful of files, so the recursion is cheap. Anything we
+    * cannot date — an empty dir (an in-flight refresh creates the dir
+    * before its first file lands) or a path deleted out from under us
+    * by a concurrent vacuum/refresh — reads as Long.MaxValue, i.e.
+    * "too new to touch": never delete what cannot be aged. */
+  private def newestMtimeUnder(fs: FileSystem, p: Path): Long =
+    try {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) st.getModificationTime
+      else {
+        val times = fs.listStatus(p).toSeq.map { c =>
+          if (c.isFile) c.getModificationTime else newestMtimeUnder(fs, c.getPath)
+        }
+        if (times.isEmpty) Long.MaxValue else times.max
+      }
+    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   /** The keys where `conf` differs from the bare session Hadoop conf —
     * i.e. the catalog/vended storage options. Passed as READ/WRITE
@@ -437,13 +441,22 @@ object Maintenance {
     * manifest commits — deleting them fails the commit or strands a
     * reader on a vanished file). True orphans are crash debris, so they
     * age out instead: deleted only once older than `orphanGraceMs`
-    * (conf `spark.graft.vacuum.orphanGraceMs`, default 10 min — the
-    * Iceberg remove_orphan_files / Delta vacuum-retention precedent).
-    * Returns (versionsDropped, filesDeleted). */
+    * (conf `spark.graft.vacuum.orphanGraceMs`, default 24 h — long
+    * enough to outlast any plausible distributed write; the Iceberg
+    * remove_orphan_files default is 3 days, Delta's vacuum retention
+    * 7 days). Returns (versionsDropped, filesDeleted). */
   def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10,
       olderThanMs: Long = 0L, hadoopConf: Configuration = null,
       minVersionsRetained: Int = -1, orphanGraceMs: Long = -1L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    // sentinels are exactly -1: a 0 (or other nonsense) must fail loudly
+    // rather than silently fall through to the session-conf default
+    require(minVersionsRetained == -1 || minVersionsRetained >= 1,
+      s"min_versions_retained must be >= 1 (or -1 = use " +
+        s"spark.graft.vacuum.minVersionsRetained), got $minVersionsRetained")
+    require(orphanGraceMs >= -1L,
+      s"orphan_grace_ms must be >= 0 (or -1 = use " +
+        s"spark.graft.vacuum.orphanGraceMs), got $orphanGraceMs")
     val floor =
       if (minVersionsRetained >= 1) minVersionsRetained
       else spark.conf
@@ -451,7 +464,7 @@ object Maintenance {
     val grace =
       if (orphanGraceMs >= 0L) orphanGraceMs
       else spark.conf
-        .get("spark.graft.vacuum.orphanGraceMs", "600000").toLong.max(0L)
+        .get("spark.graft.vacuum.orphanGraceMs", "86400000").toLong.max(0L)
     val effKeep = math.max(keepVersions, floor)
     val conf = resolvedConf(spark, hadoopConf)
     val fs = dir.getFileSystem(conf)
@@ -472,10 +485,13 @@ object Maintenance {
     }.toSet
     // dead history: referenced only by manifests dropped in THIS pass —
     // captured before their manifest files go, deletable immediately
-    // (no grace: their version is out of every retention window)
+    // (no grace: their version is out of every retention window). A
+    // concurrent vacuum may have deleted a listed manifest already —
+    // its files are that pass's responsibility, skip them here.
     val droppedRefs: Set[String] = drop.flatMap { v =>
-      GraftFormat.readManifest(fs, qualDir, v).fragments
+      try GraftFormat.readManifest(fs, qualDir, v).fragments
         .flatMap(f => f.path +: f.deletionPath.toSeq)
+      catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet -- referenced
     drop.foreach { v =>
       val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")

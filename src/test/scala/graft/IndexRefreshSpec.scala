@@ -255,8 +255,13 @@ class IndexRefreshSpec extends AnyFunSuite {
     val segs = IndexSegments.read(fs, new Path(root, s"v=$v2")).get.segments
     assert(segs.contains(s"v=$v1") && segs.exists(_.startsWith("seg-")),
       s"refresh chain malformed: $segs")
-    // plant an orphan segment: nothing references it -> vacuum garbage
-    fs.mkdirs(new Path(root, "seg-orphan-test"))
+    // plant an orphan segment with a file in it: nothing references it
+    // -> vacuum garbage once past the orphan grace window. (An EMPTY
+    // orphan dir is deliberately never GC'd — it cannot be dated, and
+    // an in-flight refresh creates its dir before the first file lands)
+    val orphanFile = new Path(root, "seg-orphan-test/part-0.parquet")
+    val ofOut = fs.create(orphanFile, false)
+    try ofOut.write(Array[Byte](1)) finally ofOut.close()
 
     // retain only the latest version: v1's manifest drops, but v=1's
     // index content is REFERENCED by v=2's segment manifest -> survives.

@@ -105,15 +105,18 @@ class StreamingSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-storm-out").toString
     val totalAppends = 40
     val appendsDone = new java.util.concurrent.atomic.AtomicInteger()
+    val appendErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     val appender = new Thread(() => {
-      (0 until totalAppends).foreach { i =>
-        spark.sql(s"INSERT INTO stm.db.storm VALUES ($i)")
-        appendsDone.incrementAndGet()
-        Thread.sleep(30)
-      }
+      try {
+        (0 until totalAppends).foreach { i =>
+          spark.sql(s"INSERT INTO stm.db.storm VALUES ($i)")
+          appendsDone.incrementAndGet()
+          Thread.sleep(30)
+        }
+      } catch { case t: Throwable => appendErr.set(t) }
     }, "storm-appender")
     val maintenance = new Thread(() => {
       try {
@@ -142,7 +145,13 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // a timed-out drain must not leave the query running: the next
+      // drain() on the same checkpoint would throw a confusing
+      // concurrent-query error instead of naming the slow drain
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        fail("drain exceeded 120s — AvailableNow did not terminate")
+      }
     }
     def counts(): Map[Long, Long] =
       spark.read.parquet(out).groupBy("k").count().collect()
@@ -167,6 +176,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     appender.join(); stop.set(true); maintenance.join()
     drain() // final close-out after all appends committed
+    // storm-infrastructure failures must name themselves: an appender
+    // that died of CAS-retry exhaustion would otherwise be misreported
+    // by the loss assertion below as storage-layer data loss
+    assert(appendErr.get() == null,
+      s"appender thread died mid-storm after ${appendsDone.get()} of " +
+        s"$totalAppends appends: ${appendErr.get()}")
+    assert(appendsDone.get() == totalAppends)
     assert(maintErr.get() == null,
       s"maintenance thread died mid-storm: ${maintErr.get()}")
     val fin = counts()
