@@ -43,6 +43,16 @@ class GraftMicroBatchStream(table: GraftTable,
       n
     }
 
+  /** `.option("failOnLostHistory", "true")`: fail the query with a
+    * typed error when the checkpoint's start version has been vacuumed
+    * out of the manifest history, instead of the default degradation
+    * (re-deliver the whole current snapshot — at-least-once, never
+    * loss). The Kafka source's failOnDataLoss analog: a pipeline whose
+    * sink cannot absorb duplicates wants the stream to STOP and name
+    * the retention misconfiguration. */
+  private val failOnLostHistory: Boolean =
+    options.get("failonlosthistory").exists(_.toBoolean)
+
   override def initialOffset(): Offset = GraftOffset(0L)
 
   override def latestOffset(): Offset =
@@ -80,6 +90,17 @@ class GraftMicroBatchStream(table: GraftTable,
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
     val versions = GraftFormat.listVersions(fs, table.dir)
+    // from == 0 is a fresh checkpoint (the whole snapshot IS the
+    // correct first delivery); any other start version missing from
+    // history means vacuum outran this stream's cadence
+    if (failOnLostHistory && from > 0 && !versions.contains(from))
+      throw new IllegalStateException(
+        s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
+          s"${table.name()} is no longer in the manifest history " +
+          "(vacuumed); continuing would re-deliver the whole current " +
+          "snapshot (at-least-once). Raise vacuum retention " +
+          "(keep_versions / older_than_ms / min_versions_retained), or " +
+          "unset failOnLostHistory to accept the re-delivery.")
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
       else table.manifest
