@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.GraftFormat
+import graft.format.GraftFormat.{FragmentMeta, Manifest}
+
+/** Model-based property for the provenance walk
+  * ([[GraftFormat.excludedAsOf]]) that both the streaming source and
+  * the batch `start_version` incremental read stand on. The
+  * streaming×maintenance storm exercises ONE stochastic interleaving
+  * per run; this property enumerates hundreds of random histories of
+  * appends, partial compacts, overwrites, and vacuum-style history
+  * truncation, and checks the walk's contract at every possible start
+  * offset:
+  *
+  *  1. NO LOSS, always: every row appended inside the window that is
+  *     still present in the end snapshot is delivered.
+  *  2. EXACTLY-ONCE when clean: if the start version is still in
+  *     history and no compact in the window consumed a fragment
+  *     introduced inside the window, delivery is exactly the window's
+  *     appends — no pre-window row reappears.
+  *  3. Full re-delivery on lost history: a truncated (vacuumed) start
+  *     version degrades to delivering the whole end snapshot — the
+  *     documented at-least-once direction, never loss.
+  */
+class ProvenanceWalkPropertySpec extends AnyFunSuite {
+
+  private val fs: FileSystem = FileSystem.getLocal(new Configuration())
+  private val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType))).json
+
+  // ---------------------------------------------------------- model ops
+  private sealed trait Op
+  private case class Append(rows: Int) extends Op
+  private case class Compact(seed: Long) extends Op // folds a random subset
+  private case object Overwrite extends Op          // full replace, new rows
+  private case object Truncate extends Op           // drop oldest half of history
+
+  test("property: excludedAsOf never loses window appends, is exact on " +
+      "clean histories, and re-delivers the snapshot on lost history") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    val genOp: Gen[Op] = Gen.frequency(
+      6 -> Gen.chooseNum(1, 4).map(Append),
+      3 -> Gen.long.map(Compact),
+      1 -> Gen.const(Overwrite),
+      1 -> Gen.const(Truncate))
+    val genHistory: Gen[List[Op]] = for {
+      n <- Gen.chooseNum(2, 10)
+      ops <- Gen.listOfN(n, genOp)
+      first <- Gen.chooseNum(1, 4).map(Append)
+    } yield first :: ops
+
+    val prop = Prop.forAll(genHistory) { ops =>
+      val dir = fs.makeQualified(new Path(
+        Files.createTempDirectory("graft-pwalk").toUri))
+      // model state
+      var nextRow = 0L
+      var nextFrag = 0
+      var version = 0L
+      var live = Map.empty[Int, Set[Long]]        // fragId -> rows
+      var introducedAt = Map.empty[Int, Long]     // fragId -> version
+      var rowVersion = Map.empty[Long, Long]      // rowId -> appended version
+      var remaining = Vector.empty[Long]          // versions still on disk
+      var committed = Vector.empty[Long]
+      // compacts: (version, consumed fragIds)
+      var compacts = Vector.empty[(Long, Set[Int])]
+
+      def commit(op: String): Unit = {
+        version += 1
+        val m = Manifest(version, schemaJson,
+          live.toSeq.sortBy(_._1).map { case (id, rows) =>
+            FragmentMeta(id, s"data/f$id.parquet", rows.size.toLong, None, 0L)
+          },
+          maxFragmentId = nextFrag, createdAtMs = System.currentTimeMillis(),
+          operation = op)
+        GraftFormat.commit(fs, dir, m)
+        remaining :+= version
+        committed :+= version
+      }
+      def newRows(n: Int, v: Long): Set[Long] = {
+        val rows = (nextRow until nextRow + n).toSet
+        nextRow += n
+        rows.foreach(r => rowVersion += r -> v)
+        rows
+      }
+      def addFragment(rows: Set[Long], v: Long): Unit = {
+        live += nextFrag -> rows
+        introducedAt += nextFrag -> v
+        nextFrag += 1
+      }
+
+      ops.foreach {
+        case Append(n) =>
+          addFragment(newRows(n, version + 1), version + 1)
+          commit("Append")
+        case Compact(seed) if live.size >= 2 =>
+          val rnd = new scala.util.Random(seed)
+          val ids = live.keys.toSeq.sorted
+          val k = 2 + rnd.nextInt(ids.size - 1) // fold 2..all fragments
+          val picked = rnd.shuffle(ids).take(k).toSet
+          val merged = picked.flatMap(live)
+          live = live.view.filterKeys(!picked.contains(_)).toMap
+          addFragment(merged, version + 1)
+          compacts :+= (version + 1, picked)
+          commit("Compact")
+        case Compact(_) => // nothing to fold
+        case Overwrite =>
+          live = Map.empty
+          addFragment(newRows(3, version + 1), version + 1)
+          commit("Overwrite")
+        case Truncate if remaining.size >= 2 =>
+          val cut = remaining(remaining.size / 2)
+          remaining.filter(_ < cut).foreach { v =>
+            fs.delete(new Path(GraftFormat.versionsDir(dir),
+              s"$v.manifest.json"), false)
+          }
+          remaining = remaining.filter(_ >= cut)
+        case Truncate => // nothing to drop
+      }
+
+      val end = GraftFormat.readManifest(fs, dir, version)
+      val endRows: Set[Long] = end.fragments.flatMap(f => live(f.id)).toSet
+
+      val checks = (0L +: committed).distinct.map { from =>
+        val excluded = GraftFormat.excludedAsOf(fs, dir, from, end)
+        val delivered: Set[Long] = end.fragments
+          .filterNot(f => excluded.contains(f.id)).flatMap(f => live(f.id)).toSet
+        val windowRows =
+          endRows.filter(r => rowVersion(r) > from && rowVersion(r) <= version)
+        val lostHistory = from > 0 && !remaining.contains(from)
+        // a compact in the window that consumed a fragment introduced
+        // inside the window makes its output deliverable (documented
+        // at-least-once direction)
+        val tainted = compacts.exists { case (v, consumed) =>
+          v > from && v <= version &&
+            consumed.exists(id => introducedAt(id) > from)
+        }
+        val noLoss = Prop(windowRows.subsetOf(delivered)) :|
+          s"LOST ROWS from=$from: ${windowRows -- delivered} (ops=$ops)"
+        val exact =
+          if (lostHistory) Prop(delivered == endRows) :|
+            s"lost-history from=$from must deliver the whole snapshot " +
+              s"(got ${delivered.size} of ${endRows.size}; ops=$ops)"
+          else if (!tainted) Prop(delivered == windowRows) :|
+            s"DUPLICATES from=$from: ${delivered -- windowRows} " +
+              s"delivered beyond the window on a clean history (ops=$ops)"
+          else Prop(delivered.subsetOf(endRows)) :| "delivered ⊆ snapshot"
+        noLoss && exact
+      }
+      val all = checks.reduce(_ && _)
+      fs.delete(dir, true)
+      all
+    }
+
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
