@@ -177,8 +177,12 @@ object GraftFormat {
     * history (vacuumed versions, unknown `from`) degrades the same
     * direction: deliver rather than lose. */
   def excludedAsOf(fs: FileSystem, table: Path, from: Long,
-      endManifest: Manifest): Set[Int] = {
-    val versions = listVersions(fs, table)
+      endManifest: Manifest, knownVersions: Seq[Long] = null): Set[Int] = {
+    // callers that pre-checked the listing (the streaming source's
+    // failOnLostHistory gate) pass it in, so a vacuum landing between
+    // their check and this walk cannot flip the `from`-missing branch
+    // underneath them (TOCTOU: strict mode would silently re-deliver)
+    val versions = Option(knownVersions).getOrElse(listVersions(fs, table))
     // an empty or inverted window (from at-or-past the end snapshot)
     // contains no appends at all
     if (from >= endManifest.version)

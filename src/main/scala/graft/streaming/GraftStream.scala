@@ -51,7 +51,14 @@ class GraftMicroBatchStream(table: GraftTable,
     * sink cannot absorb duplicates wants the stream to STOP and name
     * the retention misconfiguration. */
   private val failOnLostHistory: Boolean =
-    options.get("failonlosthistory").exists(_.toBoolean)
+    options.get("failonlosthistory").exists { v =>
+      v.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"failOnLostHistory must be true or false, got '$other'")
+      }
+    }
 
   override def initialOffset(): Offset = GraftOffset(0L)
 
@@ -74,8 +81,21 @@ class GraftMicroBatchStream(table: GraftTable,
     * the backlog (or the AvailableNow target) drains. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = GraftFormat.latestVersion(fs, table.dir).getOrElse(0L)
-    val ceiling = availableTarget.fold(head)(math.min(head, _))
     val from = start.asInstanceOf[GraftOffset].version
+    // a checkpoint AHEAD of current history means the table was dropped
+    // and re-created (or restored): the planned window would be empty
+    // (to <= from), the checkpoint would silently regress, and the
+    // recreated table's base rows would never be delivered. Strict mode
+    // must fail here — planInputPartitions never sees the empty batch.
+    // (Kafka's failOnDataLoss fails out-of-range offsets both ways.)
+    if (failOnLostHistory && from > head)
+      throw new IllegalStateException(
+        s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
+          s"${table.name()} is ahead of current history (latest $head): " +
+          "the table was dropped and re-created or restored. Restart " +
+          "from a fresh checkpoint, or unset failOnLostHistory to " +
+          "resume against the new table generation.")
+    val ceiling = availableTarget.fold(head)(math.min(head, _))
     GraftOffset(maxVersionsPerTrigger
       .fold(ceiling)(m => math.min(ceiling, from + m)))
   }
@@ -88,11 +108,15 @@ class GraftMicroBatchStream(table: GraftTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
-    if (to <= from) return Array.empty
     val versions = GraftFormat.listVersions(fs, table.dir)
     // from == 0 is a fresh checkpoint (the whole snapshot IS the
     // correct first delivery); any other start version missing from
-    // history means vacuum outran this stream's cadence
+    // history means vacuum outran this stream's cadence (or the table
+    // was replaced). Checked BEFORE the empty-window return so a
+    // recreated table cannot slip past as an empty batch, and the SAME
+    // listing feeds the walk below — a vacuum landing between two
+    // listings must not flip the walk's from-missing branch after the
+    // gate passed (TOCTOU: strict mode would silently re-deliver).
     if (failOnLostHistory && from > 0 && !versions.contains(from))
       throw new IllegalStateException(
         s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
@@ -101,6 +125,7 @@ class GraftMicroBatchStream(table: GraftTable,
           "snapshot (at-least-once). Raise vacuum retention " +
           "(keep_versions / older_than_ms / min_versions_retained), or " +
           "unset failOnLostHistory to accept the re-delivery.")
+    if (to <= from) return Array.empty
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
       else table.manifest
@@ -110,7 +135,8 @@ class GraftMicroBatchStream(table: GraftTable,
     // deliverable — at-least-once beats silent loss — and vacuumed
     // history degrades the same direction. Shared with the batch
     // `start_version` incremental read (GraftFormat.excludedAsOf).
-    val excluded = GraftFormat.excludedAsOf(fs, table.dir, from, endManifest)
+    val excluded =
+      GraftFormat.excludedAsOf(fs, table.dir, from, endManifest, versions)
     endManifest.fragments
       .filterNot(f => excluded.contains(f.id))
       .map { f =>

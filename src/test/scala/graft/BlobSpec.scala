@@ -194,8 +194,7 @@ class VectorColumnSpec extends AnyFunSuite {
       spark.sql(
         "INSERT INTO v.db.emb VALUES (3, array(CAST(1.0 AS FLOAT)))")
     }
-    def allMsgs(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " | " + allMsgs(t.getCause)
+    def allMsgs(t: Throwable): String = TestSpark.rootMsgs(t)
     assert(allMsgs(e).contains("requires dimension 3"))
     // failed insert must not commit a new version
     assert(spark.table("v.db.emb").count() == 2)

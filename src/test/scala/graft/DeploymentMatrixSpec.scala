@@ -110,8 +110,7 @@ abstract class DeploymentConformanceBase extends AnyFunSuite {
       "new generation") {
     ready
     // reference: BaseLanceConnectorTest.java:174-180
-    def rootMsgs(x: Throwable): String =
-      if (x == null) "" else x.getMessage + " | " + rootMsgs(x.getCause)
+    def rootMsgs(x: Throwable): String = TestSpark.rootMsgs(x)
     val e = intercept[Exception] {
       spark.sql(s"CREATE TABLE ${t("dotted")} (`a.b` BIGINT)")
     }

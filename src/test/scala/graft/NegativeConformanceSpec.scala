@@ -34,8 +34,7 @@ abstract class NegativeConformanceBase extends AnyFunSuite {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
   }
 
-  private def rootMsgs(t: Throwable): String =
-    if (t == null) "" else t.getMessage + " | " + rootMsgs(t.getCause)
+  private def rootMsgs(t: Throwable): String = TestSpark.rootMsgs(t)
 
   // reference: BaseConnectorTest testCreateTableSchemaNotFound /
   // testCreateTableAsSelectSchemaNotFound

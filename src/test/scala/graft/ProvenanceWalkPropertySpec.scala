@@ -96,6 +96,7 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
         nextFrag += 1
       }
 
+      try {
       ops.foreach {
         case Append(n) =>
           addFragment(newRows(n, version + 1), version + 1)
@@ -154,9 +155,8 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
           else Prop(delivered.subsetOf(endRows)) :| "delivered ⊆ snapshot"
         noLoss && exact
       }
-      val all = checks.reduce(_ && _)
-      fs.delete(dir, true)
-      all
+      checks.reduce(_ && _)
+      } finally fs.delete(dir, true)
     }
 
     val res = SCTest.check(

@@ -22,6 +22,12 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Flatten an exception's cause chain into one searchable string —
+    * specs asserting typed errors grep this instead of guessing which
+    * layer wrapped the message. */
+  def rootMsgs(t: Throwable): String =
+    if (t == null) "" else t.getMessage + " | " + rootMsgs(t.getCause)
 }
 
 class RelationalSpec extends AnyFunSuite {

@@ -108,8 +108,6 @@ class StreamingSpec extends AnyFunSuite {
       minVersionsRetained = 1)
     // strict: typed stop naming the retention misconfiguration —
     // a sink that cannot absorb duplicates must not get them
-    def rootMsgs(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " | " + rootMsgs(t.getCause)
     val e = intercept[Exception](drain(strict = true))
     assert(rootMsgs(e).contains("GRAFT_STREAM_LOST_HISTORY"), rootMsgs(e))
     // default: degrade to re-delivery — every row present, none lost
