@@ -121,6 +121,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE flh.db.ev")
   }
 
+  test("failOnLostHistory: a checkpoint AHEAD of history (table dropped " +
+      "+ re-created) fails typed instead of silently regressing") {
+    val wh = Files.createTempDirectory("graft-flh2-wh").toString
+    spark.conf.set("spark.sql.catalog.flh2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.flh2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS flh2.db")
+    spark.sql("CREATE TABLE flh2.db.ev (k BIGINT)")
+    (0 until 4).foreach(i => spark.sql(s"INSERT INTO flh2.db.ev VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("graft-flh2-ckpt").toString
+    val out = Files.createTempDirectory("graft-flh2-out").toString
+    def drain(strict: Boolean): Unit = {
+      var r = spark.readStream
+      if (strict) r = r.option("failOnLostHistory", "true")
+      val q = r.table("flh2.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain(strict = true) // checkpoint at version 5
+    assert(spark.read.parquet(out).count() == 4)
+    // drop + re-create at the same name/path: new generation has
+    // versions [1, 2] — the checkpoint (5) is now AHEAD of history
+    spark.sql("DROP TABLE flh2.db.ev")
+    spark.sql("CREATE TABLE flh2.db.ev (k BIGINT)")
+    spark.sql("INSERT INTO flh2.db.ev VALUES (100)")
+    // strict: typed stop — without it the empty (5, 2] batch would
+    // silently regress the checkpoint and the new generation's base
+    // rows (k=100, committed at version <= 5) would NEVER be delivered
+    val e = intercept[Exception](drain(strict = true))
+    assert(rootMsgs(e).contains("GRAFT_STREAM_LOST_HISTORY") &&
+      rootMsgs(e).contains("ahead of current history"), rootMsgs(e))
+    spark.sql("DROP TABLE flh2.db.ev")
+  }
+
   test("streaming source over s3a: versions as offsets, incremental " +
       "drains, every byte over HTTP") {
     // cross of the streaming subsystem with the object-store deployment
