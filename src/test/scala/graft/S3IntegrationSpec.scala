@@ -398,6 +398,36 @@ class S3IntegrationSpec extends AnyFunSuite {
     spark.sql("DROP TABLE s3cc.db.t")
   }
 
+  test("vacuum orphan grace works over s3a: object Last-Modified dates " +
+      "the in-flight file, grace protects it, opt-out GCs it") {
+    // the grace check rests on file mtimes; on the object store those
+    // come from the Last-Modified header — prove the whole chain
+    val conf = newConf()
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[S3LiteFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration.set(
+      S3LiteFileSystem.EndpointKey, srv.endpoint)
+    spark.conf.set("spark.sql.catalog.s3og", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.s3og.warehouse", "s3a://s3ogwh/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS s3og.db")
+    spark.sql("DROP TABLE IF EXISTS s3og.db.t")
+    spark.sql("CREATE TABLE s3og.db.t AS SELECT 1L AS k")
+    val dir = new Path("s3a://s3ogwh/wh/db/t.graft")
+    val fs = dir.getFileSystem(conf)
+    val orphan = new Path(dir, "data/in-flight.parquet")
+    writeObj(fs, orphan, "pending-commit-bytes")
+    graft.ops.Maintenance.vacuum(spark, fs.makeQualified(dir),
+      keepVersions = 1, minVersionsRetained = 1)
+    assert(fs.exists(orphan),
+      "s3a orphan younger than the grace window was deleted — " +
+        "Last-Modified not reaching the grace check")
+    graft.ops.Maintenance.vacuum(spark, fs.makeQualified(dir),
+      keepVersions = 1, minVersionsRetained = 1, orphanGraceMs = 0)
+    assert(!fs.exists(orphan), "aged-out s3a orphan must be GC'd")
+    assert(spark.table("s3og.db.t").count() == 1)
+    spark.sql("DROP TABLE s3og.db.t")
+  }
+
   test("Range-ignoring endpoint (200 full body): reads stay byte-correct") {
     // RFC 7233 lets a server ignore Range and answer 200 with the whole
     // object; some S3-compatible endpoints do. The client must treat

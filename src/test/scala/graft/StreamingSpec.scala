@@ -79,6 +79,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 3L).subsetOf(got.toSet))
   }
 
+  test("streaming across schema evolution: ADD COLUMN mid-stream " +
+      "delivers old-schema rows; appends after DROP null-fill") {
+    // a long-lived pipeline's table evolves under it; each AvailableNow
+    // drain resolves the CURRENT schema, and fragments written under
+    // other schema generations must still read (parquet evolution:
+    // extra columns prune, missing columns null-fill)
+    val wh = Files.createTempDirectory("graft-sev-wh").toString
+    spark.conf.set("spark.sql.catalog.sev", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sev.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sev.db")
+    spark.sql("CREATE TABLE sev.db.ev (k BIGINT)")
+    spark.sql("INSERT INTO sev.db.ev VALUES (1)")
+    val ckpt = Files.createTempDirectory("graft-sev-ckpt").toString
+    val out = Files.createTempDirectory("graft-sev-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("sev.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 1)
+    // evolve: add a column, append a row carrying it
+    spark.sql("ALTER TABLE sev.db.ev ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO sev.db.ev VALUES (2, 'new')")
+    drain()
+    val afterAdd = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(afterAdd.count() == 2)
+    // the new drain resolved the evolved schema: k=2 carries its tag,
+    // and k=1 (delivered pre-evolution) has no tag column value
+    val r2 = afterAdd.where("k = 2").head()
+    assert(r2.getAs[String]("tag") == "new")
+    // drop the column; an append under the NARROWER schema still flows
+    spark.sql("ALTER TABLE sev.db.ev DROP COLUMN tag")
+    spark.sql("INSERT INTO sev.db.ev VALUES (3)")
+    drain()
+    val fin = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(fin.where("k = 3").count() == 1)
+    assert(fin.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L), "schema evolution lost or duplicated stream rows")
+    // batch view agrees: current schema is (k), all three rows live
+    assert(spark.table("sev.db.ev").columns.toSeq == Seq("k"))
+    assert(spark.table("sev.db.ev").count() == 3)
+    spark.sql("DROP TABLE sev.db.ev")
+  }
+
   test("failOnLostHistory: a vacuumed-away checkpoint version fails " +
       "typed; the default silently re-delivers (at-least-once, no loss)") {
     val wh = Files.createTempDirectory("graft-flh-wh").toString
