@@ -225,7 +225,11 @@ class GraftScan(
         s"start_version $from is not a retained version of ${table.dir} " +
           s"(retained: ${versions.headOption.getOrElse("none")}..${
             versions.lastOption.getOrElse("none")})")
-      GraftFormat.excludedAsOf(table.fs, table.dir, from, table.manifest)
+      // the require's listing feeds the walk: a vacuum landing between
+      // the two would otherwise flip the walk's from-missing branch and
+      // silently re-deliver the whole snapshot AFTER the require passed
+      GraftFormat.excludedAsOf(table.fs, table.dir, from, table.manifest,
+        versions)
     }
 
   /** The fragments this scan may read (all, unless start_version
