@@ -245,9 +245,26 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_BENCH_REPEATS", repeats.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // stdout goes to a file so the parent never blocks on a pipe: a
+      // child whose query or spark.stop() deadlocks (the saturation
+      // scenario the child JVM exists to isolate) must time out into
+      // the in-process fallback, not hang the whole bench run
+      val outFile = java.nio.file.Files.createTempFile("graft-bench-child", ".out")
+      outFile.toFile.deleteOnExit()
+      pb.redirectOutput(outFile.toFile)
+      val timeoutSec = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_CHILD_TIMEOUT_SEC", "900").toLong
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      val exit = p.waitFor()
+      val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        p.destroyForcibly()
+        p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        System.err.println(s"WARNING: streaming child JVM exceeded " +
+          s"${timeoutSec}s and was killed; falling back in-process")
+        return None
+      }
+      val out = java.nio.file.Files.readString(outFile)
+      val exit = p.exitValue()
       val line = out.linesIterator
         .filter(_.contains("\"metric\"")).toSeq.lastOption
       if (exit != 0 || line.isEmpty) {

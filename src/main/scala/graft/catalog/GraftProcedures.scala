@@ -123,7 +123,7 @@ object GraftProcedures {
       inDefault("older_than_ms", LongType, "0"),
       // -1 = use spark.graft.vacuum.minVersionsRetained (default 2)
       inDefault("min_versions_retained", IntegerType, "-1"),
-      // -1 = use spark.graft.vacuum.orphanGraceMs (default 10 min)
+      // -1 = use spark.graft.vacuum.orphanGraceMs (default 24 h)
       inDefault("orphan_grace_ms", LongType, "-1")),
     StructType(Seq(
       StructField("versions_dropped", IntegerType, nullable = false),

@@ -227,9 +227,22 @@ class GraftScan(
             versions.lastOption.getOrElse("none")})")
       // the require's listing feeds the walk: a vacuum landing between
       // the two would otherwise flip the walk's from-missing branch and
-      // silently re-deliver the whole snapshot AFTER the require passed
-      GraftFormat.excludedAsOf(table.fs, table.dir, from, table.manifest,
-        versions)
+      // silently re-deliver the whole snapshot AFTER the require passed.
+      // A vacuum racing the walk's manifest reads instead surfaces as
+      // LostHistoryDuringWalk — batch start_version is strict (the
+      // require above rejects vacuumed history), so keep it typed
+      // rather than leaking a raw FileNotFoundException
+      try GraftFormat.excludedAsOf(table.fs, table.dir, from,
+        table.manifest, versions)
+      catch {
+        case e: GraftFormat.LostHistoryDuringWalk =>
+          throw new IllegalStateException(
+            s"[GRAFT_LOST_HISTORY] manifest history of ${table.dir} was " +
+              s"vacuumed while the start_version $from incremental read " +
+              "was being planned; re-run the sync, or raise vacuum " +
+              "retention (keep_versions / older_than_ms / " +
+              "min_versions_retained) above the sync cadence.", e)
+      }
     }
 
   /** The fragments this scan may read (all, unless start_version

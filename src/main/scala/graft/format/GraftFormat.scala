@@ -191,29 +191,48 @@ object GraftFormat {
     // committed manifests are immutable: serve the walk from the pinned
     // cache so a steady incremental sync re-reads nothing (a 10k-version
     // table would otherwise pay O(versions) JSON reads per sync)
-    val baseIds =
-      ManifestCache.readPinned(fs, table, from).fragments.map(_.id).toSet
-    var prev = baseIds
-    var undelivered = Set.empty[Int] // appended after `from`, not yet read
-    val excluded = Set.newBuilder[Int]
-    excluded ++= baseIds
-    versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
-      val m = ManifestCache.readPinned(fs, table, v)
-      val ids = m.fragments.map(_.id).toSet
-      val introduced = ids diff prev
-      if (m.operation == "Compact") {
-        val consumed = prev diff ids
-        if ((consumed intersect undelivered).isEmpty)
-          excluded ++= introduced // rewrote only pre-`from` rows
-        else {
-          // outputs carry rows this reader never saw: deliverable
-          undelivered = undelivered -- consumed ++ introduced
-        }
-      } else undelivered ++= introduced
-      prev = ids
+    try {
+      val baseIds =
+        ManifestCache.readPinned(fs, table, from).fragments.map(_.id).toSet
+      var prev = baseIds
+      var undelivered = Set.empty[Int] // appended after `from`, not yet read
+      val excluded = Set.newBuilder[Int]
+      excluded ++= baseIds
+      versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
+        val m = ManifestCache.readPinned(fs, table, v)
+        val ids = m.fragments.map(_.id).toSet
+        val introduced = ids diff prev
+        if (m.operation == "Compact") {
+          val consumed = prev diff ids
+          if ((consumed intersect undelivered).isEmpty)
+            excluded ++= introduced // rewrote only pre-`from` rows
+          else {
+            // outputs carry rows this reader never saw: deliverable
+            undelivered = undelivered -- consumed ++ introduced
+          }
+        } else undelivered ++= introduced
+        prev = ids
+      }
+      excluded.result()
+    } catch {
+      // a vacuum landed between the caller's listing and this walk's
+      // manifest reads; surface it typed so callers apply their own
+      // lost-history policy instead of leaking a storage stack trace
+      case e: java.io.FileNotFoundException =>
+        throw LostHistoryDuringWalk(table, from, e)
     }
-    excluded.result()
   }
+
+  /** A concurrently-landing vacuum removed a manifest the incremental
+    * walk had already committed to reading (the caller's own listing
+    * passed its gate, then the file vanished). Callers map this to
+    * their lost-history policy: strict sources fail with their typed
+    * error, default sources degrade to at-least-once re-delivery — the
+    * same direction a vacuum landing BEFORE the listing degrades. */
+  final case class LostHistoryDuringWalk(table: Path, from: Long,
+      cause: java.io.FileNotFoundException) extends RuntimeException(
+    s"manifest history of $table was vacuumed during the incremental " +
+      s"walk from version $from", cause)
 
   /** Fragments of `neu` that are pure APPENDS since `old`: Some(delta)
     * when every fragment of `old` survives in `neu` untouched (same

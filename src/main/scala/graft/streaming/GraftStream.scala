@@ -108,6 +108,11 @@ class GraftMicroBatchStream(table: GraftTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
+    // default mode: an empty or regressed window (restart replay of a
+    // committed batch, dropped-and-recreated table) plans nothing and
+    // needs no listing — only the strict gate below must order the
+    // listing before the empty-window return
+    if (!failOnLostHistory && to <= from) return Array.empty
     val versions = GraftFormat.listVersions(fs, table.dir)
     // from == 0 is a fresh checkpoint (the whole snapshot IS the
     // correct first delivery); any other start version missing from
@@ -135,8 +140,24 @@ class GraftMicroBatchStream(table: GraftTable,
     // deliverable — at-least-once beats silent loss — and vacuumed
     // history degrades the same direction. Shared with the batch
     // `start_version` incremental read (GraftFormat.excludedAsOf).
+    // a vacuum landing AFTER the gate's listing but before the walk's
+    // manifest reads surfaces as LostHistoryDuringWalk: strict mode
+    // keeps its typed-error contract (not a raw FileNotFoundException),
+    // default mode degrades to the same at-least-once re-delivery a
+    // vacuum landing before the listing would have produced
     val excluded =
-      GraftFormat.excludedAsOf(fs, table.dir, from, endManifest, versions)
+      try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest, versions)
+      catch {
+        case e: GraftFormat.LostHistoryDuringWalk =>
+          if (failOnLostHistory) throw new IllegalStateException(
+            s"[GRAFT_STREAM_LOST_HISTORY] manifest history of " +
+              s"${table.name()} was vacuumed while batch [$from, $to] " +
+              "was being planned; continuing would re-deliver the whole " +
+              "current snapshot (at-least-once). Raise vacuum retention " +
+              "(keep_versions / older_than_ms / min_versions_retained), " +
+              "or unset failOnLostHistory to accept the re-delivery.", e)
+          else Set.empty[Int]
+      }
     endManifest.fragments
       .filterNot(f => excluded.contains(f.id))
       .map { f =>

@@ -163,4 +163,33 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("a vacuum racing the walk (listing passed, manifest then deleted) " +
+      "surfaces as typed LostHistoryDuringWalk, not FileNotFoundException") {
+    val dir = fs.makeQualified(new Path(
+      Files.createTempDirectory("graft-pwalk-race").toUri))
+    try {
+      (1L to 3L).foreach { v =>
+        GraftFormat.commit(fs, dir, Manifest(v, schemaJson,
+          (0 until v.toInt).map(i =>
+            FragmentMeta(i, s"data/f$i.parquet", 1L, None, 0L)),
+          maxFragmentId = v.toInt,
+          createdAtMs = System.currentTimeMillis(), operation = "Append"))
+      }
+      // the caller's gate: the listing still contains version 1
+      val versions = GraftFormat.listVersions(fs, dir)
+      assert(versions.contains(1L))
+      val end = GraftFormat.readManifest(fs, dir, 3L)
+      // the race: a vacuum drops version 1 and purges the pinned cache
+      // AFTER the listing but before the walk reads the manifest
+      fs.delete(new Path(GraftFormat.versionsDir(dir),
+        "1.manifest.json"), false)
+      graft.format.ManifestCache.purge(fs, dir)
+      val e = intercept[GraftFormat.LostHistoryDuringWalk] {
+        GraftFormat.excludedAsOf(fs, dir, 1L, end, versions)
+      }
+      assert(e.from == 1L)
+      assert(e.getCause.isInstanceOf[java.io.FileNotFoundException])
+    } finally fs.delete(dir, true)
+  }
 }

@@ -290,15 +290,18 @@ class StreamingSpec extends AnyFunSuite {
           // time-based retention covering the longest in-flight drain —
           // the production contract (Delta/Iceberg precedent): vacuum
           // cannot see a remote reader's pinned version, so retention
-          // must outlast reader duration. A first draft of this storm
-          // vacuumed on version COUNT alone (keepVersions=40) and
-          // proved the point: compact churns >40 versions during one
-          // multi-second drain, the drain's pinned manifest ages out,
-          // and its data file is GC'd mid-task (a retryable stream
-          // failure, not silent loss). The vacuum path still fully runs
-          // here: listing, manifest walk, cache purges, file-ref GC.
+          // must outlast reader duration: 180s here vs drain()'s 120s
+          // budget, so even a drain that exhausts its budget on a
+          // loaded box cannot have its pinned version aged out mid-run.
+          // A first draft of this storm vacuumed on version COUNT alone
+          // (keepVersions=40) and proved the point: compact churns >40
+          // versions during one multi-second drain, the drain's pinned
+          // manifest ages out, and its data file is GC'd mid-task (a
+          // retryable stream failure, not silent loss). The vacuum path
+          // still fully runs here: listing, manifest walk, cache
+          // purges, file-ref GC.
           graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 40,
-            olderThanMs = 60000L)
+            olderThanMs = 180000L)
           Thread.sleep(60)
         }
       } catch { case t: Throwable => maintErr.set(t) }
