@@ -188,8 +188,22 @@ object Bench {
     val spread = all.flatMap(_.spread).map { case (n, (lo, hi)) =>
       "\"" + n + "\":[" + r4(lo) + "," + r4(hi) + "]"
     }.mkString("{", ",", "}")
+    // real JSON escaping for err strings: the in-process sanitizer only
+    // strips quotes/newlines, and child-phase errors round-trip through
+    // Jackson (a decoded TAB or backslash would corrupt the artifact
+    // and silently disable next round's BenchGuard baseline parse)
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     val errs = all.flatMap(_.errs).map { case (n, e) =>
-      "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+      jstr(n) + ":" + jstr(e) }.mkString("{", ",", "}")
     val phases = obj(all.flatMap(_.phases))
     val retried = all.flatMap(_.retried)
     val total = all.flatMap(_.queries).map(_._2).sum

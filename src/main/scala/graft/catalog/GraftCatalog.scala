@@ -180,7 +180,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.format.VectorColumns.fromProperties(userProps))
     GraftFormat.init(fs, dir)
     val m = Manifest(1L, schema.json, Seq.empty, -1,
-      System.currentTimeMillis(), "Create", userProps)
+      System.currentTimeMillis(), "Create", GraftFormat.withTableId(userProps))
     GraftFormat.commit(fs, dir, m)
     new GraftTable(ident.toString, dir, m, conf)
   }
@@ -309,10 +309,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // namespace key).
     tables.foreach(t => graft.format.ManifestCache.purge(fs, t))
     // belt over the braces: a table CREATED between the capture above
-    // and the delete is in neither purge loop — sweep every cached
-    // segment resolution under the namespace prefix so at least its
-    // already-cached entries die with the namespace
-    graft.ops.IndexSegments.invalidateUnder(fs, dir)
+    // and the delete is in neither purge loop — sweep BOTH caches under
+    // the namespace prefix (manifest latest+pinned tiers with per-table
+    // generation bumps, and segment resolutions) so its entries die
+    // with the namespace too
+    graft.format.ManifestCache.purgeUnder(fs, dir)
     ok
   }
 

@@ -289,7 +289,7 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     val dir = newTableDir(ident)
     GraftFormat.init(fs, dir)
     val m = Manifest(1L, schema.json, Seq.empty, -1,
-      System.currentTimeMillis(), "Create", userProps)
+      System.currentTimeMillis(), "Create", GraftFormat.withTableId(userProps))
     GraftFormat.commit(fs, dir, m)
     try register(ident, fs.makeQualified(dir))
     catch { case e: Throwable => fs.delete(dir, true); throw e }

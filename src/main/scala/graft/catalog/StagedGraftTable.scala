@@ -88,7 +88,13 @@ class StagedGraftTable(
       if (latestOpt.isDefined && !replace)
         throw new IllegalStateException(
           s"table $ident already exists (staged CREATE lost a race)")
-      var nextId = -1
+      // REPLACE continues the version history (an Overwrite commit), so
+      // its fragments must continue the id sequence too: fragment ids
+      // are never reused within one history — the streaming provenance
+      // walk identifies fragments by id, and a REPLACE that restarted
+      // at 0 would have its replacement rows silently excluded as
+      // "already streamed" by any checkpoint whose base held id 0
+      var nextId = latestOpt.map(_.maxFragmentId).getOrElse(-1)
       val frags = staged.toSeq.map { case (rel, n, size, stats) =>
         nextId += 1
         FragmentMeta(nextId, rel, n, None, 0L, size, stats)
@@ -100,7 +106,11 @@ class StagedGraftTable(
         maxFragmentId = nextId,
         createdAtMs = System.currentTimeMillis(),
         operation = if (latestOpt.isDefined) "Overwrite" else "Create",
-        properties = tableProps)
+        // REPLACE continues the history, so it inherits the prior
+        // generation's table id; a fresh CREATE mints a new one
+        properties = GraftFormat.withTableId(tableProps ++
+          latestOpt.flatMap(_.properties.get(GraftFormat.TableIdProp))
+            .map(GraftFormat.TableIdProp -> _)))
     }
   }
 

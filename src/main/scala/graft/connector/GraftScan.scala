@@ -245,11 +245,32 @@ class GraftScan(
       }
     }
 
+  /** `.option("expected_table_id", id)`: fail typed when the table's
+    * generation id (manifest property `graft.table_id`, surfaced via
+    * DESCRIBE EXTENDED) is not the one the caller bookmarked. The
+    * incremental-sync companion to start_version: version numbers
+    * restart on drop + re-create, so once the new history reaches the
+    * bookmark's version, start_version alone would silently sync the
+    * wrong table's data. */
+  private lazy val tableIdChecked: Unit =
+    options.get("expected_table_id").foreach { want =>
+      val got = table.manifest.properties.get(GraftFormat.TableIdProp)
+      if (!got.contains(want)) throw new IllegalStateException(
+        s"[GRAFT_LOST_HISTORY] expected_table_id $want does not match " +
+          s"the current generation ${got.getOrElse("<none>")} of " +
+          s"${table.dir}: the table was dropped and re-created (or " +
+          "predates generation ids). Re-sync from scratch and bookmark " +
+          "the new graft.table_id.")
+    }
+
   /** The fragments this scan may read (all, unless start_version
     * restricts to post-`v` appends). */
-  private def scanFragments: Seq[FragmentMeta] = startVersionExcluded match {
-    case Some(ex) => table.manifest.fragments.filterNot(f => ex.contains(f.id))
-    case None => table.manifest.fragments
+  private def scanFragments: Seq[FragmentMeta] = {
+    tableIdChecked
+    startVersionExcluded match {
+      case Some(ex) => table.manifest.fragments.filterNot(f => ex.contains(f.id))
+      case None => table.manifest.fragments
+    }
   }
 
   /** Bucket layout recorded by `Maintenance.bucketize`, if intact:
@@ -590,6 +611,7 @@ class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    tableIdChecked // fires on EVERY path, incl. manifest-served aggs
     if (aggs.nonEmpty) {
       // answered entirely from the manifest: one empty partition
       // carrying the aggregate row (count(*) like the reference's

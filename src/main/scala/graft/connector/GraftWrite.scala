@@ -126,7 +126,8 @@ object GraftWriter {
           operation =
             if (latestOpt.isEmpty) "Create"
             else if (overwrite) "Overwrite" else "Append",
-          properties = latestOpt.map(_.properties).getOrElse(tableProps)
+          properties = latestOpt.map(_.properties)
+            .getOrElse(GraftFormat.withTableId(tableProps))
             -- GraftFormat.ClusteringProps)
       }
     } finally {

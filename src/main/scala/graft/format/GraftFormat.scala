@@ -93,6 +93,25 @@ object GraftFormat {
   val FormatVersionProp = "format_version"
   val CurrentFormatVersion = 2
 
+  /** Stable per-history identity ("generation"): stamped into version
+    * 1's properties at creation and inherited by every later commit
+    * (all write paths carry properties forward; REPLACE inherits it —
+    * same version history). A DROP + re-CREATE at the same path starts
+    * a NEW history with a new id. The streaming source and the batch
+    * `expected_table_id` read option use it to detect a replaced
+    * generation that version numbers alone cannot: the new history may
+    * have reached or passed a checkpoint's version, making every
+    * version-arithmetic check pass while the data underneath is a
+    * different table's. (Delta's table id / Iceberg's table-uuid
+    * precedent.) Tables created before this property existed have no
+    * id; detection is skipped for them. */
+  val TableIdProp = "graft.table_id"
+
+  /** `props` with a fresh table id, unless one is already present. */
+  def withTableId(props: Map[String, String]): Map[String, String] =
+    if (props.contains(TableIdProp)) props
+    else props + (TableIdProp -> java.util.UUID.randomUUID().toString)
+
   /** Set by sorted compaction: every fragment's rows are ascending in
     * these comma-separated columns (nulls first). Any commit that adds
     * fragments NOT produced by that rewrite must drop it — scans report

@@ -207,6 +207,30 @@ object ManifestCache {
     graft.ops.IndexSegments.invalidateUnder(fs, table)
   }
 
+  /** DROP NAMESPACE: every table under `dir` dies — including tables
+    * this process never listed (created concurrently with the drop, so
+    * absent from the caller's captured per-table purge list). Evicts
+    * both tiers for every key under the prefix and bumps each affected
+    * table's OWN generation so an in-flight latest() cannot re-cache.
+    * Boundary-safe: namespace '/wh/db' must not touch sibling
+    * '/wh/db2' (same lesson as IndexSegments.invalidateUnder). */
+  def purgeUnder(fs: FileSystem, dir: Path): Unit = {
+    val p = key(fs, dir) + "/"
+    // bump generations FIRST: a latest() racing this sweep fails its
+    // generation-guarded put; evicting before bumping would leave a
+    // window where the in-flight read re-caches the dead entry
+    gens.foreach { case (k, g) => if (k.startsWith(p)) g.incrementAndGet() }
+    entries.synchronized {
+      val it = entries.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(p)) it.remove()
+    }
+    pinned.synchronized {
+      val it = pinned.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(p)) it.remove()
+    }
+    graft.ops.IndexSegments.invalidateUnder(fs, dir)
+  }
+
   def clearAll(): Unit = {
     // bump every known generation FIRST: a latest() in flight must not
     // guardedPut its pre-clear entry back after the clear

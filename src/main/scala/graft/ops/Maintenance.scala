@@ -475,11 +475,22 @@ object Maintenance {
     val (drop, keep) =
       if (olderThanMs <= 0L) (drop0, keep0)
       else {
+        // a manifest a CONCURRENT vacuum already deleted reads as
+        // droppable: the racing pass judged it out of retention, and
+        // the delete below is exists-guarded — never crash on the race
         val (d, protectedRecent) = drop0.partition(v =>
-          GraftFormat.readManifest(fs, qualDir, v).createdAtMs <= cutoff)
+          try GraftFormat.readManifest(fs, qualDir, v).createdAtMs <= cutoff
+          catch { case _: java.io.FileNotFoundException => true })
         (d, protectedRecent ++ keep0)
       }
-    val retained = keep.map(GraftFormat.readManifest(fs, qualDir, _))
+    // same race on the retained side (two vacuums with different
+    // keep_versions): a concurrently-deleted manifest contributes no
+    // file references — matching the surviving history. The latest
+    // versions can never go (every pass retains the >=2-version floor).
+    val retained = keep.flatMap { v =>
+      try Some(GraftFormat.readManifest(fs, qualDir, v))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
     val referenced: Set[String] = retained.flatMap { m =>
       m.fragments.flatMap(f => f.path +: f.deletionPath.toSeq)
     }.toSet
@@ -558,9 +569,13 @@ object Maintenance {
           // after the segment lands) — only age-outs are orphans. Dir
           // mtimes are unreliable on object stores, so use the newest
           // contained file.
+          // referenced-set check FIRST: newestMtimeUnder is a recursive
+          // remote listing — never pay it for a live (referenced)
+          // segment on a routine vacuum
           val orphanSegment = name.startsWith("seg-") &&
+            !referenced.contains(name) &&
             newestMtimeUnder(fs, p) < orphanCutoffMs
-          if ((staleVersion || orphanSegment) && !referenced.contains(name)) {
+          if ((staleVersion && !referenced.contains(name)) || orphanSegment) {
             fs.delete(p, true)
             deleted += 1
           }

@@ -259,7 +259,7 @@ class S3LiteFileSystem extends FileSystem {
       if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
     }
 
-    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+    override def read(b: Array[Byte], off: Int, l: Int): Int = this.synchronized {
       if (closed) throw new IOException("stream closed")
       if (l == 0) return 0 // InputStream contract: len 0 -> 0 even at EOF
       if (pos >= len) return -1
@@ -283,9 +283,26 @@ class S3LiteFileSystem extends FileSystem {
       if (position >= len) return -1
       val n = math.min(length.toLong, len - position).toInt
       if (n <= 0) return 0
+      // serve from the buffer when it already covers the start of the
+      // range — in particular, once a Range-ignoring endpoint has
+      // returned the whole object, later preads must not re-download it
+      // (parquet issues one pread per column chunk: K chunks over an
+      // N-byte object would otherwise transfer K*N bytes)
+      this.synchronized {
+        if (buf != null && position >= bufStart &&
+            position < bufStart + buf.length) {
+          val skip = (position - bufStart).toInt
+          val avail = math.min(n.toLong, (buf.length - skip).toLong).toInt
+          System.arraycopy(buf, skip, buffer, offset, avail)
+          return avail
+        }
+      }
       val (start0, data) = rangeGet(position, n)
       // start0 < position on a Range-ignoring 200 (whole object): slice
       val skip = (position - start0).toInt
+      if (start0 == 0L && position > 0)
+        // the whole object is in hand — keep it for the next read
+        this.synchronized { buf = data; bufStart = 0L }
       val avail = math.min(n.toLong, (data.length - skip).toLong).toInt
       if (avail <= 0) return -1
       System.arraycopy(data, skip, buffer, offset, avail)

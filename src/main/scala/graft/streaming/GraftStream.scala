@@ -25,8 +25,17 @@ import graft.format.GraftFormat
   * them in bounded batches instead of planning the whole history at
   * once.
   */
-final case class GraftOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+final case class GraftOffset(version: Long, tableId: Option[String] = None)
+  extends Offset {
+  // the offset carries the HISTORY's identity alongside the version:
+  // version numbers restart on drop + re-create, and once the new
+  // history reaches the checkpoint's version, no version arithmetic
+  // can tell the generations apart — the id can (Kafka offsets have
+  // the same property via the topic; Delta sources persist reservoirId)
+  override def json(): String = tableId match {
+    case Some(id) => s"""{"version":$version,"table_id":"$id"}"""
+    case None => s"""{"version":$version}"""
+  }
 }
 
 class GraftMicroBatchStream(table: GraftTable,
@@ -60,10 +69,38 @@ class GraftMicroBatchStream(table: GraftTable,
       }
     }
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** The CURRENT history's identity (cached latest-manifest read, not
+    * the stream-construction pin — a drop + re-create mid-stream must
+    * be visible). None for tables predating the table_id property. */
+  private def currentTableId: Option[String] =
+    graft.format.ManifestCache.latest(fs, qualDir)
+      .orElse(Some(table.manifest))
+      .flatMap(_.properties.get(GraftFormat.TableIdProp))
+
+  /** True when the checkpointed offset and the current table belong to
+    * different histories (drop + re-create). Detection needs BOTH ids:
+    * legacy checkpoints and pre-property tables skip it (version
+    * arithmetic remains their only guard). */
+  private def generationChanged(start: GraftOffset): Boolean =
+    (start.tableId, currentTableId) match {
+      case (Some(s), Some(c)) => s != c
+      case _ => false
+    }
+
+  private def lostGenerationError(start: GraftOffset): Nothing =
+    throw new IllegalStateException(
+      s"[GRAFT_STREAM_LOST_HISTORY] ${table.name()} was dropped and " +
+        s"re-created: checkpoint generation ${start.tableId.get} does " +
+        s"not match the table's current generation " +
+        s"${currentTableId.get}. Restart from a fresh checkpoint, or " +
+        "unset failOnLostHistory to stream the new table generation " +
+        "from the beginning.")
+
+  override def initialOffset(): Offset = GraftOffset(0L, currentTableId)
 
   override def latestOffset(): Offset =
-    GraftOffset(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L))
+    GraftOffset(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L),
+      currentTableId)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -81,13 +118,24 @@ class GraftMicroBatchStream(table: GraftTable,
     * the backlog (or the AvailableNow target) drains. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = GraftFormat.latestVersion(fs, table.dir).getOrElse(0L)
-    val from = start.asInstanceOf[GraftOffset].version
+    val startOff = start.asInstanceOf[GraftOffset]
+    // a changed generation id is DEFINITIVE drop + re-create evidence —
+    // caught even when the new history has reached or passed the
+    // checkpoint version, where every version-arithmetic check passes.
+    // Strict mode fails typed; default mode restarts delivery from the
+    // beginning of the new history (at-least-once, never loss).
+    val genChanged = generationChanged(startOff)
+    if (genChanged && failOnLostHistory) lostGenerationError(startOff)
+    val from = if (genChanged) 0L else startOff.version
     // a checkpoint AHEAD of current history means the table was dropped
     // and re-created (or restored): the planned window would be empty
     // (to <= from), the checkpoint would silently regress, and the
     // recreated table's base rows would never be delivered. Strict mode
     // must fail here — planInputPartitions never sees the empty batch.
-    // (Kafka's failOnDataLoss fails out-of-range offsets both ways.)
+    // (Kafka's failOnDataLoss fails out-of-range offsets both ways.
+    // Version arithmetic is the only guard for legacy checkpoints
+    // without a generation id; the id check above subsumes it
+    // otherwise.)
     if (failOnLostHistory && from > head)
       throw new IllegalStateException(
         s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
@@ -97,17 +145,34 @@ class GraftMicroBatchStream(table: GraftTable,
           "resume against the new table generation.")
     val ceiling = availableTarget.fold(head)(math.min(head, _))
     GraftOffset(maxVersionsPerTrigger
-      .fold(ceiling)(m => math.min(ceiling, from + m)))
+      .fold(ceiling)(m => math.min(ceiling, from + m)), currentTableId)
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val v = json.replaceAll("[^0-9]", "")
-    GraftOffset(if (v.isEmpty) 0L else v.toLong)
+    // current offsets are {"version":N,"table_id":"..."}; checkpoints
+    // from earlier builds are {"version":N} or a bare number — parse
+    // leniently (a digits-only strip would swallow the id's hex digits)
+    val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+    val id = """"table_id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+    version match {
+      case Some(v) => GraftOffset(v, id)
+      case None =>
+        val v = json.replaceAll("[^0-9]", "")
+        GraftOffset(if (v.isEmpty) 0L else v.toLong)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftOffset].version
+    val startOff = start.asInstanceOf[GraftOffset]
     val to = end.asInstanceOf[GraftOffset].version
+    // generation re-check (latestOffset already gated, but AvailableNow
+    // replays planInputPartitions on restart without re-consulting it):
+    // strict fails typed, default restarts from the new history's start
+    val genChanged = generationChanged(startOff)
+    if (genChanged && failOnLostHistory) lostGenerationError(startOff)
+    val from = if (genChanged) 0L else startOff.version
     // default mode: an empty or regressed window (restart replay of a
     // committed batch, dropped-and-recreated table) plans nothing and
     // needs no listing — only the strict gate below must order the

@@ -210,6 +210,41 @@ class GraftConnectorSpec extends AnyFunSuite {
       "append consumed by a later compact must still be delivered")
   }
 
+  test("expected_table_id: an incremental sync that bookmarks the " +
+      "generation fails typed across drop + re-create, even when " +
+      "start_version exists in the new history") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.cdcid")
+    spark.sql("CREATE TABLE g.db.cdcid (k BIGINT)")
+    spark.sql("INSERT INTO g.db.cdcid VALUES (1)") // v2
+    val id = spark.sql("SHOW TBLPROPERTIES g.db.cdcid").collect()
+      .find(_.getString(0) == "graft.table_id")
+      .map(_.getString(1)).getOrElse(fail("graft.table_id not stamped"))
+    // same generation: the bookmarked sync passes
+    assert(spark.read.option("start_version", 1)
+      .option("expected_table_id", id).table("g.db.cdcid")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // new generation whose history reaches the bookmark: start_version
+    // alone passes every check and would sync the WRONG table's data
+    spark.sql("DROP TABLE g.db.cdcid")
+    spark.sql("CREATE TABLE g.db.cdcid (k BIGINT)")
+    spark.sql("INSERT INTO g.db.cdcid VALUES (100)") // v2 again
+    val e = intercept[Exception] {
+      spark.read.option("start_version", 1)
+        .option("expected_table_id", id).table("g.db.cdcid").collect()
+    }
+    assert(TestSpark.rootMsgs(e).contains("GRAFT_LOST_HISTORY"),
+      TestSpark.rootMsgs(e))
+    // the generation check also guards plain (non-CDC) reads, including
+    // the manifest-served count(*) path
+    val e2 = intercept[Exception] {
+      spark.read.option("expected_table_id", id).table("g.db.cdcid").count()
+    }
+    assert(TestSpark.rootMsgs(e2).contains("GRAFT_LOST_HISTORY"),
+      TestSpark.rootMsgs(e2))
+    spark.sql("DROP TABLE g.db.cdcid")
+  }
+
   test("insert append creates a new version; time travel reads the old one") {
     wh
     spark.sql("DROP TABLE IF EXISTS g.db.tt")

@@ -197,11 +197,82 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("INSERT INTO flh2.db.ev VALUES (100)")
     // strict: typed stop — without it the empty (5, 2] batch would
     // silently regress the checkpoint and the new generation's base
-    // rows (k=100, committed at version <= 5) would NEVER be delivered
+    // rows (k=100, committed at version <= 5) would NEVER be delivered.
+    // (The generation-id check fires here — both histories carry ids;
+    // the version-arithmetic ahead-check remains as the legacy guard
+    // for checkpoints/tables that predate graft.table_id.)
     val e = intercept[Exception](drain(strict = true))
     assert(rootMsgs(e).contains("GRAFT_STREAM_LOST_HISTORY") &&
-      rootMsgs(e).contains("ahead of current history"), rootMsgs(e))
+      rootMsgs(e).contains("generation"), rootMsgs(e))
     spark.sql("DROP TABLE flh2.db.ev")
+  }
+
+  test("failOnLostHistory: drop + re-create is caught by the generation " +
+      "id even when the NEW history reaches the checkpoint version " +
+      "(where every version-arithmetic check passes)") {
+    val wh = Files.createTempDirectory("graft-gid-wh").toString
+    spark.conf.set("spark.sql.catalog.gid", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gid.db")
+    spark.sql("CREATE TABLE gid.db.ev (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO gid.db.ev VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("graft-gid-ckpt").toString
+    val out = Files.createTempDirectory("graft-gid-out").toString
+    def drain(strict: Boolean): Unit = {
+      var r = spark.readStream
+      if (strict) r = r.option("failOnLostHistory", "true")
+      val q = r.table("gid.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain(strict = true) // checkpoint at version 4, generation A
+    assert(spark.read.parquet(out).count() == 3)
+    // new generation B advances PAST the checkpoint version: head = 5
+    // >= 4, and version 4 exists in B's history — the ahead-check and
+    // the vacuumed-version gate both pass; only the id differs
+    spark.sql("DROP TABLE gid.db.ev")
+    spark.sql("CREATE TABLE gid.db.ev (k BIGINT)")
+    (10 until 14).foreach(i => spark.sql(s"INSERT INTO gid.db.ev VALUES ($i)"))
+    val e = intercept[Exception](drain(strict = true))
+    assert(rootMsgs(e).contains("GRAFT_STREAM_LOST_HISTORY") &&
+      rootMsgs(e).contains("generation"), rootMsgs(e))
+    // the failed strict drain delivered nothing and regressed nothing
+    assert(spark.read.parquet(out).count() == 3)
+    spark.sql("DROP TABLE gid.db.ev")
+  }
+
+  test("default mode across drop + re-create: the new generation's " +
+      "base rows are re-delivered from the start of its history — " +
+      "never silently lost") {
+    val wh = Files.createTempDirectory("graft-gid2-wh").toString
+    spark.conf.set("spark.sql.catalog.gid2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gid2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gid2.db")
+    spark.sql("CREATE TABLE gid2.db.ev (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO gid2.db.ev VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("graft-gid2-ckpt").toString
+    val out = Files.createTempDirectory("graft-gid2-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("gid2.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain() // checkpoint at version 4, generation A; rows 0,1,2 out
+    // generation B reaches head 5 >= 4: without the id, versions 1-4's
+    // rows (10,11,12) would be skipped as "already streamed" and only
+    // version 5's row (13) would ever arrive
+    spark.sql("DROP TABLE gid2.db.ev")
+    spark.sql("CREATE TABLE gid2.db.ev (k BIGINT)")
+    (10 until 14).foreach(i => spark.sql(s"INSERT INTO gid2.db.ev VALUES ($i)"))
+    drain()
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq
+    assert((10L until 14L).forall(got.contains),
+      s"new generation's base rows lost: $got")
+    spark.sql("DROP TABLE gid2.db.ev")
   }
 
   test("streaming source over s3a: versions as offsets, incremental " +
@@ -242,6 +313,65 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
     assert(spark.read.parquet(out).count() == 3)
     spark.sql("DROP TABLE s3st.db.ev")
+  }
+
+  test("offset json carries the generation id and parses legacy " +
+      "checkpoint forms") {
+    val wh = Files.createTempDirectory("graft-off-wh").toString
+    spark.conf.set("spark.sql.catalog.goff", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.goff.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS goff.db")
+    spark.sql("CREATE TABLE goff.db.t (k BIGINT)")
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m = graft.format.GraftFormat.readManifest(fs, dir, 1L)
+    assert(m.properties.contains(graft.format.GraftFormat.TableIdProp),
+      "CREATE TABLE must stamp graft.table_id")
+    val s = new graft.streaming.GraftMicroBatchStream(
+      new graft.connector.GraftTable("goff.db.t", dir, m, conf))
+    import graft.streaming.GraftOffset
+    // legacy r11-and-earlier checkpoint forms parse unchanged
+    assert(s.deserializeOffset("""{"version":5}""") == GraftOffset(5, None))
+    assert(s.deserializeOffset("7") == GraftOffset(7, None))
+    // current form round-trips (a digits-strip would swallow id hex)
+    val off = GraftOffset(5, Some("ab3-12f"))
+    assert(off.json == """{"version":5,"table_id":"ab3-12f"}""")
+    assert(s.deserializeOffset(off.json) == off)
+    spark.sql("DROP TABLE goff.db.t")
+  }
+
+  test("streaming across CREATE OR REPLACE: replacement rows are " +
+      "delivered (fragment ids are never reused within one history)") {
+    val wh = Files.createTempDirectory("graft-rep-wh").toString
+    spark.conf.set("spark.sql.catalog.grep", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grep.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grep.db")
+    spark.sql("CREATE TABLE grep.db.rep (k BIGINT)")
+    spark.sql("INSERT INTO grep.db.rep VALUES (1)") // fragment id 0
+    val ckpt = Files.createTempDirectory("graft-rep-ckpt").toString
+    val out = Files.createTempDirectory("graft-rep-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("grep.db.rep")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L)))
+    // REPLACE continues the version history (Overwrite commit) — its
+    // fragments MUST take fresh ids: a reused id 0 would be excluded by
+    // the provenance walk (it matches the checkpoint's base set) and
+    // the replacement rows would silently never stream
+    spark.sql("CREATE OR REPLACE TABLE grep.db.rep AS SELECT 100L AS k")
+    runOnce()
+    val all = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(all.sameElements(Array(1L, 100L)),
+      s"replacement rows lost: got ${all.mkString(",")}")
+    spark.sql("DROP TABLE grep.db.rep")
   }
 
   test("streaming x maintenance storm: live appends + compact + vacuum " +
