@@ -331,7 +331,13 @@ object GraftCatalog {
     TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,
     TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
     TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION,
-    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION,
+    // reserved generation id: a user-supplied value (e.g. a replayed
+    // SHOW CREATE TABLE DDL) is stripped so the new table mints its
+    // own — it IS a new generation; forging a dead one would defeat
+    // drop+re-create detection (ALTER rejects it typed for the same
+    // reason, evolveCommit)
+    GraftFormat.TableIdProp)
 
   def userProperties(props: JMap[String, String]): Map[String, String] =
     props.asScala.toMap.view.filterKeys(k => !internalProps.contains(k)).toMap
@@ -388,8 +394,18 @@ object GraftCatalog {
               else props + ("blob_columns" -> rest.mkString(","))
           }
         case set: TableChange.SetProperty =>
+          // the generation id is reserved: overwriting it forges a dead
+          // history's identity, unsetting it disables drop+re-create
+          // detection for strict streams and bookmarked syncs
+          // (Delta/Iceberg reserve their table uuid the same way)
+          require(set.property != GraftFormat.TableIdProp,
+            s"${GraftFormat.TableIdProp} is reserved (the history's " +
+              "generation identity) and cannot be set")
           props = props + (set.property -> set.value)
         case rm: TableChange.RemoveProperty =>
+          require(rm.property != GraftFormat.TableIdProp,
+            s"${GraftFormat.TableIdProp} is reserved (the history's " +
+              "generation identity) and cannot be unset")
           props = props - rm.property
         case other =>
           throw new UnsupportedOperationException(

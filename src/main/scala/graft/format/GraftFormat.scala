@@ -180,6 +180,23 @@ object GraftFormat {
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     listVersions(fs, table).lastOption
 
+  /** (version, manifest-file mtime, length) of the latest version, from
+    * ONE listing — ManifestCache's revalidation identity: version
+    * numbers restart on drop + re-create, so a same-number history swap
+    * by ANOTHER process must still invalidate (the rewritten file's
+    * mtime/length differ; in-process drops purge the cache directly). */
+  def latestVersionStat(fs: FileSystem, table: Path): Option[(Long, Long, Long)] = {
+    val dir = versionsDir(table)
+    if (!exists(fs, table)) return None
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".manifest.json"))
+      .flatMap { st =>
+        st.getPath.getName.stripSuffix(".manifest.json").toLongOption
+          .map(v => (v, st.getModificationTime, st.getLen))
+      }
+      .sortBy(_._1).lastOption
+  }
+
   /** Fragment ids of `endManifest` that carry NO rows appended after
     * version `from` — the exclusion set for incremental reads (the
     * batch `start_version` CDC option and the streaming source share

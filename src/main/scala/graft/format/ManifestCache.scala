@@ -52,8 +52,15 @@ object ManifestCache {
     * table paths must not grow the driver heap without bound. */
   val DefaultMaxEntries = 1024
 
+  // fileMtime/fileLen identify the manifest FILE, not just its version
+  // number: a cross-process drop + re-create restarts version numbers,
+  // so a revalidation that compares versions alone would keep serving
+  // the dead generation's manifest whenever the new history's head
+  // lands on the cached number (in-process drops purge the cache; only
+  // another process's drop arrives silently). Both values come from
+  // the same listing the revalidation already pays for.
   private final case class Entry(version: Long, manifest: Manifest,
-      checkedAtMs: Long)
+      checkedAtMs: Long, fileMtime: Long, fileLen: Long)
 
   // Access-ordered LRU bounded by the session cap; all access under
   // `entries.synchronized` (driver-side metadata path, low contention).
@@ -145,20 +152,21 @@ object ManifestCache {
         Some(e.manifest)
       case cached =>
         val g = gen(k).get()
-        GraftFormat.latestVersion(fs, table) match {
+        GraftFormat.latestVersionStat(fs, table) match {
           case None =>
             entries.synchronized(entries.remove(k))
             None
-          case Some(v) =>
+          case Some((v, mtime, len)) =>
             cached match {
-              case Some(e) if e.version == v =>
+              case Some(e) if e.version == v && e.fileMtime == mtime &&
+                  e.fileLen == len =>
                 revalidations.incrementAndGet()
                 guardedPut(k, g, e.copy(checkedAtMs = now))
                 Some(e.manifest)
               case _ =>
                 misses.incrementAndGet()
                 val m = GraftFormat.readManifest(fs, table, v)
-                guardedPut(k, g, Entry(v, m, now))
+                guardedPut(k, g, Entry(v, m, now, mtime, len))
                 Some(m)
             }
         }

@@ -77,24 +77,43 @@ class GraftMicroBatchStream(table: GraftTable,
       .orElse(Some(table.manifest))
       .flatMap(_.properties.get(GraftFormat.TableIdProp))
 
-  /** True when the checkpointed offset and the current table belong to
-    * different histories (drop + re-create). Detection needs BOTH ids:
-    * legacy checkpoints and pre-property tables skip it (version
-    * arithmetic remains their only guard). */
-  private def generationChanged(start: GraftOffset): Boolean =
-    (start.tableId, currentTableId) match {
+  /** True when the checkpointed offset and the observed current id
+    * belong to different histories (drop + re-create). Detection needs
+    * BOTH ids: legacy checkpoints and pre-property tables skip it
+    * (version arithmetic remains their only guard). Callers read
+    * [[currentTableId]] ONCE and pass it in, so the id the check
+    * compared is the id the error names and the end offset carries. */
+  private def generationChanged(start: GraftOffset,
+      cur: Option[String]): Boolean =
+    (start.tableId, cur) match {
       case (Some(s), Some(c)) => s != c
       case _ => false
     }
 
-  private def lostGenerationError(start: GraftOffset): Nothing =
+  private def lostGenerationError(start: GraftOffset,
+      cur: Option[String]): Nothing =
     throw new IllegalStateException(
       s"[GRAFT_STREAM_LOST_HISTORY] ${table.name()} was dropped and " +
-        s"re-created: checkpoint generation ${start.tableId.get} does " +
-        s"not match the table's current generation " +
-        s"${currentTableId.get}. Restart from a fresh checkpoint, or " +
+        s"re-created: checkpoint generation ${start.tableId.getOrElse("?")} " +
+        s"does not match the table's current generation " +
+        s"${cur.getOrElse("?")}. Restart from a fresh checkpoint, or " +
         "unset failOnLostHistory to stream the new table generation " +
         "from the beginning.")
+
+  /** `.option("expected_table_id", id)` on a STREAM pins the generation
+    * unconditionally (the batch read option's analog) — enforced here
+    * because stream planning never passes through GraftScan's gate. */
+  private val expectedTableId: Option[String] = options.get("expected_table_id")
+
+  private def checkExpectedTableId(cur: Option[String]): Unit =
+    expectedTableId.foreach { want =>
+      if (!cur.contains(want)) throw new IllegalStateException(
+        s"[GRAFT_STREAM_LOST_HISTORY] expected_table_id $want does not " +
+          s"match the current generation ${cur.getOrElse("<none>")} of " +
+          s"${table.name()}: the table was dropped and re-created (or " +
+          "predates generation ids). Restart from a fresh checkpoint " +
+          "against the new generation and bookmark its graft.table_id.")
+    }
 
   override def initialOffset(): Offset = GraftOffset(0L, currentTableId)
 
@@ -119,13 +138,15 @@ class GraftMicroBatchStream(table: GraftTable,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = GraftFormat.latestVersion(fs, table.dir).getOrElse(0L)
     val startOff = start.asInstanceOf[GraftOffset]
+    val cur = currentTableId
+    checkExpectedTableId(cur)
     // a changed generation id is DEFINITIVE drop + re-create evidence —
     // caught even when the new history has reached or passed the
     // checkpoint version, where every version-arithmetic check passes.
     // Strict mode fails typed; default mode restarts delivery from the
     // beginning of the new history (at-least-once, never loss).
-    val genChanged = generationChanged(startOff)
-    if (genChanged && failOnLostHistory) lostGenerationError(startOff)
+    val genChanged = generationChanged(startOff, cur)
+    if (genChanged && failOnLostHistory) lostGenerationError(startOff, cur)
     val from = if (genChanged) 0L else startOff.version
     // a checkpoint AHEAD of current history means the table was dropped
     // and re-created (or restored): the planned window would be empty
@@ -145,7 +166,7 @@ class GraftMicroBatchStream(table: GraftTable,
           "resume against the new table generation.")
     val ceiling = availableTarget.fold(head)(math.min(head, _))
     GraftOffset(maxVersionsPerTrigger
-      .fold(ceiling)(m => math.min(ceiling, from + m)), currentTableId)
+      .fold(ceiling)(m => math.min(ceiling, from + m)), cur)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -167,11 +188,13 @@ class GraftMicroBatchStream(table: GraftTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOff = start.asInstanceOf[GraftOffset]
     val to = end.asInstanceOf[GraftOffset].version
+    val cur = currentTableId
+    checkExpectedTableId(cur)
     // generation re-check (latestOffset already gated, but AvailableNow
     // replays planInputPartitions on restart without re-consulting it):
     // strict fails typed, default restarts from the new history's start
-    val genChanged = generationChanged(startOff)
-    if (genChanged && failOnLostHistory) lostGenerationError(startOff)
+    val genChanged = generationChanged(startOff, cur)
+    if (genChanged && failOnLostHistory) lostGenerationError(startOff, cur)
     val from = if (genChanged) 0L else startOff.version
     // default mode: an empty or regressed window (restart replay of a
     // committed batch, dropped-and-recreated table) plans nothing and
@@ -196,8 +219,15 @@ class GraftMicroBatchStream(table: GraftTable,
           "(keep_versions / older_than_ms / min_versions_retained), or " +
           "unset failOnLostHistory to accept the re-delivery.")
     if (to <= from) return Array.empty
+    // after a mid-trigger drop + re-create, `to` (planned against the
+    // old generation) may exceed the new history: the stream-pin
+    // fallback (table.manifest) would point executors at the DELETED
+    // generation's files — plan the new history's head instead
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
+      else if (genChanged && versions.nonEmpty)
+        GraftFormat.readManifest(fs, table.dir, versions.last)
+      else if (genChanged) return Array.empty // re-created, still empty
       else table.manifest
     // Data-neutral Compact commits are excluded (their fragments carry
     // only already-streamed rows; re-delivering would duplicate). A

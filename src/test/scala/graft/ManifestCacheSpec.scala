@@ -237,4 +237,27 @@ class ManifestCacheSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM mc.db.t7 VERSION AS OF 1").count()
     }
   }
+
+  test("cross-process drop + re-create at the SAME head version is " +
+      "detected on revalidation (file identity, not just number)") {
+    setup(ttlMs = 200)
+    freshTable("xp") // generation A: v1 create + v2 insert
+    val dir = tdir("xp")
+    val idA = ManifestCache.latest(fs, dir).get
+      .properties(GraftFormat.TableIdProp)
+    // simulate ANOTHER process's drop + re-create: build generation B
+    // with the same two-version shape elsewhere, then swap it in with
+    // raw FS ops — none of the in-process purge hooks fire, and the new
+    // head version number EQUALS the cached one, so a version-only
+    // revalidation would re-cache the dead generation forever
+    spark.sql("DROP TABLE IF EXISTS mc.db.xp2")
+    spark.sql("CREATE TABLE mc.db.xp2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mc.db.xp2 VALUES (9, 'z')")
+    fs.delete(dir, true)
+    assert(fs.rename(tdir("xp2"), dir))
+    Thread.sleep(250) // TTL lapses -> the next latest() must revalidate
+    val idB = ManifestCache.latest(fs, dir).get
+      .properties(GraftFormat.TableIdProp)
+    assert(idB != idA, "revalidation served the dead generation's manifest")
+  }
 }

@@ -110,4 +110,30 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "sort_by over a dropped column must not survive")
     assert(spark.table("ev.db.t5").count() == 100)
   }
+
+  test("graft.table_id is reserved: ALTER SET/UNSET fails typed, a " +
+      "user-supplied value at CREATE is stripped (fresh generation)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.rid")
+    // a replayed SHOW CREATE TABLE DDL carries the old generation's id:
+    // the new table must mint its own (it IS a new generation) rather
+    // than forge the dead one
+    spark.sql("CREATE TABLE ev.db.rid (k BIGINT) " +
+      "TBLPROPERTIES ('graft.table_id'='forged-id')")
+    val id = spark.sql("SHOW TBLPROPERTIES ev.db.rid").collect()
+      .find(_.getString(0) == "graft.table_id").get.getString(1)
+    assert(id != "forged-id", "user-supplied generation id must not stick")
+    // overwriting would forge a dead generation's identity; unsetting
+    // would disable drop+re-create detection for strict streams
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE ev.db.rid SET TBLPROPERTIES ('graft.table_id'='x')"))
+    assert(TestSpark.rootMsgs(e1).contains("reserved"), TestSpark.rootMsgs(e1))
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE ev.db.rid UNSET TBLPROPERTIES ('graft.table_id')"))
+    assert(TestSpark.rootMsgs(e2).contains("reserved"), TestSpark.rootMsgs(e2))
+    // the id survived both rejected statements
+    assert(spark.sql("SHOW TBLPROPERTIES ev.db.rid").collect()
+      .find(_.getString(0) == "graft.table_id").get.getString(1) == id)
+    spark.sql("DROP TABLE ev.db.rid")
+  }
 }

@@ -315,6 +315,37 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE s3st.db.ev")
   }
 
+  test("expected_table_id on a STREAM pins the generation: mismatch " +
+      "fails typed (the option must never be silently ignored)") {
+    val wh = Files.createTempDirectory("graft-seid-wh").toString
+    spark.conf.set("spark.sql.catalog.seid", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.seid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS seid.db")
+    spark.sql("CREATE TABLE seid.db.ev (k BIGINT)")
+    spark.sql("INSERT INTO seid.db.ev VALUES (1)")
+    val id = spark.sql("SHOW TBLPROPERTIES seid.db.ev").collect()
+      .find(_.getString(0) == "graft.table_id").get.getString(1)
+    val out = Files.createTempDirectory("graft-seid-out").toString
+    def drain(want: String, ckpt: String): Unit = {
+      val q = spark.readStream.option("expected_table_id", want)
+        .table("seid.db.ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // matching pin streams normally
+    drain(id, Files.createTempDirectory("graft-seid-c1").toString)
+    assert(spark.read.parquet(out).count() == 1)
+    // a stale bookmark (e.g. from before a drop + re-create) fails
+    // typed instead of silently streaming the wrong generation
+    val e = intercept[Exception](
+      drain("stale-id", Files.createTempDirectory("graft-seid-c2").toString))
+    assert(rootMsgs(e).contains("GRAFT_STREAM_LOST_HISTORY") &&
+      rootMsgs(e).contains("expected_table_id"), rootMsgs(e))
+    spark.sql("DROP TABLE seid.db.ev")
+  }
+
   test("offset json carries the generation id and parses legacy " +
       "checkpoint forms") {
     val wh = Files.createTempDirectory("graft-off-wh").toString
