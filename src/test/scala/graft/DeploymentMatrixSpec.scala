@@ -144,6 +144,26 @@ abstract class DeploymentConformanceBase extends AnyFunSuite {
     spark.sql(s"DROP TABLE ${t("evo")}")
   }
 
+  test(s"[$cat] generation id: stamped at create, survives commits, " +
+      "fresh after drop + re-create") {
+    ready
+    def id(): String = spark.sql(s"SHOW TBLPROPERTIES ${t("gen")}")
+      .collect().find(_.getString(0) == "graft.table_id")
+      .map(_.getString(1))
+      .getOrElse(fail(s"[$cat] graft.table_id not stamped"))
+    spark.sql(s"DROP TABLE IF EXISTS ${t("gen")}")
+    spark.sql(s"CREATE TABLE ${t("gen")} (k BIGINT)")
+    val a = id()
+    spark.sql(s"INSERT INTO ${t("gen")} VALUES (1)")
+    assert(id() == a, s"[$cat] the id must survive commits")
+    // a new history is a new generation — strict streams and bookmarked
+    // syncs rely on the ids differing
+    spark.sql(s"DROP TABLE ${t("gen")}")
+    spark.sql(s"CREATE TABLE ${t("gen")} (k BIGINT)")
+    assert(id() != a, s"[$cat] re-created table must mint a fresh id")
+    spark.sql(s"DROP TABLE ${t("gen")}")
+  }
+
   test(s"[$cat] namespace mode contract") {
     ready
     if (singleLevel) {
