@@ -126,8 +126,15 @@ object GraftWriter {
           operation =
             if (latestOpt.isEmpty) "Create"
             else if (overwrite) "Overwrite" else "Append",
+          // first commit = NEW history: mint a fresh generation id even
+          // if the caller's props carry one (the V1 insert path passes
+          // the LOADED manifest's properties — if the table was dropped
+          // by another session between load and commit, keeping its id
+          // would resurrect the dead generation and blind every
+          // id-based drop+re-create guard)
           properties = latestOpt.map(_.properties)
-            .getOrElse(GraftFormat.withTableId(tableProps))
+            .getOrElse(GraftFormat.withTableId(
+              tableProps - GraftFormat.TableIdProp))
             -- GraftFormat.ClusteringProps)
       }
     } finally {

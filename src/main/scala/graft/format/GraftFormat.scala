@@ -167,15 +167,25 @@ object GraftFormat {
     fs.mkdirs(deletionsDir(table))
   }
 
-  def listVersions(fs: FileSystem, table: Path): Seq[Long] = {
-    val dir = versionsDir(table)
+  // ONE definition of "the version history" for every caller —
+  // listVersions, latestVersion and latestVersionStat previously each
+  // re-implemented the listing + suffix filter + parse and disagreed on
+  // stray non-numeric *.manifest.json names (crash vs skip); skipping
+  // uniformly is the robust choice (a foreign file must not brick reads)
+  private def versionStats(fs: FileSystem, table: Path)
+      : Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     if (!exists(fs, table)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".manifest.json"))
-      .map(_.stripSuffix(".manifest.json").toLong)
-      .sorted
+    fs.listStatus(versionsDir(table)).toSeq
+      .filter(_.getPath.getName.endsWith(".manifest.json"))
+      .flatMap { st =>
+        st.getPath.getName.stripSuffix(".manifest.json").toLongOption
+          .map(_ -> st)
+      }
+      .sortBy(_._1)
   }
+
+  def listVersions(fs: FileSystem, table: Path): Seq[Long] =
+    versionStats(fs, table).map(_._1)
 
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     listVersions(fs, table).lastOption
@@ -185,17 +195,10 @@ object GraftFormat {
     * numbers restart on drop + re-create, so a same-number history swap
     * by ANOTHER process must still invalidate (the rewritten file's
     * mtime/length differ; in-process drops purge the cache directly). */
-  def latestVersionStat(fs: FileSystem, table: Path): Option[(Long, Long, Long)] = {
-    val dir = versionsDir(table)
-    if (!exists(fs, table)) return None
-    fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".manifest.json"))
-      .flatMap { st =>
-        st.getPath.getName.stripSuffix(".manifest.json").toLongOption
-          .map(v => (v, st.getModificationTime, st.getLen))
-      }
-      .sortBy(_._1).lastOption
-  }
+  def latestVersionStat(fs: FileSystem, table: Path): Option[(Long, Long, Long)] =
+    versionStats(fs, table).lastOption.map { case (v, st) =>
+      (v, st.getModificationTime, st.getLen)
+    }
 
   /** Fragment ids of `endManifest` that carry NO rows appended after
     * version `from` — the exclusion set for incremental reads (the
@@ -228,14 +231,18 @@ object GraftFormat {
     // cache so a steady incremental sync re-reads nothing (a 10k-version
     // table would otherwise pay O(versions) JSON reads per sync)
     try {
-      val baseIds =
-        ManifestCache.readPinned(fs, table, from).fragments.map(_.id).toSet
+      // the end snapshot's generation id validates every pinned hit in
+      // the walk (cross-process drop+re-create collides pinned keys)
+      // without paying readPinned's fallback latest() lookup per call
+      val genId = endManifest.properties.get(TableIdProp)
+      val baseIds = ManifestCache.readPinned(fs, table, from, genId)
+        .fragments.map(_.id).toSet
       var prev = baseIds
       var undelivered = Set.empty[Int] // appended after `from`, not yet read
       val excluded = Set.newBuilder[Int]
       excluded ++= baseIds
       versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
-        val m = ManifestCache.readPinned(fs, table, v)
+        val m = ManifestCache.readPinned(fs, table, v, genId)
         val ids = m.fragments.map(_.id).toSet
         val introduced = ids diff prev
         if (m.operation == "Compact") {

@@ -139,6 +139,18 @@ object ManifestCache {
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)
 
+  /** How long after a manifest file's mtime a matching revalidation
+    * stat is trusted without re-reading the body (see the revalidation
+    * branch). 2 s covers 1-second mtime stores plus clock slop;
+    * overridable via `spark.graft.manifest.cache.quiesce.ms`. */
+  val DefaultQuiesceMs = 2000L
+  private def quiesceMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.graft.manifest.cache.quiesce.ms",
+        DefaultQuiesceMs.toString).toLong)
+      .getOrElse(DefaultQuiesceMs)
+
   /** Latest manifest of `table`, served from cache within `ttlMs` of the
     * last freshness check; revalidated (one version listing) after. */
   def latest(fs: FileSystem, table: Path, ttlMs: Long = sessionTtlMs)
@@ -158,8 +170,17 @@ object ManifestCache {
             None
           case Some((v, mtime, len)) =>
             cached match {
+              // (version, mtime, len) equality is conclusive only once
+              // the file is QUIESCENT: object stores report mtime at
+              // 1-second granularity, and a drop + re-create landing in
+              // the same second at the same head version can produce an
+              // identical-length manifest (fixed-width UUID, same-digit
+              // timestamps) — so a recently-modified match re-reads the
+              // body instead of trusting the stat. The window costs a
+              // few extra reads in the seconds after a commit and
+              // nothing in steady state.
               case Some(e) if e.version == v && e.fileMtime == mtime &&
-                  e.fileLen == len =>
+                  e.fileLen == len && now - mtime >= quiesceMs =>
                 revalidations.incrementAndGet()
                 guardedPut(k, g, e.copy(checkedAtMs = now))
                 Some(e.manifest)
@@ -176,17 +197,49 @@ object ManifestCache {
   /** Version-pinned manifest (time travel). Immutable once committed, so
     * cached without TTL under an LRU bound. Callers are expected to have
     * checked the version exists (the catalog's VERSION AS OF path lists
-    * versions first), keeping cold and warm behavior identical. */
-  def readPinned(fs: FileSystem, table: Path, version: Long): Manifest = {
-    val k = key(fs, table) + "@" + version
+    * versions first), keeping cold and warm behavior identical.
+    *
+    * In-process drops purge this tier, but a CROSS-process drop +
+    * re-create arrives silently and restarts version numbers, so a
+    * (table, version) key can collide across generations. Every hit is
+    * therefore validated against the current generation id: the new
+    * history minted a fresh `graft.table_id` (REPLACE inherits the id
+    * but CONTINUES version numbering, so its keys never collide), and a
+    * mismatch evicts + re-reads. `expectedId` lets callers that already
+    * hold a current-generation manifest (the provenance walk's end
+    * snapshot) supply the id and skip the `latest()` lookup — with a
+    * ttl=0 session that lookup is a listing per call, and the walk is
+    * O(versions) calls. Pre-generation-id manifests skip the check
+    * (version arithmetic remains their only guard). */
+  def readPinned(fs: FileSystem, table: Path, version: Long,
+      expectedId: Option[String] = None): Manifest = {
+    val tk = key(fs, table)
+    val k = tk + "@" + version
     val hit = pinned.synchronized(Option(pinned.get(k)))
-    hit match {
+    val valid = hit.filter { m =>
+      m.properties.get(GraftFormat.TableIdProp) match {
+        case None => true // legacy manifest: no identity to compare
+        case Some(hid) =>
+          val cur = expectedId.orElse(
+            latest(fs, table)
+              .flatMap(_.properties.get(GraftFormat.TableIdProp)))
+          cur.forall(_ == hid)
+      }
+    }
+    valid match {
       case Some(m) =>
         pinnedHits.incrementAndGet()
         m
       case None =>
+        // generation-guarded like the latest tier: a purge landing
+        // between this read and the put must win (guardedPut's comment
+        // explains the double-check)
+        val g = gen(tk).get()
         val m = GraftFormat.readManifest(fs, table, version)
-        pinned.synchronized(pinned.put(k, m))
+        if (gen(tk).get() == g) {
+          pinned.synchronized(pinned.put(k, m))
+          if (gen(tk).get() != g) pinned.synchronized(pinned.remove(k))
+        }
         m
     }
   }

@@ -33,7 +33,12 @@ final case class GraftOffset(version: Long, tableId: Option[String] = None)
   // can tell the generations apart — the id can (Kafka offsets have
   // the same property via the topic; Delta sources persist reservoirId)
   override def json(): String = tableId match {
-    case Some(id) => s"""{"version":$version,"table_id":"$id"}"""
+    case Some(id) =>
+      // ids minted here are UUIDs, but a table created on a build that
+      // predates the property's reservation can carry any string via
+      // ALTER — an unescaped quote would corrupt the checkpoint log
+      val esc = id.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"version":$version,"table_id":"$esc"}"""
     case None => s"""{"version":$version}"""
   }
 }
@@ -69,19 +74,27 @@ class GraftMicroBatchStream(table: GraftTable,
       }
     }
 
-  /** The CURRENT history's identity (cached latest-manifest read, not
-    * the stream-construction pin — a drop + re-create mid-stream must
-    * be visible). None for tables predating the table_id property. */
-  private def currentTableId: Option[String] =
-    graft.format.ManifestCache.latest(fs, qualDir)
-      .orElse(Some(table.manifest))
-      .flatMap(_.properties.get(GraftFormat.TableIdProp))
+  /** (head version, generation id) of the CURRENT history, read from
+    * ONE revalidated snapshot (`ttl=0` forces the freshness listing;
+    * the body is re-read only when the version moved or the file is
+    * not yet quiescent). Pairing a fresh head with a TTL-cached id
+    * would let a drop + re-create pass the id check while planning
+    * against the NEW history's listing — a strict stream would deliver
+    * wrong-generation rows until the TTL lapsed. The id is None for
+    * tables predating the table_id property; the head falls back to
+    * the stream-construction pin only when the directory is GONE
+    * (mid-drop), where the next trigger re-resolves. */
+  private def headState(): (Long, Option[String]) =
+    graft.format.ManifestCache.latest(fs, qualDir, ttlMs = 0L) match {
+      case Some(m) => (m.version, m.properties.get(GraftFormat.TableIdProp))
+      case None => (0L, None)
+    }
 
   /** True when the checkpointed offset and the observed current id
     * belong to different histories (drop + re-create). Detection needs
     * BOTH ids: legacy checkpoints and pre-property tables skip it
     * (version arithmetic remains their only guard). Callers read
-    * [[currentTableId]] ONCE and pass it in, so the id the check
+    * [[headState]] ONCE and pass its id in, so the id the check
     * compared is the id the error names and the end offset carries. */
   private def generationChanged(start: GraftOffset,
       cur: Option[String]): Boolean =
@@ -115,11 +128,12 @@ class GraftMicroBatchStream(table: GraftTable,
           "against the new generation and bookmark its graft.table_id.")
     }
 
-  override def initialOffset(): Offset = GraftOffset(0L, currentTableId)
+  override def initialOffset(): Offset = GraftOffset(0L, headState()._2)
 
-  override def latestOffset(): Offset =
-    GraftOffset(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L),
-      currentTableId)
+  override def latestOffset(): Offset = {
+    val (head, id) = headState()
+    GraftOffset(head, id)
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -130,15 +144,14 @@ class GraftMicroBatchStream(table: GraftTable,
   private var availableTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableTarget = Some(GraftFormat.latestVersion(fs, table.dir).getOrElse(0L))
+    availableTarget = Some(headState()._1)
 
   /** Admission control: cap a batch at `maxVersionsPerTrigger` manifest
     * versions past the start offset; the engine keeps triggering until
     * the backlog (or the AvailableNow target) drains. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = GraftFormat.latestVersion(fs, table.dir).getOrElse(0L)
+    val (head, cur) = headState()
     val startOff = start.asInstanceOf[GraftOffset]
-    val cur = currentTableId
     checkExpectedTableId(cur)
     // a changed generation id is DEFINITIVE drop + re-create evidence —
     // caught even when the new history has reached or passed the
@@ -175,8 +188,12 @@ class GraftMicroBatchStream(table: GraftTable,
     // leniently (a digits-only strip would swallow the id's hex digits)
     val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
-    val id = """"table_id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
-      .map(_.group(1))
+    // the value grammar mirrors json()'s escaping: \" and \\ stay part
+    // of the id (a bare [^"]+ would truncate at an escaped quote and
+    // fabricate a permanent generation mismatch)
+    val id = """"table_id"\s*:\s*"((?:[^"\\]|\\.)+)"""".r
+      .findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     version match {
       case Some(v) => GraftOffset(v, id)
       case None =>
@@ -188,7 +205,7 @@ class GraftMicroBatchStream(table: GraftTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOff = start.asInstanceOf[GraftOffset]
     val to = end.asInstanceOf[GraftOffset].version
-    val cur = currentTableId
+    val cur = headState()._2
     checkExpectedTableId(cur)
     // generation re-check (latestOffset already gated, but AvailableNow
     // replays planInputPartitions on restart without re-consulting it):

@@ -245,6 +245,35 @@ class GraftConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.cdcid")
   }
 
+  test("an INSERT re-creating a concurrently-dropped table mints a " +
+      "fresh generation id (dead-generation props must not resurrect)") {
+    wh
+    // The V1 insert path passes the LOADED manifest's properties into
+    // GraftWriter.write; if the table is dropped by another session
+    // between load and commit, the write's first-commit branch starts a
+    // NEW history — carrying the dead generation's graft.table_id over
+    // would blind every id-based drop+re-create guard (strict streams,
+    // expected_table_id bookmarks) once the new history reaches the
+    // checkpointed version.
+    val dir = fsPath("riddir")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadProps = Map(GraftFormat.TableIdProp -> "dead-generation-uuid",
+      "user.prop" -> "kept")
+    graft.connector.GraftWriter.write(fs, dir,
+      spark.range(3).toDF("k"), overwrite = false, tableProps = deadProps)
+    val m = GraftFormat.readLatest(fs, dir).get
+    val minted = m.properties.get(GraftFormat.TableIdProp)
+    assert(minted.isDefined, "new history must carry a generation id")
+    assert(minted.get != "dead-generation-uuid",
+      "first commit of a new history resurrected the dead generation's id")
+    assert(m.properties.get("user.prop").contains("kept"),
+      "non-reserved caller properties must survive")
+    fs.delete(dir, true)
+  }
+
+  private def fsPath(name: String) = new org.apache.hadoop.fs.Path(
+    java.nio.file.Paths.get(wh, "db", name + ".graft").toUri)
+
   test("insert append creates a new version; time travel reads the old one") {
     wh
     spark.sql("DROP TABLE IF EXISTS g.db.tt")

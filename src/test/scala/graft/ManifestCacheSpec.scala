@@ -94,14 +94,52 @@ class ManifestCacheSpec extends AnyFunSuite {
 
   test("ttl=0 revalidates with a listing but skips the re-parse when unchanged") {
     setup(ttlMs = 0)
-    freshTable("t4")
-    spark.table("mc.db.t4").count()
-    val r0 = ManifestCache.revalidations.get()
-    val m0 = ManifestCache.misses.get()
-    (1 to 3).foreach(_ => spark.table("mc.db.t4").count())
-    assert(ManifestCache.revalidations.get() >= r0 + 3)
-    assert(ManifestCache.misses.get() == m0,
-      "unchanged version must not re-read the manifest body")
+    // the quiesce window deliberately re-reads recently-written
+    // manifests (same-second re-create ambiguity); this test's subject
+    // is the quiescent fast path, so disable the window rather than
+    // sleep past it
+    spark.conf.set("spark.graft.manifest.cache.quiesce.ms", "0")
+    try {
+      freshTable("t4")
+      spark.table("mc.db.t4").count()
+      val r0 = ManifestCache.revalidations.get()
+      val m0 = ManifestCache.misses.get()
+      (1 to 3).foreach(_ => spark.table("mc.db.t4").count())
+      assert(ManifestCache.revalidations.get() >= r0 + 3)
+      assert(ManifestCache.misses.get() == m0,
+        "unchanged version must not re-read the manifest body")
+    } finally spark.conf.unset("spark.graft.manifest.cache.quiesce.ms")
+  }
+
+  test("revalidation re-reads a stat-identical manifest inside the " +
+      "quiesce window (same-second drop + re-create ambiguity)") {
+    setup(ttlMs = 0)
+    freshTable("t4q")
+    val dir = tdir("t4q")
+    spark.table("mc.db.t4q").count() // prime
+    // simulate ANOTHER PROCESS swapping the head manifest with one of
+    // IDENTICAL length at the same version — 1-second-mtime stores make
+    // this stat-indistinguishable when it lands in the same second
+    val latest = GraftFormat.readLatest(fs, dir).get
+    val vp = new Path(new Path(dir, "_versions"),
+      s"${latest.version}.manifest.json")
+    val st0 = fs.getFileStatus(vp)
+    val swapped = latest.copy(properties = latest.properties +
+      (GraftFormat.TableIdProp -> java.util.UUID.randomUUID().toString))
+    val bytes = GraftFormat.toJson(swapped).getBytes("UTF-8")
+    assert(bytes.length == st0.getLen.toInt,
+      "test setup: swapped manifest must be stat-identical in length")
+    val out = fs.create(vp, true)
+    try out.write(bytes) finally out.close()
+    // pin the mtime back to the cached entry's — the stat triple is now
+    // IDENTICAL; only the quiesce window can force the re-read
+    fs.setTimes(vp, st0.getModificationTime, -1)
+    // ttl=0 forces revalidation; the file is young (< quiesce window),
+    // so even a (version, mtime, len) match must re-read the body
+    val served = ManifestCache.latest(fs, dir, ttlMs = 0).get
+    assert(served.properties.get(GraftFormat.TableIdProp) ==
+      swapped.properties.get(GraftFormat.TableIdProp),
+      "stat-identical swap inside the quiesce window was served stale")
   }
 
   test("drop + recreate at the same path never serves the old generation") {
@@ -124,6 +162,32 @@ class ManifestCacheSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM mc.db.t6 VERSION AS OF 2").count() == 2)
     assert(ManifestCache.pinnedHits.get() > ph0,
       "repeated VERSION AS OF must hit the pinned cache")
+  }
+
+  test("cross-process drop + re-create: the pinned tier must not serve " +
+      "the dead generation at a colliding (table, version) key") {
+    setup(ttlMs = 0) // latest tier revalidates every load
+    freshTable("t9") // v1 create, v2 insert
+    val dir = tdir("t9")
+    val oldId = GraftFormat.readLatest(fs, dir)
+      .flatMap(_.properties.get(GraftFormat.TableIdProp))
+      .getOrElse(fail("table id not stamped"))
+    // warm the pinned tier at version 2 (old generation)
+    assert(spark.sql("SELECT * FROM mc.db.t9 VERSION AS OF 2").count() == 2)
+    // ANOTHER PROCESS drops and re-creates: raw fs delete + direct
+    // writes, bypassing every in-process purge hook
+    fs.delete(dir, true)
+    graft.connector.GraftWriter.write(fs, dir,
+      spark.range(5).toDF("n"), overwrite = false) // v1, fresh id
+    graft.connector.GraftWriter.write(fs, dir,
+      spark.range(5, 9).toDF("n"), overwrite = false) // v2 — key collides
+    val served = ManifestCache.readPinned(fs, dir, 2L)
+    assert(!served.properties.get(GraftFormat.TableIdProp).contains(oldId),
+      "pinned tier served the dead generation's manifest after a " +
+        "cross-process drop + re-create")
+    assert(served.fragments.map(_.rowCount).sum == 9)
+    fs.delete(dir, true)
+    spark.sql("DROP TABLE IF EXISTS mc.db.t9")
   }
 
   test("a commit racing latest() cannot reinstate the pre-commit manifest") {

@@ -373,6 +373,65 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE goff.db.t")
   }
 
+  test("strict stream detects a cross-process drop + re-create even " +
+      "inside the manifest-cache TTL window") {
+    // latestOffset must read the head version and the generation id
+    // from ONE consistent snapshot: a fresh listing paired with a
+    // TTL-cached id lets a drop + re-create pass the id check while
+    // planning against the NEW history's listing — a strict stream
+    // would deliver wrong-generation data until the TTL lapses.
+    val wh = Files.createTempDirectory("graft-ttlgen-wh").toString
+    spark.conf.set("spark.sql.catalog.gttl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gttl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gttl.db")
+    spark.sql("CREATE TABLE gttl.db.t (k BIGINT)")
+    spark.sql("INSERT INTO gttl.db.t VALUES (1)") // v2
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m = graft.format.GraftFormat.readLatest(fs, dir).get
+    val idA = m.properties(graft.format.GraftFormat.TableIdProp)
+    val prevTtl = spark.conf.get("spark.graft.manifest.cache.ttl.ms", null)
+    try {
+      // warm the latest-tier cache with a huge TTL (old generation)
+      spark.conf.set("spark.graft.manifest.cache.ttl.ms", "3600000")
+      graft.format.ManifestCache.latest(fs, dir)
+      // ANOTHER PROCESS drops + re-creates past the checkpoint version:
+      // raw fs delete + direct manifest writes — no in-process commit
+      // hook fires, so the warmed cache entry (generation A) survives
+      fs.delete(dir, true)
+      graft.format.GraftFormat.init(fs, dir)
+      (1L to 3L).foreach { v =>
+        val nm = m.copy(version = v, fragments = Seq.empty,
+          operation = if (v == 1) "Create" else "Append",
+          createdAtMs = System.currentTimeMillis(),
+          properties = m.properties +
+            (graft.format.GraftFormat.TableIdProp -> "fresh-generation-b"))
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dir, "_versions"),
+          s"$v.manifest.json")
+        val out = fs.create(p, false)
+        try out.write(graft.format.GraftFormat.toJson(nm).getBytes("UTF-8"))
+        finally out.close()
+      }
+      val s = new graft.streaming.GraftMicroBatchStream(
+        new graft.connector.GraftTable("gttl.db.t", dir, m, conf),
+        Map("failonlosthistory" -> "true"))
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val e = intercept[IllegalStateException](s.latestOffset(
+        graft.streaming.GraftOffset(2L, Some(idA)),
+        ReadLimit.allAvailable()))
+      assert(e.getMessage.contains("GRAFT_STREAM_LOST_HISTORY"),
+        e.getMessage)
+    } finally {
+      if (prevTtl == null)
+        spark.conf.unset("spark.graft.manifest.cache.ttl.ms")
+      else spark.conf.set("spark.graft.manifest.cache.ttl.ms", prevTtl)
+      spark.sql("DROP TABLE IF EXISTS gttl.db.t")
+    }
+  }
+
   test("streaming across CREATE OR REPLACE: replacement rows are " +
       "delivered (fragment ids are never reused within one history)") {
     val wh = Files.createTempDirectory("graft-rep-wh").toString
