@@ -373,6 +373,39 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE goff.db.t")
   }
 
+  test("offset json round-trips ANY generation id string (escaping " +
+      "property): quotes and backslashes survive the checkpoint log") {
+    // a pre-reservation build could have ALTERed graft.table_id to an
+    // arbitrary string; a lossy round-trip fabricates a permanent
+    // generation mismatch (default mode: unbounded re-delivery loop)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = {
+      val wh = Files.createTempDirectory("graft-offprop-wh").toString
+      spark.conf.set("spark.sql.catalog.gop", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gop.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gop.db")
+      spark.sql("CREATE TABLE gop.db.t (k BIGINT)")
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = dir.getFileSystem(conf)
+      new graft.streaming.GraftMicroBatchStream(
+        new graft.connector.GraftTable("gop.db.t", dir,
+          graft.format.GraftFormat.readManifest(fs, dir, 1L), conf))
+    }
+    val genId = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '-', '_', '{', '}', ':')))
+      .map(_.mkString)
+    val prop = Prop.forAll(genId, Gen.choose(0L, 1000000L)) { (id, v) =>
+      val off = graft.streaming.GraftOffset(v, Some(id))
+      s.deserializeOffset(off.json()) == off
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"offset json round-trip violated: ${res.status}")
+    spark.sql("DROP TABLE gop.db.t")
+  }
+
   test("strict stream detects a cross-process drop + re-create even " +
       "inside the manifest-cache TTL window") {
     // latestOffset must read the head version and the generation id
