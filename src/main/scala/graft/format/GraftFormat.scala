@@ -258,23 +258,30 @@ object GraftFormat {
       }
       excluded.result()
     } catch {
-      // a vacuum landed between the caller's listing and this walk's
-      // manifest reads; surface it typed so callers apply their own
-      // lost-history policy instead of leaking a storage stack trace
+      // a vacuum (file vanished) or a drop + re-create (colliding
+      // version now belongs to another generation) landed between the
+      // caller's listing and this walk's manifest reads; surface both
+      // typed so callers apply their own lost-history policy instead
+      // of leaking a storage stack trace or mixing generations
       case e: java.io.FileNotFoundException =>
+        throw LostHistoryDuringWalk(table, from, e)
+      case e: ManifestCache.WrongGeneration =>
         throw LostHistoryDuringWalk(table, from, e)
     }
   }
 
-  /** A concurrently-landing vacuum removed a manifest the incremental
-    * walk had already committed to reading (the caller's own listing
-    * passed its gate, then the file vanished). Callers map this to
+  /** A concurrent history mutation invalidated a manifest the
+    * incremental walk had already committed to reading: a vacuum
+    * removed it (FileNotFoundException cause) or a drop + re-create
+    * replaced it with another generation's file at the colliding
+    * version number (WrongGeneration cause) — in both cases the
+    * caller's own listing passed its gate first. Callers map this to
     * their lost-history policy: strict sources fail with their typed
     * error, default sources degrade to at-least-once re-delivery — the
     * same direction a vacuum landing BEFORE the listing degrades. */
   final case class LostHistoryDuringWalk(table: Path, from: Long,
-      cause: java.io.FileNotFoundException) extends RuntimeException(
-    s"manifest history of $table was vacuumed during the incremental " +
+      cause: Exception) extends RuntimeException(
+    s"manifest history of $table was lost during the incremental " +
       s"walk from version $from", cause)
 
   /** Fragments of `neu` that are pure APPENDS since `old`: Some(delta)

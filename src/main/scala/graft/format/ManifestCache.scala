@@ -112,29 +112,28 @@ object ManifestCache {
   private def key(fs: FileSystem, table: Path): String =
     fs.makeQualified(table).toUri.toString.stripSuffix("/")
 
-  /** Session TTL: `spark.graft.manifest.cache.ttl.ms` from the active
-    * session, else the default session — planning/async thread pools
-    * have no active session, and falling straight through to the default
-    * would silently ignore a configured TTL (including ttl=-1 = cache
-    * disabled) on those threads — else [[DefaultTtlMs]]. */
-  def sessionTtlMs: Long =
+  /** Session conf lookup shared by every tunable here: active session,
+    * else default session — planning/async thread pools have no active
+    * session, and falling straight through to the hardcoded default
+    * would silently ignore a configured value (including ttl=-1 = cache
+    * disabled) on those threads — else the hardcoded default. */
+  private def sessionConf(key: String, default: Long): Long =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.conf.get("spark.graft.manifest.cache.ttl.ms",
-        DefaultTtlMs.toString).toLong)
-      .getOrElse(DefaultTtlMs)
+      .map(_.conf.get(key, default.toString).toLong)
+      .getOrElse(default)
+
+  /** Session TTL (see [[sessionConf]] for thread-resolution rules). */
+  def sessionTtlMs: Long =
+    sessionConf("spark.graft.manifest.cache.ttl.ms", DefaultTtlMs)
 
   /** Session latest-tier capacity (see [[DefaultMaxEntries]]); resolved
     * on every insert so a reconfigured session shrinks/grows the bound
     * without a restart. Values < 1 are clamped to 1 (the bound exists to
     * cap memory, not to disable the cache — ttl=-1 does that). */
   def sessionMaxEntries: Int =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.conf.get("spark.graft.manifest.cache.max.entries",
-        DefaultMaxEntries.toString).toInt)
-      .getOrElse(DefaultMaxEntries)
-      .max(1)
+    sessionConf("spark.graft.manifest.cache.max.entries",
+      DefaultMaxEntries).toInt.max(1)
 
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)
@@ -145,11 +144,7 @@ object ManifestCache {
     * overridable via `spark.graft.manifest.cache.quiesce.ms`. */
   val DefaultQuiesceMs = 2000L
   private def quiesceMs: Long =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.conf.get("spark.graft.manifest.cache.quiesce.ms",
-        DefaultQuiesceMs.toString).toLong)
-      .getOrElse(DefaultQuiesceMs)
+    sessionConf("spark.graft.manifest.cache.quiesce.ms", DefaultQuiesceMs)
 
   /** Latest manifest of `table`, served from cache within `ttlMs` of the
     * last freshness check; revalidated (one version listing) after. */
@@ -219,11 +214,19 @@ object ManifestCache {
     val valid = hit.filter { m =>
       m.properties.get(GraftFormat.TableIdProp) match {
         case None => true // legacy manifest: no identity to compare
-        case Some(hid) =>
-          val cur = expectedId.orElse(
-            latest(fs, table)
-              .flatMap(_.properties.get(GraftFormat.TableIdProp)))
-          cur.forall(_ == hid)
+        case Some(hid) => expectedId match {
+          case Some(want) => want == hid
+          case None => latest(fs, table) match {
+            // no current generation visible (mid-drop): no evidence
+            // against the snapshot — serve it
+            case None => true
+            // a current generation WITHOUT an id is still a different
+            // generation than an id-carrying hit (a pre-generation-id
+            // build re-created the table): evict, don't forall-pass
+            case Some(cm) =>
+              cm.properties.get(GraftFormat.TableIdProp).contains(hid)
+          }
+        }
       }
     }
     valid match {
@@ -240,9 +243,30 @@ object ManifestCache {
           pinned.synchronized(pinned.put(k, m))
           if (gen(tk).get() != g) pinned.synchronized(pinned.remove(k))
         }
+        // a caller that PINNED a generation must not receive another
+        // one: a drop + re-create landing mid-walk makes the fresh
+        // read return the NEW history's manifest at the colliding key.
+        // The put above stands (it IS current for future callers); the
+        // pinned caller gets the typed signal instead of silently
+        // mixing generations into its exclusion arithmetic.
+        for {
+          want <- expectedId
+          got <- m.properties.get(GraftFormat.TableIdProp)
+          if got != want
+        } throw WrongGeneration(table, version, want, Some(got))
         m
     }
   }
+
+  /** A version-pinned read returned a manifest from a DIFFERENT
+    * generation than the caller pinned (cross-process drop + re-create
+    * landed mid-walk and version numbers collided). Callers map this to
+    * their lost-history policy, like [[GraftFormat.LostHistoryDuringWalk]]. */
+  final case class WrongGeneration(table: Path, version: Long,
+      want: String, got: Option[String]) extends RuntimeException(
+    s"manifest $version of $table belongs to generation " +
+      s"${got.getOrElse("<none>")}, not the pinned generation $want: " +
+      "the table was dropped and re-created during the read")
 
   /** A new version landed locally: drop the latest-tier entry (next load
     * re-reads). Pinned entries stay — committed versions are immutable. */

@@ -36,8 +36,15 @@ final case class GraftOffset(version: Long, tableId: Option[String] = None)
     case Some(id) =>
       // ids minted here are UUIDs, but a table created on a build that
       // predates the property's reservation can carry any string via
-      // ALTER — an unescaped quote would corrupt the checkpoint log
-      val esc = id.replace("\\", "\\\\").replace("\"", "\\\"")
+      // ALTER — an unescaped quote would corrupt the checkpoint log,
+      // and a raw control character (the offset log is LINE-oriented)
+      // would split the entry mid-offset
+      val esc = id.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       s"""{"version":$version,"table_id":"$esc"}"""
     case None => s"""{"version":$version}"""
   }
@@ -87,7 +94,14 @@ class GraftMicroBatchStream(table: GraftTable,
   private def headState(): (Long, Option[String]) =
     graft.format.ManifestCache.latest(fs, qualDir, ttlMs = 0L) match {
       case Some(m) => (m.version, m.properties.get(GraftFormat.TableIdProp))
-      case None => (0L, None)
+      case None =>
+        // directory gone (mid-drop) or transiently unlistable: fall
+        // back to the construction pin's id rather than None — a None
+        // persisted into the checkpoint here would downgrade the
+        // stream to a LEGACY checkpoint permanently (generation
+        // detection disabled), and an expected_table_id stream would
+        // fail typed on a pure listing blip
+        (0L, table.manifest.properties.get(GraftFormat.TableIdProp))
     }
 
   /** True when the checkpointed offset and the observed current id
@@ -182,18 +196,44 @@ class GraftMicroBatchStream(table: GraftTable,
       .fold(ceiling)(m => math.min(ceiling, from + m)), cur)
   }
 
+  /** Inverse of [[GraftOffset.json]]'s escaping: left-to-right, so a
+    * backslash-run followed by an escape never mis-pairs. Unknown
+    * single-char escapes decode to the char itself (the escaper only
+    * emits \\, \" and \u; leniency covers hand-edited checkpoints). */
+  private def unescapeJsonString(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o =>
+            sb.append(o)
+            i += 2
+        }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   override def deserializeOffset(json: String): Offset = {
     // current offsets are {"version":N,"table_id":"..."}; checkpoints
     // from earlier builds are {"version":N} or a bare number — parse
     // leniently (a digits-only strip would swallow the id's hex digits)
     val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
-    // the value grammar mirrors json()'s escaping: \" and \\ stay part
-    // of the id (a bare [^"]+ would truncate at an escaped quote and
-    // fabricate a permanent generation mismatch)
+    // the value grammar mirrors json()'s escaping: \", \\ and \uXXXX
+    // stay part of the id (a bare [^"]+ would truncate at an escaped
+    // quote and fabricate a permanent generation mismatch)
     val id = """"table_id"\s*:\s*"((?:[^"\\]|\\.)+)"""".r
       .findFirstMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(m => unescapeJsonString(m.group(1)))
     version match {
       case Some(v) => GraftOffset(v, id)
       case None =>

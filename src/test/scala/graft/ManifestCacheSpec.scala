@@ -114,6 +114,15 @@ class ManifestCacheSpec extends AnyFunSuite {
   test("revalidation re-reads a stat-identical manifest inside the " +
       "quiesce window (same-second drop + re-create ambiguity)") {
     setup(ttlMs = 0)
+    // pin the window far above any CI scheduling delay: the test's
+    // premise is "the file is still young when revalidated", and the
+    // default 2 s can lapse under load between commit and assert
+    spark.conf.set("spark.graft.manifest.cache.quiesce.ms", "3600000")
+    try quiesceBody() finally
+      spark.conf.unset("spark.graft.manifest.cache.quiesce.ms")
+  }
+
+  private def quiesceBody(): Unit = {
     freshTable("t4q")
     val dir = tdir("t4q")
     spark.table("mc.db.t4q").count() // prime
@@ -188,6 +197,61 @@ class ManifestCacheSpec extends AnyFunSuite {
     assert(served.fragments.map(_.rowCount).sum == 9)
     fs.delete(dir, true)
     spark.sql("DROP TABLE IF EXISTS mc.db.t9")
+  }
+
+  test("pinned tier evicts an id-carrying hit when the current " +
+      "generation has NO id (pre-generation-id build re-created it)") {
+    setup(ttlMs = 0)
+    freshTable("t10")
+    val dir = tdir("t10")
+    val oldId = GraftFormat.readLatest(fs, dir)
+      .flatMap(_.properties.get(GraftFormat.TableIdProp)).get
+    assert(spark.sql("SELECT * FROM mc.db.t10 VERSION AS OF 2").count() == 2)
+    // cross-process re-create by a build WITHOUT generation ids: the
+    // in-history invariant (id presence is monotone — withTableId keeps,
+    // ALTER cannot unset) makes id-carrying-hit + idless-current a
+    // DEFINITIVE generation mismatch, not a skip-the-check case
+    fs.delete(dir, true)
+    GraftFormat.init(fs, dir)
+    val old = ManifestCache.readPinned(fs, dir, 2L) // still cached pre-write
+    assert(old.properties.get(GraftFormat.TableIdProp).contains(oldId))
+    (1L to 2L).foreach { v =>
+      val nm = old.copy(version = v, fragments = Seq.empty,
+        operation = if (v == 1) "Create" else "Append",
+        createdAtMs = System.currentTimeMillis(),
+        properties = old.properties - GraftFormat.TableIdProp)
+      val p = new Path(new Path(dir, "_versions"), s"$v.manifest.json")
+      val out = fs.create(p, false)
+      try out.write(GraftFormat.toJson(nm).getBytes("UTF-8"))
+      finally out.close()
+    }
+    val served = ManifestCache.readPinned(fs, dir, 2L)
+    assert(!served.properties.contains(GraftFormat.TableIdProp),
+      "pinned tier served the dead id-carrying generation over an " +
+        "idless current generation")
+    fs.delete(dir, true)
+    spark.sql("DROP TABLE IF EXISTS mc.db.t10")
+  }
+
+  test("a pinned read that returns another generation's manifest " +
+      "throws WrongGeneration instead of mixing generations") {
+    setup(ttlMs = 0)
+    freshTable("t11")
+    val dir = tdir("t11")
+    val curId = GraftFormat.readLatest(fs, dir)
+      .flatMap(_.properties.get(GraftFormat.TableIdProp)).get
+    ManifestCache.purge(fs, dir) // cold pinned tier: force the read path
+    val e = intercept[ManifestCache.WrongGeneration](
+      ManifestCache.readPinned(fs, dir, 2L,
+        expectedId = Some("some-other-generation")))
+    assert(e.got.contains(curId) && e.version == 2L)
+    // and the walk maps it to its typed lost-history error
+    val end = GraftFormat.readLatest(fs, dir).get
+      .copy(properties = Map(GraftFormat.TableIdProp -> "some-other-generation"))
+    val e2 = intercept[GraftFormat.LostHistoryDuringWalk](
+      GraftFormat.excludedAsOf(fs, dir, 1L, end))
+    assert(e2.getCause.isInstanceOf[ManifestCache.WrongGeneration])
+    spark.sql("DROP TABLE mc.db.t11")
   }
 
   test("a commit racing latest() cannot reinstate the pre-commit manifest") {

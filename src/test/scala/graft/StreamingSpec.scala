@@ -394,7 +394,10 @@ class StreamingSpec extends AnyFunSuite {
           graft.format.GraftFormat.readManifest(fs, dir, 1L), conf))
     }
     val genId = Gen.nonEmptyListOf(Gen.oneOf(
-      Gen.alphaNumChar, Gen.oneOf('"', '\\', '-', '_', '{', '}', ':')))
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '-', '_', '{', '}', ':'),
+      // control characters would split Spark's LINE-oriented offset
+      // log mid-entry if not \u-escaped — newline and tab especially
+      Gen.choose(0, 31).map(_.toChar)))
       .map(_.mkString)
     val prop = Prop.forAll(genId, Gen.choose(0L, 1000000L)) { (id, v) =>
       val off = graft.streaming.GraftOffset(v, Some(id))
