@@ -236,12 +236,23 @@ class GraftScan(
         table.manifest, versions)
       catch {
         case e: GraftFormat.LostHistoryDuringWalk =>
+          // remediation differs by cause: vacuum → raise retention;
+          // drop + re-create (WrongGeneration) → retention cannot
+          // help, the sync must re-bookmark the new generation
           throw new IllegalStateException(
-            s"[GRAFT_LOST_HISTORY] manifest history of ${table.dir} was " +
-              s"vacuumed while the start_version $from incremental read " +
-              "was being planned; re-run the sync, or raise vacuum " +
-              "retention (keep_versions / older_than_ms / " +
-              "min_versions_retained) above the sync cadence.", e)
+            if (e.getCause.isInstanceOf[
+                graft.format.ManifestCache.WrongGeneration])
+              s"[GRAFT_LOST_HISTORY] ${table.dir} was dropped and " +
+                s"re-created while the start_version $from incremental " +
+                "read was being planned; version numbers restarted. " +
+                "Re-sync from the new generation's beginning and " +
+                "bookmark its graft.table_id (expected_table_id)."
+            else
+              s"[GRAFT_LOST_HISTORY] manifest history of ${table.dir} was " +
+                s"vacuumed while the start_version $from incremental read " +
+                "was being planned; re-run the sync, or raise vacuum " +
+                "retention (keep_versions / older_than_ms / " +
+                "min_versions_retained) above the sync cadence.", e)
       }
     }
 

@@ -132,8 +132,11 @@ object ManifestCache {
     * without a restart. Values < 1 are clamped to 1 (the bound exists to
     * cap memory, not to disable the cache — ttl=-1 does that). */
   def sessionMaxEntries: Int =
+    // clamp before narrowing: a Long-range value (user shorthand for
+    // "unbounded") must saturate at Int.MaxValue, not wrap negative
+    // and get clamped to a capacity of 1
     sessionConf("spark.graft.manifest.cache.max.entries",
-      DefaultMaxEntries).toInt.max(1)
+      DefaultMaxEntries).min(Int.MaxValue).toInt.max(1)
 
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)

@@ -81,6 +81,18 @@ class GraftMicroBatchStream(table: GraftTable,
       }
     }
 
+  /** Last successfully OBSERVED (head version, generation id), seeded
+    * with the stream-construction pin. Volatile: Spark may call
+    * latestOffset and prepareForTriggerAvailableNow from different
+    * driver threads. Tracking the last observation (not the
+    * construction pin) matters after a mid-query drop + re-create:
+    * the pin still names the DEAD generation for the query's
+    * lifetime, and persisting it into the offset log on a later blip
+    * would make a strict restart fail typed forever. */
+  @volatile private var lastHead: (Long, Option[String]) =
+    (table.manifest.version,
+      table.manifest.properties.get(GraftFormat.TableIdProp))
+
   /** (head version, generation id) of the CURRENT history, read from
     * ONE revalidated snapshot (`ttl=0` forces the freshness listing;
     * the body is re-read only when the version moved or the file is
@@ -88,20 +100,36 @@ class GraftMicroBatchStream(table: GraftTable,
     * would let a drop + re-create pass the id check while planning
     * against the NEW history's listing — a strict stream would deliver
     * wrong-generation rows until the TTL lapsed. The id is None for
-    * tables predating the table_id property; the head falls back to
-    * the stream-construction pin only when the directory is GONE
-    * (mid-drop), where the next trigger re-resolves. */
+    * tables predating the table_id property.
+    *
+    * When no manifest is visible, the response depends on the
+    * evidence: the table DIRECTORY missing is affirmative drop
+    * evidence — expected_table_id and failOnLostHistory streams fail
+    * typed (idling silently on a permanently-dropped table would be
+    * indistinguishable from an empty backlog), while default streams
+    * hold at [[lastHead]] and wait for a re-create (whose changed id
+    * then restarts delivery, the documented at-least-once path). A
+    * directory that EXISTS with no visible manifest is a listing blip
+    * or a mid-create window: hold at lastHead — persisting (0, None)
+    * here would regress the checkpoint to version 0 and permanently
+    * downgrade it to a LEGACY checkpoint (generation detection
+    * disabled), and a strict stream would die on a pure blip. */
   private def headState(): (Long, Option[String]) =
     graft.format.ManifestCache.latest(fs, qualDir, ttlMs = 0L) match {
-      case Some(m) => (m.version, m.properties.get(GraftFormat.TableIdProp))
+      case Some(m) =>
+        val h = (m.version, m.properties.get(GraftFormat.TableIdProp))
+        lastHead = h
+        h
       case None =>
-        // directory gone (mid-drop) or transiently unlistable: fall
-        // back to the construction pin's id rather than None — a None
-        // persisted into the checkpoint here would downgrade the
-        // stream to a LEGACY checkpoint permanently (generation
-        // detection disabled), and an expected_table_id stream would
-        // fail typed on a pure listing blip
-        (0L, table.manifest.properties.get(GraftFormat.TableIdProp))
+        if ((expectedTableId.isDefined || failOnLostHistory) &&
+            !fs.exists(qualDir))
+          throw new IllegalStateException(
+            s"[GRAFT_STREAM_LOST_HISTORY] ${table.name()}'s directory " +
+              s"$qualDir is gone: the table was dropped. Restart from a " +
+              "fresh checkpoint once it is re-created, or unset " +
+              "failOnLostHistory / expected_table_id to wait for the " +
+              "new generation.")
+        lastHead
     }
 
   /** True when the checkpointed offset and the observed current id
@@ -207,7 +235,11 @@ class GraftMicroBatchStream(table: GraftTable,
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
+          // the hex guard keeps the leniency contract: \uZZZZ in a
+          // hand-edited checkpoint decodes as a literal 'u' below
+          // instead of crashing the restart with NumberFormatException
+          case 'u' if i + 5 < s.length && s.substring(i + 2, i + 6)
+              .forall(c => Character.digit(c, 16) >= 0) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case o =>
@@ -301,13 +333,25 @@ class GraftMicroBatchStream(table: GraftTable,
       try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest, versions)
       catch {
         case e: GraftFormat.LostHistoryDuringWalk =>
+          // the remediation differs by cause: vacuum → raise retention;
+          // drop + re-create (WrongGeneration) → retention is
+          // irrelevant, the checkpoint must be restarted
           if (failOnLostHistory) throw new IllegalStateException(
-            s"[GRAFT_STREAM_LOST_HISTORY] manifest history of " +
-              s"${table.name()} was vacuumed while batch [$from, $to] " +
-              "was being planned; continuing would re-deliver the whole " +
-              "current snapshot (at-least-once). Raise vacuum retention " +
-              "(keep_versions / older_than_ms / min_versions_retained), " +
-              "or unset failOnLostHistory to accept the re-delivery.", e)
+            if (e.getCause.isInstanceOf[
+                graft.format.ManifestCache.WrongGeneration])
+              s"[GRAFT_STREAM_LOST_HISTORY] ${table.name()} was dropped " +
+                s"and re-created while batch [$from, $to] was being " +
+                "planned; continuing would re-deliver the whole new " +
+                "generation (at-least-once). Restart from a fresh " +
+                "checkpoint, or unset failOnLostHistory to accept the " +
+                "re-delivery."
+            else
+              s"[GRAFT_STREAM_LOST_HISTORY] manifest history of " +
+                s"${table.name()} was vacuumed while batch [$from, $to] " +
+                "was being planned; continuing would re-deliver the whole " +
+                "current snapshot (at-least-once). Raise vacuum retention " +
+                "(keep_versions / older_than_ms / min_versions_retained), " +
+                "or unset failOnLostHistory to accept the re-delivery.", e)
           else Set.empty[Int]
       }
     endManifest.fragments

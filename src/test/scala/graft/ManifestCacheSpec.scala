@@ -254,6 +254,14 @@ class ManifestCacheSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mc.db.t11")
   }
 
+  test("sessionMaxEntries saturates at Int.MaxValue instead of " +
+      "wrapping negative on a Long-range conf value") {
+    setup(ttlMs = 0)
+    spark.conf.set("spark.graft.manifest.cache.max.entries", "3000000000")
+    try assert(ManifestCache.sessionMaxEntries == Int.MaxValue)
+    finally spark.conf.unset("spark.graft.manifest.cache.max.entries")
+  }
+
   test("a commit racing latest() cannot reinstate the pre-commit manifest") {
     setup(ttlMs = 3600000)
     freshTable("t8")

@@ -370,7 +370,73 @@ class StreamingSpec extends AnyFunSuite {
     val off = GraftOffset(5, Some("ab3-12f"))
     assert(off.json == """{"version":5,"table_id":"ab3-12f"}""")
     assert(s.deserializeOffset(off.json) == off)
+    // a malformed \uXXXX in a hand-edited checkpoint decodes leniently
+    // (literal chars) instead of crashing the restart with
+    // NumberFormatException
+    assert(s.deserializeOffset(
+      "{\"version\":3,\"table_id\":\"a\\uZZZZ\"}")
+      == GraftOffset(3, Some("auZZZZ")))
+    // a truncated \uXX at end-of-string likewise stays literal
+    assert(s.deserializeOffset(
+      "{\"version\":3,\"table_id\":\"a\\u12\"}")
+      == GraftOffset(3, Some("au12")))
     spark.sql("DROP TABLE goff.db.t")
+  }
+
+  test("headState holds the last OBSERVED head through a listing blip " +
+      "and fails typed only on an affirmative drop") {
+    val wh = Files.createTempDirectory("graft-blip-wh").toString
+    spark.conf.set("spark.sql.catalog.gblip", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gblip.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gblip.db")
+    spark.sql("CREATE TABLE gblip.db.t (k BIGINT)")
+    spark.sql("INSERT INTO gblip.db.t VALUES (1)") // v2
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m = graft.format.GraftFormat.readLatest(fs, dir).get
+    val idA = m.properties(graft.format.GraftFormat.TableIdProp)
+    import graft.streaming.GraftOffset
+    val gtable = new graft.connector.GraftTable("gblip.db.t", dir, m, conf)
+    val s = new graft.streaming.GraftMicroBatchStream(gtable)
+    assert(s.latestOffset() == GraftOffset(2, Some(idA)))
+    // cross-process drop + re-create: generation B restarts at v1
+    fs.delete(dir, true)
+    graft.format.GraftFormat.init(fs, dir)
+    val nm = m.copy(version = 1L, fragments = Seq.empty,
+      operation = "Create", createdAtMs = System.currentTimeMillis(),
+      properties = m.properties +
+        (graft.format.GraftFormat.TableIdProp -> "generation-b"))
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_versions"), "1.manifest.json")
+    val out = fs.create(p, false)
+    try out.write(graft.format.GraftFormat.toJson(nm).getBytes("UTF-8"))
+    finally out.close()
+    // a successful listing observes generation B — lastHead advances
+    assert(s.latestOffset() == GraftOffset(1, Some("generation-b")))
+    // BLIP: manifests unlistable but the table directory survives —
+    // hold at the last OBSERVED head (generation B), never the
+    // construction pin (generation A, which is dead: persisting it
+    // would fail a strict restart forever) and never (0, None) (which
+    // regresses the checkpoint and downgrades it to legacy)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_versions"), true)
+    assert(s.latestOffset() == GraftOffset(1, Some("generation-b")))
+    // default mode survives even an affirmative drop (waits for the
+    // re-create whose changed id restarts delivery)
+    fs.delete(dir, true)
+    assert(s.latestOffset() == GraftOffset(1, Some("generation-b")))
+    // strict / expected_table_id streams fail typed on the affirmative
+    // drop — idling silently on a permanently-dropped table would be
+    // indistinguishable from an empty backlog
+    for (opts <- Seq(Map("failonlosthistory" -> "true"),
+        Map("expected_table_id" -> idA))) {
+      val strict = new graft.streaming.GraftMicroBatchStream(gtable, opts)
+      val e = intercept[IllegalStateException](strict.latestOffset())
+      assert(e.getMessage.contains("GRAFT_STREAM_LOST_HISTORY") &&
+        e.getMessage.contains("dropped"), e.getMessage)
+    }
+    spark.sql("DROP TABLE IF EXISTS gblip.db.t")
   }
 
   test("offset json round-trips ANY generation id string (escaping " +
