@@ -132,11 +132,12 @@ object ManifestCache {
     * without a restart. Values < 1 are clamped to 1 (the bound exists to
     * cap memory, not to disable the cache — ttl=-1 does that). */
   def sessionMaxEntries: Int =
-    // clamp before narrowing: a Long-range value (user shorthand for
-    // "unbounded") must saturate at Int.MaxValue, not wrap negative
-    // and get clamped to a capacity of 1
+    // clamp in Long space BOTH ways before narrowing: a huge value
+    // (user shorthand for "unbounded") must saturate at Int.MaxValue,
+    // not wrap negative and clamp to capacity 1; a below-Int.MinValue
+    // value must clamp to 1, not wrap to a large positive capacity
     sessionConf("spark.graft.manifest.cache.max.entries",
-      DefaultMaxEntries).min(Int.MaxValue).toInt.max(1)
+      DefaultMaxEntries).max(1L).min(Int.MaxValue.toLong).toInt
 
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)

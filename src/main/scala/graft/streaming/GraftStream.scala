@@ -118,7 +118,15 @@ class GraftMicroBatchStream(table: GraftTable,
     graft.format.ManifestCache.latest(fs, qualDir, ttlMs = 0L) match {
       case Some(m) =>
         val h = (m.version, m.properties.get(GraftFormat.TableIdProp))
-        lastHead = h
+        // monotonic within a generation: a slower lister (e.g.
+        // prepareForTriggerAvailableNow racing latestOffset across a
+        // commit) must not drag lastHead behind an offset the engine
+        // already persisted — a later blip would then trip the strict
+        // from > head gate on a healthy table. A CHANGED id moves
+        // freely: a re-created generation restarts version numbering.
+        this.synchronized {
+          if (h._2 != lastHead._2 || h._1 >= lastHead._1) lastHead = h
+        }
         h
       case None =>
         if ((expectedTableId.isDefined || failOnLostHistory) &&
@@ -276,7 +284,8 @@ class GraftMicroBatchStream(table: GraftTable,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOff = start.asInstanceOf[GraftOffset]
-    val to = end.asInstanceOf[GraftOffset].version
+    val endOff = end.asInstanceOf[GraftOffset]
+    val to = endOff.version
     val cur = headState()._2
     checkExpectedTableId(cur)
     // generation re-check (latestOffset already gated, but AvailableNow
@@ -290,7 +299,29 @@ class GraftMicroBatchStream(table: GraftTable,
     // needs no listing — only the strict gate below must order the
     // listing before the empty-window return
     if (!failOnLostHistory && to <= from) return Array.empty
-    val versions = GraftFormat.listVersions(fs, table.dir)
+    // an EMPTY listing while the engine holds an end offset > 0 is
+    // affirmatively inconsistent — a committed history always retains
+    // its head (vacuum never deletes it) — so it is a transient listing
+    // blip or a concurrent drop, never vacuum evidence. Planning from
+    // the construction pin here could deliver a DEAD generation's
+    // files; retry briefly, then fail honestly in BOTH modes (a
+    // restart re-plans the same [from, to] batch — at-least-once is
+    // preserved; the strict vacuum gate below must not fire on this).
+    var versions = GraftFormat.listVersions(fs, table.dir)
+    var retries = 0
+    while (versions.isEmpty && to > 0 && retries < 3) {
+      Thread.sleep(50L << retries)
+      versions = GraftFormat.listVersions(fs, table.dir)
+      retries += 1
+    }
+    if (versions.isEmpty && to > 0)
+      throw new IllegalStateException(
+        s"[GRAFT_STREAM_UNLISTABLE_HISTORY] no manifest versions of " +
+          s"${table.name()} are visible while batch [$from, $to] was " +
+          "being planned: a transient listing failure, or the table " +
+          "was concurrently dropped. Restarting the query re-plans " +
+          "this batch; if the table was dropped, restart from a fresh " +
+          "checkpoint once it is re-created.")
     // from == 0 is a fresh checkpoint (the whole snapshot IS the
     // correct first delivery); any other start version missing from
     // history means vacuum outran this stream's cadence (or the table
@@ -317,7 +348,40 @@ class GraftMicroBatchStream(table: GraftTable,
       else if (genChanged && versions.nonEmpty)
         GraftFormat.readManifest(fs, table.dir, versions.last)
       else if (genChanged) return Array.empty // re-created, still empty
-      else table.manifest
+      else if (table.manifest.version == to && endOff.tableId.forall(id =>
+        table.manifest.properties.get(GraftFormat.TableIdProp).contains(id)))
+        // the pin IS the batch end (same version, same generation) —
+        // manifests are immutable, so the listing gap is immaterial
+        table.manifest
+      else
+        // `to` was OBSERVED by latestOffset yet this listing misses it
+        // (partial-listing blip, or a vacuum/drop racing the plan).
+        // Read it pinned + generation-checked rather than falling back
+        // to the construction pin: after a mid-query drop + re-create
+        // the pin names the DEAD generation's files, and delivering
+        // them under the new generation's offsets would be silent
+        // wrong-generation data (or executor FileNotFound).
+        try graft.format.ManifestCache.readPinned(fs, table.dir, to,
+          expectedId = endOff.tableId)
+        catch {
+          case e: graft.format.ManifestCache.WrongGeneration =>
+            if (failOnLostHistory) lostGenerationError(startOff, e.got)
+            // default mode: deliver nothing; the NEXT trigger observes
+            // the changed id and restarts delivery from the new
+            // history's start (the documented at-least-once path)
+            else return Array.empty
+          case e: java.io.FileNotFoundException =>
+            // the batch's end manifest itself is gone: it cannot be
+            // planned faithfully in ANY mode (default's usual degrade
+            // — redeliver endManifest whole — needs endManifest).
+            // Restarting re-plans against a live head.
+            throw new IllegalStateException(
+              s"[GRAFT_STREAM_LOST_HISTORY] manifest $to of " +
+                s"${table.name()} vanished while batch [$from, $to] " +
+                "was being planned (a vacuum or drop raced the " +
+                "trigger). Restart the query to re-plan from a live " +
+                "head; raise vacuum retention if this recurs.", e)
+        }
     // Data-neutral Compact commits are excluded (their fragments carry
     // only already-streamed rows; re-delivering would duplicate). A
     // compact that consumed a not-yet-streamed append keeps its outputs

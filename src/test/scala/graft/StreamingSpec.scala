@@ -383,6 +383,69 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE goff.db.t")
   }
 
+  test("planInputPartitions never plans the construction pin's dead " +
+      "generation: empty listings fail typed, partial listings read " +
+      "the end manifest pinned") {
+    val wh = Files.createTempDirectory("graft-plan-wh").toString
+    spark.conf.set("spark.sql.catalog.gplan", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gplan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gplan.db")
+    spark.sql("CREATE TABLE gplan.db.t (k BIGINT)")
+    spark.sql("INSERT INTO gplan.db.t VALUES (1)") // v2, fragment 0
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m1 = graft.format.GraftFormat.readManifest(fs, dir, 1L)
+    val id = m1.properties(graft.format.GraftFormat.TableIdProp)
+    import graft.streaming.GraftOffset
+    // pin the stream at v1 so the pin can never satisfy a [1,2] batch
+    val s = new graft.streaming.GraftMicroBatchStream(
+      new graft.connector.GraftTable("gplan.db.t", dir, m1, conf))
+    // warm the pinned tier with v2 (what a prior trigger's walk does)
+    graft.format.ManifestCache.readPinned(fs, dir, 2L)
+    // PARTIAL listing blip: v2's manifest file vanishes from the
+    // listing but the pinned tier still holds it — the batch plans
+    // from the pinned end manifest, NOT the v1 construction pin
+    val v2file = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_versions"), "2.manifest.json")
+    val v2bytes = {
+      val in = fs.open(v2file)
+      try { val b = new Array[Byte](fs.getFileStatus(v2file).getLen.toInt)
+        in.readFully(0, b); b } finally in.close()
+    }
+    fs.delete(v2file, false)
+    val parts = s.planInputPartitions(
+      GraftOffset(1L, Some(id)), GraftOffset(2L, Some(id)))
+    assert(parts.length == 1,
+      s"expected v2's single appended fragment, got ${parts.length}")
+    // EMPTY listing (all manifests unlistable): planning fails typed
+    // in both modes instead of falling back to any pin — after the
+    // bounded retry
+    val vdir = new org.apache.hadoop.fs.Path(dir, "_versions")
+    val saved = fs.listStatus(vdir).map(_.getPath)
+    saved.foreach(p => fs.delete(p, false))
+    val e = intercept[IllegalStateException](s.planInputPartitions(
+      GraftOffset(1L, Some(id)), GraftOffset(2L, Some(id))))
+    assert(e.getMessage.contains("GRAFT_STREAM_UNLISTABLE_HISTORY") &&
+      !e.getMessage.contains("vacuum"), e.getMessage)
+    // COLD pinned tier + end manifest truly gone: typed lost-history
+    // (the batch cannot be planned faithfully), never the dead pin
+    val out = fs.create(new org.apache.hadoop.fs.Path(vdir,
+      "1.manifest.json"), true)
+    try out.write(graft.format.GraftFormat.toJson(m1).getBytes("UTF-8"))
+    finally out.close()
+    graft.format.ManifestCache.purge(fs, dir)
+    val e2 = intercept[IllegalStateException](s.planInputPartitions(
+      GraftOffset(1L, Some(id)), GraftOffset(2L, Some(id))))
+    assert(e2.getMessage.contains("GRAFT_STREAM_LOST_HISTORY") &&
+      e2.getMessage.contains("vanished"), e2.getMessage)
+    // restore v2 so the drop below sees a consistent table
+    val out2 = fs.create(v2file, true)
+    try out2.write(v2bytes) finally out2.close()
+    spark.sql("DROP TABLE gplan.db.t")
+  }
+
   test("headState holds the last OBSERVED head through a listing blip " +
       "and fails typed only on an affirmative drop") {
     val wh = Files.createTempDirectory("graft-blip-wh").toString
