@@ -93,6 +93,11 @@ class GraftMicroBatchStream(table: GraftTable,
     (table.manifest.version,
       table.manifest.properties.get(GraftFormat.TableIdProp))
 
+  /** Generation ids [[lastHead]] moved AWAY from (guarded by `this`):
+    * one entry per drop + re-create observed in this query's lifetime,
+    * so the set stays tiny. */
+  private val supersededIds = scala.collection.mutable.Set.empty[String]
+
   /** (head version, generation id) of the CURRENT history, read from
     * ONE revalidated snapshot (`ttl=0` forces the freshness listing;
     * the body is re-read only when the version moved or the file is
@@ -120,14 +125,23 @@ class GraftMicroBatchStream(table: GraftTable,
         val h = (m.version, m.properties.get(GraftFormat.TableIdProp))
         // monotonic within a generation: a slower lister (e.g.
         // prepareForTriggerAvailableNow racing latestOffset across a
-        // commit) must not drag lastHead behind an offset the engine
-        // already persisted — a later blip would then trip the strict
-        // from > head gate on a healthy table. A CHANGED id moves
-        // freely: a re-created generation restarts version numbering.
+        // commit, or a ttl=0 revalidation against a partial listing)
+        // must not drag the head behind an offset the engine already
+        // persisted — the strict from > head gate would kill a healthy
+        // query. A CHANGED id moves freely (a re-created generation
+        // restarts version numbering) — but only FORWARD: ids the head
+        // already moved away from are recorded as superseded, so a
+        // slow lister whose read started before a drop + re-create
+        // cannot resurrect the dead generation. All callers get the
+        // monotonic view, not the raw observation.
         this.synchronized {
-          if (h._2 != lastHead._2 || h._1 >= lastHead._1) lastHead = h
+          val stale = h._2.exists(supersededIds.contains)
+          if (!stale && (h._2 != lastHead._2 || h._1 >= lastHead._1)) {
+            if (h._2 != lastHead._2) lastHead._2.foreach(supersededIds += _)
+            lastHead = h
+          }
+          lastHead
         }
-        h
       case None =>
         if ((expectedTableId.isDefined || failOnLostHistory) &&
             !fs.exists(qualDir))
@@ -330,7 +344,24 @@ class GraftMicroBatchStream(table: GraftTable,
     // listing feeds the walk below — a vacuum landing between two
     // listings must not flip the walk's from-missing branch after the
     // gate passed (TOCTOU: strict mode would silently re-deliver).
-    if (failOnLostHistory && from > 0 && !versions.contains(from))
+    // a listing that misses `from` is vacuum evidence only if the
+    // manifest FILE is gone: a partial-listing blip can hide a
+    // still-existing manifest, and killing a healthy strict query with
+    // a retention remediation on a blip is the failure mode the
+    // UNLISTABLE gate above closes for empty listings. A vacuum
+    // landing between this probe and the walk still surfaces typed
+    // via LostHistoryDuringWalk (the walk re-reads pinned manifests).
+    val fromListed = from <= 0 || versions.contains(from)
+    def fromReadable: Boolean =
+      try {
+        graft.format.ManifestCache.readPinned(fs, table.dir, from,
+          expectedId = startOff.tableId)
+        true
+      } catch {
+        case _: java.io.FileNotFoundException => false
+        case _: graft.format.ManifestCache.WrongGeneration => false
+      }
+    if (failOnLostHistory && from > 0 && !fromListed && !fromReadable)
       throw new IllegalStateException(
         s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
           s"${table.name()} is no longer in the manifest history " +
@@ -345,9 +376,12 @@ class GraftMicroBatchStream(table: GraftTable,
     // generation's files — plan the new history's head instead
     val endManifest =
       if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
-      else if (genChanged && versions.nonEmpty)
+      // mid-trigger drop + re-create: `to` (planned against the old
+      // generation) may exceed the new history — plan the new
+      // history's head instead. The UNLISTABLE gate above guarantees
+      // the listing is nonempty here.
+      else if (genChanged)
         GraftFormat.readManifest(fs, table.dir, versions.last)
-      else if (genChanged) return Array.empty // re-created, still empty
       else if (table.manifest.version == to && endOff.tableId.forall(id =>
         table.manifest.properties.get(GraftFormat.TableIdProp).contains(id)))
         // the pin IS the batch end (same version, same generation) —
@@ -393,8 +427,20 @@ class GraftMicroBatchStream(table: GraftTable,
     // keeps its typed-error contract (not a raw FileNotFoundException),
     // default mode degrades to the same at-least-once re-delivery a
     // vacuum landing before the listing would have produced
+    // when the listing provably missed a version this batch relies on,
+    // walk the DENSE from..to range instead (commit versions are
+    // consecutive CAS integers within a generation; manifests are
+    // immutable): classifying Compact commits against a gappy listing
+    // can silently EXCLUDE rows that were never delivered — an append
+    // the listing missed never enters the walk's undelivered set, so a
+    // later compact's outputs look like pure rewrites. A version in
+    // the range that is truly gone surfaces typed below.
+    val walkVersions: Seq[Long] =
+      if (fromListed && versions.contains(to)) versions
+      else math.max(from, 1L) to endManifest.version
     val excluded =
-      try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest, versions)
+      try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest,
+        walkVersions)
       catch {
         case e: GraftFormat.LostHistoryDuringWalk =>
           // the remediation differs by cause: vacuum → raise retention;

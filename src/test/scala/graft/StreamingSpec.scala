@@ -499,6 +499,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("GRAFT_STREAM_LOST_HISTORY") &&
         e.getMessage.contains("dropped"), e.getMessage)
     }
+    // a generation the head moved AWAY from can never resurrect: even
+    // a FRESH listing that re-presents the dead generation (a slow
+    // lister racing the re-create, or here a restore of the old files)
+    // is rejected — persisting the dead id would fail strict restarts
+    // forever
+    graft.format.GraftFormat.init(fs, dir)
+    val back = m.copy(version = 2L, createdAtMs = System.currentTimeMillis())
+    (1L to 2L).foreach { v =>
+      val bm = back.copy(version = v, fragments = Seq.empty,
+        operation = if (v == 1) "Create" else "Append")
+      val bp = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir, "_versions"), s"$v.manifest.json")
+      val bout = fs.create(bp, false)
+      try bout.write(graft.format.GraftFormat.toJson(bm).getBytes("UTF-8"))
+      finally bout.close()
+    }
+    assert(s.latestOffset() == GraftOffset(1, Some("generation-b")),
+      "a superseded generation id resurrected into the stream head")
     spark.sql("DROP TABLE IF EXISTS gblip.db.t")
   }
 
