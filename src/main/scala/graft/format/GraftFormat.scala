@@ -154,7 +154,7 @@ object GraftFormat {
   def deletionsDir(table: Path): Path = new Path(table, "_deletions")
   def indicesDir(table: Path): Path = new Path(table, "_indices")
 
-  private def manifestPath(table: Path, v: Long): Path =
+  def manifestPath(table: Path, v: Long): Path =
     new Path(versionsDir(table), s"$v.manifest.json")
 
   def exists(fs: FileSystem, table: Path): Boolean =
@@ -241,7 +241,18 @@ object GraftFormat {
       var undelivered = Set.empty[Int] // appended after `from`, not yet read
       val excluded = Set.newBuilder[Int]
       excluded ++= baseIds
-      versions.filter(v => v > from && v <= endManifest.version).foreach { v =>
+      // walk the DENSE (from, end] range, never the caller's listing:
+      // commit versions are consecutive CAS integers within a
+      // generation, and vacuum retention cuts a strict history PREFIX
+      // (it cannot remove a version while keeping an older one), so
+      // once `from` passed the membership gate above every version in
+      // the range exists. A LISTING gap, by contrast, is a listing
+      // artifact (partial-listing blip) — walking it would let an
+      // unseen Append's fragments never enter `undelivered`, so a
+      // later Compact's outputs classify as pure rewrites and its rows
+      // are silently excluded: data loss. A version in the range that
+      // is truly gone (vacuum racing this walk) surfaces typed below.
+      ((from + 1L) to endManifest.version).foreach { v =>
         val m = ManifestCache.readPinned(fs, table, v, genId)
         val ids = m.fragments.map(_.id).toSet
         val introduced = ids diff prev

@@ -89,14 +89,20 @@ class GraftMicroBatchStream(table: GraftTable,
     * the pin still names the DEAD generation for the query's
     * lifetime, and persisting it into the offset log on a later blip
     * would make a strict restart fail typed forever. */
-  @volatile private var lastHead: (Long, Option[String]) =
+  private var lastHead: (Long, Option[String]) =
     (table.manifest.version,
       table.manifest.properties.get(GraftFormat.TableIdProp))
 
-  /** Generation ids [[lastHead]] moved AWAY from (guarded by `this`):
-    * one entry per drop + re-create observed in this query's lifetime,
-    * so the set stays tiny. */
-  private val supersededIds = scala.collection.mutable.Set.empty[String]
+  /** Serializes [[headState]]'s read-and-update (Spark may call
+    * latestOffset and prepareForTriggerAvailableNow from different
+    * driver threads). Serializing the READ — not just the update —
+    * totally orders observations, so no "slow lister" whose read
+    * started before a commit or a drop + re-create can complete after
+    * a newer one and publish stale state; id-heuristic guards
+    * (superseded-id sets, monotonic version rules across generations)
+    * are all leakier than simply not allowing overlap. Metadata reads
+    * at trigger cadence make the serialization cost irrelevant. */
+  private val headLock = new Object
 
   /** (head version, generation id) of the CURRENT history, read from
     * ONE revalidated snapshot (`ttl=0` forces the freshness listing;
@@ -119,29 +125,20 @@ class GraftMicroBatchStream(table: GraftTable,
     * here would regress the checkpoint to version 0 and permanently
     * downgrade it to a LEGACY checkpoint (generation detection
     * disabled), and a strict stream would die on a pure blip. */
-  private def headState(): (Long, Option[String]) =
+  private def headState(): (Long, Option[String]) = headLock.synchronized {
     graft.format.ManifestCache.latest(fs, qualDir, ttlMs = 0L) match {
       case Some(m) =>
         val h = (m.version, m.properties.get(GraftFormat.TableIdProp))
-        // monotonic within a generation: a slower lister (e.g.
-        // prepareForTriggerAvailableNow racing latestOffset across a
-        // commit, or a ttl=0 revalidation against a partial listing)
-        // must not drag the head behind an offset the engine already
-        // persisted — the strict from > head gate would kill a healthy
-        // query. A CHANGED id moves freely (a re-created generation
-        // restarts version numbering) — but only FORWARD: ids the head
-        // already moved away from are recorded as superseded, so a
-        // slow lister whose read started before a drop + re-create
-        // cannot resurrect the dead generation. All callers get the
-        // monotonic view, not the raw observation.
-        this.synchronized {
-          val stale = h._2.exists(supersededIds.contains)
-          if (!stale && (h._2 != lastHead._2 || h._1 >= lastHead._1)) {
-            if (h._2 != lastHead._2) lastHead._2.foreach(supersededIds += _)
-            lastHead = h
-          }
-          lastHead
-        }
+        // observations are serialized (headLock), so a CHANGED id is
+        // authoritative — the read that produced it started after the
+        // re-create/restore. Within a generation the version still
+        // maxes: a PARTIAL listing (not a stale thread — those cannot
+        // exist under the lock) could report a regressed head, and the
+        // strict from > head gate would kill a healthy query on it.
+        lastHead =
+          if (h._2 == lastHead._2) (math.max(h._1, lastHead._1), h._2)
+          else h
+        lastHead
       case None =>
         if ((expectedTableId.isDefined || failOnLostHistory) &&
             !fs.exists(qualDir))
@@ -153,6 +150,7 @@ class GraftMicroBatchStream(table: GraftTable,
               "new generation.")
         lastHead
     }
+  }
 
   /** True when the checkpointed offset and the observed current id
     * belong to different histories (drop + re-create). Detection needs
@@ -352,16 +350,14 @@ class GraftMicroBatchStream(table: GraftTable,
     // landing between this probe and the walk still surfaces typed
     // via LostHistoryDuringWalk (the walk re-reads pinned manifests).
     val fromListed = from <= 0 || versions.contains(from)
-    def fromReadable: Boolean =
-      try {
-        graft.format.ManifestCache.readPinned(fs, table.dir, from,
-          expectedId = startOff.tableId)
-        true
-      } catch {
-        case _: java.io.FileNotFoundException => false
-        case _: graft.format.ManifestCache.WrongGeneration => false
-      }
-    if (failOnLostHistory && from > 0 && !fromListed && !fromReadable)
+    // the probe must hit the FILESYSTEM, not the pinned manifest cache:
+    // the pinned tier is immutable/no-TTL, so a warm cache would answer
+    // for a genuinely vacuumed manifest and make strict-mode semantics
+    // depend on cache temperature (pass until a driver restart, then
+    // fail typed on the same checkpoint)
+    val fromOnDisk = fromListed ||
+      fs.exists(GraftFormat.manifestPath(table.dir, from))
+    if (failOnLostHistory && from > 0 && !fromOnDisk)
       throw new IllegalStateException(
         s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
           s"${table.name()} is no longer in the manifest history " +
@@ -375,26 +371,30 @@ class GraftMicroBatchStream(table: GraftTable,
     // fallback (table.manifest) would point executors at the DELETED
     // generation's files — plan the new history's head instead
     val endManifest =
-      if (versions.contains(to)) GraftFormat.readManifest(fs, table.dir, to)
-      // mid-trigger drop + re-create: `to` (planned against the old
-      // generation) may exceed the new history — plan the new
-      // history's head instead. The UNLISTABLE gate above guarantees
-      // the listing is nonempty here.
-      else if (genChanged)
-        GraftFormat.readManifest(fs, table.dir, versions.last)
+      // mid-trigger drop + re-create (observed id ≠ checkpoint id):
+      // plan the NEW history (from = 0 above) — at `to` if it already
+      // reached it, else at its head. The UNLISTABLE gate above
+      // guarantees the listing is nonempty here.
+      if (genChanged)
+        GraftFormat.readManifest(fs, table.dir,
+          if (versions.contains(to)) to else versions.last)
       else if (table.manifest.version == to && endOff.tableId.forall(id =>
         table.manifest.properties.get(GraftFormat.TableIdProp).contains(id)))
         // the pin IS the batch end (same version, same generation) —
-        // manifests are immutable, so the listing gap is immaterial
+        // manifests are immutable, so any listing gap is immaterial
         table.manifest
       else
-        // `to` was OBSERVED by latestOffset yet this listing misses it
-        // (partial-listing blip, or a vacuum/drop racing the plan).
-        // Read it pinned + generation-checked rather than falling back
-        // to the construction pin: after a mid-query drop + re-create
-        // the pin names the DEAD generation's files, and delivering
-        // them under the new generation's offsets would be silent
-        // wrong-generation data (or executor FileNotFound).
+        // generation-checked pinned read, on the LISTED path too: a
+        // drop + re-create landing between headState's read (cur) and
+        // the listing above can make the NEW history reach `to`, so a
+        // raw readManifest would silently plan the new generation
+        // under the old checkpoint's offsets — excluding its base
+        // rows as already-delivered. And when the listing MISSES `to`
+        // (partial-listing blip, or a vacuum/drop racing the plan),
+        // this must never fall back to the construction pin: after a
+        // mid-query drop + re-create the pin names the DEAD
+        // generation's files. Legacy checkpoints (no id) keep version
+        // arithmetic as their only guard, as everywhere else.
         try graft.format.ManifestCache.readPinned(fs, table.dir, to,
           expectedId = endOff.tableId)
         catch {
@@ -427,20 +427,18 @@ class GraftMicroBatchStream(table: GraftTable,
     // keeps its typed-error contract (not a raw FileNotFoundException),
     // default mode degrades to the same at-least-once re-delivery a
     // vacuum landing before the listing would have produced
-    // when the listing provably missed a version this batch relies on,
-    // walk the DENSE from..to range instead (commit versions are
-    // consecutive CAS integers within a generation; manifests are
-    // immutable): classifying Compact commits against a gappy listing
-    // can silently EXCLUDE rows that were never delivered — an append
-    // the listing missed never enters the walk's undelivered set, so a
-    // later compact's outputs look like pure rewrites. A version in
-    // the range that is truly gone surfaces typed below.
-    val walkVersions: Seq[Long] =
-      if (fromListed && versions.contains(to)) versions
-      else math.max(from, 1L) to endManifest.version
+    // the walk itself runs over the DENSE (from, end] version range
+    // internally (see excludedAsOf): the listing passed here feeds
+    // only the from-membership gate, pinned by this trigger's own
+    // observation so a racing vacuum cannot flip that branch mid-plan.
+    // When the listing missed `from` but the disk probe found it (a
+    // partial-listing blip), the probe result is folded in — otherwise
+    // the walk would silently degrade a STRICT stream to full
+    // redelivery right after its gate passed
     val excluded =
       try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest,
-        walkVersions)
+        if (!fromListed && from > 0 && fromOnDisk) versions :+ from
+        else versions)
       catch {
         case e: GraftFormat.LostHistoryDuringWalk =>
           // the remediation differs by cause: vacuum → raise retention;

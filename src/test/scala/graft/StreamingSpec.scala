@@ -499,11 +499,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("GRAFT_STREAM_LOST_HISTORY") &&
         e.getMessage.contains("dropped"), e.getMessage)
     }
-    // a generation the head moved AWAY from can never resurrect: even
-    // a FRESH listing that re-presents the dead generation (a slow
-    // lister racing the re-create, or here a restore of the old files)
-    // is rejected — persisting the dead id would fail strict restarts
-    // forever
+    // a RESTORE of a prior generation's files is the authoritative
+    // current state (head observations are serialized, so a changed
+    // id can only come from a read that started after the on-disk
+    // change — never from a stale racing thread): the head follows it,
+    // and the id change routes through the usual drop+re-create
+    // policies (strict fails typed, default restarts delivery)
     graft.format.GraftFormat.init(fs, dir)
     val back = m.copy(version = 2L, createdAtMs = System.currentTimeMillis())
     (1L to 2L).foreach { v =>
@@ -515,8 +516,8 @@ class StreamingSpec extends AnyFunSuite {
       try bout.write(graft.format.GraftFormat.toJson(bm).getBytes("UTF-8"))
       finally bout.close()
     }
-    assert(s.latestOffset() == GraftOffset(1, Some("generation-b")),
-      "a superseded generation id resurrected into the stream head")
+    assert(s.latestOffset() == GraftOffset(2, Some(idA)),
+      "a restored generation must be observed as the current state")
     spark.sql("DROP TABLE IF EXISTS gblip.db.t")
   }
 
