@@ -475,13 +475,23 @@ object Maintenance {
     val (drop, keep) =
       if (olderThanMs <= 0L) (drop0, keep0)
       else {
-        // a manifest a CONCURRENT vacuum already deleted reads as
+        // drop the longest droppable PREFIX, never a partition: version
+        // history must stay gap-free (incremental readers walk the
+        // dense version range — manifests are consecutive CAS
+        // integers), but createdAtMs is stamped from each committer's
+        // wall clock, so cross-process clock skew can make it
+        // non-monotone in version. A partition would then delete a
+        // newer version while retaining an older one — a PERMANENT
+        // mid-history hole every later walk fails on. Stopping at the
+        // first too-recent manifest keeps the invariant: protecting a
+        // version protects everything after it.
+        // A manifest a CONCURRENT vacuum already deleted reads as
         // droppable: the racing pass judged it out of retention, and
-        // the delete below is exists-guarded — never crash on the race
-        val (d, protectedRecent) = drop0.partition(v =>
+        // the delete below is exists-guarded — never crash on the race.
+        val d = drop0.takeWhile(v =>
           try GraftFormat.readManifest(fs, qualDir, v).createdAtMs <= cutoff
           catch { case _: java.io.FileNotFoundException => true })
-        (d, protectedRecent ++ keep0)
+        (d, drop0.drop(d.size) ++ keep0)
       }
     // same race on the retained side (two vacuums with different
     // keep_versions): a concurrently-deleted manifest contributes no

@@ -357,7 +357,7 @@ class GraftMicroBatchStream(table: GraftTable,
     // fail typed on the same checkpoint)
     val fromOnDisk = fromListed ||
       fs.exists(GraftFormat.manifestPath(table.dir, from))
-    if (failOnLostHistory && from > 0 && !fromOnDisk)
+    if (failOnLostHistory && !fromOnDisk)
       throw new IllegalStateException(
         s"[GRAFT_STREAM_LOST_HISTORY] checkpoint start version $from of " +
           s"${table.name()} is no longer in the manifest history " +
@@ -395,6 +395,12 @@ class GraftMicroBatchStream(table: GraftTable,
         // mid-query drop + re-create the pin names the DEAD
         // generation's files. Legacy checkpoints (no id) keep version
         // arithmetic as their only guard, as everywhere else.
+        // Residual: a warm pinned-cache hit for the checkpoint's OWN
+        // generation can mask a drop + re-create landing after
+        // headState's read in this same trigger — executors then fail
+        // on the deleted files (noisy and safe, but untyped). Closing
+        // it would need per-read revalidation; the next restart
+        // resolves the generation typed.
         try graft.format.ManifestCache.readPinned(fs, table.dir, to,
           expectedId = endOff.tableId)
         catch {
@@ -437,7 +443,7 @@ class GraftMicroBatchStream(table: GraftTable,
     // redelivery right after its gate passed
     val excluded =
       try GraftFormat.excludedAsOf(fs, table.dir, from, endManifest,
-        if (!fromListed && from > 0 && fromOnDisk) versions :+ from
+        if (!fromListed && fromOnDisk) versions :+ from
         else versions)
       catch {
         case e: GraftFormat.LostHistoryDuringWalk =>

@@ -316,6 +316,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mt.db.ret").count() == 3)
   }
 
+  test("vacuum time retention never punches a mid-history hole: a " +
+      "clock-skewed recent manifest protects everything after it") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.skew")
+    spark.sql("CREATE TABLE mt.db.skew (k BIGINT)")
+    (0 until 4).foreach(i => spark.sql(s"INSERT INTO mt.db.skew VALUES ($i)"))
+    val dir = new Path(Paths.get(wh, "db", "skew.graft").toUri)
+    // cross-process clock skew: v1 and v3 read as committed an hour
+    // ago while v2 (between them) reads as recent — createdAtMs is
+    // NOT monotone in version. A partition-based time filter would
+    // drop {1, 3} and keep 2: a permanent hole at 3 that every dense
+    // incremental walk (streaming + batch start_version) fails on.
+    val old = System.currentTimeMillis() - 3600 * 1000L - 60000L
+    for (v <- Seq(1L, 3L)) {
+      val m = GraftFormat.readManifest(fs, dir, v)
+      val out = fs.create(GraftFormat.manifestPath(dir, v), true)
+      try out.write(
+        GraftFormat.toJson(m.copy(createdAtMs = old)).getBytes("UTF-8"))
+      finally out.close()
+    }
+    graft.format.ManifestCache.purge(fs, dir)
+    val (dropped, _) = Maintenance.vacuum(spark, dir, keepVersions = 1,
+      olderThanMs = 3600 * 1000L, minVersionsRetained = 1)
+    // only the prefix up to the first protected manifest goes
+    assert(dropped == 1, s"expected the v1 prefix only, dropped $dropped")
+    assert(GraftFormat.listVersions(fs, dir) == Seq(2L, 3L, 4L, 5L),
+      "time retention must cut a prefix, never punch a hole")
+    spark.sql("DROP TABLE mt.db.skew")
+  }
+
   test("vacuum orphan grace: a young never-referenced file (in-flight " +
       "two-phase append) survives; dead history still deletes now") {
     // the streaming x maintenance storm caught vacuum deleting a data
