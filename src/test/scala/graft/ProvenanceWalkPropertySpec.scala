@@ -153,7 +153,32 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
             s"DUPLICATES from=$from: ${delivered -- windowRows} " +
               s"delivered beyond the window on a clean history (ops=$ops)"
           else Prop(delivered.subsetOf(endRows)) :| "delivered ⊆ snapshot"
-        noLoss && exact
+        // the caller's listing feeds ONLY the from-membership gate:
+        // the walk ranges over the dense (from, end] versions
+        // internally, so a GAPPY listing (partial-listing blip) that
+        // still contains `from` must walk identically — a gappy walk
+        // once let a Compact's outputs classify as pure rewrites and
+        // silently excluded never-delivered rows
+        val rnd = new scala.util.Random(from * 7919 + ops.hashCode())
+        val gappy = remaining.filter(v => v == from || rnd.nextBoolean())
+        val gapSame =
+          Prop(GraftFormat.excludedAsOf(fs, dir, from, end, gappy)
+            == excluded) :|
+            s"a gappy listing changed the walk (from=$from, ops=$ops)"
+        // and one that MISSES a live `from` degrades to full
+        // redelivery (at-least-once), never loss — except at
+        // from >= end.version, where the empty-window early return
+        // correctly precedes the membership gate
+        val noFromSafe =
+          if (from > 0 && from < end.version && remaining.contains(from)) {
+            val e = GraftFormat.excludedAsOf(fs, dir, from, end,
+              remaining.filterNot(_ == from))
+            val d = end.fragments.filterNot(f => e.contains(f.id))
+              .flatMap(f => live(f.id)).toSet
+            Prop(d == endRows) :|
+              s"listing missing from=$from must fully redeliver (ops=$ops)"
+          } else Prop(true)
+        noLoss && exact && gapSame && noFromSafe
       }
       checks.reduce(_ && _)
       } finally fs.delete(dir, true)
