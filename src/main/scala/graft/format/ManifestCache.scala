@@ -59,8 +59,15 @@ object ManifestCache {
   // lands on the cached number (in-process drops purge the cache; only
   // another process's drop arrives silently). Both values come from
   // the same listing the revalidation already pays for.
+  // bodyReadAtMs: when the manifest BODY was last read from disk —
+  // unlike checkedAtMs it is NOT refreshed by stat-only revalidations,
+  // because trusting a stat match requires knowing the body itself was
+  // read after the file went quiescent (a same-second drop+re-create
+  // after the body read leaves an identical stat triple forever; only
+  // a post-quiescence body read breaks the ambiguity).
   private final case class Entry(version: Long, manifest: Manifest,
-      checkedAtMs: Long, fileMtime: Long, fileLen: Long)
+      checkedAtMs: Long, fileMtime: Long, fileLen: Long,
+      bodyReadAtMs: Long)
 
   // Access-ordered LRU bounded by the session cap; all access under
   // `entries.synchronized` (driver-side metadata path, low contention).
@@ -170,23 +177,30 @@ object ManifestCache {
           case Some((v, mtime, len)) =>
             cached match {
               // (version, mtime, len) equality is conclusive only once
-              // the file is QUIESCENT: object stores report mtime at
-              // 1-second granularity, and a drop + re-create landing in
-              // the same second at the same head version can produce an
-              // identical-length manifest (fixed-width UUID, same-digit
-              // timestamps) — so a recently-modified match re-reads the
-              // body instead of trusting the stat. The window costs a
-              // few extra reads in the seconds after a commit and
-              // nothing in steady state.
+              // the BODY was read from a QUIESCENT file: object stores
+              // report mtime at 1-second granularity, and a drop +
+              // re-create landing in the same second at the same head
+              // version can produce an identical-length manifest
+              // (fixed-width UUID, same-digit timestamps). The guard
+              // must compare the body-read time against mtime — not
+              // `now` — or a swap landing AFTER the body read but
+              // inside the same mtime second would pass every later
+              // stat check and the dead generation's body would be
+              // served forever. A body read >= quiesceMs after mtime
+              // proves no later same-second swap exists (a later swap
+              // lands in a later second and breaks the stat match).
+              // The window costs a few extra body re-reads in the
+              // seconds after a commit and nothing in steady state.
               case Some(e) if e.version == v && e.fileMtime == mtime &&
-                  e.fileLen == len && now - mtime >= quiesceMs =>
+                  e.fileLen == len && e.bodyReadAtMs - mtime >= quiesceMs =>
                 revalidations.incrementAndGet()
                 guardedPut(k, g, e.copy(checkedAtMs = now))
                 Some(e.manifest)
               case _ =>
                 misses.incrementAndGet()
                 val m = GraftFormat.readManifest(fs, table, v)
-                guardedPut(k, g, Entry(v, m, now, mtime, len))
+                guardedPut(k, g, Entry(v, m, now, mtime, len,
+                  bodyReadAtMs = now))
                 Some(m)
             }
         }

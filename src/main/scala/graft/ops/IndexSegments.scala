@@ -76,13 +76,25 @@ object IndexSegments {
     * the dying generation: its cached entry is removed and its gen
     * snapshot is stale). */
   def invalidateUnder(fs: FileSystem, table: Path): Unit = {
-    gen(s"${fs.getUri}::${table.toUri.getPath}").incrementAndGet()
+    // bump the exact key AND every existing generation key under the
+    // path: when `table` is a NAMESPACE directory (dropNamespace's
+    // sweep), an in-flight dataDirs for a child table snapshotted the
+    // TABLE-path generation — bumping only the namespace key would let
+    // that resolution finish after the sweep, see its own key
+    // unmoved, and re-cache the dead generation's segment list
+    // (TTL-less, so it would be served until some other lifecycle
+    // event happened to bump that exact key).
+    val exact = s"${fs.getUri}::${table.toUri.getPath}"
+    gen(exact).incrementAndGet()
     // match on a path-separator boundary: cache keys under `table`
     // always continue with "/_indices/...", and a bare startsWith would
     // also evict every sibling whose name extends the prefix (table
     // "t" evicting "t2" — over-invalidation that silently defeats the
     // cache for same-prefix table names under churn)
-    val prefix = s"${fs.getUri}::${table.toUri.getPath}/"
+    val prefix = s"$exact/"
+    gens.keys.foreach { k =>
+      if (k.startsWith(prefix)) gen(k).incrementAndGet()
+    }
     resolvedCache.keys.foreach { k =>
       if (k.startsWith(prefix)) resolvedCache.remove(k)
     }

@@ -571,9 +571,17 @@ object Maintenance {
           fs, colIdx.getPath, retainedVDirs.toSeq)
         entries.map(_.getPath).foreach { p =>
           val name = p.getName
+          // a v=<N> dir with N BEYOND this vacuum's version listing was
+          // published by a commit + index refresh racing this pass —
+          // it is the newest index content, not stale history; deleting
+          // it would yank the index out from under its readers. The
+          // next vacuum's fresh listing assesses it normally.
+          val maxRetained =
+            if (retainedVersions.isEmpty) Long.MaxValue
+            else retainedVersions.max
           val staleVersion = name.startsWith("v=") &&
             name.stripPrefix("v=").toLongOption
-              .exists(!retainedVersions.contains(_))
+              .exists(n => !retainedVersions.contains(n) && n < maxRetained)
           // a seg-* dir an IN-FLIGHT refresh just wrote is not yet
           // referenced by any version manifest (the v=<V> publish comes
           // after the segment lands) — only age-outs are orphans. Dir

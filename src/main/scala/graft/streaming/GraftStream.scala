@@ -203,7 +203,11 @@ class GraftMicroBatchStream(table: GraftTable,
 
   /** Trigger.AvailableNow pins the drain target here, so versions
     * committed after the stream starts wait for the next run. */
-  private var availableTarget: Option[Long] = None
+  // volatile: written by prepareForTriggerAvailableNow and read by
+  // latestOffset on different driver threads (same threading model
+  // that puts lastHead under headLock); without the fence the
+  // microbatch thread could read a stale None and drain past the pin
+  @volatile private var availableTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(headState()._1)

@@ -482,6 +482,34 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(IndexSegments.cacheMisses.get() == misses + 1)
   }
 
+  test("invalidateUnder on a NAMESPACE path bumps existing child-table " +
+      "generations, bounded at the path separator") {
+    // dropNamespace captures child tables before the delete, but a
+    // table created BETWEEN the capture and the delete is covered only
+    // by the namespace-path sweep — which must reach the TABLE-path
+    // generation an in-flight dataDirs snapshotted, or the resolution
+    // finishes after the sweep, sees its key unmoved, and re-caches
+    // the dead generation's segment list (TTL-less).
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.db9")
+    spark.sql("CREATE TABLE ir.db9.late (k BIGINT)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.db9x")
+    spark.sql("CREATE TABLE ir.db9x.t (k BIGINT)")
+    val child = fs.makeQualified(new Path(s"file:$wh/db9/late.graft"))
+    val sibling = fs.makeQualified(new Path(s"file:$wh/db9x/t.graft"))
+    val g0 = IndexSegments.generationOf(fs, child) // materialize the key
+    val s0 = IndexSegments.generationOf(fs, sibling)
+    IndexSegments.invalidateUnder(fs, fs.makeQualified(new Path(s"file:$wh/db9")))
+    assert(IndexSegments.generationOf(fs, child) == g0 + 1,
+      "a namespace-path invalidation must bump the child TABLE key an " +
+        "in-flight dataDirs snapshots")
+    assert(IndexSegments.generationOf(fs, sibling) == s0,
+      "generation bump crossed the path boundary into sibling " +
+        "namespace db9x (db9 is its strict prefix)")
+    spark.sql("DROP TABLE ir.db9.late")
+    spark.sql("DROP TABLE ir.db9x.t")
+  }
+
   test("DROP NAMESPACE bumps each child TABLE's generation after the " +
       "delete, not just the namespace key") {
     // The discriminating invariant behind the race above: an in-flight

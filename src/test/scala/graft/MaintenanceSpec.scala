@@ -316,6 +316,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mt.db.ret").count() == 3)
   }
 
+  test("vacuum never deletes a v=<N> index dir BEYOND its version " +
+      "listing (index published by a commit racing the pass)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.racei")
+    spark.sql("CREATE TABLE mt.db.racei (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO mt.db.racei VALUES ($i)"))
+    val dir = new Path(Paths.get(wh, "db", "racei.graft").toUri)
+    val head = GraftFormat.readLatest(fs, dir).get.version
+    // an index refresh publishing for a version committed AFTER
+    // vacuum's listing: v=<head+1> exists while the listing tops out
+    // at <head>. It is the newest index content, not stale history.
+    val tooNew = new Path(GraftFormat.indicesDir(dir), s"k.btree/v=${head + 1}")
+    fs.mkdirs(tooNew)
+    val out = fs.create(new Path(tooNew, "part-0.json"), true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    // and a genuinely dropped version's dir goes as before
+    val stale = new Path(GraftFormat.indicesDir(dir), "k.btree/v=1")
+    fs.mkdirs(stale)
+    val out2 = fs.create(new Path(stale, "part-0.json"), true)
+    try out2.write("{}".getBytes("UTF-8")) finally out2.close()
+    Maintenance.vacuum(spark, dir, keepVersions = 2, minVersionsRetained = 2)
+    assert(fs.exists(tooNew),
+      "vacuum deleted an index dir published for a version newer than " +
+        "its listing — the current index yanked from under its readers")
+    assert(!fs.exists(stale), "the dropped version's index dir must go")
+    spark.sql("DROP TABLE mt.db.racei")
+  }
+
   test("vacuum time retention never punches a mid-history hole: a " +
       "clock-skewed recent manifest protects everything after it") {
     wh

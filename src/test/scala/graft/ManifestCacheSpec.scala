@@ -254,6 +254,50 @@ class ManifestCacheSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mc.db.t11")
   }
 
+  test("a stat match is trusted only when the BODY was read after " +
+      "quiescence: a same-second swap landing after the body read is " +
+      "re-read, not served stale forever") {
+    setup(ttlMs = 0)
+    freshTable("t13")
+    val dir = tdir("t13")
+    ManifestCache.purge(fs, dir)
+    assert(ManifestCache.latest(fs, dir, ttlMs = 0L).isDefined) // body read
+    val bodyReadBy = System.currentTimeMillis()
+    val v = GraftFormat.readLatest(fs, dir).get.version
+    val p = GraftFormat.manifestPath(dir, v)
+    val st = fs.getFileStatus(p)
+    // same-second swap: another generation's manifest at the same
+    // version with IDENTICAL length and mtime (the object-store
+    // 1-second-granularity collision) — different table_id, reversed
+    // so the byte length cannot change
+    val m = GraftFormat.readManifest(fs, dir, v)
+    val oldId = m.properties(GraftFormat.TableIdProp)
+    val newId = oldId.reverse
+    assert(newId != oldId)
+    val out = fs.create(p, true)
+    try out.write(GraftFormat.toJson(m.copy(properties =
+      m.properties + (GraftFormat.TableIdProp -> newId))).getBytes("UTF-8"))
+    finally out.close()
+    fs.setTimes(p, st.getModificationTime, -1)
+    assert(fs.getFileStatus(p).getLen == st.getLen,
+      "test setup: the swap must preserve the byte length")
+    // choose the quiesce window BETWEEN (bodyReadAt - mtime) and
+    // (now - mtime): the file now LOOKS old enough to trust on a
+    // now-based check, but the cached body predates quiescence
+    val gap = bodyReadBy - st.getModificationTime + 250
+    spark.conf.set("spark.graft.manifest.cache.quiesce.ms", gap.toString)
+    try {
+      Thread.sleep(350)
+      val served = ManifestCache.latest(fs, dir, ttlMs = 0L).get
+      assert(served.properties.get(GraftFormat.TableIdProp)
+        .contains(newId),
+        "a pre-swap body was served on a stat match the swap made " +
+          "ambiguous — the trust check must compare the body-read " +
+          "time against mtime, not `now`")
+    } finally spark.conf.unset("spark.graft.manifest.cache.quiesce.ms")
+    spark.sql("DROP TABLE IF EXISTS mc.db.t13")
+  }
+
   test("sessionMaxEntries saturates at Int.MaxValue instead of " +
       "wrapping negative on a Long-range conf value") {
     setup(ttlMs = 0)
