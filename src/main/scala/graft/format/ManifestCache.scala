@@ -154,8 +154,17 @@ object ManifestCache {
     * branch). 2 s covers 1-second mtime stores plus clock slop;
     * overridable via `spark.graft.manifest.cache.quiesce.ms`. */
   val DefaultQuiesceMs = 2000L
-  private def quiesceMs: Long =
-    sessionConf("spark.graft.manifest.cache.quiesce.ms", DefaultQuiesceMs)
+  private def quiesceMs: Long = {
+    val v = sessionConf("spark.graft.manifest.cache.quiesce.ms",
+      DefaultQuiesceMs)
+    // the quiesce proof (a body read >= quiesceMs after mtime rules
+    // out a later same-second swap) requires the window to cover the
+    // store's mtime granularity — 1 s on object stores. A sub-second
+    // positive setting silently cannot deliver that guarantee, so it
+    // clamps up; <= 0 stays an explicit opt-out (trust every stat
+    // match immediately — the caller accepts the ambiguity).
+    if (v <= 0L) v else v.max(1000L)
+  }
 
   /** Latest manifest of `table`, served from cache within `ttlMs` of the
     * last freshness check; revalidated (one version listing) after. */

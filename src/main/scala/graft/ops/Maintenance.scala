@@ -559,6 +559,13 @@ object Maintenance {
     // retained.)
     val idxRoot = GraftFormat.indicesDir(qualDir)
     val retainedVersions = keep.toSet
+    // versions BEYOND this pass's listing were committed by a racing
+    // writer: their index dirs are the newest content, never stale.
+    // An EMPTY listing (vacuum racing the table's first commit, or a
+    // listing blip) means every version is beyond it — delete nothing.
+    val maxRetained =
+      if (retainedVersions.isEmpty) Long.MinValue
+      else retainedVersions.max
     if (fs.exists(idxRoot)) {
       fs.listStatus(idxRoot).filter(_.isDirectory).foreach { colIdx =>
         val entries = fs.listStatus(colIdx.getPath).filter(_.isDirectory)
@@ -571,14 +578,10 @@ object Maintenance {
           fs, colIdx.getPath, retainedVDirs.toSeq)
         entries.map(_.getPath).foreach { p =>
           val name = p.getName
-          // a v=<N> dir with N BEYOND this vacuum's version listing was
-          // published by a commit + index refresh racing this pass —
-          // it is the newest index content, not stale history; deleting
-          // it would yank the index out from under its readers. The
-          // next vacuum's fresh listing assesses it normally.
-          val maxRetained =
-            if (retainedVersions.isEmpty) Long.MaxValue
-            else retainedVersions.max
+          // a v=<N> dir with N beyond the listing (n >= maxRetained
+          // fails the < check) was published by a commit + refresh
+          // racing this pass — the newest index content, not stale
+          // history; the next vacuum's fresh listing assesses it.
           val staleVersion = name.startsWith("v=") &&
             name.stripPrefix("v=").toLongOption
               .exists(n => !retainedVersions.contains(n) && n < maxRetained)

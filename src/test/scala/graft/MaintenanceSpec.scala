@@ -344,6 +344,22 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mt.db.racei")
   }
 
+  test("vacuum with an EMPTY version listing deletes no index dirs " +
+      "(racing the table's first commit, or a listing blip)") {
+    wh
+    val dir = new Path(Paths.get(wh, "db", "emptyv.graft").toUri)
+    GraftFormat.init(fs, dir) // layout exists, no manifests committed yet
+    val vdir = new Path(GraftFormat.indicesDir(dir), "k.btree/v=1")
+    fs.mkdirs(vdir)
+    val out = fs.create(new Path(vdir, "part-0.json"), true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    Maintenance.vacuum(spark, dir, keepVersions = 1, minVersionsRetained = 1)
+    assert(fs.exists(vdir),
+      "an empty listing means every version is beyond it — an inverted " +
+        "guard would delete the just-published index of a racing commit")
+    fs.delete(dir, true)
+  }
+
   test("vacuum time retention never punches a mid-history hole: a " +
       "clock-skewed recent manifest protects everything after it") {
     wh

@@ -282,12 +282,15 @@ class ManifestCacheSpec extends AnyFunSuite {
     assert(fs.getFileStatus(p).getLen == st.getLen,
       "test setup: the swap must preserve the byte length")
     // choose the quiesce window BETWEEN (bodyReadAt - mtime) and
-    // (now - mtime): the file now LOOKS old enough to trust on a
-    // now-based check, but the cached body predates quiescence
-    val gap = bodyReadBy - st.getModificationTime + 250
+    // (now - mtime): the file must LOOK old enough to trust on a
+    // now-based check while the cached body predates quiescence.
+    // The floor mirrors the conf clamp (sub-second windows cannot
+    // deliver the quiesce guarantee and clamp up to 1 s).
+    val gap = math.max(bodyReadBy - st.getModificationTime + 250, 1000L)
     spark.conf.set("spark.graft.manifest.cache.quiesce.ms", gap.toString)
     try {
-      Thread.sleep(350)
+      while (System.currentTimeMillis() - st.getModificationTime < gap + 100)
+        Thread.sleep(50)
       val served = ManifestCache.latest(fs, dir, ttlMs = 0L).get
       assert(served.properties.get(GraftFormat.TableIdProp)
         .contains(newId),
