@@ -315,6 +315,47 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE s3st.db.ev")
   }
 
+  test("head blip/drop semantics hold over s3a: hold-at-lastHead on an " +
+      "empty listing, typed strict failure on an affirmative drop") {
+    // the local-FS blip test's object-store twin: exists() is a prefix
+    // probe and listings are HTTP pages here, so the evidence rules
+    // (empty listing = blip while the prefix is alive; prefix gone =
+    // drop) must be re-proven against the s3a seam, not assumed
+    val srv = graft.sources.S3LiteServer.shared
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+    hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
+    spark.conf.set("spark.sql.catalog.s3bl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.s3bl.warehouse", "s3a://s3blwh/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS s3bl.db")
+    spark.sql("DROP TABLE IF EXISTS s3bl.db.t")
+    spark.sql("CREATE TABLE s3bl.db.t (k BIGINT)")
+    spark.sql("INSERT INTO s3bl.db.t VALUES (1)") // v2
+    val dir = new org.apache.hadoop.fs.Path("s3a://s3blwh/wh/db/t.graft")
+    val fs = dir.getFileSystem(hc)
+    val m = graft.format.GraftFormat.readLatest(fs, dir).get
+    val id = m.properties(graft.format.GraftFormat.TableIdProp)
+    import graft.streaming.GraftOffset
+    val gtable = new graft.connector.GraftTable("s3bl.db.t", dir, m, hc)
+    val s = new graft.streaming.GraftMicroBatchStream(gtable)
+    assert(s.latestOffset() == GraftOffset(2, Some(id)))
+    // blip: the manifest prefix empties but the table prefix stays
+    // alive through its data objects — hold at the last observed head
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_versions"), true)
+    assert(s.latestOffset() == GraftOffset(2, Some(id)),
+      "an empty s3a manifest listing must hold the last observed head")
+    // affirmative drop: the whole prefix is gone
+    fs.delete(dir, true)
+    val strict = new graft.streaming.GraftMicroBatchStream(gtable,
+      Map("failonlosthistory" -> "true"))
+    val e = intercept[IllegalStateException](strict.latestOffset())
+    assert(e.getMessage.contains("GRAFT_STREAM_LOST_HISTORY") &&
+      e.getMessage.contains("dropped"), e.getMessage)
+    // default mode still holds and waits for a re-create
+    assert(s.latestOffset() == GraftOffset(2, Some(id)))
+    spark.sql("DROP TABLE IF EXISTS s3bl.db.t")
+  }
+
   test("expected_table_id on a STREAM pins the generation: mismatch " +
       "fails typed (the option must never be silently ignored)") {
     val wh = Files.createTempDirectory("graft-seid-wh").toString
