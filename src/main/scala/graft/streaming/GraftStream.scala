@@ -82,13 +82,12 @@ class GraftMicroBatchStream(table: GraftTable,
     }
 
   /** Last successfully OBSERVED (head version, generation id), seeded
-    * with the stream-construction pin. Volatile: Spark may call
-    * latestOffset and prepareForTriggerAvailableNow from different
-    * driver threads. Tracking the last observation (not the
-    * construction pin) matters after a mid-query drop + re-create:
-    * the pin still names the DEAD generation for the query's
-    * lifetime, and persisting it into the offset log on a later blip
-    * would make a strict restart fail typed forever. */
+    * with the stream-construction pin; all access under [[headLock]].
+    * Tracking the last observation (not the construction pin) matters
+    * after a mid-query drop + re-create: the pin still names the DEAD
+    * generation for the query's lifetime, and persisting it into the
+    * offset log on a later blip would make a strict restart fail
+    * typed forever. */
   private var lastHead: (Long, Option[String]) =
     (table.manifest.version,
       table.manifest.properties.get(GraftFormat.TableIdProp))
@@ -370,10 +369,6 @@ class GraftMicroBatchStream(table: GraftTable,
           "(keep_versions / older_than_ms / min_versions_retained), or " +
           "unset failOnLostHistory to accept the re-delivery.")
     if (to <= from) return Array.empty
-    // after a mid-trigger drop + re-create, `to` (planned against the
-    // old generation) may exceed the new history: the stream-pin
-    // fallback (table.manifest) would point executors at the DELETED
-    // generation's files — plan the new history's head instead
     val endManifest =
       // mid-trigger drop + re-create (observed id ≠ checkpoint id):
       // plan the NEW history (from = 0 above) — at `to` if it already
