@@ -175,7 +175,15 @@ object GraftFormat {
   private def versionStats(fs: FileSystem, table: Path)
       : Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     if (!exists(fs, table)) return Seq.empty
-    fs.listStatus(versionsDir(table)).toSeq
+    // the dir can vanish between the probe above and the listing (a
+    // racing DROP): that is the same no-manifest-visible evidence as
+    // the probe failing — an empty listing, which callers route
+    // through their blip/drop rules — never an exception surfacing
+    // from a pure read
+    val listed =
+      try fs.listStatus(versionsDir(table)).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    listed
       .filter(_.getPath.getName.endsWith(".manifest.json"))
       .flatMap { st =>
         st.getPath.getName.stripSuffix(".manifest.json").toLongOption

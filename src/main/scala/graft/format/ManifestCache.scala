@@ -149,10 +149,16 @@ object ManifestCache {
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)
 
-  /** How long after a manifest file's mtime a matching revalidation
-    * stat is trusted without re-reading the body (see the revalidation
-    * branch). 2 s covers 1-second mtime stores plus clock slop;
-    * overridable via `spark.graft.manifest.cache.quiesce.ms`. */
+  /** The quiescence a cached entry's BODY READ must prove before a
+    * matching revalidation stat is trusted: the stat match is
+    * conclusive only when `bodyReadAtMs - fileMtime >= quiesceMs` —
+    * i.e. the body was read at least this long after the file's mtime,
+    * ruling out a same-mtime-second swap landing after the read (see
+    * the revalidation branch). NOT a now-based freshness window: `now`
+    * never enters the guard. 2 s covers 1-second mtime stores plus
+    * clock slop; overridable via
+    * `spark.graft.manifest.cache.quiesce.ms` (<= 0 disables the guard
+    * entirely — every stat match is trusted). */
   val DefaultQuiesceMs = 2000L
   private def quiesceMs: Long = {
     val v = sessionConf("spark.graft.manifest.cache.quiesce.ms",
@@ -200,14 +206,33 @@ object ManifestCache {
               // lands in a later second and breaks the stat match).
               // The window costs a few extra body re-reads in the
               // seconds after a commit and nothing in steady state.
+              // qMs <= 0 is the explicit opt-out and must short-circuit:
+              // bodyReadAtMs (client clock) minus mtime (store clock)
+              // can read negative under skew, and relying on `>= 0`
+              // would silently re-read bodies on a guard the user
+              // disabled
               case Some(e) if e.version == v && e.fileMtime == mtime &&
-                  e.fileLen == len && e.bodyReadAtMs - mtime >= quiesceMs =>
+                  e.fileLen == len && {
+                    val qMs = quiesceMs
+                    qMs <= 0L || e.bodyReadAtMs - mtime >= qMs
+                  } =>
                 revalidations.incrementAndGet()
                 guardedPut(k, g, e.copy(checkedAtMs = now))
                 Some(e.manifest)
               case _ =>
                 misses.incrementAndGet()
-                val m = GraftFormat.readManifest(fs, table, v)
+                // the file the listing saw can vanish before the body
+                // read (a racing DROP — vacuum never deletes the head:
+                // retention always keeps it): that is the same
+                // no-manifest-visible evidence as an empty listing,
+                // not an error surfacing from a pure read
+                val m =
+                  try GraftFormat.readManifest(fs, table, v)
+                  catch {
+                    case _: java.io.FileNotFoundException =>
+                      entries.synchronized(entries.remove(k))
+                      return None
+                  }
                 guardedPut(k, g, Entry(v, m, now, mtime, len,
                   bodyReadAtMs = now))
                 Some(m)

@@ -470,6 +470,17 @@ object Maintenance {
     val fs = dir.getFileSystem(conf)
     val qualDir = fs.makeQualified(dir)
     val versions = GraftFormat.listVersions(fs, qualDir)
+    // An EMPTY listing means this pass has no ground truth: either the
+    // table's first commit is still in flight, or the listing blipped
+    // on an established table. A committed table always retains at
+    // least its head manifest, so empty ⇒ every file on disk is
+    // potentially live-but-unprovable — the referenced set below would
+    // be empty and the data/_deletions loop, the seg-* orphan check,
+    // and the blob GC would all read live files as aged-out crash
+    // debris. Delete nothing; the next pass with a real listing does
+    // the GC. (Crash debris on a never-committed table is bounded and
+    // dies with its dropTable.)
+    if (versions.isEmpty) return (0, 0)
     val (drop0, keep0) = versions.splitAt(math.max(0, versions.size - effKeep))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val (drop, keep) =
@@ -561,8 +572,8 @@ object Maintenance {
     val retainedVersions = keep.toSet
     // versions BEYOND this pass's listing were committed by a racing
     // writer: their index dirs are the newest content, never stale.
-    // An EMPTY listing (vacuum racing the table's first commit, or a
-    // listing blip) means every version is beyond it — delete nothing.
+    // (An EMPTY listing never reaches here — the whole pass bails
+    // right after listVersions; the MinValue arm is defense-in-depth.)
     val maxRetained =
       if (retainedVersions.isEmpty) Long.MinValue
       else retainedVersions.max

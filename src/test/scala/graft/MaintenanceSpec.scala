@@ -360,6 +360,40 @@ class MaintenanceSpec extends AnyFunSuite {
     fs.delete(dir, true)
   }
 
+  test("vacuum with an EMPTY version listing deletes NOTHING — not data, " +
+      "not deletion vectors, not blobs, not index segments") {
+    // the v= index guard above is only half the contract: an empty
+    // listing (blip, or racing the first commit) also empties the
+    // referenced-file set, and the data/_deletions loop, the seg-*
+    // orphan check, and the blob GC would then treat every live file
+    // past the grace window as crash debris — permanent data loss on
+    // an established table whose listing blipped. Empty listing means
+    // the pass has no ground truth: bail, delete nothing.
+    wh
+    val dir = new Path(Paths.get(wh, "db", "emptyall.graft").toUri)
+    GraftFormat.init(fs, dir) // layout exists, no manifests visible
+    def plant(rel: String): Path = {
+      val p = new Path(dir, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+      p
+    }
+    val data = plant("data/live.parquet")
+    val dv = plant("_deletions/live.dv")
+    val blob = plant(s"${graft.format.BlobStore.BlobDirName}/live.bin")
+    val seg = plant("_indices/k.btree/seg-live/part-0.json")
+    // grace 0 = every file reads as past the window; only the empty
+    // listing stands between these live files and deletion
+    val (dropped, deleted) = Maintenance.vacuum(spark, dir,
+      keepVersions = 1, minVersionsRetained = 1, orphanGraceMs = 0)
+    assert(dropped == 0 && deleted == 0,
+      s"empty-listing vacuum must be a no-op, got ($dropped, $deleted)")
+    for (p <- Seq(data, dv, blob, seg)) assert(fs.exists(p),
+      s"empty-listing vacuum deleted a live file: $p")
+    fs.delete(dir, true)
+  }
+
   test("vacuum time retention never punches a mid-history hole: a " +
       "clock-skewed recent manifest protects everything after it") {
     wh

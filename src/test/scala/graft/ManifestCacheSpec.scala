@@ -111,6 +111,33 @@ class ManifestCacheSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.manifest.cache.quiesce.ms")
   }
 
+  test("quiesce.ms=0 short-circuits the guard even when the store clock " +
+      "runs ahead of the client (mtime in the future)") {
+    // the opt-out must mean "trust every stat match", not "require
+    // bodyReadAtMs - mtime >= 0": bodyReadAtMs is the CLIENT clock and
+    // mtime the STORE clock, so under skew the subtraction reads
+    // negative and a relied-on `>= 0` would re-read the body on every
+    // revalidation of a guard the user disabled — and re-stamp
+    // bodyReadAtMs to a still-skewed now, so it never self-heals
+    setup(ttlMs = 0)
+    spark.conf.set("spark.graft.manifest.cache.quiesce.ms", "0")
+    try {
+      freshTable("t4s")
+      val head = GraftFormat.listVersions(fs, tdir("t4s")).max
+      val mpath = GraftFormat.manifestPath(tdir("t4s"), head)
+      // store clock an hour ahead of the client
+      fs.setTimes(mpath, System.currentTimeMillis() + 3600 * 1000L, -1)
+      ManifestCache.purge(fs, tdir("t4s"))
+      spark.table("mc.db.t4s").count() // miss: primes bodyReadAtMs=now
+      val r0 = ManifestCache.revalidations.get()
+      val m0 = ManifestCache.misses.get()
+      (1 to 3).foreach(_ => spark.table("mc.db.t4s").count())
+      assert(ManifestCache.revalidations.get() >= r0 + 3)
+      assert(ManifestCache.misses.get() == m0,
+        "disabled quiesce guard must trust the stat match under skew")
+    } finally spark.conf.unset("spark.graft.manifest.cache.quiesce.ms")
+  }
+
   test("revalidation re-reads a stat-identical manifest inside the " +
       "quiesce window (same-second drop + re-create ambiguity)") {
     setup(ttlMs = 0)

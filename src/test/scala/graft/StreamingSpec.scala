@@ -562,6 +562,81 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gblip.db.t")
   }
 
+  test("head observations stay totally ordered under concurrent readers " +
+      "racing drop + re-create churn: no reader ever sees a superseded " +
+      "generation, and no reader ever crashes on a mid-listing delete") {
+    // the headLock serialization's load-bearing claim is that reads are
+    // ordered, not just updates — so a reader's OWN observation
+    // sequence can never step backward to a generation a later-starting
+    // read already superseded, no matter how the churn interleaves.
+    // Six readers hammer latestOffset (ttl=0 listings) while the driver
+    // drops and re-creates the table; each drop opens a real
+    // dir-vanishes-mid-listing window, so this also pins the evidence
+    // rule that a racing delete reads as an EMPTY listing (hold at
+    // lastHead), never as an uncaught FileNotFoundException.
+    val wh = Files.createTempDirectory("graft-hstress-wh").toString
+    spark.conf.set("spark.sql.catalog.ghs", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghs.db")
+    spark.sql("CREATE TABLE ghs.db.t (k BIGINT)")
+    spark.sql("INSERT INTO ghs.db.t VALUES (1)")
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(wh, "db", "t.graft").toUri)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m = graft.format.GraftFormat.readLatest(fs, dir).get
+    def idOf(): String = graft.format.GraftFormat.readLatest(fs, dir).get
+      .properties(graft.format.GraftFormat.TableIdProp)
+    val gens = scala.collection.mutable.ArrayBuffer(idOf())
+    import graft.streaming.GraftOffset
+    val s = new graft.streaming.GraftMicroBatchStream(
+      new graft.connector.GraftTable("ghs.db.t", dir, m, conf))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val perThread = Array.fill(6)(
+      scala.collection.mutable.ArrayBuffer.empty[GraftOffset])
+    val threads = perThread.map { buf =>
+      val t = new Thread(() => {
+        try while (!stop.get())
+          buf += s.latestOffset().asInstanceOf[GraftOffset]
+        catch { case e: Throwable => failure.compareAndSet(null, e) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      for (_ <- 0 until 5) {
+        spark.sql("INSERT INTO ghs.db.t VALUES (2)")
+        spark.sql("DROP TABLE ghs.db.t")
+        spark.sql("CREATE TABLE ghs.db.t (k BIGINT)")
+        spark.sql("INSERT INTO ghs.db.t VALUES (1)")
+        gens += idOf()
+      }
+    } finally stop.set(true)
+    threads.foreach(_.join(30000))
+    assert(failure.get() == null,
+      s"a reader crashed during churn: ${failure.get()}")
+    val order = gens.zipWithIndex.toMap
+    assert(order.size == gens.size, "generation ids must be unique")
+    for ((buf, i) <- perThread.zipWithIndex) {
+      assert(buf.nonEmpty, s"reader $i made no observations")
+      val idx = buf.toSeq.map { o =>
+        val id = o.tableId.getOrElse(
+          fail(s"reader $i observed an id-less offset: $o"))
+        order.getOrElse(id, fail(s"reader $i observed unknown id $id"))
+      }
+      assert(idx.zip(idx.tail).forall { case (a, b) => a <= b },
+        s"reader $i stepped back to a superseded generation: $idx")
+      // within one generation the observed head version never regresses
+      // (shared lastHead maxes within an id; a regression means a
+      // partial listing leaked through the serialization)
+      buf.toSeq.zip(buf.toSeq.tail).foreach { case (a, b) =>
+        if (a.tableId == b.tableId) assert(a.version <= b.version,
+          s"reader $i saw version regress within a generation: $a -> $b")
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS ghs.db.t")
+  }
+
   test("offset json round-trips ANY generation id string (escaping " +
       "property): quotes and backslashes survive the checkpoint log") {
     // a pre-reservation build could have ALTERed graft.table_id to an
