@@ -124,7 +124,11 @@ object GraftProcedures {
       // -1 = use spark.graft.vacuum.minVersionsRetained (default 2)
       inDefault("min_versions_retained", IntegerType, "-1"),
       // -1 = use spark.graft.vacuum.orphanGraceMs (default 24 h)
-      inDefault("orphan_grace_ms", LongType, "-1")),
+      inDefault("orphan_grace_ms", LongType, "-1"),
+      // true = assess only: report what a real pass would drop/delete
+      // without mutating anything (audit a destructive GC before
+      // firing it)
+      inDefault("dry_run", BooleanType, "false")),
     StructType(Seq(
       StructField("versions_dropped", IntegerType, nullable = false),
       StructField("files_deleted", IntegerType, nullable = false)))) {
@@ -132,7 +136,7 @@ object GraftProcedures {
       val (dir, conf) = resolve(in.getUTF8String(0).toString)
       val (dropped, deleted) =
         Maintenance.vacuum(spark, dir, in.getInt(1), in.getLong(2), conf,
-          in.getInt(3), in.getLong(4))
+          in.getInt(3), in.getLong(4), in.getBoolean(5))
       Array(new GenericInternalRow(Array[Any](dropped, deleted)))
     }
   }

@@ -444,10 +444,20 @@ object Maintenance {
     * (conf `spark.graft.vacuum.orphanGraceMs`, default 24 h — long
     * enough to outlast any plausible distributed write; the Iceberg
     * remove_orphan_files default is 3 days, Delta's vacuum retention
-    * 7 days). Returns (versionsDropped, filesDeleted). */
+    * 7 days). Returns (versionsDropped, filesDeleted).
+    *
+    * `dryRun = true` runs the full assessment — listing, retention
+    * split, reference resolution, the distributed blob anti-join — and
+    * returns the counts a real pass WOULD produce, but mutates nothing:
+    * no file or manifest deletes, no cache purges or generation bumps
+    * (Delta `VACUUM ... DRY RUN` / Iceberg precedent: at scale an
+    * operator audits a destructive GC before firing it). The counts are
+    * a point-in-time estimate; commits racing the dry run can shift the
+    * real pass's numbers. */
   def vacuum(spark: SparkSession, dir: Path, keepVersions: Int = 10,
       olderThanMs: Long = 0L, hadoopConf: Configuration = null,
-      minVersionsRetained: Int = -1, orphanGraceMs: Long = -1L): (Int, Int) = {
+      minVersionsRetained: Int = -1, orphanGraceMs: Long = -1L,
+      dryRun: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     // sentinels are exactly -1: a 0 (or other nonsense) must fail loudly
     // rather than silently fall through to the session-conf default
@@ -525,22 +535,24 @@ object Maintenance {
         .flatMap(f => f.path +: f.deletionPath.toSeq)
       catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet -- referenced
-    drop.foreach { v =>
-      val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
-      if (fs.exists(p)) fs.delete(p, false)
+    if (!dryRun) {
+      drop.foreach { v =>
+        val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      // crash debris from the exclusive-create strategies (".tmp" files a
+      // writer left behind by dying between write and link/rename): age
+      // out anything older than a minute — an in-flight commit's temp is
+      // always younger
+      fs.listStatus(GraftFormat.versionsDir(qualDir)).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".") &&
+          st.getPath.getName.endsWith(".tmp") &&
+          st.getModificationTime < System.currentTimeMillis() - 60000L)
+          fs.delete(st.getPath, false)
+      }
+      // dropped versions may sit in the pinned (time-travel) manifest cache
+      if (drop.nonEmpty) graft.format.ManifestCache.purge(fs, qualDir)
     }
-    // crash debris from the exclusive-create strategies (".tmp" files a
-    // writer left behind by dying between write and link/rename): age
-    // out anything older than a minute — an in-flight commit's temp is
-    // always younger
-    fs.listStatus(GraftFormat.versionsDir(qualDir)).foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith(".") &&
-        st.getPath.getName.endsWith(".tmp") &&
-        st.getModificationTime < System.currentTimeMillis() - 60000L)
-        fs.delete(st.getPath, false)
-    }
-    // dropped versions may sit in the pinned (time-travel) manifest cache
-    if (drop.nonEmpty) graft.format.ManifestCache.purge(fs, qualDir)
     var deleted = 0
     val orphanCutoffMs = System.currentTimeMillis() - grace
     for (sub <- Seq("data", "_deletions")) {
@@ -553,7 +565,7 @@ object Maintenance {
           // grace window) goes
           if (!referenced.contains(rel) && (droppedRefs.contains(rel) ||
               st.getModificationTime < orphanCutoffMs)) {
-            fs.delete(st.getPath, false)
+            if (!dryRun) fs.delete(st.getPath, false)
             deleted += 1
           }
         }
@@ -608,7 +620,7 @@ object Maintenance {
             !referenced.contains(name) &&
             newestMtimeUnder(fs, p) < orphanCutoffMs
           if ((staleVersion && !referenced.contains(name)) || orphanSegment) {
-            fs.delete(p, true)
+            if (!dryRun) fs.delete(p, true)
             deleted += 1
           }
         }
@@ -616,7 +628,7 @@ object Maintenance {
       // a resolution that started between the purge above and these
       // deletes may have re-cached a dying segment list; bumping the
       // table's generation AFTER the deletes invalidates it
-      IndexSegments.invalidateUnder(fs, qualDir)
+      if (!dryRun) IndexSegments.invalidateUnder(fs, qualDir)
     }
     // blob sidecar GC: the live set stays DISTRIBUTED — candidate names
     // are left-anti-joined against the union of descriptor scans over
@@ -656,7 +668,7 @@ object Maintenance {
             .join(r, Seq("f"), "left_anti").as[String].collect().toSeq
         }
         unreferenced.foreach { rel =>
-          fs.delete(new Path(qualDir, rel), false)
+          if (!dryRun) fs.delete(new Path(qualDir, rel), false)
           deleted += 1
         }
         batch.clear()

@@ -511,6 +511,50 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(VectorIndex.readCurrent(spark, dir, "embedding").get.count() == 60)
   }
 
+  test("vacuum dry_run reports what a real pass would delete and " +
+      "mutates nothing") {
+    // at 100 TB an operator audits a destructive GC before firing it
+    // (Delta VACUUM DRY RUN precedent): the assessment must run the
+    // full pipeline — retention split, reference resolution, orphan
+    // aging — and touch nothing
+    wh
+    spark.sql("DROP TABLE IF EXISTS mt.db.dry")
+    spark.sql("CREATE TABLE mt.db.dry (k BIGINT)")
+    (0 until 4).foreach(_ =>
+      spark.sql("INSERT INTO mt.db.dry SELECT id FROM range(50)"))
+    val dir = new Path(Paths.get(wh, "db", "dry.graft").toUri)
+    // an aged orphan a real pass would GC (grace 0 below)
+    val orphan = new Path(dir, "data/crash-debris.parquet")
+    val out = fs.create(orphan, false)
+    try out.write(Array[Byte](1)) finally out.close()
+    val before = GraftFormat.listVersions(fs, dir)
+    val dataBefore =
+      fs.listStatus(new Path(dir, "data")).map(_.getPath.getName).toSet
+    val d = spark.sql("CALL mt.system.vacuum(`table` => 'db.dry', " +
+      "keep_versions => 1, min_versions_retained => 1, " +
+      "orphan_grace_ms => 0, dry_run => true)").head
+    assert(d.getInt(0) >= 3 && d.getInt(1) >= 1, d.toString)
+    assert(GraftFormat.listVersions(fs, dir) == before,
+      "dry run dropped manifest versions")
+    assert(fs.listStatus(new Path(dir, "data"))
+      .map(_.getPath.getName).toSet == dataBefore,
+      "dry run deleted data files")
+    assert(fs.exists(orphan), "dry run GC'd the orphan")
+    // the full history is still readable after the dry run
+    assert(spark.sql("SELECT count(*) FROM mt.db.dry VERSION AS OF 2")
+      .head().getLong(0) == 50)
+    // the real pass deletes exactly what the dry run reported
+    val r = spark.sql("CALL mt.system.vacuum(`table` => 'db.dry', " +
+      "keep_versions => 1, min_versions_retained => 1, " +
+      "orphan_grace_ms => 0)").head
+    assert((r.getInt(0), r.getInt(1)) == (d.getInt(0), d.getInt(1)),
+      s"dry-run estimate $d diverged from the real pass $r")
+    assert(!fs.exists(orphan), "real pass must GC the aged orphan")
+    assert(GraftFormat.listVersions(fs, dir).size == 1)
+    assert(spark.table("mt.db.dry").count() == 200)
+    spark.sql("DROP TABLE mt.db.dry")
+  }
+
   test("SQL maintenance surface: CALL system.compact/vacuum/history/" +
       "bucketize through the catalog") {
     wh
