@@ -442,6 +442,56 @@ object VectorOps {
       }
     },
 
+    // Filtered ANN through the same rule: a predicate below the sort is
+    // tolerated (post-filter semantics — top-k among rows passing the
+    // filter AND living in the probed lists), the Spark-side analog of
+    // the reference's filtered vector search. Golden-pinned like v06;
+    // filter-honoring and manual-probe equivalence are spec-verified in
+    // AnnRewriteSpec.
+    Q.golden("v10_ann_filtered", Seq("rank", "vec_id"), "rank",
+      "optimizer rule: filtered top-k cosine still probes the IVF index") { (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_rwf.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.BenchPhases.timed("v10_ann_filtered.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      }
+      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+      val table = org.apache.spark.sql.GraftShim.tableDF(s,
+        new graft.connector.GraftTable(s"v10:$dir", dir, manifest,
+          s.sessionState.newHadoopConf()))
+      val qv = emb(s, d).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val rule = graft.plans.AnnTopKIndexRewrite(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      s.conf.set("spark.graft.ann.indexRewrite", "true")
+      try {
+        val q = table
+          .where(col("vec_id") % 3 === 0)
+          .orderBy(graft.functions.VectorFunctions.cosine_sim(
+            col("embedding"), typedlit(qv)).desc)
+          .limit(10)
+          .select(col("vec_id"))
+        val probed = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }.nonEmpty
+        require(probed,
+          "filtered ANN rewrite did not fire — no index probe in plan")
+        val rows = q.collect()
+        import s.implicits._
+        rows.map(_.getLong(0)).toSeq.zipWithIndex
+          .map { case (id, i) => (i + 1, id) }.toDF("rank", "vec_id")
+      } finally {
+        s.conf.unset("spark.graft.ann.indexRewrite")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    },
+
     // Embedding-cosine near-duplicate detection: all pairs above a
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this

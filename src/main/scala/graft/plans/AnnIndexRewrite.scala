@@ -23,10 +23,11 @@ import graft.functions.{CosineSim, L2Squared}
   *
   * Matches `ORDER BY cosine_sim(embCol, <literal vector>) DESC LIMIT k`
   * and `ORDER BY l2_sq(embCol, <literal vector>) ASC LIMIT k` directly
-  * over a graft relation (optionally through a Project) and
-  * replaces the corpus with a LEFT SEMI join against the ids of the
-  * `nprobe` nearest IVF lists, so only nprobe/nLists of the corpus is
-  * scanned and sorted.
+  * over a graft relation (optionally through a Project and/or a
+  * Filter — filtered ANN with post-filter semantics, see
+  * [[graftTableOf]]) and replaces the corpus with a LEFT SEMI join
+  * against the ids of the `nprobe` nearest IVF lists, so only
+  * nprobe/nLists of the corpus is scanned and sorted.
   *
   * Firing contract (matches the reference): building a vector index is
   * the opt-in — once a `_indices/` sidecar exists at the scan's exact
@@ -121,6 +122,15 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def graftTableOf(p: LogicalPlan): Option[GraftTable] = p match {
     // a Project is row-preserving, so the semi-join stays valid above it
     case Project(_, c) => graftTableOf(c)
+    // a Filter below the sort only REMOVES rows, so intersecting with
+    // the probed lists above it stays sound — this is filtered ANN with
+    // post-filter semantics (top-k among rows passing the predicate AND
+    // living in the probed lists): a highly selective predicate can
+    // thin the probe's shortlist below k, the same recall trade every
+    // IVF post-filter makes; raise nprobe (or drop the index) when the
+    // filter is sharp. The Filter node itself stays in place — the
+    // rewrite only adds the semi-join above it
+    case Filter(_, c) => graftTableOf(c)
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTable => Some(t); case _ => None
     }

@@ -88,6 +88,44 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a Filter below the sort still rewrites: filtered ANN probes the " +
+      "index and honors the predicate (post-filter semantics)") {
+    dir
+    def filteredTopK(k: Int) = tableDF
+      .where(col("vec_id") % 3 === 0)
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(k)
+      .select("vec_id")
+    withRule {
+      val q = filteredTopK(5)
+      assert(semiJoins(q) == 1, "filtered top-k must still probe the " +
+        s"index:\n${q.queryExecution.optimizedPlan}")
+      val approx = q.collect().map(_.getLong(0)).toSeq
+      assert(approx.length == 5)
+      assert(approx.forall(_ % 3 == 0),
+        s"probe result leaked rows the predicate excludes: $approx")
+      // post-filter semantics exactly: the result is the exact top-k
+      // restricted to (probed lists ∩ predicate)
+      val (cents, assign) = Ivf.readCurrent(spark, dir, "embedding").get
+      val qv = queryVec.map(_.toDouble)
+      val probed = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)
+          .zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1).toSet
+      val candIds = assign.filter(col("cid").isin(probed.toSeq: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val expected = tableDF
+        .filter(col("vec_id").isin(candIds.toSeq: _*) &&
+          col("vec_id") % 3 === 0)
+        .orderBy(VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(queryVec)).desc)
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(approx == expected,
+        "filtered probe differs from manual probe ∩ predicate")
+    }
+  }
+
   test("rewrite prefers the IVF_PQ codes table when both indexes exist") {
     dir
     graft.ops.VectorIndex.Pq.build(spark, dir, "vec_id", "embedding",
