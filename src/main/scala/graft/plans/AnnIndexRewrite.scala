@@ -42,7 +42,18 @@ import graft.functions.{CosineSim, L2Squared}
   * Conf: `spark.graft.ann.indexRewrite` — `auto` (default: probe when
   * a current index exists), `true` (same), `false` (never rewrite —
   * force exact results even where an index exists);
-  * `spark.graft.ann.nprobe` (default 4).
+  * `spark.graft.ann.nprobe` (default 4);
+  * `spark.graft.ann.adaptiveNprobe` (default true) — before committing
+  * to a probe, count the rows that would survive it (candidate-list
+  * rows; through the query's own predicate when one sits below the
+  * sort) and, while the count is short of k, double nprobe; if even
+  * probing every list cannot fill k, the rewrite abandons itself and
+  * the exact scan runs. This closes the filtered-ANN recall cliff — a
+  * sharp predicate can no longer silently thin the shortlist below k —
+  * at the cost of one small count job per ANN query (candidate side
+  * only when unfiltered; predicate ∩ probed lists when filtered, i.e.
+  * the count never scans more of the corpus than the probe itself
+  * would).
   *
   * Scale shape: centroids (k×dim doubles) are read once per (table,
   * version) and cached driver-side; the probe itself is plan surgery —
@@ -71,7 +82,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
         parts.flatMap { case (projOpt, so, e, child) =>
-          rewrite(so, e, child).map { sortOverProbe =>
+          rewrite(so, e, child, k).map { sortOverProbe =>
             val body2 = projOpt
               .map(p => p.copy(child = sortOverProbe))
               .getOrElse(sortOverProbe)
@@ -82,13 +93,15 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(so: SortOrder, sortExpr: Expression,
-      child: LogicalPlan): Option[LogicalPlan] =
+      child: LogicalPlan, k: Int): Option[LogicalPlan] =
     for {
       metric <- resolveMetric(so.direction, sortExpr, child)
       table <- graftTableOf(child)
       (embName, qv) <- embAndQuery(metric)
-      (candPlan, idName) <- candidatePlan(table, embName, qv)
-      idAttr <- child.output.find(a => spark.sessionState.conf.resolver(a.name, idName))
+      probe <- indexProbe(table, embName)
+      idAttr <- child.output.find(a =>
+        spark.sessionState.conf.resolver(a.name, probe.idName))
+      candPlan <- selectCandidates(probe, qv, child, idAttr, k)
     } yield {
       val join = Join(child, candPlan, LeftSemi,
         Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
@@ -125,11 +138,11 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // a Filter below the sort only REMOVES rows, so intersecting with
     // the probed lists above it stays sound — this is filtered ANN with
     // post-filter semantics (top-k among rows passing the predicate AND
-    // living in the probed lists): a highly selective predicate can
-    // thin the probe's shortlist below k, the same recall trade every
-    // IVF post-filter makes; raise nprobe (or drop the index) when the
-    // filter is sharp. The Filter node itself stays in place — the
-    // rewrite only adds the semi-join above it
+    // living in the probed lists). The recall cliff a sharp predicate
+    // would open (shortlist thinned below k) is closed by the
+    // adaptiveNprobe escalation in selectCandidates. The Filter node
+    // itself stays in place — the rewrite only adds the semi-join
+    // above it
     case Filter(_, c) => graftTableOf(c)
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTable => Some(t); case _ => None
@@ -163,14 +176,18 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Analyzed plan producing the candidate ids of the probed lists,
-    * plus the id column name, if a CURRENT vector index exists for the
+  /** A resolved index probe: coarse centroids, the assignments/codes
+    * DataFrame (segment union), and the id column name. */
+  private case class IndexProbe(cents: Array[(Int, Array[Double])],
+      assign: org.apache.spark.sql.DataFrame, idName: String)
+
+  /** Resolves the probe inputs if a CURRENT vector index exists for the
     * table's pinned version. IVF_PQ is preferred when both kinds are
     * present — its (id, cid) codes table serves the same probe and the
     * PQ compression makes that read 16× narrower than re-reading
     * vectors; the coarse-centroid probing is identical for both. */
-  private def candidatePlan(table: GraftTable, embName: String,
-      qv: Array[Double]): Option[(LogicalPlan, String)] = {
+  private def indexProbe(table: GraftTable,
+      embName: String): Option[IndexProbe] = {
     val fs = table.dir.getFileSystem(table.conf)
     val (idxRoot, vdir, assignFile) =
       Seq((s"$embName.ivfpq", "codes"), (s"$embName.ivf", "assign"))
@@ -181,16 +198,6 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .find { case (_, dir, _) => fs.exists(dir) }
         .getOrElse(return None)
     val cents = AnnTopKIndexRewrite.centroids(spark, vdir)
-    val nprobe = spark.conf.get("spark.graft.ann.nprobe", "4").toInt
-    val probed = cents
-      .map { case (cid, c) =>
-        var d = 0.0; var i = 0
-        val n = math.min(c.length, qv.length)
-        while (i < n) { val x = c(i) - qv(i); d += x * x; i += 1 }
-        (cid, d)
-      }
-      .sortBy { case (cid, d) => (d, cid) }
-      .take(nprobe).map(_._1)
     // a refreshed index's assignments/codes are a segment union
     // (IndexSegments merge-on-read); a monolithic index resolves to the
     // version dir itself — centroids always live in the version dir
@@ -200,9 +207,49 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val assign = spark.read.parquet(assignDirs: _*)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
-    val cand = assign.filter(col("cid").isin(probed.toIndexedSeq: _*))
-      .select(idName)
-    Some((GraftShim.planOf(cand), idName))
+    Some(IndexProbe(cents, assign, idName))
+  }
+
+  /** Picks the candidate plan for the probe, escalating nprobe while the
+    * shortlist cannot fill k (see the adaptiveNprobe conf doc above).
+    * Returns None when every list would have to be probed — at that
+    * point the semi-join covers the whole version, so the exact scan is
+    * the same answer with a simpler plan. */
+  private def selectCandidates(probe: IndexProbe, qv: Array[Double],
+      child: LogicalPlan, idAttr: Attribute, k: Int): Option[LogicalPlan] = {
+    val nLists = probe.cents.length
+    // full L2 ranking of the coarse centroids, computed once; every
+    // escalation is a longer prefix of the same ranking
+    val ranked = probe.cents
+      .map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        val n = math.min(c.length, qv.length)
+        while (i < n) { val x = c(i) - qv(i); d += x * x; i += 1 }
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .map(_._1)
+    def candPlan(nprobe: Int): LogicalPlan = GraftShim.planOf(
+      probe.assign
+        .filter(col("cid").isin(ranked.take(nprobe).toIndexedSeq: _*))
+        .select(probe.idName))
+    var nprobe = math.max(1, spark.conf.get("spark.graft.ann.nprobe", "4").toInt)
+    if (spark.conf.get("spark.graft.ann.adaptiveNprobe", "true") == "false")
+      return Some(candPlan(nprobe))
+    // the predicate (if any) thins the shortlist, so count THROUGH it:
+    // the count job scans only the probed lists, never the full corpus
+    val filtered = child.collectFirst { case f: Filter => f }.isDefined
+    while (nprobe < nLists) {
+      val cand = candPlan(nprobe)
+      val survivors =
+        if (filtered)
+          GraftShim.dfOf(spark, Join(child, cand, LeftSemi,
+            Some(EqualTo(idAttr, cand.output.head)), JoinHint.NONE)).count()
+        else GraftShim.dfOf(spark, cand).count()
+      if (survivors >= k) return Some(cand)
+      nprobe = math.min(nprobe * 2L, nLists.toLong).toInt
+    }
+    None
   }
 }
 

@@ -119,6 +119,13 @@ object GraftShim {
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** A DataFrame over an arbitrary (resolved) logical plan — the
+    * inverse of [[planOf]]; used by optimizer rules that must execute a
+    * small probe query (e.g. a candidate count) mid-rewrite. */
+  def dfOf(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Driver-side: a DataFrame over an arbitrary DSv2 Table instance
     * (no catalog resolution) — used by maintenance jobs to scan a
     * pinned fragment subset through the normal deletion-aware reader. */

@@ -187,6 +187,113 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** cid → vec_ids of the shared fixture's index, with the lists
+    * L2-ranked nearest-first for queryVec — the same ranking the rule
+    * computes, so tests can place predicates in known lists. */
+  private def listsByRank: Seq[Set[Long]] = {
+    val (cents, assign) = Ivf.readCurrent(spark, dir, "embedding").get
+    val qv = queryVec.map(_.toDouble)
+    val ranked = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)
+        .zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum))
+      .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+    val byCid = assign.select("cid", "vec_id").collect()
+      .groupBy(_.getInt(0)).map { case (c, rs) =>
+        (c, rs.map(_.getLong(1)).toSet) }
+    ranked.map(c => byCid.getOrElse(c, Set.empty[Long])).toSeq
+  }
+
+  test("recall cliff closed: a predicate selecting only rows OUTSIDE " +
+      "every escalated probe falls back to the exact scan and still " +
+      "returns exactly k rows") {
+    dir
+    val ranks = listsByRank
+    // rows living only in the 4 FARTHEST lists: invisible to nprobe
+    // 4 (and every doubling short of all 8), so without the adaptive
+    // guard the probe would return 0 rows for k=10
+    val farIds = ranks.drop(4).flatten.take(10)
+    assume(farIds.size == 10, s"fixture too small: ${farIds.size}")
+    def q = tableDF
+      .where(col("vec_id").isin(farIds.toSeq: _*))
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(10).select("vec_id")
+    val exact = q.collect().map(_.getLong(0)).toSeq
+    withRule {
+      val rows = q.collect().map(_.getLong(0)).toSeq
+      assert(rows.length == 10, s"recall cliff: got ${rows.length} rows")
+      assert(rows == exact, "fallback must equal the exact filtered top-k")
+      assert(semiJoins(q) == 0,
+        "all-lists probe is pointless — rewrite must abandon itself:\n" +
+          q.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("adaptive escalation: a shortlist short of k at the configured " +
+      "nprobe doubles the probe instead of returning short") {
+    dir
+    val ranks = listsByRank
+    // k rows from the SECOND-nearest list only: nprobe=1 sees none of
+    // them, nprobe=2 sees all — the rule must escalate exactly once and
+    // keep the semi-join (no fallback)
+    val ids = ranks(1).take(5)
+    assume(ids.size == 5, s"fixture too small: ${ids.size}")
+    def q = tableDF
+      .where(col("vec_id").isin(ids.toSeq: _*))
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(5).select("vec_id")
+    val exact = q.collect().map(_.getLong(0)).toSeq
+    withRule {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      try {
+        val rows = q.collect().map(_.getLong(0)).toSeq
+        assert(rows.length == 5, s"escalation failed: ${rows.length} rows")
+        // the predicate admits exactly these 5 ids, so the escalated
+        // probe's answer must equal the exact one
+        assert(rows == exact)
+        assert(semiJoins(q) == 1,
+          "escalation (not fallback) must keep the index probe:\n" +
+            q.queryExecution.optimizedPlan)
+      } finally spark.conf.unset("spark.graft.ann.nprobe")
+    }
+  }
+
+  test("unfiltered short probe escalates too; k beyond the corpus falls " +
+      "back to exact") {
+    dir
+    val total = tableDF.count()
+    withRule {
+      // k = whole corpus: no probe subset can fill it -> exact scan
+      val all = topK(total.toInt)
+      assert(semiJoins(all) == 0,
+        "k covering the corpus must not probe:\n" +
+          all.queryExecution.optimizedPlan)
+      assert(all.collect().length == total)
+    }
+  }
+
+  test("adaptiveNprobe=false preserves the legacy post-filter cliff " +
+      "(documented escape hatch)") {
+    dir
+    val ranks = listsByRank
+    val farIds = ranks.drop(4).flatten.take(10)
+    assume(farIds.size == 10)
+    withRule {
+      spark.conf.set("spark.graft.ann.adaptiveNprobe", "false")
+      try {
+        val q = tableDF
+          .where(col("vec_id").isin(farIds.toSeq: _*))
+          .orderBy(VectorFunctions.cosine_sim(
+            col("embedding"), typedlit(queryVec)).desc)
+          .limit(10).select("vec_id")
+        assert(semiJoins(q) == 1, "legacy mode must still probe")
+        assert(q.collect().length < 10,
+          "legacy mode must exhibit the cliff this knob opts back into")
+      } finally spark.conf.unset("spark.graft.ann.adaptiveNprobe")
+    }
+  }
+
   test("rewrite does not fire: conf false, no index, non-literal query") {
     dir
     // conf explicitly false forces exact results despite the index
