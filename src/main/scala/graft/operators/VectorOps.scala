@@ -492,6 +492,61 @@ object VectorOps {
       }
     },
 
+    // The recall-cliff contract end-to-end: a predicate selecting
+    // < 1/nLists of the corpus (vec_id % 43 — sharp, scattered across
+    // lists) with k=10 MUST still return exactly 10 rows. The adaptive
+    // guard (AnnIndexRewrite.selectCandidates) escalates nprobe while
+    // the predicate∩probe shortlist is short of k, falling back to the
+    // exact scan when every list would be probed — either path is
+    // deterministic, so the result is golden-pinnable; the in-query
+    // require makes a recall regression fail loudly rather than pin a
+    // short golden. Mechanism-level cases (which path fires, the
+    // escape hatch) live in AnnRewriteSpec.
+    Q.golden("v11_ann_adaptive", Seq("rank", "vec_id"), "rank",
+      "optimizer rule: sharp-predicate top-k still fills k (adaptive nprobe)") {
+      (s, d) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_wh", "db", "emb_rwa.graft").toUri)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      graft.BenchPhases.timed("v11_ann_adaptive.build") {
+        graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
+        graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
+      }
+      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+      val table = org.apache.spark.sql.GraftShim.tableDF(s,
+        new graft.connector.GraftTable(s"v11:$dir", dir, manifest,
+          s.sessionState.newHadoopConf()))
+      val qv = emb(s, d).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val rule = graft.plans.AnnTopKIndexRewrite(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      s.conf.set("spark.graft.ann.indexRewrite", "true")
+      try {
+        val q = table
+          .where(col("vec_id") % 43 === 0)
+          .orderBy(graft.functions.VectorFunctions.cosine_sim(
+            col("embedding"), typedlit(qv)).desc)
+          .limit(10)
+          .select(col("vec_id"))
+        val rows = graft.BenchPhases.timed("v11_ann_adaptive.probe") {
+          q.collect()
+        }
+        require(rows.length == 10,
+          s"recall cliff: expected exactly k=10 rows, got ${rows.length}")
+        require(rows.forall(_.getLong(0) % 43 == 0),
+          "probe leaked rows the predicate excludes")
+        import s.implicits._
+        rows.map(_.getLong(0)).toSeq.zipWithIndex
+          .map { case (id, i) => (i + 1, id) }.toDF("rank", "vec_id")
+      } finally {
+        s.conf.unset("spark.graft.ann.indexRewrite")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    },
+
     // Embedding-cosine near-duplicate detection: all pairs above a
     // similarity threshold, LSH-blocked so the product never
     // materializes. (Threshold 0.35 is the ~99.9th percentile of this
