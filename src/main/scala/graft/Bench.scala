@@ -63,6 +63,25 @@ object Bench {
     // round's artifact — r5's official numbers read 1.7x high from
     // exactly that.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // environment evidence (r12 VERDICT ask #4): other-JVM count + 1-min
+    // load average at sweep start/end land in the artifact, so a
+    // contended run self-identifies instead of requiring judge
+    // archaeology. Under sbt the parent sbt JVM always counts as one;
+    // the streaming child is gone again by the end probe.
+    def envProbe(): (Int, Double) = {
+      val jvms = try {
+        val self = ProcessHandle.current().pid()
+        ProcessHandle.allProcesses().iterator().asScala.count { p =>
+          p.pid() != self &&
+            p.info().command().map[Boolean](_.contains("java")).orElse(false)
+        }
+      } catch { case _: Throwable => -1 }
+      val load = try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+      (jvms, load)
+    }
+    val (jvmsStart, loadStart) = envProbe()
     case class Run(sec: Double, phases: Map[String, Double], err: Option[String])
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       BenchPhases.clear()
@@ -219,8 +238,32 @@ object Bench {
         s"BENCH_FULL total ${prevTotal.get}s — machine contention likely; " +
         "artifact flagged \"contended\":true, do not publish as-is")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (jvmsEnd, loadEnd) = envProbe()
+    // retry-count contention stamp (BenchGuard.contendedSuspect): the
+    // per-query guard keeps medians honest, this marks the whole run
+    val contendedSuspect = only.isEmpty &&
+      BenchGuard.contendedSuspect(retried.size)
+    if (contendedSuspect) System.err.println(
+      s"WARNING: ${retried.size} isolated retries on a full sweep — " +
+        "the box looks externally contended; artifact stamped " +
+        "\"contended_suspect\":true, prefer a quieter window before " +
+        "committing")
+    // gate-addition guard (BenchGuard.baselineMissing): a gate query
+    // with no committed median makes every baseline-relative rule blind
+    // to it — the stamp makes the artifact say so, loudly
+    val missing =
+      if (only.isEmpty) BenchGuard.baselineMissing(selected.keys, committedQ)
+      else Seq.empty
+    if (missing.nonEmpty) System.err.println(
+      s"WARNING: gate queries with NO committed bench baseline: " +
+        s"${missing.mkString(", ")} — BenchGuard's baseline/uniform rules " +
+        "are blind to them; commit this sweep (or re-run after the last " +
+        "gate addition) to close the gap")
+    val missingJson = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val env = s"""{"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd,""" +
+      s""""load1_start":${r4(loadStart)},"load1_end":${r4(loadEnd)}}"""
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"contended_suspect":$contendedSuspect,"baseline_missing":$missingJson,"env":$env,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
     // the full JSON also lands as a file: the driver's stdout tail can
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
     // judge diffs rounds from this artifact. A contended run must NOT

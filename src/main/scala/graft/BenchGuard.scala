@@ -85,6 +85,31 @@ object BenchGuard {
                 rerunClean: Boolean): Boolean =
     rerunClean && median(rerunSecs) < median(origSecs)
 
+  // whole-run contention stamp (r12 VERDICT ask #4): a full sweep that
+  // needed this many isolated re-runs on untouched code is almost
+  // certainly an externally contended box (r12's driver run: 12
+  // retried, s02 spread [6.24, 30.06] on code identical to the
+  // builder's 0-retry 72s sweep). The per-query guard already keeps
+  // the MEDIANS honest; this stamps the ARTIFACT so a reader can tell
+  // environment from regression without archaeology. Zero-to-five
+  // retries is the observed range of a healthy box.
+  final val ContendedRetryMax = 5
+
+  /** True when a full run's isolated-retry count says the box itself
+    * was contended. */
+  def contendedSuspect(retriedCount: Int): Boolean =
+    retriedCount > ContendedRetryMax
+
+  /** Gate queries with NO committed baseline median — every baseline/
+    * uniform rule is structurally blind to them, and cross-round totals
+    * jump with no code change (r12 VERDICT ask #1: v10 landed after the
+    * closing sweep, so its first committed number was a contended
+    * driver-run median). A non-empty result means: re-run the closing
+    * sweep before the round ends. */
+  def baselineMissing(gate: Iterable[String],
+      committed: Map[String, Double]): Seq[String] =
+    gate.filterNot(committed.contains).toSeq.sorted
+
   /** Parse the committed BENCH_FULL.json artifact with a real JSON
     * reader (r9 ADVICE: the previous regex parse would silently yield
     * an empty baseline — quietly disabling the guard — if the artifact

@@ -80,6 +80,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.uniformSlowdown(Seq(1.30, 1.52, 1.63), None))
   }
 
+  test("r12 driver-run replay: 12 isolated retries stamp the artifact " +
+      "contended_suspect; a healthy sweep does not") {
+    // BENCH_r12's driver window needed 12 retries on code identical to
+    // the builder's 0-retry sweep — the shape the stamp exists for
+    assert(BenchGuard.contendedSuspect(12))
+    // s02's spread in that run ([6.24, 30.06]) also fires the per-query
+    // spread rule, so the median itself was already being defended
+    assert(BenchGuard.spreadNoisy(Seq(6.24, 10.05, 30.06)))
+    // healthy range: the builder's committed sweeps run 0-5 retries
+    assert(!BenchGuard.contendedSuspect(0))
+    assert(!BenchGuard.contendedSuspect(5))
+    assert(BenchGuard.contendedSuspect(6))
+  }
+
+  test("baselineMissing flags gate queries absent from the committed " +
+      "artifact (the v10-after-closing-sweep shape)") {
+    val committed = Map("q01" -> 0.3, "v06" -> 1.2, "v08" -> 1.2)
+    // r12's exact failure: v10 added to the gate after the last sweep
+    assert(BenchGuard.baselineMissing(
+      Seq("q01", "v06", "v08", "v10"), committed) === Seq("v10"))
+    // in-sync gate: nothing missing
+    assert(BenchGuard.baselineMissing(
+      Seq("q01", "v06", "v08"), committed).isEmpty)
+    // a query REMOVED from the gate is not "missing" (stale committed
+    // keys are harmless — the guard just never consults them)
+    assert(BenchGuard.baselineMissing(Seq("q01"), committed).isEmpty)
+    // empty committed baseline (first run ever): everything is missing,
+    // sorted for a stable artifact
+    assert(BenchGuard.baselineMissing(
+      Seq("b", "a"), Map.empty) === Seq("a", "b"))
+  }
+
   test("parseCommitted reads the writer's artifact shape, including reordering") {
     val artifact =
       """{"metric":"total","value":70.77,"unit":"sec",""" +
