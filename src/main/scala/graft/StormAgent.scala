@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The SECOND PROCESS of the two-JVM concurrency storm (r12 VERDICT
+  * ask #2): a standalone main that appends / compacts / vacuums — and
+  * optionally drops + re-creates — a graft table while another JVM
+  * streams it and commits CAS writes. Every cross-process contract in
+  * the format layer (CAS commit chains, ManifestCache revalidation by
+  * (version, mtime, len), generation ids across drop+re-create, vacuum
+  * race tolerance) was previously proven only by same-JVM simulation;
+  * this agent makes the second process real, over file:// and — via
+  * `GRAFT_STORM_ENDPOINT`, real HTTP to the other process's
+  * [[graft.sources.S3LiteServer]] — over s3a:// (the reference's
+  * LocalStack matrix is inherently two-process,
+  * plugin/trino-lance: T/LanceQueryRunner.java:174-193).
+  *
+  * Env contract (set by [[StormHarness.launchAgent]]):
+  *  - GRAFT_STORM_DIR       table directory URI (file:/... or s3a://...)
+  *  - GRAFT_STORM_KEYS      "start:count" — appends one row per key,
+  *                          one CAS commit each
+  *  - GRAFT_STORM_ENDPOINT  optional S3 endpoint (enables the s3a fs)
+  *  - GRAFT_STORM_MAINT     "true" → compact + vacuum after every append
+  *  - GRAFT_STORM_DROP_RECREATE "true" → halfway through, delete the
+  *                          table directory and start a NEW history
+  *                          (fresh generation id minted at its v1)
+  *  - GRAFT_STORM_SLEEP_MS  pacing between appends (default 25)
+  *
+  * Prints `STORM_AGENT_DONE appends=<n>` on success; any failure exits
+  * nonzero with the stack on stderr so the primary's assertions can
+  * tell agent death from storage-layer loss.
+  */
+object StormAgent {
+  def main(args: Array[String]): Unit = {
+    val dirUri = sys.env("GRAFT_STORM_DIR")
+    val keysSpec = sys.env.getOrElse("GRAFT_STORM_KEYS", "1000:10")
+    val Array(start, count) = keysSpec.split(':').map(_.toLong)
+    val maint = sys.env.get("GRAFT_STORM_MAINT").contains("true")
+    val dropRecreate = sys.env.get("GRAFT_STORM_DROP_RECREATE").contains("true")
+    val sleepMs = sys.env.getOrElse("GRAFT_STORM_SLEEP_MS", "25").toLong
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_STORM_ENDPOINT").foreach { ep =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set(graft.sources.S3LiteFileSystem.EndpointKey, ep)
+      hc.setBoolean("fs.s3a.impl.disable.cache", true)
+    }
+    val dir = new Path(new java.net.URI(dirUri))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    var appends = 0
+    (start until start + count).zipWithIndex.foreach { case (k, i) =>
+      if (dropRecreate && i == count / 2) {
+        // an affirmative cross-process drop: the directory goes away
+        // entirely, then a NEW history begins (v1 mints a fresh
+        // generation id) — the primary's strict stream / pinned reads
+        // must fail typed, never deliver generation-B rows as a
+        // continuation of generation A
+        fs.delete(dir, true)
+        graft.connector.GraftWriter.write(fs, dir,
+          Seq(k).toDF("k"), overwrite = true)
+      } else {
+        graft.connector.GraftWriter.write(fs, dir,
+          Seq(k).toDF("k"), overwrite = false)
+      }
+      appends += 1
+      if (maint) {
+        graft.ops.Maintenance.compact(spark, dir, minRows = 1000000L)
+        // time-based retention outlasting the primary's longest drain
+        // (same contract as the in-process storm): the vacuum path
+        // fully runs — listing, manifest walk, file-ref GC — without
+        // aging out a version the other PROCESS may have pinned
+        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 40,
+          olderThanMs = 180000L)
+      }
+      Thread.sleep(sleepMs)
+    }
+    println(s"STORM_AGENT_DONE appends=$appends")
+    spark.stop()
+  }
+}

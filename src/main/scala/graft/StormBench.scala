@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Two-process storm probe (r12 VERDICT ask #2's artifact row): this
+  * JVM and a [[StormAgent]] child JVM interleave CAS appends (the
+  * child also compacts + vacuums after every append) on one table,
+  * over file:// and over s3a:// (real HTTP to this JVM's
+  * S3LiteServer). Writes BENCH_STORM.json: wall time, per-process
+  * commit counts, final-state integrity (lost/duplicated rows,
+  * version-chain contiguity), the typed cross-process CAS conflict,
+  * and the s3a wire evidence (conditional puts, lost races).
+  *
+  * The correctness contract lives in TwoProcessStormSpec; this main
+  * exists so the round artifact carries a committed measurement of the
+  * same storm (`sbt "runMain graft.StormBench"`, quiet box).
+  */
+object StormBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val appendsEach = 30
+    def storm(dir: Path, fs: org.apache.hadoop.fs.FileSystem,
+        childBase: Long): Map[String, Any] = {
+      graft.connector.GraftWriter.write(fs, dir, Seq(-1L).toDF("k"),
+        overwrite = true)
+      val t0 = System.nanoTime()
+      val agent = StormHarness.launchAgent(Map(
+        "GRAFT_STORM_DIR" -> dir.toUri.toString,
+        "GRAFT_STORM_KEYS" -> s"$childBase:$appendsEach",
+        "GRAFT_STORM_MAINT" -> "true",
+        "GRAFT_STORM_SLEEP_MS" -> "15") ++
+        (if (dir.toUri.getScheme == "s3a")
+          Map("GRAFT_STORM_ENDPOINT" ->
+            graft.sources.S3LiteServer.shared.endpoint)
+        else Map.empty))
+      // deterministic typed conflict: commit at a version the child is
+      // about to take
+      var conflictType = "none"
+      val base = graft.format.GraftFormat.readLatest(fs, dir).get
+      (0L until appendsEach).foreach { k =>
+        graft.connector.GraftWriter.write(fs, dir, Seq(k).toDF("k"),
+          overwrite = false)
+        if (conflictType == "none" &&
+            graft.format.GraftFormat.readLatest(fs, dir).get.version >
+              base.version + 1) {
+          try graft.format.GraftFormat.commit(fs, dir, base.copy(
+            version = base.version + 1,
+            createdAtMs = System.currentTimeMillis(),
+            operation = "Append"))
+          catch { case t: Throwable =>
+            conflictType = t.getClass.getSimpleName }
+        }
+        Thread.sleep(15)
+      }
+      val (exit, out) = StormHarness.await(agent, 300)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+      val table = org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"stormbench:$dir", dir, manifest,
+          fs.getConf))
+      val got = table.groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (Seq(-1L) ++ (0L until appendsEach) ++
+        (childBase until childBase + appendsEach)).toSet
+      val versions = graft.format.GraftFormat.listVersions(fs, dir)
+      Map(
+        "wall_sec" -> math.round(wall * 100) / 100.0,
+        "parent_appends" -> appendsEach,
+        "child_appends" -> StormHarness.agentAppends(out),
+        "child_exit" -> exit,
+        "commits_total" -> versions.max,
+        "lost_rows" -> (expected -- got.keySet).size,
+        "dup_rows" -> got.count(_._2 > 1),
+        "versions_contiguous" -> (versions == (versions.min to versions.max)),
+        "typed_conflict" -> conflictType)
+    }
+
+    // file://
+    val fileDir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-stormbench").resolve("t.graft").toUri)
+    val fileFs = fileDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fileRes = storm(fileDir, fileFs, 5000L)
+
+    // s3a:// via real HTTP
+    val srv = graft.sources.S3LiteServer.shared
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+    hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
+    hc.setBoolean("fs.s3a.impl.disable.cache", true)
+    val s3Dir = new Path("s3a://stormbench/t.graft")
+    val s3Fs = s3Dir.getFileSystem(hc)
+    val condBefore = srv.conditionalPuts.get()
+    val racesBefore = srv.lostRaces.get()
+    val s3Res = storm(s3Dir, s3Fs, 7000L) ++ Map(
+      "conditional_puts" -> (srv.conditionalPuts.get() - condBefore),
+      "cas_lost_races" -> (srv.lostRaces.get() - racesBefore))
+    s3Fs.delete(new Path("s3a://stormbench/"), true)
+
+    def jval(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case other => other.toString
+    }
+    def jobj(m: Map[String, Any]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + jval(v) }
+        .mkString("{", ",", "}")
+    val exact = Seq(fileRes, s3Res).forall { r =>
+      r("lost_rows") == 0 && r("dup_rows") == 0 &&
+        r("versions_contiguous") == true && r("child_exit") == 0 }
+    val line = s"""{"metric":"two_process_storm","exactly_once":$exact,""" +
+      s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_STORM.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

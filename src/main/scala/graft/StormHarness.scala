@@ -1,0 +1,53 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Launch/await machinery for the two-process storm's child JVM
+  * ([[StormAgent]]), shared by `TwoProcessStormSpec` (the correctness
+  * gate: exactly-once final state, typed conflicts) and [[StormBench]]
+  * (the committed artifact row). Same launch pattern as the streaming
+  * bench child (Bench.runChildPhase): the current JVM's own flags and
+  * classpath, stdout to a file so a hung child can never block the
+  * parent on a pipe. */
+object StormHarness {
+
+  final case class AgentHandle(proc: Process, out: java.nio.file.Path)
+
+  /** Start a [[StormAgent]] JVM with the given env. Caller must
+    * [[await]] it. */
+  def launchAgent(env: Map[String, String]): AgentHandle = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.StormAgent")
+    val pb = new ProcessBuilder(cmd.asJava)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val outFile = java.nio.file.Files.createTempFile("graft-storm-agent", ".out")
+    outFile.toFile.deleteOnExit()
+    pb.redirectOutput(outFile.toFile)
+    AgentHandle(pb.start(), outFile)
+  }
+
+  /** Wait for the agent; kill it on timeout. Returns (exit code — -1 on
+    * timeout — and its stdout). */
+  def await(h: AgentHandle, timeoutSec: Long): (Int, String) = {
+    val finished = h.proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      h.proc.destroyForcibly()
+      h.proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    val out = try java.nio.file.Files.readString(h.out)
+    catch { case _: Throwable => "" }
+    (if (finished) h.proc.exitValue() else -1, out)
+  }
+
+  /** The agent's self-reported append count, from its DONE line. */
+  def agentAppends(stdout: String): Int =
+    stdout.linesIterator
+      .collectFirst { case l if l.startsWith("STORM_AGENT_DONE") =>
+        l.split("appends=").last.trim.toInt }
+      .getOrElse(-1)
+}
