@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Deep scale probe -> the "deep" section of BENCH_SCALE.json.
+
+At 4x a constant overhead can hide a superlinear term; one more decade
+separates them (r12 VERDICT stretch #6). This probe pushes the queries
+with the HIGHEST 4x ratios (default: v09 semantic dedup at 2.30, t15
+dedup clusters at 2.06) to FACTOR 16x and records base/scaled medians
+and ratios alongside the committed 4x section. Base timings are
+re-measured in the same session as the scaled run so box drift between
+rounds cannot skew the ratio.
+
+The 4x section is left untouched — its covered paths did not change.
+
+Usage: python3 tools/scale_probe_deep.py  (from the repo root)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+SRC = os.environ.get("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("GRAFT_SCALE_DEEP_FACTOR", "16"))
+OUT = os.environ.get("GRAFT_SCALE_DEEP_DIR", f"/tmp/graft_scale/sf_deep{FACTOR}")
+QUERIES = os.environ.get("GRAFT_SCALE_DEEP_QUERIES", "t15,v09")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    p = subprocess.run(cmd, shell=True, capture_output=True, text=True, env=e)
+    if p.returncode != 0:
+        sys.exit(f"FAILED: {cmd}\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+    return p.stdout
+
+
+def bench(sf_dir):
+    out = run('sbt -batch "runMain graft.Bench"', env={
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_BENCH_ONLY": QUERIES,
+        "SPARK_GRAFT_CPUS": CPUS,
+    })
+    m = re.search(r'\{"metric":.*\}', out)
+    if not m:
+        sys.exit(f"no bench line in output:\n{out[-2000:]}")
+    parsed = json.loads(m.group(0))
+    if parsed.get("errs"):
+        sys.exit(f"bench reported query errors at {sf_dir}: {parsed['errs']}")
+    return parsed
+
+
+def main():
+    with open("BENCH_SCALE.json") as f:
+        result = json.load(f)
+
+    print(f"generating {FACTOR}x corpus at {OUT} ...")
+    run(f'sbt -batch "runMain graft.ScaleGen {SRC} {OUT} {FACTOR}"',
+        env={"SPARK_GRAFT_CPUS": CPUS})
+
+    print("bench: base scale (deep queries) ...")
+    base = bench(SRC)
+    print(f"bench: {FACTOR}x scale (deep queries) ...")
+    scaled = bench(OUT)
+
+    deep = {
+        "factor": FACTOR,
+        "why": ("the two highest 4x ratios pushed one decade further: at "
+                "4x a constant overhead can hide a superlinear term"),
+        "base_sec": base["queries"],
+        "scaled_sec": scaled["queries"],
+        "ratio": {},
+        "verdict": {},
+    }
+    ok = True
+    bound = FACTOR * 1.5
+    for q, b in base["queries"].items():
+        s = scaled["queries"].get(q)
+        if s is None:
+            continue
+        ratio = s / max(b, 0.2)
+        deep["ratio"][q] = round(ratio, 2)
+        verdict = "ok" if ratio <= bound else f"SUPERLINEAR (> {bound:.1f}x)"
+        deep["verdict"][q] = verdict
+        ok = ok and ratio <= bound
+    deep["all_linear"] = ok
+    result["deep"] = deep
+    with open("BENCH_SCALE.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(deep, indent=1))
+    if not ok:
+        sys.exit(f"superlinear query at {FACTOR}x - scaling failed")
+
+
+if __name__ == "__main__":
+    main()
