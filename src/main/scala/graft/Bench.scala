@@ -68,20 +68,35 @@ object Bench {
     // contended run self-identifies instead of requiring judge
     // archaeology. Under sbt the parent sbt JVM always counts as one;
     // the streaming child is gone again by the end probe.
-    def envProbe(): (Int, Double) = {
-      val jvms = try {
+    // (java count, unreadable count, load1): a process whose command is
+    // unreadable (another user's, /proc-restricted) is counted
+    // SEPARATELY rather than silently as not-java — evidence that
+    // exonerates what it cannot see is worse than none; and "java" must
+    // be the executable's basename, not a substring of its path
+    def envProbe(): (Int, Int, Double) = {
+      val (jvms, unreadable) = try {
         val self = ProcessHandle.current().pid()
-        ProcessHandle.allProcesses().iterator().asScala.count { p =>
-          p.pid() != self &&
-            p.info().command().map[Boolean](_.contains("java")).orElse(false)
+        var j = 0; var u = 0
+        ProcessHandle.allProcesses().iterator().asScala.foreach { p =>
+          if (p.pid() != self) {
+            val info = p.info()
+            val cmd: String = info.command().orElse(
+              info.commandLine().map[String](_.split(' ').head).orElse(null))
+            Option(cmd) match {
+              case None => u += 1
+              case Some(c) =>
+                if (new java.io.File(c).getName.startsWith("java")) j += 1
+            }
+          }
         }
-      } catch { case _: Throwable => -1 }
+        (j, u)
+      } catch { case _: Throwable => (-1, -1) }
       val load = try java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
-      (jvms, load)
+      (jvms, unreadable, load)
     }
-    val (jvmsStart, loadStart) = envProbe()
+    val (jvmsStart, unreadableStart, loadStart) = envProbe()
     case class Run(sec: Double, phases: Map[String, Double], err: Option[String])
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       BenchPhases.clear()
@@ -238,7 +253,7 @@ object Bench {
         s"BENCH_FULL total ${prevTotal.get}s — machine contention likely; " +
         "artifact flagged \"contended\":true, do not publish as-is")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val (jvmsEnd, loadEnd) = envProbe()
+    val (jvmsEnd, unreadableEnd, loadEnd) = envProbe()
     // retry-count contention stamp (BenchGuard.contendedSuspect): the
     // per-query guard keeps medians honest, this marks the whole run
     val contendedSuspect = only.isEmpty &&
@@ -261,6 +276,8 @@ object Bench {
         "gate addition) to close the gap")
     val missingJson = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = s"""{"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd,""" +
+      s""""procs_unreadable_start":$unreadableStart,""" +
+      s""""procs_unreadable_end":$unreadableEnd,""" +
       s""""load1_start":${r4(loadStart)},"load1_end":${r4(loadEnd)}}"""
     val line =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"contended_suspect":$contendedSuspect,"baseline_missing":$missingJson,"env":$env,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
@@ -268,10 +285,14 @@ object Bench {
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
     // judge diffs rounds from this artifact. A contended run must NOT
     // clobber the last clean committed artifact — it lands beside it.
+    // contended_suspect routes beside the clean artifact too: a 1.3x
+    // uniform inflation sits under the 1.5x total trigger but 6+
+    // retries say the box was busy — writing it to BENCH_FULL.json
+    // would poison next round's guard baseline exactly like r10's did
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.nonEmpty) "BENCH_PARTIAL.json"
-        else if (contended) "BENCH_CONTENDED.json"
+        else if (contended || contendedSuspect) "BENCH_CONTENDED.json"
         else "BENCH_FULL.json"),
       line + "\n")
     println(line)
@@ -290,38 +311,24 @@ object Bench {
       repeats: Int): Option[PhaseResults] = {
     if (names.isEmpty) return None
     try {
-      val javaBin = new java.io.File(
-        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
-      val pb = new ProcessBuilder(cmd.asJava)
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
-      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS", repeats.toString)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // launch via StormHarness (one copy of the child-JVM machinery);
       // stdout goes to a file so the parent never blocks on a pipe: a
       // child whose query or spark.stop() deadlocks (the saturation
       // scenario the child JVM exists to isolate) must time out into
       // the in-process fallback, not hang the whole bench run
-      val outFile = java.nio.file.Files.createTempFile("graft-bench-child", ".out")
-      outFile.toFile.deleteOnExit()
-      pb.redirectOutput(outFile.toFile)
       val timeoutSec = sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_CHILD_TIMEOUT_SEC", "900").toLong
-      val p = pb.start()
-      val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) {
-        p.destroyForcibly()
-        p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      val h = StormHarness.launchJvm("graft.Bench", Map(
+        "SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
+        "SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> cpus,
+        "SPARK_GRAFT_BENCH_REPEATS" -> repeats.toString))
+      val (exit, out) = StormHarness.await(h, timeoutSec)
+      if (exit == -1) {
         System.err.println(s"WARNING: streaming child JVM exceeded " +
           s"${timeoutSec}s and was killed; falling back in-process")
         return None
       }
-      val out = java.nio.file.Files.readString(outFile)
-      val exit = p.exitValue()
       val line = out.linesIterator
         .filter(_.contains("\"metric\"")).toSeq.lastOption
       if (exit != 0 || line.isEmpty) {

@@ -2,34 +2,38 @@ package graft
 
 import scala.jdk.CollectionConverters._
 
-/** Launch/await machinery for the two-process storm's child JVM
-  * ([[StormAgent]]), shared by `TwoProcessStormSpec` (the correctness
-  * gate: exactly-once final state, typed conflicts) and [[StormBench]]
-  * (the committed artifact row). Same launch pattern as the streaming
-  * bench child (Bench.runChildPhase): the current JVM's own flags and
+/** Child-JVM launch/await machinery: the current JVM's own flags and
   * classpath, stdout to a file so a hung child can never block the
-  * parent on a pipe. */
+  * parent on a pipe. Used by the two-process storm
+  * ([[StormAgent]] via `TwoProcessStormSpec` and [[StormBench]]) and by
+  * the bench's isolated streaming phase ([[Bench]] runChildPhase) —
+  * one copy, so a launch fix reaches every child. */
 object StormHarness {
 
   final case class AgentHandle(proc: Process, out: java.nio.file.Path)
 
-  /** Start a [[StormAgent]] JVM with the given env. Caller must
-    * [[await]] it. */
-  def launchAgent(env: Map[String, String]): AgentHandle = {
+  /** Start `mainClass` in a fresh JVM with the given extra env. Caller
+    * must [[await]] it. */
+  def launchJvm(mainClass: String, env: Map[String, String]): AgentHandle = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), "graft.StormAgent")
+      Seq("-cp", sys.props("java.class.path"), mainClass)
     val pb = new ProcessBuilder(cmd.asJava)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val outFile = java.nio.file.Files.createTempFile("graft-storm-agent", ".out")
+    val outFile = java.nio.file.Files.createTempFile("graft-child-jvm", ".out")
     outFile.toFile.deleteOnExit()
     pb.redirectOutput(outFile.toFile)
     AgentHandle(pb.start(), outFile)
   }
+
+  /** Start a [[StormAgent]] JVM with the given env. Caller must
+    * [[await]] it. */
+  def launchAgent(env: Map[String, String]): AgentHandle =
+    launchJvm("graft.StormAgent", env)
 
   /** Wait for the agent; kill it on timeout. Returns (exit code — -1 on
     * timeout — and its stdout). */

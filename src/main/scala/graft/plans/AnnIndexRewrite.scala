@@ -34,7 +34,7 @@ import graft.functions.{CosineSim, L2Squared}
   * version, ANN queries become approximate index probes automatically,
   * exactly as the reference's scans flip vector indexes on when the
   * Lance sidecar is present (LanceFragmentPageSource.java:126). The
-  * staleness gate is exact-version match ([[candidatePlan]]): any
+  * staleness gate is exact-version match ([[indexProbe]]): any
   * commit after the build makes the index invisible, so a stale index
   * can never change results — queries silently revert to the exact
   * scan until a rebuild/refresh.
@@ -50,10 +50,10 @@ import graft.functions.{CosineSim, L2Squared}
   * probing every list cannot fill k, the rewrite abandons itself and
   * the exact scan runs. This closes the filtered-ANN recall cliff — a
   * sharp predicate can no longer silently thin the shortlist below k —
-  * at the cost of one small count job per ANN query (candidate side
-  * only when unfiltered; predicate ∩ probed lists when filtered, i.e.
-  * the count never scans more of the corpus than the probe itself
-  * would).
+  * at the cost of exactly ONE count job per ANN query regardless of
+  * how far nprobe escalates: survivors are counted per list and each
+  * escalation level is a driver-side prefix sum (see
+  * [[selectCandidates]]).
   *
   * Scale shape: centroids (k×dim doubles) are read once per (table,
   * version) and cached driver-side; the probe itself is plan surgery —
@@ -214,7 +214,15 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * shortlist cannot fill k (see the adaptiveNprobe conf doc above).
     * Returns None when every list would have to be probed — at that
     * point the semi-join covers the whole version, so the exact scan is
-    * the same answer with a simpler plan. */
+    * the same answer with a simpler plan.
+    *
+    * Cost shape: ONE count job regardless of how far nprobe escalates —
+    * survivors are counted PER LIST (through the query's own predicate
+    * when one sits below the sort) and every escalation level is a
+    * driver-side prefix sum over the centroid ranking. The count job's
+    * scan is the same scan the rewritten query itself performs (the
+    * probe's semi-join cuts the SORT input, not the scan), so the
+    * adaptive guard adds one job, never a new scan shape. */
   private def selectCandidates(probe: IndexProbe, qv: Array[Double],
       child: LogicalPlan, idAttr: Attribute, k: Int): Option[LogicalPlan] = {
     val nLists = probe.cents.length
@@ -233,20 +241,32 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       probe.assign
         .filter(col("cid").isin(ranked.take(nprobe).toIndexedSeq: _*))
         .select(probe.idName))
-    var nprobe = math.max(1, spark.conf.get("spark.graft.ann.nprobe", "4").toInt)
+    val base = math.max(1, spark.conf.get("spark.graft.ann.nprobe", "4").toInt)
     if (spark.conf.get("spark.graft.ann.adaptiveNprobe", "true") == "false")
-      return Some(candPlan(nprobe))
-    // the predicate (if any) thins the shortlist, so count THROUGH it:
-    // the count job scans only the probed lists, never the full corpus
+      return Some(candPlan(base))
+    // survivors per list, one job: inner-join the (id, cid) assignments
+    // to the child (whose Filter, if any, thins them — the rows counted
+    // are EXACTLY the rows the rewritten query's semi-join would keep,
+    // list by list), then group by list. Assignment columns are renamed
+    // first so a corpus column named "cid" cannot collide.
     val filtered = child.collectFirst { case f: Filter => f }.isDefined
-    while (nprobe < nLists) {
-      val cand = candPlan(nprobe)
-      val survivors =
+    val perList: Map[Int, Long] = {
+      val assign = probe.assign.select(
+        col(probe.idName).as("__graft_probe_id"),
+        col("cid").as("__graft_probe_cid"))
+      val assignPlan = GraftShim.planOf(assign)
+      val counted =
         if (filtered)
-          GraftShim.dfOf(spark, Join(child, cand, LeftSemi,
-            Some(EqualTo(idAttr, cand.output.head)), JoinHint.NONE)).count()
-        else GraftShim.dfOf(spark, cand).count()
-      if (survivors >= k) return Some(cand)
+          GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
+            Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
+        else assign
+      counted.groupBy(col("__graft_probe_cid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    var nprobe = base
+    while (nprobe < nLists) {
+      val survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
+      if (survivors >= k) return Some(candPlan(nprobe))
       nprobe = math.min(nprobe * 2L, nLists.toLong).toInt
     }
     None

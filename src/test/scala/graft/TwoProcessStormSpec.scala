@@ -206,7 +206,11 @@ class TwoProcessStormSpec extends AnyFunSuite {
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      // a timed-out drain must stop the query, not leave it racing the
+      // agent's drop+re-create in the background
+      if (!q.awaitTermination(60000)) {
+        q.stop(); fail("drain exceeded 60s")
+      }
     }
     drain() // checkpoint bound to generation A
     assert(spark.read.parquet(out).count() == 3)

@@ -15,40 +15,24 @@ Usage: python3 tools/scale_probe_deep.py  (from the repo root)
 """
 import json
 import os
-import re
-import subprocess
 import sys
 
 SRC = os.environ.get("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("GRAFT_SCALE_DEEP_FACTOR", "16"))
 OUT = os.environ.get("GRAFT_SCALE_DEEP_DIR", f"/tmp/graft_scale/sf_deep{FACTOR}")
 QUERIES = os.environ.get("GRAFT_SCALE_DEEP_QUERIES", "t15,v09")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# reuse scale_probe's run/bench (same sbt invocation, artifact-line
+# parse, and errored-run rejection) rather than forking a copy that
+# would drift; its module-level QUERIES is env-derived, so pin the deep
+# query set before import
+os.environ["GRAFT_SCALE_QUERIES"] = QUERIES
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import scale_probe  # noqa: E402
 
-def run(cmd, env=None):
-    e = dict(os.environ)
-    if env:
-        e.update(env)
-    p = subprocess.run(cmd, shell=True, capture_output=True, text=True, env=e)
-    if p.returncode != 0:
-        sys.exit(f"FAILED: {cmd}\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
-    return p.stdout
-
-
-def bench(sf_dir):
-    out = run('sbt -batch "runMain graft.Bench"', env={
-        "SPARK_GRAFT_SF_DIR": sf_dir,
-        "SPARK_GRAFT_BENCH_ONLY": QUERIES,
-        "SPARK_GRAFT_CPUS": CPUS,
-    })
-    m = re.search(r'\{"metric":.*\}', out)
-    if not m:
-        sys.exit(f"no bench line in output:\n{out[-2000:]}")
-    parsed = json.loads(m.group(0))
-    if parsed.get("errs"):
-        sys.exit(f"bench reported query errors at {sf_dir}: {parsed['errs']}")
-    return parsed
+run = scale_probe.run
+bench = scale_probe.bench
+CPUS = scale_probe.CPUS
 
 
 def main():
