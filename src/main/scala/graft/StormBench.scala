@@ -42,26 +42,42 @@ object StormBench {
           Map("GRAFT_STORM_ENDPOINT" ->
             graft.sources.S3LiteServer.shared.endpoint)
         else Map.empty))
-      // deterministic typed conflict: commit at a version the child is
-      // about to take
-      var conflictType = "none"
-      val base = graft.format.GraftFormat.readLatest(fs, dir).get
-      (0L until appendsEach).foreach { k =>
-        graft.connector.GraftWriter.write(fs, dir, Seq(k).toDF("k"),
-          overwrite = false)
-        if (conflictType == "none" &&
-            graft.format.GraftFormat.readLatest(fs, dir).get.version >
-              base.version + 1) {
+      // a parent-side failure past this point must not leave an orphan
+      // agent storming the box (the closing bench sweep runs later on
+      // the same machine and must see a quiet JVM landscape)
+      val (exit, out, conflictType) = try {
+        // typed CROSS-process conflict: the parent is QUIET until the
+        // head moves, so the version that takes base+1 can only be the
+        // child's — committing at it then is guaranteed to lose to the
+        // other process (the same discipline as TwoProcessStormSpec;
+        // an interleaving-lucky parent-vs-parent collision would prove
+        // nothing)
+        var conflict = "none"
+        val base = graft.format.GraftFormat.readLatest(fs, dir).get
+        val waitDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (graft.format.GraftFormat.readLatest(fs, dir).get.version ==
+            base.version && System.nanoTime() < waitDeadline)
+          Thread.sleep(50)
+        if (graft.format.GraftFormat.readLatest(fs, dir).get.version >
+            base.version) {
           try graft.format.GraftFormat.commit(fs, dir, base.copy(
             version = base.version + 1,
             createdAtMs = System.currentTimeMillis(),
             operation = "Append"))
           catch { case t: Throwable =>
-            conflictType = t.getClass.getSimpleName }
+            conflict = t.getClass.getSimpleName }
         }
-        Thread.sleep(15)
+        (0L until appendsEach).foreach { k =>
+          graft.connector.GraftWriter.write(fs, dir, Seq(k).toDF("k"),
+            overwrite = false)
+          Thread.sleep(15)
+        }
+        val (e, o) = StormHarness.await(agent, 300)
+        (e, o, conflict)
+      } finally {
+        agent.proc.destroyForcibly()
+        ()
       }
-      val (exit, out) = StormHarness.await(agent, 300)
       val wall = (System.nanoTime() - t0) / 1e9
       val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
       val table = org.apache.spark.sql.GraftShim.tableDF(spark,

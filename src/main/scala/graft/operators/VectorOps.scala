@@ -530,9 +530,10 @@ object VectorOps {
             col("embedding"), typedlit(qv)).desc)
           .limit(10)
           .select(col("vec_id"))
-        val rows = graft.BenchPhases.timed("v11_ann_adaptive.probe") {
-          q.collect()
-        }
+        // no explicit .probe sub-phase: Bench derives <q>.probe =
+        // total - build whenever <q>.build exists; timing it here too
+        // would emit a duplicate key into the artifact's phases object
+        val rows = q.collect()
         require(rows.length == 10,
           s"recall cliff: expected exactly k=10 rows, got ${rows.length}")
         require(rows.forall(_.getLong(0) % 43 == 0),

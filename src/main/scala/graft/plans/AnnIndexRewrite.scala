@@ -50,9 +50,11 @@ import graft.functions.{CosineSim, L2Squared}
   * probing every list cannot fill k, the rewrite abandons itself and
   * the exact scan runs. This closes the filtered-ANN recall cliff — a
   * sharp predicate can no longer silently thin the shortlist below k —
-  * at the cost of exactly ONE count job per ANN query regardless of
-  * how far nprobe escalates: survivors are counted per list and each
-  * escalation level is a driver-side prefix sum (see
+  * at the cost of at most ONE count job per distinct ANN query
+  * regardless of how far nprobe escalates: survivors are counted per
+  * list, each escalation level is a driver-side prefix sum, and the
+  * counts are cached per (index version dir, canonicalized plan) so
+  * explain()/re-planning the same query never re-runs the job (see
   * [[selectCandidates]]).
   *
   * Scale shape: centroids (k×dim doubles) are read once per (table,
@@ -142,8 +144,12 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // would open (shortlist thinned below k) is closed by the
     // adaptiveNprobe escalation in selectCandidates. The Filter node
     // itself stays in place — the rewrite only adds the semi-join
-    // above it
-    case Filter(_, c) => graftTableOf(c)
+    // above it. DETERMINISTIC predicates only: a rand()-style filter
+    // would evaluate once in the plan-time survivor count and again at
+    // execution over different rows, voiding the >=k guarantee (and
+    // double-firing any side effects) — such queries keep the exact
+    // scan
+    case Filter(cond, c) if cond.deterministic => graftTableOf(c)
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTable => Some(t); case _ => None
     }
@@ -177,9 +183,11 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A resolved index probe: coarse centroids, the assignments/codes
-    * DataFrame (segment union), and the id column name. */
+    * DataFrame (segment union), the id column name, and the version
+    * directory (immutable once written — the survivor-count cache keys
+    * on it). */
   private case class IndexProbe(cents: Array[(Int, Array[Double])],
-      assign: org.apache.spark.sql.DataFrame, idName: String)
+      assign: org.apache.spark.sql.DataFrame, idName: String, vdir: Path)
 
   /** Resolves the probe inputs if a CURRENT vector index exists for the
     * table's pinned version. IVF_PQ is preferred when both kinds are
@@ -207,7 +215,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val assign = spark.read.parquet(assignDirs: _*)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
-    Some(IndexProbe(cents, assign, idName))
+    Some(IndexProbe(cents, assign, idName, vdir))
   }
 
   /** Picks the candidate plan for the probe, escalating nprobe while the
@@ -250,19 +258,26 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // list by list), then group by list. Assignment columns are renamed
     // first so a corpus column named "cid" cannot collide.
     val filtered = child.collectFirst { case f: Filter => f }.isDefined
-    val perList: Map[Int, Long] = {
-      val assign = probe.assign.select(
-        col(probe.idName).as("__graft_probe_id"),
-        col("cid").as("__graft_probe_cid"))
-      val assignPlan = GraftShim.planOf(assign)
-      val counted =
-        if (filtered)
-          GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
-            Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
-        else assign
-      counted.groupBy(col("__graft_probe_cid")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    }
+    // cached per (immutable index version dir, canonicalized child):
+    // explain() + execution of the same query — or a re-built DataFrame
+    // of it — pays the count job once, so plan inspection stays cheap
+    // after the first access. Deterministic-predicate-only (enforced in
+    // graftTableOf), so a cached count can never drift from a re-run.
+    val cacheKey = (probe.vdir.toString, child.canonicalized.toString)
+    val perList: Map[Int, Long] =
+      AnnTopKIndexRewrite.survivorCounts.computeIfAbsent(cacheKey, _ => {
+        val assign = probe.assign.select(
+          col(probe.idName).as("__graft_probe_id"),
+          col("cid").as("__graft_probe_cid"))
+        val assignPlan = GraftShim.planOf(assign)
+        val counted =
+          if (filtered)
+            GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
+              Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
+          else assign
+        counted.groupBy(col("__graft_probe_cid")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      })
     var nprobe = base
     while (nprobe < nLists) {
       val survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
@@ -286,6 +301,22 @@ object AnnTopKIndexRewrite {
         .collect()
         .map(r => (r.getInt(0),
           r.getSeq[Double](1).toArray)))
+
+  /** Adaptive-guard survivor counts per (index version dir,
+    * canonicalized child plan) — both immutable for a pinned version
+    * and a deterministic predicate, so entries never go stale; bounded
+    * by a whole-map reset (distinct (index, predicate) pairs per JVM
+    * are few, but a metadata-map would leak on a long-lived driver
+    * serving many ad-hoc filters). */
+  private[plans] val survivorCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[Int, Long]]() {
+      override def computeIfAbsent(key: (String, String),
+          f: java.util.function.Function[_ >: (String, String), _ <: Map[Int, Long]])
+          : Map[Int, Long] = {
+        if (size() > 256) clear()
+        super.computeIfAbsent(key, f)
+      }
+    }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the rule in

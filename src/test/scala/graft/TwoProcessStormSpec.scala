@@ -94,7 +94,12 @@ class TwoProcessStormSpec extends AnyFunSuite {
 
       var prev = Map.empty[Long, Long]
       var drains = 0
+      // hard deadline: a wedged agent JVM (spark.stop() deadlock) must
+      // fail the test, not hang the whole suite in this loop
+      val loopDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
       while (appender.isAlive || agent.proc.isAlive) {
+        assert(System.nanoTime() < loopDeadline,
+          "storm exceeded 240s with the agent still alive — wedged child?")
         drain(); drains += 1
         val now = counts()
         now.foreach { case (k, c) =>

@@ -102,6 +102,14 @@ def main():
     result["all_linear"] = ok
     result["total_ratio"] = round(
         result["scaled_total_sec"] / max(result["base_total_sec"], 1e-9), 2)
+    # a 4x refresh must not erase the committed deep (16x) section —
+    # scale_probe_deep.py owns that key and preserves this section in
+    # return
+    if os.path.exists("BENCH_SCALE.json"):
+        with open("BENCH_SCALE.json") as f:
+            prev = json.load(f)
+        if "deep" in prev:
+            result["deep"] = prev["deep"]
     with open("BENCH_SCALE.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
