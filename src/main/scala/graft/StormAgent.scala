@@ -25,11 +25,20 @@ import org.apache.spark.sql.SparkSession
   *  - GRAFT_STORM_DROP_RECREATE "true" → halfway through, delete the
   *                          table directory and start a NEW history
   *                          (fresh generation id minted at its v1)
+  *  - GRAFT_STORM_DELETE    "true" → after every 4th append, row-level
+  *                          DELETE the key appended 3 earlier (its own
+  *                          keys at offsets 0, 4, 8, … — deterministic,
+  *                          so the primary can assert the exact final
+  *                          set). Runs through the SQL catalog (the dir
+  *                          must be warehouse/db/name.graft-shaped) and
+  *                          retries the statement on a typed
+  *                          ConcurrentModificationException, exactly
+  *                          like a second engine would
   *  - GRAFT_STORM_SLEEP_MS  pacing between appends (default 25)
   *
-  * Prints `STORM_AGENT_DONE appends=<n>` on success; any failure exits
-  * nonzero with the stack on stderr so the primary's assertions can
-  * tell agent death from storage-layer loss.
+  * Prints `STORM_AGENT_DONE appends=<n> deletes=<m>` on success; any
+  * failure exits nonzero with the stack on stderr so the primary's
+  * assertions can tell agent death from storage-layer loss.
   */
 object StormAgent {
   def main(args: Array[String]): Unit = {
@@ -52,9 +61,41 @@ object StormAgent {
       hc.set(graft.sources.S3LiteFileSystem.EndpointKey, ep)
       hc.setBoolean("fs.s3a.impl.disable.cache", true)
     }
-    val dir = new Path(new java.net.URI(dirUri))
+    // Path(String) normalization strips the trailing slash that
+    // java.nio's toUri appends for an existing directory — without it
+    // getName/getParent (used to derive the DELETE catalog's db/table)
+    // split one level off
+    val dir = new Path(dirUri)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
+    val doDelete = sys.env.get("GRAFT_STORM_DELETE").contains("true")
+    var deletes = 0
+    // row-level deletes resolve the SAME directory through the SQL
+    // catalog (dir = <warehouse>/<db>/<name>.graft)
+    lazy val deleteTable: String = {
+      val db = dir.getParent.getName
+      val name = dir.getName.stripSuffix(".graft")
+      spark.conf.set("spark.sql.catalog.stormc", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.stormc.warehouse",
+        dir.getParent.getParent.toString)
+      s"stormc.$db.$name"
+    }
+    def deleteRetrying(k: Long): Unit = {
+      var attempts = 0
+      while (attempts < 25) {
+        attempts += 1
+        try { spark.sql(s"DELETE FROM $deleteTable WHERE k = $k"); return }
+        catch {
+          case t: Throwable =>
+            def typed(x: Throwable): Boolean = x != null &&
+              (x.isInstanceOf[
+                graft.format.GraftFormat.ConcurrentModificationException] ||
+                typed(x.getCause))
+            if (!typed(t)) throw t // losers retry the STATEMENT
+        }
+      }
+      sys.error(s"DELETE k=$k never committed after 25 attempts")
+    }
     var appends = 0
     (start until start + count).zipWithIndex.foreach { case (k, i) =>
       if (dropRecreate && i == count / 2) {
@@ -71,6 +112,12 @@ object StormAgent {
           Seq(k).toDF("k"), overwrite = false)
       }
       appends += 1
+      // delete own key at offset i-3 after every 4th append: the DV
+      // write races the primary's inserts and this JVM's own compacts
+      if (doDelete && i % 4 == 3) {
+        deleteRetrying(start + i - 3)
+        deletes += 1
+      }
       if (maint) {
         graft.ops.Maintenance.compact(spark, dir, minRows = 1000000L)
         // time-based retention outlasting the primary's longest drain
@@ -82,7 +129,7 @@ object StormAgent {
       }
       Thread.sleep(sleepMs)
     }
-    println(s"STORM_AGENT_DONE appends=$appends")
+    println(s"STORM_AGENT_DONE appends=$appends deletes=$deletes")
     spark.stop()
   }
 }

@@ -48,10 +48,17 @@ object StormHarness {
     (if (finished) h.proc.exitValue() else -1, out)
   }
 
-  /** The agent's self-reported append count, from its DONE line. */
-  def agentAppends(stdout: String): Int =
+  /** A `key=value` Int from the agent's DONE line (-1 when absent). */
+  private def doneField(stdout: String, key: String): Int =
     stdout.linesIterator
       .collectFirst { case l if l.startsWith("STORM_AGENT_DONE") =>
-        l.split("appends=").last.trim.toInt }
+        s"$key=(\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toInt).getOrElse(-1) }
       .getOrElse(-1)
+
+  /** The agent's self-reported append count, from its DONE line. */
+  def agentAppends(stdout: String): Int = doneField(stdout, "appends")
+
+  /** The agent's self-reported row-level delete count. */
+  def agentDeletes(stdout: String): Int = doneField(stdout, "deletes")
 }

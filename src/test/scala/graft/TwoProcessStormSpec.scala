@@ -24,12 +24,14 @@ class TwoProcessStormSpec extends AnyFunSuite {
 
   private def launch(dir: Path, keys: String, maint: Boolean,
       dropRecreate: Boolean = false, endpoint: Option[String] = None,
+      deletes: Boolean = false,
       sleepMs: Int = 40): StormHarness.AgentHandle =
     StormHarness.launchAgent(Map(
       "GRAFT_STORM_DIR" -> dir.toUri.toString,
       "GRAFT_STORM_KEYS" -> keys,
       "GRAFT_STORM_MAINT" -> maint.toString,
       "GRAFT_STORM_DROP_RECREATE" -> dropRecreate.toString,
+      "GRAFT_STORM_DELETE" -> deletes.toString,
       "GRAFT_STORM_SLEEP_MS" -> sleepMs.toString) ++
       endpoint.map("GRAFT_STORM_ENDPOINT" -> _))
 
@@ -48,8 +50,12 @@ class TwoProcessStormSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-2p-out").toString
 
     val childKeys = 1000L until 1012L
+    // the child row-level-DELETEs its own keys at offsets 0, 4, 8
+    // (through its own catalog, racing our inserts and its compactions)
+    val childDeleted = Set(1000L, 1004L, 1008L)
     val parentKeys = 0L until 12L
-    val agent = launch(dir, "1000:12", maint = true, sleepMs = 60)
+    val agent = launch(dir, "1000:12", maint = true, deletes = true,
+      sleepMs = 60)
     try {
       // deterministic cross-process typed conflict: pin the current
       // head as a base, wait for the OTHER PROCESS to advance it, then
@@ -113,19 +119,25 @@ class TwoProcessStormSpec extends AnyFunSuite {
       val (exit, agentOut) = StormHarness.await(agent, 120)
       assert(exit == 0, s"storm agent died: exit=$exit out=$agentOut")
       assert(StormHarness.agentAppends(agentOut) == 12, agentOut)
+      assert(StormHarness.agentDeletes(agentOut) == 3, agentOut)
       drain() // close out the tail after every cross-process commit
 
-      val expected = (parentKeys ++ childKeys).toSet
-      // the stream lost nothing from EITHER process
+      val all = (parentKeys ++ childKeys).toSet
+      val expected = all -- childDeleted
+      // the stream lost nothing that is still live; a deleted key MAY
+      // appear (it was live when a drain saw it) but nothing outside
+      // the appended sets ever can
       val fin = counts()
-      assert(fin.keySet == expected,
+      assert((expected -- fin.keySet).isEmpty,
         s"stream lost: ${expected -- fin.keySet}")
+      assert((fin.keySet -- all).isEmpty,
+        s"stream invented: ${fin.keySet -- all}")
       fin.foreach { case (k, c) => assert(c <= drains + 1,
         s"k=$k delivered $c times across ${drains + 1} drains") }
-      // the TABLE is exactly-once regardless of stream re-delivery:
-      // this batch read ALSO proves cross-process ManifestCache
-      // revalidation (this JVM cached the table while the other JVM
-      // advanced it)
+      // the TABLE is exactly-once regardless of stream re-delivery —
+      // deleted keys GONE, everything else exactly once. This batch
+      // read ALSO proves cross-process ManifestCache revalidation
+      // (this JVM cached the table while the other JVM advanced it)
       val tbl = spark.table("tps.db.storm").groupBy("k").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(tbl.keySet == expected,
@@ -142,50 +154,103 @@ class TwoProcessStormSpec extends AnyFunSuite {
     }
   }
 
-  test("two-JVM storm over s3a://: both processes commit CAS appends " +
-      "through real HTTP; exactly-once final state, conditional puts " +
-      "crossed the wire from the child too") {
+  test("two-JVM storm over s3a://: the child appends+deletes+compacts+" +
+      "vacuums through real HTTP while this JVM streams and inserts; " +
+      "exactly-once final state, conditional puts crossed the wire " +
+      "from the child too") {
     val srv = graft.sources.S3LiteServer.shared
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
     hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
     hc.setBoolean("fs.s3a.impl.disable.cache", true)
-    val dir = new Path("s3a://twoproc/t.graft")
+    spark.conf.set("spark.sql.catalog.tps3", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tps3.warehouse", "s3a://twoproc/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tps3.db")
+    spark.sql("DROP TABLE IF EXISTS tps3.db.storm")
+    spark.sql("CREATE TABLE tps3.db.storm (k BIGINT)")
+    val dir = new Path("s3a://twoproc/wh/db/storm.graft")
     val fs = dir.getFileSystem(hc)
-    import spark.implicits._
-    GraftWriterHelper.append(spark, fs, dir, -1L, overwrite = true)
+    val ckpt = Files.createTempDirectory("graft-2ps3-ckpt").toString
+    val out = Files.createTempDirectory("graft-2ps3-out").toString
 
+    val childKeys = 2000L until 2010L
+    // 10 appends fire the every-4th delete at i=3 and i=7 only
+    val childDeleted = Set(2000L, 2004L)
+    val parentKeys = 0L until 10L
     val condBefore = srv.conditionalPuts.get()
-    val agent = launch(dir, "2000:10", maint = true,
+    val agent = launch(dir, "2000:10", maint = true, deletes = true,
       endpoint = Some(srv.endpoint), sleepMs = 30)
     try {
-      (0L until 10L).foreach { k =>
-        GraftWriterHelper.append(spark, fs, dir, k)
-        Thread.sleep(30)
+      val appendErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val appender = new Thread(() => {
+        try parentKeys.foreach { k =>
+          spark.sql(s"INSERT INTO tps3.db.storm VALUES ($k)")
+          Thread.sleep(30)
+        } catch { case t: Throwable => appendErr.set(t) }
+      }, "2ps3-parent-appender")
+      appender.start()
+
+      def drain(): Unit = {
+        val q = spark.readStream.table("tps3.db.storm")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(120000)) {
+          q.stop(); fail("s3a drain exceeded 120s")
+        }
       }
+      def counts(): Map[Long, Long] =
+        spark.read.parquet(out).groupBy("k").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      var prev = Map.empty[Long, Long]
+      var drains = 0
+      val loopDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (appender.isAlive || agent.proc.isAlive) {
+        assert(System.nanoTime() < loopDeadline,
+          "s3a storm exceeded 240s with the agent still alive")
+        drain(); drains += 1
+        val now = counts()
+        now.foreach { case (k, c) =>
+          assert(c - prev.getOrElse(k, 0L) <= 1,
+            s"k=$k delivered ${c - prev.getOrElse(k, 0L)} times in drain $drains")
+        }
+        prev = now
+        Thread.sleep(150)
+      }
+      appender.join()
+      assert(appendErr.get() == null, s"parent appender died: ${appendErr.get()}")
       val (exit, agentOut) = StormHarness.await(agent, 180)
       assert(exit == 0, s"storm agent died: exit=$exit out=$agentOut")
       assert(StormHarness.agentAppends(agentOut) == 10, agentOut)
+      assert(StormHarness.agentDeletes(agentOut) == 2, agentOut)
+      drain()
       // every commit from BOTH processes was a store-enforced
-      // conditional put over HTTP (parent seed + 10 + 10 appends +
-      // child compactions), and none overwrote another
-      assert(srv.conditionalPuts.get() - condBefore >= 21,
-        s"expected >=21 conditional puts, saw ${srv.conditionalPuts.get() - condBefore}")
+      // conditional put over HTTP (10 + 10 appends + child compactions
+      // and DV deletes), and none overwrote another
+      assert(srv.conditionalPuts.get() - condBefore >= 20,
+        s"expected >=20 conditional puts, saw ${srv.conditionalPuts.get() - condBefore}")
 
-      val manifest = GraftFormat.readLatest(fs, dir).get
-      val table = org.apache.spark.sql.GraftShim.tableDF(spark,
-        new graft.connector.GraftTable(s"2ps3:$dir", dir, manifest, hc))
-      val got = table.groupBy("k").count().collect()
+      val all = (parentKeys ++ childKeys).toSet
+      val expected = all -- childDeleted
+      val fin = counts()
+      assert((expected -- fin.keySet).isEmpty,
+        s"stream lost: ${expected -- fin.keySet}")
+      assert((fin.keySet -- all).isEmpty,
+        s"stream invented: ${fin.keySet -- all}")
+      fin.foreach { case (k, c) => assert(c <= drains + 1,
+        s"k=$k delivered $c times across ${drains + 1} drains") }
+      val tbl = spark.table("tps3.db.storm").groupBy("k").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val expected = (Seq(-1L) ++ (0L until 10L) ++ (2000L until 2010L)).toSet
-      assert(got.keySet == expected,
-        s"lost: ${expected -- got.keySet}; extra ${got.keySet -- expected}")
-      assert(got.values.forall(_ == 1L), s"duplicated: ${got.filter(_._2 > 1)}")
+      assert(tbl.keySet == expected,
+        s"table lost: ${expected -- tbl.keySet}; extra ${tbl.keySet -- expected}")
+      assert(tbl.values.forall(_ == 1L), s"duplicated: ${tbl.filter(_._2 > 1)}")
       val versions = GraftFormat.listVersions(fs, dir)
       assert(versions == (versions.min to versions.max),
         s"version chain has holes: $versions")
     } finally {
       agent.proc.destroyForcibly()
+      spark.sql("DROP TABLE IF EXISTS tps3.db.storm")
       fs.delete(new Path("s3a://twoproc/"), true)
     }
   }
@@ -255,16 +320,5 @@ class TwoProcessStormSpec extends AnyFunSuite {
       agent.proc.destroyForcibly()
       spark.sql("DROP TABLE IF EXISTS tpg.db.ev")
     }
-  }
-}
-
-/** One-row CAS append used by the storm's parent side (the child uses
-  * the same GraftWriter path inside [[StormAgent]]). */
-object GraftWriterHelper {
-  def append(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path, k: Long,
-      overwrite: Boolean = false): Unit = {
-    import spark.implicits._
-    graft.connector.GraftWriter.write(fs, dir, Seq(k).toDF("k"), overwrite)
   }
 }
