@@ -87,9 +87,15 @@ object StormAgent {
         try { spark.sql(s"DELETE FROM $deleteTable WHERE k = $k"); return }
         catch {
           case t: Throwable =>
+            // retryable: a concurrent commit touched our fragments, OR
+            // the commit lost 20 straight CAS rounds under storm load
+            // (commitWithRetry rethrows CommitConflictException once
+            // exhausted) — both mean "re-read and retry the STATEMENT"
             def typed(x: Throwable): Boolean = x != null &&
               (x.isInstanceOf[
                 graft.format.GraftFormat.ConcurrentModificationException] ||
+                x.isInstanceOf[
+                  graft.format.GraftFormat.CommitConflictException] ||
                 typed(x.getCause))
             if (!typed(t)) throw t // losers retry the STATEMENT
         }

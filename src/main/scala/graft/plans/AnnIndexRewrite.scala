@@ -183,11 +183,15 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A resolved index probe: coarse centroids, the assignments/codes
-    * DataFrame (segment union), the id column name, and the version
-    * directory (immutable once written — the survivor-count cache keys
-    * on it). */
+    * DataFrame (segment union), the id column name, and the cache
+    * identity `genVdir` = generation id + version directory. The vdir
+    * alone is NOT immutable identity: DROP + re-create can reach the
+    * same version and rebuild an index at the byte-identical path —
+    * the generation id (fresh per re-create) is what pins cached
+    * centroids/counts to THIS history. */
   private case class IndexProbe(cents: Array[(Int, Array[Double])],
-      assign: org.apache.spark.sql.DataFrame, idName: String, vdir: Path)
+      assign: org.apache.spark.sql.DataFrame, idName: String,
+      genVdir: String)
 
   /** Resolves the probe inputs if a CURRENT vector index exists for the
     * table's pinned version. IVF_PQ is preferred when both kinds are
@@ -205,7 +209,9 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         .find { case (_, dir, _) => fs.exists(dir) }
         .getOrElse(return None)
-    val cents = AnnTopKIndexRewrite.centroids(spark, vdir)
+    val genVdir = table.manifest.properties
+      .getOrElse(GraftFormat.TableIdProp, "") + "|" + vdir
+    val cents = AnnTopKIndexRewrite.centroids(spark, vdir, genVdir)
     // a refreshed index's assignments/codes are a segment union
     // (IndexSegments merge-on-read); a monolithic index resolves to the
     // version dir itself — centroids always live in the version dir
@@ -215,7 +221,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val assign = spark.read.parquet(assignDirs: _*)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
-    Some(IndexProbe(cents, assign, idName, vdir))
+    Some(IndexProbe(cents, assign, idName, genVdir))
   }
 
   /** Picks the candidate plan for the probe, escalating nprobe while the
@@ -258,14 +264,20 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // list by list), then group by list. Assignment columns are renamed
     // first so a corpus column named "cid" cannot collide.
     val filtered = child.collectFirst { case f: Filter => f }.isDefined
-    // cached per (immutable index version dir, canonicalized child):
+    // cached per (generation + index version dir, canonicalized child
+    // PLAN — structural equality, never a truncating toString, so two
+    // long IN-lists sharing a rendered prefix cannot collide): an
     // explain() + execution of the same query — or a re-built DataFrame
     // of it — pays the count job once, so plan inspection stays cheap
     // after the first access. Deterministic-predicate-only (enforced in
     // graftTableOf), so a cached count can never drift from a re-run.
-    val cacheKey = (probe.vdir.toString, child.canonicalized.toString)
+    // The job runs OUTSIDE the map (get, compute, putIfAbsent): a
+    // multi-second collect inside computeIfAbsent would hold a bin lock
+    // and serialize concurrent query planning; a racy duplicate count
+    // is harmless for a cache.
+    val cacheKey = (probe.genVdir, child.canonicalized)
     val perList: Map[Int, Long] =
-      AnnTopKIndexRewrite.survivorCounts.computeIfAbsent(cacheKey, _ => {
+      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)).getOrElse {
         val assign = probe.assign.select(
           col(probe.idName).as("__graft_probe_id"),
           col("cid").as("__graft_probe_cid"))
@@ -275,9 +287,13 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
               Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
           else assign
-        counted.groupBy(col("__graft_probe_cid")).count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      })
+        val computed = counted.groupBy(col("__graft_probe_cid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
+          AnnTopKIndexRewrite.survivorCounts.clear()
+        AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)
+        computed
+      }
     var nprobe = base
     while (nprobe < nLists) {
       val survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
@@ -289,34 +305,32 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object AnnTopKIndexRewrite {
-  /** (cid, centroid) rows, cached per index-version directory — a few
-    * KB; avoids re-running the centroid read on every re-optimization. */
+  /** (cid, centroid) rows, cached per (generation id | index-version
+    * dir) — a few KB; avoids re-running the centroid read on every
+    * re-optimization. The generation id in the key keeps a DROP +
+    * re-create that rebuilds an index at the same version path from
+    * serving the dead history's centroids. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
-  private[plans] def centroids(spark: SparkSession,
-      vdir: Path): Array[(Int, Array[Double])] =
-    cache.computeIfAbsent(vdir.toString, _ =>
+  private[plans] def centroids(spark: SparkSession, vdir: Path,
+      genVdir: String): Array[(Int, Array[Double])] =
+    cache.computeIfAbsent(genVdir, _ =>
       spark.read.parquet(new Path(vdir, "centroids").toString)
         .collect()
         .map(r => (r.getInt(0),
           r.getSeq[Double](1).toArray)))
 
-  /** Adaptive-guard survivor counts per (index version dir,
-    * canonicalized child plan) — both immutable for a pinned version
-    * and a deterministic predicate, so entries never go stale; bounded
-    * by a whole-map reset (distinct (index, predicate) pairs per JVM
-    * are few, but a metadata-map would leak on a long-lived driver
-    * serving many ad-hoc filters). */
+  /** Adaptive-guard survivor counts per (generation + index version
+    * dir, canonicalized child plan) — immutable identity for a pinned
+    * version within one generation and a deterministic predicate, so
+    * entries never go stale; bounded by a whole-map reset (distinct
+    * (index, predicate) pairs per JVM are few, but a metadata-map would
+    * leak on a long-lived driver serving many ad-hoc filters). Populated
+    * get/putIfAbsent-style — never compute a Spark job under a CHM bin
+    * lock. */
   private[plans] val survivorCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[Int, Long]]() {
-      override def computeIfAbsent(key: (String, String),
-          f: java.util.function.Function[_ >: (String, String), _ <: Map[Int, Long]])
-          : Map[Int, Long] = {
-        if (size() > 256) clear()
-        super.computeIfAbsent(key, f)
-      }
-    }
+    new java.util.concurrent.ConcurrentHashMap[(String, LogicalPlan), Map[Int, Long]]()
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the rule in

@@ -9,15 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.format.GraftFormat
 
 /** TRUE cross-process concurrency (r12 VERDICT ask #2): a second JVM
-  * ([[StormAgent]], launched per test) appends / compacts / vacuums —
-  * and drops + re-creates — tables that THIS JVM is simultaneously
-  * streaming and committing to, over file:// and over s3a:// (real
-  * HTTP to this JVM's S3LiteServer — two OS processes sharing one
-  * object store, the reference's LocalStack shape). Every prior race
-  * spec simulated the second process in-JVM; here the filesystem is
-  * the only channel, so any hidden reliance on shared-JVM ordering
-  * (a synchronized block, a shared cache) would surface as loss,
-  * duplication, or an untyped error.
+  * ([[StormAgent]], launched per test) appends / row-level-DELETEs /
+  * compacts / vacuums — and drops + re-creates — tables that THIS JVM
+  * is simultaneously streaming and committing to, over file:// and
+  * over s3a:// (real HTTP to this JVM's S3LiteServer — two OS
+  * processes sharing one object store, the reference's LocalStack
+  * shape). Every prior race spec simulated the second process in-JVM;
+  * here the filesystem is the only channel, so any hidden reliance on
+  * shared-JVM ordering (a synchronized block, a shared cache) would
+  * surface as loss, duplication, or an untyped error.
   */
 class TwoProcessStormSpec extends AnyFunSuite {
   import TestSpark._
@@ -35,9 +35,100 @@ class TwoProcessStormSpec extends AnyFunSuite {
       "GRAFT_STORM_SLEEP_MS" -> sleepMs.toString) ++
       endpoint.map("GRAFT_STORM_ENDPOINT" -> _))
 
-  test("two-JVM storm over file://: child appends+compacts+vacuums while " +
-      "this JVM streams and inserts — exactly-once final state, typed " +
-      "cross-process CAS conflict") {
+  private case class StormOutcome(drains: Int, streamCounts: Map[Long, Long],
+      agentExit: Int, agentOut: String, tableCounts: Map[Long, Long],
+      versions: Seq[Long])
+
+  /** Shared primary-side storm driver: runs `duringQuiet` right after
+    * launch while the parent is NOT yet writing (the file:// test forces
+    * its cross-process conflict there, when only the child can move the
+    * head), then inserts `parentKeys` through the catalog while draining
+    * AvailableNow batches — asserting no within-drain double delivery —
+    * until both the appender and the agent finish; one closing drain;
+    * returns final stream/table/version state. */
+  private def driveStorm(table: String, dir: Path,
+      agent: StormHarness.AgentHandle, parentKeys: Seq[Long],
+      insertSleepMs: Long)(duringQuiet: => Unit): StormOutcome = {
+    val ckpt = Files.createTempDirectory("graft-2p-ckpt").toString
+    val out = Files.createTempDirectory("graft-2p-out").toString
+    duringQuiet
+    val appendErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try parentKeys.foreach { k =>
+        spark.sql(s"INSERT INTO $table VALUES ($k)")
+        Thread.sleep(insertSleepMs)
+      } catch { case t: Throwable => appendErr.set(t) }
+    }, "2p-parent-appender")
+    appender.start()
+
+    def drain(): Unit = {
+      val q = spark.readStream.table(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(120000)) {
+        q.stop(); fail("drain exceeded 120s")
+      }
+    }
+    def counts(): Map[Long, Long] =
+      spark.read.parquet(out).groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var prev = Map.empty[Long, Long]
+    var drains = 0
+    // hard deadline: a wedged agent JVM (spark.stop() deadlock) must
+    // fail the test, not hang the whole suite in this loop
+    val loopDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+    while (appender.isAlive || agent.proc.isAlive) {
+      assert(System.nanoTime() < loopDeadline,
+        "storm exceeded 240s with the agent still alive — wedged child?")
+      drain(); drains += 1
+      val now = counts()
+      now.foreach { case (k, c) =>
+        assert(c - prev.getOrElse(k, 0L) <= 1,
+          s"k=$k delivered ${c - prev.getOrElse(k, 0L)} times in drain $drains")
+      }
+      prev = now
+      Thread.sleep(150)
+    }
+    appender.join()
+    assert(appendErr.get() == null, s"parent appender died: ${appendErr.get()}")
+    val (exit, agentOut) = StormHarness.await(agent, 180)
+    drain() // close out the tail after every cross-process commit
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    StormOutcome(drains + 1, counts(), exit, agentOut,
+      spark.table(table).groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      GraftFormat.listVersions(fs, dir))
+  }
+
+  /** The shared final-state contract: the stream lost nothing still
+    * live and invented nothing (a deleted key MAY appear — it was live
+    * when a drain saw it); the TABLE is exactly-once with deleted keys
+    * GONE; the version chain is a contiguous range under two-process
+    * CAS + vacuum (prefix-only cuts). The batch read ALSO proves
+    * cross-process ManifestCache revalidation: this JVM cached the
+    * table while the other JVM advanced it. */
+  private def assertExactlyOnce(o: StormOutcome, all: Set[Long],
+      live: Set[Long]): Unit = {
+    assert((live -- o.streamCounts.keySet).isEmpty,
+      s"stream lost: ${live -- o.streamCounts.keySet}")
+    assert((o.streamCounts.keySet -- all).isEmpty,
+      s"stream invented: ${o.streamCounts.keySet -- all}")
+    o.streamCounts.foreach { case (k, c) => assert(c <= o.drains,
+      s"k=$k delivered $c times across ${o.drains} drains") }
+    assert(o.tableCounts.keySet == live,
+      s"table lost: ${live -- o.tableCounts.keySet}; " +
+        s"extra ${o.tableCounts.keySet -- live}")
+    assert(o.tableCounts.values.forall(_ == 1L),
+      s"duplicated rows: ${o.tableCounts.filter(_._2 > 1)}")
+    assert(o.versions == (o.versions.min to o.versions.max),
+      s"version chain has holes: ${o.versions}")
+  }
+
+  test("two-JVM storm over file://: child appends+deletes+compacts+" +
+      "vacuums while this JVM streams and inserts — exactly-once final " +
+      "state, typed cross-process CAS conflict") {
     val wh = Files.createTempDirectory("graft-2p-wh").toString
     spark.conf.set("spark.sql.catalog.tps", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.tps.warehouse", wh)
@@ -46,8 +137,6 @@ class TwoProcessStormSpec extends AnyFunSuite {
     val dir = new Path(
       java.nio.file.Paths.get(wh, "db", "storm.graft").toUri)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val ckpt = Files.createTempDirectory("graft-2p-ckpt").toString
-    val out = Files.createTempDirectory("graft-2p-out").toString
 
     val childKeys = 1000L until 1012L
     // the child row-level-DELETEs its own keys at offsets 0, 4, 8
@@ -57,97 +146,35 @@ class TwoProcessStormSpec extends AnyFunSuite {
     val agent = launch(dir, "1000:12", maint = true, deletes = true,
       sleepMs = 60)
     try {
-      // deterministic cross-process typed conflict: pin the current
-      // head as a base, wait for the OTHER PROCESS to advance it, then
-      // commit at the now-taken version — must lose typed, never
-      // overwrite
-      val base = {
-        var m = GraftFormat.readLatest(fs, dir).get
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (GraftFormat.readLatest(fs, dir).get.version == m.version &&
-            System.nanoTime() < deadline) Thread.sleep(30)
-        m
-      }
-      val head = GraftFormat.readLatest(fs, dir).get
-      assume(head.version > base.version,
-        "child never committed within 60s — box too slow for this test")
-      val e = intercept[GraftFormat.CommitConflictException] {
-        GraftFormat.commit(fs, dir, base.copy(
-          version = base.version + 1,
-          createdAtMs = System.currentTimeMillis(),
-          operation = "Append"))
-      }
-      assert(e.getMessage.nonEmpty)
-
-      val appender = new Thread(() => parentKeys.foreach { k =>
-        spark.sql(s"INSERT INTO tps.db.storm VALUES ($k)")
-        Thread.sleep(40)
-      }, "2p-parent-appender")
-      appender.start()
-
-      def drain(): Unit = {
-        val q = spark.readStream.table("tps.db.storm")
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(120000)) {
-          q.stop(); fail("drain exceeded 120s")
+      val o = driveStorm("tps.db.storm", dir, agent, parentKeys, 40) {
+        // deterministic cross-process typed conflict, while the parent
+        // is QUIET: pin the current head as a base, wait for the OTHER
+        // PROCESS to advance it, then commit at the now-taken version —
+        // must lose typed, never overwrite
+        val base = {
+          val m = GraftFormat.readLatest(fs, dir).get
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (GraftFormat.readLatest(fs, dir).get.version == m.version &&
+              System.nanoTime() < deadline) Thread.sleep(30)
+          m
         }
-      }
-      def counts(): Map[Long, Long] =
-        spark.read.parquet(out).groupBy("k").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-
-      var prev = Map.empty[Long, Long]
-      var drains = 0
-      // hard deadline: a wedged agent JVM (spark.stop() deadlock) must
-      // fail the test, not hang the whole suite in this loop
-      val loopDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
-      while (appender.isAlive || agent.proc.isAlive) {
-        assert(System.nanoTime() < loopDeadline,
-          "storm exceeded 240s with the agent still alive — wedged child?")
-        drain(); drains += 1
-        val now = counts()
-        now.foreach { case (k, c) =>
-          assert(c - prev.getOrElse(k, 0L) <= 1,
-            s"k=$k delivered ${c - prev.getOrElse(k, 0L)} times in drain $drains")
+        val head = GraftFormat.readLatest(fs, dir).get
+        assume(head.version > base.version,
+          "child never committed within 60s — box too slow for this test")
+        val e = intercept[GraftFormat.CommitConflictException] {
+          GraftFormat.commit(fs, dir, base.copy(
+            version = base.version + 1,
+            createdAtMs = System.currentTimeMillis(),
+            operation = "Append"))
         }
-        prev = now
-        Thread.sleep(150)
+        assert(e.getMessage.nonEmpty)
       }
-      appender.join()
-      val (exit, agentOut) = StormHarness.await(agent, 120)
-      assert(exit == 0, s"storm agent died: exit=$exit out=$agentOut")
-      assert(StormHarness.agentAppends(agentOut) == 12, agentOut)
-      assert(StormHarness.agentDeletes(agentOut) == 3, agentOut)
-      drain() // close out the tail after every cross-process commit
-
+      assert(o.agentExit == 0,
+        s"storm agent died: exit=${o.agentExit} out=${o.agentOut}")
+      assert(StormHarness.agentAppends(o.agentOut) == 12, o.agentOut)
+      assert(StormHarness.agentDeletes(o.agentOut) == 3, o.agentOut)
       val all = (parentKeys ++ childKeys).toSet
-      val expected = all -- childDeleted
-      // the stream lost nothing that is still live; a deleted key MAY
-      // appear (it was live when a drain saw it) but nothing outside
-      // the appended sets ever can
-      val fin = counts()
-      assert((expected -- fin.keySet).isEmpty,
-        s"stream lost: ${expected -- fin.keySet}")
-      assert((fin.keySet -- all).isEmpty,
-        s"stream invented: ${fin.keySet -- all}")
-      fin.foreach { case (k, c) => assert(c <= drains + 1,
-        s"k=$k delivered $c times across ${drains + 1} drains") }
-      // the TABLE is exactly-once regardless of stream re-delivery —
-      // deleted keys GONE, everything else exactly once. This batch
-      // read ALSO proves cross-process ManifestCache revalidation
-      // (this JVM cached the table while the other JVM advanced it)
-      val tbl = spark.table("tps.db.storm").groupBy("k").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(tbl.keySet == expected,
-        s"table lost: ${expected -- tbl.keySet}; extra ${tbl.keySet -- expected}")
-      assert(tbl.values.forall(_ == 1L), s"duplicated rows: ${tbl.filter(_._2 > 1)}")
-      // version chain stays a contiguous range under two-process CAS +
-      // vacuum (prefix-only cuts)
-      val versions = GraftFormat.listVersions(fs, dir)
-      assert(versions == (versions.min to versions.max),
-        s"version chain has holes: $versions")
+      assertExactlyOnce(o, all, all -- childDeleted)
     } finally {
       agent.proc.destroyForcibly()
       spark.sql("DROP TABLE IF EXISTS tps.db.storm")
@@ -170,8 +197,6 @@ class TwoProcessStormSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE tps3.db.storm (k BIGINT)")
     val dir = new Path("s3a://twoproc/wh/db/storm.graft")
     val fs = dir.getFileSystem(hc)
-    val ckpt = Files.createTempDirectory("graft-2ps3-ckpt").toString
-    val out = Files.createTempDirectory("graft-2ps3-out").toString
 
     val childKeys = 2000L until 2010L
     // 10 appends fire the every-4th delete at i=3 and i=7 only
@@ -181,73 +206,19 @@ class TwoProcessStormSpec extends AnyFunSuite {
     val agent = launch(dir, "2000:10", maint = true, deletes = true,
       endpoint = Some(srv.endpoint), sleepMs = 30)
     try {
-      val appendErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val appender = new Thread(() => {
-        try parentKeys.foreach { k =>
-          spark.sql(s"INSERT INTO tps3.db.storm VALUES ($k)")
-          Thread.sleep(30)
-        } catch { case t: Throwable => appendErr.set(t) }
-      }, "2ps3-parent-appender")
-      appender.start()
-
-      def drain(): Unit = {
-        val q = spark.readStream.table("tps3.db.storm")
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(120000)) {
-          q.stop(); fail("s3a drain exceeded 120s")
-        }
-      }
-      def counts(): Map[Long, Long] =
-        spark.read.parquet(out).groupBy("k").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-
-      var prev = Map.empty[Long, Long]
-      var drains = 0
-      val loopDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
-      while (appender.isAlive || agent.proc.isAlive) {
-        assert(System.nanoTime() < loopDeadline,
-          "s3a storm exceeded 240s with the agent still alive")
-        drain(); drains += 1
-        val now = counts()
-        now.foreach { case (k, c) =>
-          assert(c - prev.getOrElse(k, 0L) <= 1,
-            s"k=$k delivered ${c - prev.getOrElse(k, 0L)} times in drain $drains")
-        }
-        prev = now
-        Thread.sleep(150)
-      }
-      appender.join()
-      assert(appendErr.get() == null, s"parent appender died: ${appendErr.get()}")
-      val (exit, agentOut) = StormHarness.await(agent, 180)
-      assert(exit == 0, s"storm agent died: exit=$exit out=$agentOut")
-      assert(StormHarness.agentAppends(agentOut) == 10, agentOut)
-      assert(StormHarness.agentDeletes(agentOut) == 2, agentOut)
-      drain()
+      val o = driveStorm("tps3.db.storm", dir, agent, parentKeys, 30)(())
+      assert(o.agentExit == 0,
+        s"storm agent died: exit=${o.agentExit} out=${o.agentOut}")
+      assert(StormHarness.agentAppends(o.agentOut) == 10, o.agentOut)
+      assert(StormHarness.agentDeletes(o.agentOut) == 2, o.agentOut)
       // every commit from BOTH processes was a store-enforced
       // conditional put over HTTP (10 + 10 appends + child compactions
       // and DV deletes), and none overwrote another
       assert(srv.conditionalPuts.get() - condBefore >= 20,
-        s"expected >=20 conditional puts, saw ${srv.conditionalPuts.get() - condBefore}")
-
+        s"expected >=20 conditional puts, saw " +
+          s"${srv.conditionalPuts.get() - condBefore}")
       val all = (parentKeys ++ childKeys).toSet
-      val expected = all -- childDeleted
-      val fin = counts()
-      assert((expected -- fin.keySet).isEmpty,
-        s"stream lost: ${expected -- fin.keySet}")
-      assert((fin.keySet -- all).isEmpty,
-        s"stream invented: ${fin.keySet -- all}")
-      fin.foreach { case (k, c) => assert(c <= drains + 1,
-        s"k=$k delivered $c times across ${drains + 1} drains") }
-      val tbl = spark.table("tps3.db.storm").groupBy("k").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(tbl.keySet == expected,
-        s"table lost: ${expected -- tbl.keySet}; extra ${tbl.keySet -- expected}")
-      assert(tbl.values.forall(_ == 1L), s"duplicated: ${tbl.filter(_._2 > 1)}")
-      val versions = GraftFormat.listVersions(fs, dir)
-      assert(versions == (versions.min to versions.max),
-        s"version chain has holes: $versions")
+      assertExactlyOnce(o, all, all -- childDeleted)
     } finally {
       agent.proc.destroyForcibly()
       spark.sql("DROP TABLE IF EXISTS tps3.db.storm")

@@ -106,10 +106,15 @@ def main():
     # scale_probe_deep.py owns that key and preserves this section in
     # return
     if os.path.exists("BENCH_SCALE.json"):
-        with open("BENCH_SCALE.json") as f:
-            prev = json.load(f)
-        if "deep" in prev:
-            result["deep"] = prev["deep"]
+        try:
+            with open("BENCH_SCALE.json") as f:
+                prev = json.load(f)
+            if "deep" in prev:
+                result["deep"] = prev["deep"]
+        except (json.JSONDecodeError, OSError) as e:
+            # a corrupt/partial previous artifact must not discard this
+            # run's freshly-benched result; it only loses the carry-over
+            print(f"WARNING: could not carry deep section forward: {e}")
     with open("BENCH_SCALE.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
