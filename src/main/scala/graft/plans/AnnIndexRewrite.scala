@@ -269,13 +269,24 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // long IN-lists sharing a rendered prefix cannot collide): an
     // explain() + execution of the same query — or a re-built DataFrame
     // of it — pays the count job once, so plan inspection stays cheap
-    // after the first access. Deterministic-predicate-only (enforced in
-    // graftTableOf), so a cached count can never drift from a re-run.
-    // The job runs OUTSIDE the map (get, compute, putIfAbsent): a
-    // multi-second collect inside computeIfAbsent would hold a bin lock
-    // and serialize concurrent query planning; a racy duplicate count
-    // is harmless for a cache.
-    val cacheKey = (probe.genVdir, child.canonicalized)
+    // after the first access. The relation leaf is erased from the key
+    // (its identity — dir, version, generation — is already genVdir;
+    // the Table object itself compares by reference, which would make
+    // every re-built DataFrame a cache miss) while the filter and
+    // projection structure above it is kept verbatim.
+    // Deterministic-predicate-only (enforced in graftTableOf), so a
+    // cached count can never drift from a re-run. The job runs OUTSIDE
+    // the map (get, compute, putIfAbsent): a multi-second collect
+    // inside computeIfAbsent would hold a bin lock and serialize
+    // concurrent query planning; a racy duplicate count is harmless
+    // for a cache.
+    val planKey = child.canonicalized.transform {
+      case r: DataSourceV2Relation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
+      case r: DataSourceV2ScanRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
+    }
+    val cacheKey = (probe.genVdir, planKey)
     val perList: Map[Int, Long] =
       Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)).getOrElse {
         val assign = probe.assign.select(
@@ -329,7 +340,7 @@ object AnnTopKIndexRewrite {
     * leak on a long-lived driver serving many ad-hoc filters). Populated
     * get/putIfAbsent-style — never compute a Spark job under a CHM bin
     * lock. */
-  private[plans] val survivorCounts =
+  private[graft] val survivorCounts =
     new java.util.concurrent.ConcurrentHashMap[(String, LogicalPlan), Map[Int, Long]]()
 }
 

@@ -294,6 +294,51 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("survivor counts: one count job per distinct query (cache hit on " +
+      "re-plan), and a re-created generation NEVER reuses the dead " +
+      "history's counts") {
+    val d = new Path(java.nio.file.Files
+      .createTempDirectory("graft-anncache").resolve("e.graft").toUri)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.connector.GraftWriter.write(fs, d, e, overwrite = true)
+    Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+    def df = {
+      val conf = spark.sessionState.newHadoopConf()
+      val manifest = graft.format.GraftFormat.readLatest(fs, d).get
+      org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"anncache:$d", d, manifest, conf))
+    }
+    def q = df.where(col("vec_id") % 3 === 0)
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(5).select("vec_id")
+    val cache = graft.plans.AnnTopKIndexRewrite.survivorCounts
+    withRule {
+      val size0 = cache.size()
+      val first = q.collect().map(_.getLong(0)).toSeq
+      assert(cache.size() == size0 + 1,
+        "first plan of a new query must add exactly one counts entry")
+      // a RE-BUILT DataFrame of the same query re-plans from scratch:
+      // the canonicalized-plan key must hit, not recount
+      assert(q.collect().map(_.getLong(0)).toSeq == first)
+      assert(cache.size() == size0 + 1,
+        "re-planning the same query must hit the cache, not recount")
+      // drop + re-create: same rows, same version, same index path —
+      // only the generation id differs. Keying on the version dir alone
+      // would serve the dead history's counts; the fresh generation
+      // must get its own entry
+      fs.delete(d, true)
+      graft.connector.GraftWriter.write(fs, d, e, overwrite = true)
+      Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+      assert(q.collect().map(_.getLong(0)).toSeq == first,
+        "identical data must give identical results across generations")
+      assert(cache.size() == size0 + 2,
+        "a re-created generation must mint a NEW counts entry — " +
+          "reusing the dead history's is the stale-cache recall hole")
+    }
+  }
+
   test("rewrite does not fire: conf false, no index, non-literal query") {
     dir
     // conf explicitly false forces exact results despite the index
