@@ -339,6 +339,46 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("property: filtered adaptive ANN always returns min(k, matches) " +
+      "predicate-true rows across seeded random predicates and ks") {
+    dir
+    val allIds = tableDF.select("vec_id").collect().map(_.getLong(0))
+    val rnd = new scala.util.Random(20260815L)
+    withRule {
+      (1 to 12).foreach { i =>
+        val subsetSize = 1 + rnd.nextInt(30)
+        val s = rnd.shuffle(allIds.toVector).take(subsetSize).toSet
+        val k = 1 + rnd.nextInt(15)
+        val q = tableDF
+          .where(col("vec_id").isin(s.toSeq: _*))
+          .orderBy(VectorFunctions.cosine_sim(
+            col("embedding"), typedlit(queryVec)).desc)
+          .limit(k).select("vec_id")
+        val rows = q.collect().map(_.getLong(0)).toSeq
+        // the adaptive contract, for EVERY predicate/k: exactly
+        // min(k, matches) rows, no leakage, within-result uniqueness
+        assert(rows.length == math.min(k, s.size),
+          s"case $i: |S|=${s.size} k=$k got ${rows.length} rows")
+        assert(rows.forall(s.contains), s"case $i: leaked ${rows.filterNot(s.contains)}")
+        assert(rows.distinct.length == rows.length, s"case $i: duplicates")
+        // when the rewrite abandoned itself (no semi-join) OR the
+        // predicate admits at most k rows, the result must equal the
+        // exact filtered top-k bit-for-bit
+        if (semiJoins(q) == 0 || s.size <= k) {
+          val exact = tableDF
+            .where(col("vec_id").isin(s.toSeq: _*))
+            .orderBy(VectorFunctions.cosine_sim(
+              col("embedding"), typedlit(queryVec)).desc)
+            .limit(k).select("vec_id")
+          spark.conf.set("spark.graft.ann.indexRewrite", "false")
+          val expected = try exact.collect().map(_.getLong(0)).toSeq
+          finally spark.conf.set("spark.graft.ann.indexRewrite", "true")
+          assert(rows == expected, s"case $i: diverged from exact")
+        }
+      }
+    }
+  }
+
   test("rewrite does not fire: conf false, no index, non-literal query") {
     dir
     // conf explicitly false forces exact results despite the index
