@@ -16,7 +16,14 @@ object Bench {
       spread: Seq[(String, (Double, Double))],
       phases: Seq[(String, Double)],
       errs: Seq[(String, String)],
-      retried: Seq[String])
+      retried: Seq[String],
+      // the subset of `retried` whose isolated rerun WON (was faster):
+      // the contention signature. A genuine regression retries too, but
+      // its rerun is equally slow — counting only wins toward the
+      // contended_suspect stamp keeps a real 6-query regression from
+      // routing every future sweep to BENCH_CONTENDED.json forever
+      // (child-phase retries carry no win info and count as not-won)
+      retriedWon: Seq[String])
 
   /** Queries that run in the isolated streaming phase: the two
     * streaming gate lifecycles. */
@@ -161,20 +168,21 @@ object Bench {
     def guardAndAssemble(
         pass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Seq[Run])])
         : PhaseResults = {
-      val results: Seq[(String, Seq[Run], Boolean)] = pass.map { case (name, fn, runs) =>
-        val secs = runs.map(_.sec)
-        val clean = runs.forall(_.err.isEmpty)
-        if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
-          val rerun = (1 to repeats).map(_ => timeOnce(fn))
-          val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
-            rerun.forall(_.err.isEmpty))
-          (name, if (wins) rerun else runs, true)
-        } else (name, runs, false)
-      }
-      val medians = results.map { case (n, rs, _) => n -> medianRun(rs) }
+      val results: Seq[(String, Seq[Run], Boolean, Boolean)] =
+        pass.map { case (name, fn, runs) =>
+          val secs = runs.map(_.sec)
+          val clean = runs.forall(_.err.isEmpty)
+          if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
+            val rerun = (1 to repeats).map(_ => timeOnce(fn))
+            val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
+              rerun.forall(_.err.isEmpty))
+            (name, if (wins) rerun else runs, true, wins)
+          } else (name, runs, false, false)
+        }
+      val medians = results.map { case (n, rs, _, _) => n -> medianRun(rs) }
       PhaseResults(
         queries = medians.map { case (n, r) => n -> r.sec },
-        spread = results.map { case (n, rs, _) =>
+        spread = results.map { case (n, rs, _, _) =>
           n -> (rs.map(_.sec).min, rs.map(_.sec).max) },
         // phase split for the index/table-building queries (v02/v05/
         // v06/v07/g12/g15/...), taken from each query's median run:
@@ -188,9 +196,10 @@ object Bench {
           subs ++ (if (subs.exists(_._1 == s"$q.build"))
             Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
         },
-        errs = results.flatMap { case (n, rs, _) =>
+        errs = results.flatMap { case (n, rs, _, _) =>
           rs.flatMap(_.err).headOption.map(n -> _) },
-        retried = results.collect { case (n, _, true) => n })
+        retried = results.collect { case (n, _, true, _) => n },
+        retriedWon = results.collect { case (n, _, _, true) => n })
     }
     val batchPhase = guardAndAssemble(firstPass)
 
@@ -255,11 +264,17 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val (jvmsEnd, unreadableEnd, loadEnd) = envProbe()
     // retry-count contention stamp (BenchGuard.contendedSuspect): the
-    // per-query guard keeps medians honest, this marks the whole run
+    // per-query guard keeps medians honest, this marks the whole run.
+    // Only CONTENTION-SHAPED retries count — those whose isolated rerun
+    // WON. A genuine multi-query regression retries too, but its reruns
+    // stay slow; counting them would route every future sweep to
+    // BENCH_CONTENDED.json and the baseline could never move again.
+    val retriedWon = all.flatMap(_.retriedWon)
     val contendedSuspect = only.isEmpty &&
-      BenchGuard.contendedSuspect(retried.size)
+      BenchGuard.contendedSuspect(retriedWon.size)
     if (contendedSuspect) System.err.println(
-      s"WARNING: ${retried.size} isolated retries on a full sweep — " +
+      s"WARNING: ${retriedWon.size} contention-shaped retries " +
+        s"(of ${retried.size} total) on a full sweep — " +
         "the box looks externally contended; artifact stamped " +
         "\"contended_suspect\":true, prefer a quieter window before " +
         "committing")
@@ -353,7 +368,8 @@ object Bench {
         phases = numMap("phases"),
         errs = strMap("errs"),
         retried = Option(root.get("retried")).toSeq.flatMap(
-          _.elements().asScala.toSeq.map(_.asText()))))
+          _.elements().asScala.toSeq.map(_.asText())),
+        retriedWon = Seq.empty))
     } catch {
       case t: Throwable =>
         System.err.println("WARNING: streaming child JVM launch failed: " +

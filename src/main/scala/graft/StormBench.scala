@@ -46,27 +46,13 @@ object StormBench {
       // agent storming the box (the closing bench sweep runs later on
       // the same machine and must see a quiet JVM landscape)
       val (exit, out, conflictType) = try {
-        // typed CROSS-process conflict: the parent is QUIET until the
-        // head moves, so the version that takes base+1 can only be the
-        // child's — committing at it then is guaranteed to lose to the
-        // other process (the same discipline as TwoProcessStormSpec;
-        // an interleaving-lucky parent-vs-parent collision would prove
-        // nothing)
-        var conflict = "none"
-        val base = graft.format.GraftFormat.readLatest(fs, dir).get
-        val waitDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (graft.format.GraftFormat.readLatest(fs, dir).get.version ==
-            base.version && System.nanoTime() < waitDeadline)
-          Thread.sleep(50)
-        if (graft.format.GraftFormat.readLatest(fs, dir).get.version >
-            base.version) {
-          try graft.format.GraftFormat.commit(fs, dir, base.copy(
-            version = base.version + 1,
-            createdAtMs = System.currentTimeMillis(),
-            operation = "Append"))
-          catch { case t: Throwable =>
-            conflict = t.getClass.getSimpleName }
-        }
+        // typed CROSS-process conflict via the shared protocol
+        // (StormHarness.forceCrossProcessConflict): the parent stays
+        // QUIET until the head moves, so the colliding version can only
+        // be the child's
+        val conflict = StormHarness
+          .forceCrossProcessConflict(fs, dir, waitSec = 120)
+          .getOrElse("none")
         (0L until appendsEach).foreach { k =>
           graft.connector.GraftWriter.write(fs, dir, Seq(k).toDF("k"),
             overwrite = false)

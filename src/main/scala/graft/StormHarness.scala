@@ -48,6 +48,34 @@ object StormHarness {
     (if (finished) h.proc.exitValue() else -1, out)
   }
 
+  /** The cross-process typed-conflict protocol, shared by
+    * TwoProcessStormSpec and StormBench: pin the current head as a
+    * base, wait (up to `waitSec`) for ANOTHER process to advance it —
+    * the caller must stay QUIET, so the version that takes base+1 can
+    * only be the other process's — then commit at the now-taken
+    * version, which must lose typed. Returns Some(exception class
+    * simple name) when the forced commit threw, Some("COMMIT_WON")
+    * when it unexpectedly succeeded (a protocol violation the caller
+    * should fail on), None when the head never moved within the
+    * window (nothing to collide with — slow box). */
+  def forceCrossProcessConflict(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, waitSec: Long): Option[String] = {
+    import graft.format.GraftFormat
+    val base = GraftFormat.readLatest(fs, dir).get
+    val deadline = System.nanoTime() + waitSec * 1000L * 1000 * 1000
+    while (GraftFormat.readLatest(fs, dir).get.version == base.version &&
+        System.nanoTime() < deadline) Thread.sleep(30)
+    if (GraftFormat.readLatest(fs, dir).get.version == base.version) None
+    else Some(
+      try {
+        GraftFormat.commit(fs, dir, base.copy(
+          version = base.version + 1,
+          createdAtMs = System.currentTimeMillis(),
+          operation = "Append"))
+        "COMMIT_WON"
+      } catch { case t: Throwable => t.getClass.getSimpleName })
+  }
+
   /** A `key=value` Int from the agent's DONE line (-1 when absent). */
   private def doneField(stdout: String, key: String): Int =
     stdout.linesIterator

@@ -184,11 +184,13 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** A resolved index probe: coarse centroids, the assignments/codes
     * DataFrame (segment union), the id column name, and the cache
-    * identity `genVdir` = generation id + version directory. The vdir
-    * alone is NOT immutable identity: DROP + re-create can reach the
-    * same version and rebuild an index at the byte-identical path —
-    * the generation id (fresh per re-create) is what pins cached
-    * centroids/counts to THIS history. */
+    * identity `genVdir` = generation id + version directory +
+    * centroids-file fingerprint. The vdir alone is NOT immutable
+    * identity: DROP + re-create can reach the same version and rebuild
+    * an index at the byte-identical path (the generation id catches
+    * that), and an index can be re-built IN PLACE at the same
+    * still-current version with different parameters (the fingerprint
+    * catches that). */
   private case class IndexProbe(cents: Array[(Int, Array[Double])],
       assign: org.apache.spark.sql.DataFrame, idName: String,
       genVdir: String)
@@ -209,8 +211,21 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         .find { case (_, dir, _) => fs.exists(dir) }
         .getOrElse(return None)
+    // cache identity = generation id + version dir + a fingerprint of
+    // the centroids files (name:len:mtime). The third component catches
+    // an index REBUILT IN PLACE at the same still-current version with
+    // different parameters (Ivf.build commits no table version, so
+    // generation + vdir alone would serve the old build's centroids and
+    // counts — same-JVM or cross-process). One driver-side listing per
+    // planning pass.
+    val centsFp = try {
+      fs.listStatus(new Path(vdir, "centroids"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case _: java.io.IOException => return None }
     val genVdir = table.manifest.properties
-      .getOrElse(GraftFormat.TableIdProp, "") + "|" + vdir
+      .getOrElse(GraftFormat.TableIdProp, "") + "|" + vdir + "|" +
+      Integer.toHexString(centsFp.hashCode)
     val cents = AnnTopKIndexRewrite.centroids(spark, vdir, genVdir)
     // a refreshed index's assignments/codes are a segment union
     // (IndexSegments merge-on-read); a monolithic index resolves to the
@@ -258,6 +273,11 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val base = math.max(1, spark.conf.get("spark.graft.ann.nprobe", "4").toInt)
     if (spark.conf.get("spark.graft.ann.adaptiveNprobe", "true") == "false")
       return Some(candPlan(base))
+    // base already covers every list (nprobe >= nLists, or a 1-list
+    // index): the semi-join would keep everything, so the exact scan is
+    // the same answer — skip the count job entirely, its result could
+    // only be discarded
+    if (base >= nLists) return None
     // survivors per list, one job: inner-join the (id, cid) assignments
     // to the child (whose Filter, if any, thins them — the rows counted
     // are EXACTLY the rows the rewritten query's semi-join would keep,
@@ -326,11 +346,17 @@ object AnnTopKIndexRewrite {
 
   private[plans] def centroids(spark: SparkSession, vdir: Path,
       genVdir: String): Array[(Int, Array[Double])] =
-    cache.computeIfAbsent(genVdir, _ =>
-      spark.read.parquet(new Path(vdir, "centroids").toString)
+    // get/compute/putIfAbsent, same as survivorCounts: the read is a
+    // Spark job, and a job inside computeIfAbsent holds a CHM bin lock
+    // that would serialize unrelated concurrent planning
+    Option(cache.get(genVdir)).getOrElse {
+      val computed = spark.read
+        .parquet(new Path(vdir, "centroids").toString)
         .collect()
-        .map(r => (r.getInt(0),
-          r.getSeq[Double](1).toArray)))
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      cache.putIfAbsent(genVdir, computed)
+      computed
+    }
 
   /** Adaptive-guard survivor counts per (generation + index version
     * dir, canonicalized child plan) — immutable identity for a pinned

@@ -70,9 +70,16 @@ class TwoProcessStormSpec extends AnyFunSuite {
         q.stop(); fail("drain exceeded 120s")
       }
     }
+    // the first drain can legitimately deliver nothing (the s3a test
+    // has no duringQuiet gate, so it may run before either process's
+    // first commit) — an empty sink dir must read as empty, not throw
+    // schema-inference errors
     def counts(): Map[Long, Long] =
-      spark.read.parquet(out).groupBy("k").count().collect()
+      try spark.read.parquet(out).groupBy("k").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("infer schema") ||
+            e.getMessage.contains("PATH_NOT_FOUND") => Map.empty }
 
     var prev = Map.empty[Long, Long]
     var drains = 0
@@ -147,27 +154,16 @@ class TwoProcessStormSpec extends AnyFunSuite {
       sleepMs = 60)
     try {
       val o = driveStorm("tps.db.storm", dir, agent, parentKeys, 40) {
-        // deterministic cross-process typed conflict, while the parent
-        // is QUIET: pin the current head as a base, wait for the OTHER
-        // PROCESS to advance it, then commit at the now-taken version —
-        // must lose typed, never overwrite
-        val base = {
-          val m = GraftFormat.readLatest(fs, dir).get
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (GraftFormat.readLatest(fs, dir).get.version == m.version &&
-              System.nanoTime() < deadline) Thread.sleep(30)
-          m
-        }
-        val head = GraftFormat.readLatest(fs, dir).get
-        assume(head.version > base.version,
+        // deterministic cross-process typed conflict via the shared
+        // protocol, while the parent is QUIET: the colliding version
+        // can only be the child's, and the forced commit must lose
+        // typed, never overwrite
+        val conflict = StormHarness
+          .forceCrossProcessConflict(fs, dir, waitSec = 60)
+        assume(conflict.isDefined,
           "child never committed within 60s — box too slow for this test")
-        val e = intercept[GraftFormat.CommitConflictException] {
-          GraftFormat.commit(fs, dir, base.copy(
-            version = base.version + 1,
-            createdAtMs = System.currentTimeMillis(),
-            operation = "Append"))
-        }
-        assert(e.getMessage.nonEmpty)
+        assert(conflict.get == "CommitConflictException",
+          s"expected a typed cross-process conflict, got ${conflict.get}")
       }
       assert(o.agentExit == 0,
         s"storm agent died: exit=${o.agentExit} out=${o.agentOut}")

@@ -68,6 +68,12 @@ def main():
         verdict = "ok" if ratio <= bound else f"SUPERLINEAR (> {bound:.1f}x)"
         deep["verdict"][q] = verdict
         ok = ok and ratio <= bound
+    # no silent caps: a typo'd query list (or a scaled run missing
+    # entries) must not publish a vacuous all_linear=true
+    for prefix in QUERIES.split(","):
+        if not any(q.startswith(prefix) for q in deep["ratio"]):
+            sys.exit(f"deep probe measured NOTHING for '{prefix}' — "
+                     "check GRAFT_SCALE_DEEP_QUERIES")
     deep["all_linear"] = ok
     result["deep"] = deep
     with open("BENCH_SCALE.json", "w") as f:
