@@ -17,12 +17,15 @@ object Bench {
       phases: Seq[(String, Double)],
       errs: Seq[(String, String)],
       retried: Seq[String],
-      // the subset of `retried` whose isolated rerun WON (was faster):
-      // the contention signature. A genuine regression retries too, but
-      // its rerun is equally slow — counting only wins toward the
-      // contended_suspect stamp keeps a real 6-query regression from
-      // routing every future sweep to BENCH_CONTENDED.json forever
-      // (child-phase retries carry no win info and count as not-won)
+      // the subset of `retried` whose isolated rerun won DECISIVELY
+      // (BenchGuard.contentionShaped's 0.8x margin): the contention
+      // signature. A genuine regression retries too, but its rerun
+      // hovers near the original median — counting only decisive wins
+      // toward the contended_suspect stamp keeps a real multi-query
+      // regression from routing every future sweep to
+      // BENCH_CONTENDED.json forever. The streaming child emits its own
+      // retried_won (same margin), parsed back in runChildPhase, so
+      // streaming contention still counts.
       retriedWon: Seq[String])
 
   /** Queries that run in the isolated streaming phase: the two
@@ -174,9 +177,13 @@ object Bench {
           val clean = runs.forall(_.err.isEmpty)
           if (BenchGuard.suspect(secs, clean, committedQ.get(name))) {
             val rerun = (1 to repeats).map(_ => timeOnce(fn))
-            val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec),
-              rerun.forall(_.err.isEmpty))
-            (name, if (wins) rerun else runs, true, wins)
+            val rerunClean = rerun.forall(_.err.isEmpty)
+            val wins = BenchGuard.rerunWins(secs, rerun.map(_.sec), rerunClean)
+            // displacement uses the lenient rule (lower median is the
+            // honest number); the suspect stamp uses the 0.8x margin
+            val shaped = BenchGuard.contentionShaped(secs, rerun.map(_.sec),
+              rerunClean)
+            (name, if (wins) rerun else runs, true, shaped)
           } else (name, runs, false, false)
         }
       val medians = results.map { case (n, rs, _, _) => n -> medianRun(rs) }
@@ -266,10 +273,14 @@ object Bench {
     // retry-count contention stamp (BenchGuard.contendedSuspect): the
     // per-query guard keeps medians honest, this marks the whole run.
     // Only CONTENTION-SHAPED retries count — those whose isolated rerun
-    // WON. A genuine multi-query regression retries too, but its reruns
-    // stay slow; counting them would route every future sweep to
-    // BENCH_CONTENDED.json and the baseline could never move again.
+    // won DECISIVELY (BenchGuard.contentionShaped's 0.8x margin). A
+    // genuine multi-query regression retries too, but its reruns hover
+    // around the original median; counting them would route every
+    // future sweep to BENCH_CONTENDED.json and the baseline could
+    // never move again.
     val retriedWon = all.flatMap(_.retriedWon)
+    val retriedWonJson = retriedWon
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedSuspect = only.isEmpty &&
       BenchGuard.contendedSuspect(retriedWon.size)
     if (contendedSuspect) System.err.println(
@@ -295,7 +306,7 @@ object Bench {
       s""""procs_unreadable_end":$unreadableEnd,""" +
       s""""load1_start":${r4(loadStart)},"load1_end":${r4(loadEnd)}}"""
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"contended":$contended,"contended_suspect":$contendedSuspect,"baseline_missing":$missingJson,"env":$env,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phases,"errs":$errs,"retried":$retriedJson,"retried_won":$retriedWonJson,"contended":$contended,"contended_suspect":$contendedSuspect,"baseline_missing":$missingJson,"env":$env,"repeats":$repeats,"streaming_jvm":"$streamingJvm","sf":"$sfDir"}"""
     // the full JSON also lands as a file: the driver's stdout tail can
     // truncate a long line (BENCH_r04 lost its first 8 queries), and the
     // judge diffs rounds from this artifact. A contended run must NOT
@@ -369,7 +380,11 @@ object Bench {
         errs = strMap("errs"),
         retried = Option(root.get("retried")).toSeq.flatMap(
           _.elements().asScala.toSeq.map(_.asText())),
-        retriedWon = Seq.empty))
+        // the child applies the same contentionShaped margin and emits
+        // retried_won; streaming contention (historically the magnet)
+        // therefore counts toward the parent's suspect stamp
+        retriedWon = Option(root.get("retried_won")).toSeq.flatMap(
+          _.elements().asScala.toSeq.map(_.asText()))))
     } catch {
       case t: Throwable =>
         System.err.println("WARNING: streaming child JVM launch failed: " +

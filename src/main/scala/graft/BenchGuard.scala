@@ -100,6 +100,20 @@ object BenchGuard {
   def contendedSuspect(retriedCount: Int): Boolean =
     retriedCount > ContendedRetryMax
 
+  /** Stricter than [[rerunWins]]: a retry is CONTENTION-SHAPED only
+    * when the isolated rerun is decisively faster (median below 0.8×
+    * the original's). rerunWins' strict `<` decides which run set to
+    * REPORT — the lower median is the honest number either way — but
+    * for the contended_suspect stamp a margin is required: a genuine
+    * regression's rerun hovers around the original median and would
+    * otherwise coin-flip into "won", and ~half of a 12-query
+    * regression's retries counting as contention would still block the
+    * baseline from ever moving. */
+  final val ContentionWinRatio = 0.8
+  def contentionShaped(origSecs: Seq[Double], rerunSecs: Seq[Double],
+      rerunClean: Boolean): Boolean =
+    rerunClean && median(rerunSecs) < median(origSecs) * ContentionWinRatio
+
   /** Gate queries with NO committed baseline median — every baseline/
     * uniform rule is structurally blind to them, and cross-round totals
     * jump with no code change (r12 VERDICT ask #1: v10 landed after the

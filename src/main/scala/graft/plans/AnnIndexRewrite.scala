@@ -223,9 +223,11 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString(",")
     } catch { case _: java.io.IOException => return None }
+    // the fingerprint goes in VERBATIM (it is one entry per centroids
+    // part-file — short): truncating it to a 32-bit hash would let two
+    // different in-place rebuilds collide and serve stale centroids
     val genVdir = table.manifest.properties
-      .getOrElse(GraftFormat.TableIdProp, "") + "|" + vdir + "|" +
-      Integer.toHexString(centsFp.hashCode)
+      .getOrElse(GraftFormat.TableIdProp, "") + "|" + vdir + "|" + centsFp
     val cents = AnnTopKIndexRewrite.centroids(spark, vdir, genVdir)
     // a refreshed index's assignments/codes are a segment union
     // (IndexSegments merge-on-read); a monolithic index resolves to the
@@ -354,6 +356,10 @@ object AnnTopKIndexRewrite {
         .parquet(new Path(vdir, "centroids").toString)
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // same whole-map bound as survivorCounts: fingerprint churn from
+      // repeated in-place rebuilds must not accumulate dead centroid
+      // arrays (nLists x dim doubles each) on a long-lived driver
+      if (cache.size() > 256) cache.clear()
       cache.putIfAbsent(genVdir, computed)
       computed
     }

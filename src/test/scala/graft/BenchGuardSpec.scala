@@ -94,6 +94,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.contendedSuspect(6))
   }
 
+  test("contentionShaped requires a DECISIVE rerun win; a regression's " +
+      "hovering rerun displaces the median but never counts as contention") {
+    // contention: isolated rerun collapses to a third of the original
+    assert(BenchGuard.contentionShaped(
+      Seq(0.64, 0.66, 0.62), Seq(0.20, 0.21, 0.20), rerunClean = true))
+    // regression: rerun hovers just under the original median — it WINS
+    // (lower median is the honest report) but is NOT contention-shaped,
+    // so it cannot push the sweep toward the contended_suspect stamp
+    assert(BenchGuard.rerunWins(
+      Seq(0.64, 0.66, 0.62), Seq(0.60, 0.62, 0.61), rerunClean = true))
+    assert(!BenchGuard.contentionShaped(
+      Seq(0.64, 0.66, 0.62), Seq(0.60, 0.62, 0.61), rerunClean = true))
+    // exactly at the 0.8x boundary stays not-shaped (strict <)
+    assert(!BenchGuard.contentionShaped(
+      Seq(1.0, 1.0, 1.0), Seq(0.8, 0.8, 0.8), rerunClean = true))
+    // an errored rerun is never contention evidence
+    assert(!BenchGuard.contentionShaped(
+      Seq(0.64, 0.66, 0.62), Seq(0.01, 0.01, 0.01), rerunClean = false))
+  }
+
   test("baselineMissing flags gate queries absent from the committed " +
       "artifact (the v10-after-closing-sweep shape)") {
     val committed = Map("q01" -> 0.3, "v06" -> 1.2, "v08" -> 1.2)

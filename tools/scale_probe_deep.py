@@ -70,7 +70,7 @@ def main():
         ok = ok and ratio <= bound
     # no silent caps: a typo'd query list (or a scaled run missing
     # entries) must not publish a vacuous all_linear=true
-    for prefix in QUERIES.split(","):
+    for prefix in [p.strip() for p in QUERIES.split(",") if p.strip()]:
         if not any(q.startswith(prefix) for q in deep["ratio"]):
             sys.exit(f"deep probe measured NOTHING for '{prefix}' — "
                      "check GRAFT_SCALE_DEEP_QUERIES")
