@@ -95,7 +95,12 @@ object Bench {
             Option(cmd) match {
               case None => u += 1
               case Some(c) =>
-                if (new java.io.File(c).getName.startsWith("java")) j += 1
+                // "java" or a versioned launcher ("java17"), never javac/
+                // javadoc/javaws — tool processes aren't bench contention
+                val n = new java.io.File(c).getName
+                if (n == "java" ||
+                    (n.startsWith("java") && n.length > 4 &&
+                      n.drop(4).forall(_.isDigit))) j += 1
             }
           }
         }

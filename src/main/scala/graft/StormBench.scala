@@ -114,9 +114,15 @@ object StormBench {
     def jobj(m: Map[String, Any]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + jval(v) }
         .mkString("{", ",", "}")
+    // typed_conflict is part of the verdict (r13 ADVICE): COMMIT_WON is
+    // a CAS protocol violation even when the clobbered child commit was
+    // row-neutral (e.g. a compaction) and the row-level checks all pass —
+    // a silent manifest overwrite must never publish exactly_once=true
     val exact = Seq(fileRes, s3Res).forall { r =>
       r("lost_rows") == 0 && r("dup_rows") == 0 &&
-        r("versions_contiguous") == true && r("child_exit") == 0 }
+        r("versions_contiguous") == true && r("child_exit") == 0 &&
+        Set("none", "CommitConflictException").contains(
+          r("typed_conflict").asInstanceOf[String]) }
     val line = s"""{"metric":"two_process_storm","exactly_once":$exact,""" +
       s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)}}"""
     java.nio.file.Files.writeString(

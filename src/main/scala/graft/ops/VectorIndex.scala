@@ -37,6 +37,22 @@ object VectorIndex {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
   }
 
+  /** Stamp a fresh `_build_id` (UUID) into an index version dir — the
+    * collision-proof build identity AnnTopKIndexRewrite fingerprints its
+    * centroid/survivor-count caches on. A listing fingerprint
+    * (name:len:mtime) can collide when an in-place rebuild lands within
+    * the filesystem's mtime granularity with byte-identical part names,
+    * serving the OLD build's centroids to the new index (r13 ADVICE).
+    * Written LAST, after every index artifact, so a crashed build never
+    * leaves a fresh id over stale files. */
+  private[ops] def stampBuildId(fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path): Unit = {
+    val out = fs.create(new Path(dest, "_build_id"), true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def indexRoot(table: Path, col: String): Path =
     new Path(GraftFormat.indicesDir(table), s"$col.lsh")
 
@@ -216,6 +232,7 @@ object VectorIndex {
       assign(df.as[(Long, Seq[Float])], centroids)
         .select(col("__id").as(idCol), col("cid"))
         .write.mode("overwrite").parquet(new Path(dest, "assign").toString)
+      VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
 
@@ -315,6 +332,7 @@ object VectorIndex {
             new Path(dest, "centroids"), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
+          VectorIndex.stampBuildId(fs, dest)
           manifest.version
       }
     }
@@ -514,6 +532,7 @@ object VectorIndex {
         .parquet(new Path(dest, "codebooks").toString)
       codes.select(col("__id").as(idCol), col("cid"), col("code"))
         .write.mode("overwrite").parquet(new Path(dest, "codes").toString)
+      VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
 
@@ -634,6 +653,7 @@ object VectorIndex {
             new Path(dest, "codebooks"), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
+          VectorIndex.stampBuildId(fs, dest)
           manifest.version
       }
     }

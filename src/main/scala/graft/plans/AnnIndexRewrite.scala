@@ -212,16 +212,27 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .find { case (_, dir, _) => fs.exists(dir) }
         .getOrElse(return None)
     // cache identity = generation id + version dir + a fingerprint of
-    // the centroids files (name:len:mtime). The third component catches
-    // an index REBUILT IN PLACE at the same still-current version with
-    // different parameters (Ivf.build commits no table version, so
-    // generation + vdir alone would serve the old build's centroids and
-    // counts — same-JVM or cross-process). One driver-side listing per
-    // planning pass.
+    // the build. The third component catches an index REBUILT IN PLACE
+    // at the same still-current version with different parameters
+    // (Ivf.build commits no table version, so generation + vdir alone
+    // would serve the old build's centroids and counts — same-JVM or
+    // cross-process). Preferred fingerprint: the `_build_id` UUID each
+    // build/refresh writes (collision-proof — a listing fingerprint of
+    // name:len:mtime can collide when a rebuild lands inside the
+    // filesystem's mtime granularity with byte-identical part names);
+    // indexes built before the id existed fall back to the listing.
+    // One driver-side read-or-listing per planning pass.
     val centsFp = try {
-      fs.listStatus(new Path(vdir, "centroids"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString(",")
+      val idFile = new Path(vdir, "_build_id")
+      if (fs.exists(idFile)) {
+        val in = fs.open(idFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else
+        fs.listStatus(new Path(vdir, "centroids"))
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(",")
     } catch { case _: java.io.IOException => return None }
     // the fingerprint goes in VERBATIM (it is one entry per centroids
     // part-file — short): truncating it to a 32-bit hash would let two
@@ -279,7 +290,12 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // index): the semi-join would keep everything, so the exact scan is
     // the same answer — skip the count job entirely, its result could
     // only be discarded
-    if (base >= nLists) return None
+    if (base >= nLists) {
+      AnnTopKIndexRewrite.metrics.abandons.incrementAndGet()
+      logInfo(s"graft adaptive-ANN abandoned the probe (base nprobe " +
+        s"$base covers all $nLists lists): exact scan runs")
+      return None
+    }
     // survivors per list, one job: inner-join the (id, cid) assignments
     // to the child (whose Filter, if any, thins them — the rows counted
     // are EXACTLY the rows the rewritten query's semi-join would keep,
@@ -310,30 +326,66 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val cacheKey = (probe.genVdir, planKey)
     val perList: Map[Int, Long] =
-      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)).getOrElse {
-        val assign = probe.assign.select(
-          col(probe.idName).as("__graft_probe_id"),
-          col("cid").as("__graft_probe_cid"))
-        val assignPlan = GraftShim.planOf(assign)
-        val counted =
-          if (filtered)
-            GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
-              Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
-          else assign
-        val computed = counted.groupBy(col("__graft_probe_cid")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
-          AnnTopKIndexRewrite.survivorCounts.clear()
-        AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)
-        computed
+      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
+        case Some(cached) =>
+          AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
+          cached
+        case None =>
+          val assign = probe.assign.select(
+            col(probe.idName).as("__graft_probe_id"),
+            col("cid").as("__graft_probe_cid"))
+          val assignPlan = GraftShim.planOf(assign)
+          val counted =
+            if (filtered)
+              GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
+                Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
+            else assign
+          // the one observable plan-time cost of the adaptive guard: a
+          // blocking count job inside optimizer-rule application on
+          // cache miss (r13 VERDICT #6) — log it so "why did planning
+          // take N seconds" is answerable from the driver log
+          val t0 = System.nanoTime()
+          val computed = counted.groupBy(col("__graft_probe_cid")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          AnnTopKIndexRewrite.metrics.countJobs.incrementAndGet()
+          logInfo(s"graft adaptive-ANN survivor-count job ran at plan " +
+            s"time (cache miss): index=${probe.genVdir.take(120)} " +
+            s"filtered=$filtered lists=${computed.size} " +
+            s"wallMs=${(System.nanoTime() - t0) / 1000000}")
+          if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
+            AnnTopKIndexRewrite.survivorCounts.clear()
+          AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)
+          computed
       }
+    // minimal sufficient nprobe, directly from the driver-side prefix
+    // sums over the ranked lists (r13 ADVICE: doubling only visited
+    // power-of-two prefixes, so a query whose survivors first reach k at
+    // an intermediate prefix was abandoned to the exact scan for
+    // nothing — perList is fully materialized, nothing is saved by
+    // sampling prefixes). nprobe never shrinks below the user's base.
     var nprobe = base
-    while (nprobe < nLists) {
-      val survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
-      if (survivors >= k) return Some(candPlan(nprobe))
-      nprobe = math.min(nprobe * 2L, nLists.toLong).toInt
+    var survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
+    while (survivors < k && nprobe < nLists) {
+      survivors += perList.getOrElse(ranked(nprobe), 0L)
+      nprobe += 1
     }
-    None
+    // nprobe == nLists: either even the full list set cannot fill k, or
+    // it only fills k by probing EVERY list — both mean the semi-join
+    // keeps (at most) everything, so the exact scan is the same answer
+    // with a simpler plan
+    if (survivors >= k && nprobe < nLists) {
+      if (nprobe > base) {
+        AnnTopKIndexRewrite.metrics.escalations.incrementAndGet()
+        logInfo(s"graft adaptive-ANN escalated nprobe $base -> $nprobe " +
+          s"(survivors=$survivors k=$k nLists=$nLists)")
+      }
+      Some(candPlan(nprobe))
+    } else {
+      AnnTopKIndexRewrite.metrics.abandons.incrementAndGet()
+      logInfo(s"graft adaptive-ANN abandoned the probe (survivors=" +
+        s"$survivors k=$k nLists=$nLists): exact scan runs")
+      None
+    }
   }
 }
 
@@ -374,6 +426,18 @@ object AnnTopKIndexRewrite {
     * lock. */
   private[graft] val survivorCounts =
     new java.util.concurrent.ConcurrentHashMap[(String, LogicalPlan), Map[Int, Long]]()
+
+  /** Driver-side counters for the adaptive guard's plan-time behavior
+    * (r13 VERDICT #6: the survivor-count job is a blocking Spark job
+    * inside optimizer-rule application — it must be observable without
+    * reading the rule). Monotonic per JVM; tests snapshot-and-diff. */
+  final class Metrics {
+    val countJobs = new java.util.concurrent.atomic.AtomicLong()
+    val countJobCacheHits = new java.util.concurrent.atomic.AtomicLong()
+    val escalations = new java.util.concurrent.atomic.AtomicLong()
+    val abandons = new java.util.concurrent.atomic.AtomicLong()
+  }
+  val metrics = new Metrics
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the rule in

@@ -208,24 +208,107 @@ class AnnRewriteSpec extends AnyFunSuite {
       "returns exactly k rows") {
     dir
     val ranks = listsByRank
-    // rows living only in the 4 FARTHEST lists: invisible to nprobe
-    // 4 (and every doubling short of all 8), so without the adaptive
-    // guard the probe would return 0 rows for k=10
-    val farIds = ranks.drop(4).flatten.take(10)
-    assume(farIds.size == 10, s"fixture too small: ${farIds.size}")
+    // rows living only in the FARTHEST list: no prefix short of ALL 8
+    // lists reaches them (minimal-nprobe escalation walks every prefix
+    // now, so rows reachable at 5..7 lists would legitimately keep the
+    // probe), so without the adaptive guard the probe would return 0
+    // rows — and WITH it, the all-lists probe is pointless and the
+    // rewrite must abandon itself
+    val farIds = ranks.last.take(10).toSeq
+    val k = farIds.size
+    assume(k >= 3, s"fixture too small: $k")
     def q = tableDF
-      .where(col("vec_id").isin(farIds.toSeq: _*))
+      .where(col("vec_id").isin(farIds: _*))
       .orderBy(VectorFunctions.cosine_sim(
         col("embedding"), typedlit(queryVec)).desc)
-      .limit(10).select("vec_id")
+      .limit(k).select("vec_id")
     val exact = q.collect().map(_.getLong(0)).toSeq
     withRule {
       val rows = q.collect().map(_.getLong(0)).toSeq
-      assert(rows.length == 10, s"recall cliff: got ${rows.length} rows")
+      assert(rows.length == k, s"recall cliff: got ${rows.length} rows")
       assert(rows == exact, "fallback must equal the exact filtered top-k")
       assert(semiJoins(q) == 0,
         "all-lists probe is pointless — rewrite must abandon itself:\n" +
           q.queryExecution.optimizedPlan)
+    }
+  }
+
+  /** The nprobe a planned probe actually used = the size of the cid
+    * IN-list the semi-join's index side filters on. */
+  private def probedLists(df: org.apache.spark.sql.DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          org.apache.spark.sql.catalyst.expressions.In(a, list), _)
+          if a.references.map(_.name).exists(_ == "cid") => list.size
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          org.apache.spark.sql.catalyst.expressions.InSet(a, set), _)
+          if a.references.map(_.name).exists(_ == "cid") => set.size
+    }
+
+  test("escalation is minimal: survivors first reaching k at an " +
+      "intermediate (non-doubled) prefix probe exactly that prefix " +
+      "instead of abandoning") {
+    dir
+    val ranks = listsByRank
+    // ids spread over the 3 nearest lists, k sized so prefixes 1 and 2
+    // fall short and prefix 3 suffices: the old doubling (1 -> 2 -> 4)
+    // never tested 3; minimal escalation must land on exactly 3
+    val ids = (ranks(0).take(1) ++ ranks(1).take(1) ++ ranks(2).take(1)).toSeq
+    assume(ids.size == 3, s"fixture too small: ${ids.size}")
+    def q = tableDF
+      .where(col("vec_id").isin(ids: _*))
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(3).select("vec_id")
+    val exact = q.collect().map(_.getLong(0)).toSeq
+    withRule {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      try {
+        val rows = q.collect().map(_.getLong(0)).toSeq
+        assert(rows == exact)
+        assert(semiJoins(q) == 1,
+          "minimal escalation must keep the probe:\n" +
+            q.queryExecution.optimizedPlan)
+        assert(probedLists(q).contains(3),
+          s"expected exactly 3 probed lists, got ${probedLists(q)}:\n" +
+            q.queryExecution.optimizedPlan)
+      } finally spark.conf.unset("spark.graft.ann.nprobe")
+    }
+  }
+
+  test("plan-time observability: the survivor-count job increments its " +
+      "counter once per cache miss, zero on hit; abandonment counts too") {
+    dir
+    val m = graft.plans.AnnTopKIndexRewrite.metrics
+    val ranks = listsByRank
+    // a fresh never-planned predicate guarantees a cache miss
+    val ids = ranks(1).take(4).toSeq
+    assume(ids.size == 4)
+    def q = tableDF
+      .where(col("vec_id").isin(ids: _*) || col("vec_id") === -1L)
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(4).select("vec_id")
+    withRule {
+      val (jobs0, hits0) = (m.countJobs.get(), m.countJobCacheHits.get())
+      q.collect()
+      assert(m.countJobs.get() == jobs0 + 1,
+        "first plan of a new query must run exactly one count job")
+      assert(m.countJobCacheHits.get() == hits0)
+      q.collect() // re-built DataFrame, same canonical plan -> cache hit
+      assert(m.countJobs.get() == jobs0 + 1,
+        "re-planning the same query must not re-run the count job")
+      assert(m.countJobCacheHits.get() > hits0)
+      // an all-lists-needed predicate abandons and says so
+      val farIds = ranks.last.take(3).toSeq
+      assume(farIds.size == 3)
+      val ab0 = m.abandons.get()
+      tableDF.where(col("vec_id").isin(farIds: _*))
+        .orderBy(VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(queryVec)).desc)
+        .limit(3).select("vec_id").collect()
+      assert(m.abandons.get() > ab0,
+        "abandonment to the exact scan must increment its counter")
     }
   }
 

@@ -49,6 +49,39 @@ class CoverageCountsSpec extends AnyFunSuite {
     (suites.map(_.testNames.size).sum, suites.length)
   }
 
+  /** r13 VERDICT #7: the header counts were spec-enforced but the
+    * per-row oracle-TYPE claims were not, and v03's row said
+    * "rows-only" for a round after it was upgraded to golden-pinned.
+    * Recompute each gate query's oracle type from its declaration
+    * (SQL oracle vs golden slice vs none) and fail on any COVERAGE.md
+    * line whose claim contradicts it. */
+  test("COVERAGE.md oracle-type claims match the Q declarations") {
+    val goldenShort = SparkEntry.oracleSql
+      .filter(_._2.contains(Q.GoldenDir)).keySet.map(_.take(3))
+    val sqlShort = SparkEntry.oracleSql
+      .filterNot(_._2.contains(Q.GoldenDir)).keySet.map(_.take(3))
+    val idRe = raw"\b([gmqstv]\d{2})\b".r
+    val lines = Files.readAllLines(Paths.get("COVERAGE.md"))
+    val bad = new scala.collection.mutable.ListBuffer[String]
+    lines.forEach { line =>
+      val ids = idRe.findAllMatchIn(line).map(_.group(1)).toSet
+      // the gate carries zero rows-only queries (asserted above), so
+      // the claim may only appear in the header's "Zero rows-only"
+      // sentence — any table row claiming it is drift
+      if (line.contains("rows-only") && !line.contains("Zero rows-only"))
+        bad += s"claims rows-only (no such query exists): $line"
+      if (line.contains("golden-pinned"))
+        (ids & sqlShort).foreach(id =>
+          bad += s"claims golden-pinned but $id has a SQL oracle: $line")
+      if (line.contains("DuckDB-exact") || line.contains("oracle-exact"))
+        (ids & goldenShort).foreach(id =>
+          bad += s"claims a DuckDB SQL oracle but $id is golden-pinned: $line")
+    }
+    assert(bad.isEmpty, bad.mkString(
+      "COVERAGE.md oracle-type claims drifted from the Q declarations:\n  ",
+      "\n  ", ""))
+  }
+
   test("COVERAGE.md header counts match ground truth") {
     val (total, sql, golden) = computedQueryCounts
     val (tests, suiteCount) = computedTestCounts
