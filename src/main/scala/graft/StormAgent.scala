@@ -35,6 +35,23 @@ import org.apache.spark.sql.SparkSession
   *                          ConcurrentModificationException, exactly
   *                          like a second engine would
   *  - GRAFT_STORM_SLEEP_MS  pacing between appends (default 25)
+  *  - GRAFT_STORM_CRASH     "staged" | "adopted" | "dv" → at append
+  *                          index GRAFT_STORM_CRASH_AT, perform the
+  *                          two-phase append only UP TO the named
+  *                          protocol point and then `Runtime.halt(137)`
+  *                          — no shutdown hooks, no finally blocks, no
+  *                          Spark stop: the JVM vanishes mid-commit
+  *                          exactly like kill -9 (r13 VERDICT #3; the
+  *                          reference's beginInsert/finishInsert crash
+  *                          window, LanceMetadata.java:1031-1112).
+  *                          "staged" dies after the distributed parquet
+  *                          write, before adoptStaged (staging-dir
+  *                          debris); "adopted" dies after files moved
+  *                          into data/, before the manifest CAS
+  *                          (unreferenced data-file debris); "dv" dies
+  *                          after a deletion file is written, before
+  *                          its manifest commits (orphan DV debris).
+  *  - GRAFT_STORM_CRASH_AT  append index for the crash (default 1)
   *
   * Prints `STORM_AGENT_DONE appends=<n> deletes=<m>` on success; any
   * failure exits nonzero with the stack on stderr so the primary's
@@ -102,8 +119,35 @@ object StormAgent {
       }
       sys.error(s"DELETE k=$k never committed after 25 attempts")
     }
+    val crashPoint = sys.env.get("GRAFT_STORM_CRASH")
+    val crashAt = sys.env.getOrElse("GRAFT_STORM_CRASH_AT", "1").toInt
+    // die mid-commit at the named protocol point: everything below uses
+    // the same public primitives GraftWriter.write composes, stopped
+    // short — then halt(137), the JVM-side equivalent of kill -9
+    def crashMidCommit(point: String, k: Long): Unit = {
+      import graft.format.{FragmentStats, GraftFormat}
+      val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID()}")
+      point match {
+        case "staged" =>
+          Seq(k).toDF("k").coalesce(1).write.parquet(staging.toUri.toString)
+        case "adopted" =>
+          Seq(k).toDF("k").coalesce(1).write.parquet(staging.toUri.toString)
+          FragmentStats.adoptStaged(fs,
+            spark.sessionState.newHadoopConf(), dir, staging)
+        case "dv" =>
+          val m = GraftFormat.readLatest(fs, dir).get
+          val f = m.fragments.maxBy(_.liveRows)
+          GraftFormat.writeDeletionFile(fs, dir, f.id, m.version + 1,
+            Array(0L))
+        case other => sys.error(s"unknown crash point: $other")
+      }
+      System.out.flush(); System.err.flush()
+      Runtime.getRuntime.halt(137)
+    }
     var appends = 0
     (start until start + count).zipWithIndex.foreach { case (k, i) =>
+      if (crashPoint.isDefined && i == crashAt)
+        crashMidCommit(crashPoint.get, k)
       if (dropRecreate && i == count / 2) {
         // an affirmative cross-process drop: the directory goes away
         // entirely, then a NEW history begins (v1 mints a fresh

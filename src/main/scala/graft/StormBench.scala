@@ -107,6 +107,41 @@ object StormBench {
       "cas_lost_races" -> (srv.lostRaces.get() - racesBefore))
     s3Fs.delete(new Path("s3a://stormbench/"), true)
 
+    // s3a through a LOSSY window (r13 VERDICT #5): a background injector
+    // arms short fault bursts — 503 / 500 / torn connections across
+    // read AND write methods, plus lost commit replies (applied, 503
+    // answered) — for the storm's whole duration; both processes'
+    // requests hit the same windows. Exactly-once must hold anyway:
+    // idempotent requests heal by retry, ambiguous commits by content
+    // read-back.
+    val s3fDir = new Path("s3a://stormfault/t.graft")
+    val s3fFs = s3fDir.getFileSystem(hc)
+    val faultsBefore = srv.faultsInjected.get()
+    val retriedBefore = graft.sources.S3LiteFileSystem.retriedRequests.get()
+    val stopInjector = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val injector = new Thread(() => {
+      val kinds = Array("503", "500", "reset")
+      var n = 0
+      while (!stopInjector.get()) {
+        srv.injectFaults(kinds(n % 3),
+          Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
+        if (n % 4 == 0) srv.injectCommitResponseLoss(1)
+        n += 1
+        Thread.sleep(400)
+      }
+      srv.clearFaults()
+    }, "storm-fault-injector")
+    injector.setDaemon(true)
+    injector.start()
+    val s3FaultRes = try storm(s3fDir, s3fFs, 9000L) finally {
+      stopInjector.set(true); injector.join(2000); srv.clearFaults()
+    }
+    val s3fRes = s3FaultRes ++ Map(
+      "faults_injected" -> (srv.faultsInjected.get() - faultsBefore),
+      "requests_retried" ->
+        (graft.sources.S3LiteFileSystem.retriedRequests.get() - retriedBefore))
+    s3fFs.delete(new Path("s3a://stormfault/"), true)
+
     def jval(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case other => other.toString
@@ -118,13 +153,14 @@ object StormBench {
     // a CAS protocol violation even when the clobbered child commit was
     // row-neutral (e.g. a compaction) and the row-level checks all pass —
     // a silent manifest overwrite must never publish exactly_once=true
-    val exact = Seq(fileRes, s3Res).forall { r =>
+    val exact = Seq(fileRes, s3Res, s3fRes).forall { r =>
       r("lost_rows") == 0 && r("dup_rows") == 0 &&
         r("versions_contiguous") == true && r("child_exit") == 0 &&
         Set("none", "CommitConflictException").contains(
           r("typed_conflict").asInstanceOf[String]) }
     val line = s"""{"metric":"two_process_storm","exactly_once":$exact,""" +
-      s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)}}"""
+      s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)},""" +
+      s""""s3a_faulted":${jobj(s3fRes)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_STORM.json"), line + "\n")
     println(line)

@@ -66,6 +66,33 @@ object FragmentStats {
     } finally reader.close()
   }
 
+  /** Zone-map string stats are capped at 64 chars (metadata-scale probe,
+    * BENCH_META.json): parquet-mr column-chunk stats are NOT truncated
+    * by default, so a documents-style text column would otherwise carry
+    * document-sized min/max strings per fragment per column in the
+    * manifest — unbounded metadata at 10⁵ fragments. Soundness: a min is
+    * truncated to its PREFIX (a prefix compares <= the string, so the
+    * stored min still lower-bounds every value); a max is rounded UP by
+    * incrementing the last incrementable char of the prefix (the bare
+    * prefix would compare < the true max — unsound); a prefix of 64
+    * Char.MaxValue values cannot be rounded up, so the max is dropped
+    * (absent stats never prune). Same trick as parquet's own
+    * column-index truncation (BinaryTruncator.truncateMax). */
+  private[graft] val MaxStatLength = 64
+
+  private[graft] def truncUpper(s: String): Option[String] =
+    if (s.length <= MaxStatLength) Some(s)
+    else {
+      val prefix = s.substring(0, MaxStatLength).toCharArray
+      var i = prefix.length - 1
+      while (i >= 0 && prefix(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else {
+        prefix(i) = (prefix(i) + 1).toChar
+        Some(new String(prefix, 0, i + 1))
+      }
+    }
+
   /** Canonical rendering of one row group's min/max + the ordering used
     * to merge across row groups. None = unsupported type (no stats). */
   private def render(
@@ -98,7 +125,8 @@ object FragmentStats {
       case PrimitiveTypeName.BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
         val mm =
           if (hasMinMax)
-            (Some(st.minAsString()), Some(st.maxAsString()))
+            (Some(st.minAsString().take(MaxStatLength)),
+              truncUpper(st.maxAsString()))
           else (None, None)
         Some((mm, Ordering.String))
       case _ => None // boolean/decimal/binary/int96: no pruning

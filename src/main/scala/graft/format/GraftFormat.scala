@@ -456,14 +456,43 @@ object GraftFormat {
   private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     verifyConditionalCapability(fs, p)
     if (fs.exists(p)) return false
-    try {
-      val out = fs.create(p, false)
-      try out.write(bytes) finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) => false
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        return true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException =>
+          // AMBIGUOUS outcome: the conditional put failed transiently
+          // (503 SlowDown, torn connection) and the client cannot know
+          // whether the store applied it. A blind re-PUT is unsafe (our
+          // own landed write answers 412 and reads as a lost race — the
+          // caller would rebuild and commit the SAME rows at version+1:
+          // duplication); a blind `false` is equally unsafe (the caller
+          // rebuilds on top of its own manifest). Disambiguate by
+          // CONTENT read-back: our exact bytes on disk = OUR put landed
+          // (true); different bytes = a racer's commit landed (false);
+          // absent = the put never took effect -> safe to re-attempt
+          // the conditional create, bounded. (The old `if fs.exists(p)
+          // => false` read a landed own-write as a lost race.)
+          val onDisk: Option[Boolean] =
+            try {
+              val in = fs.open(p)
+              try Some(java.util.Arrays.equals(in.readAllBytes(), bytes))
+              finally in.close()
+            } catch { case _: java.io.FileNotFoundException => None }
+          onDisk match {
+            case Some(true) => return true
+            case Some(false) => return false
+            case None if attempt < 5 => () // never applied: retry the put
+            case None => throw e
+          }
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** HDFS-likes without conditional put: write a hidden temp file, then
@@ -560,8 +589,39 @@ object GraftFormat {
         }).getOrElse(Map.empty))
   }
 
+  /** Manifest wire encoding: gzip(JSON), sniffed by magic on read.
+    * Motivated by the metadata-scale probe (BENCH_META.json): at 10⁵
+    * fragments the plain-JSON manifest is ~73 MB and EVERY commit
+    * rewrites the whole thing — a 100-version history carries 7.3 GB of
+    * metadata and every cross-process planning pass ships 73 MB over
+    * the wire (s3a). Gzip cuts it ~10× for ~100 ms of deflate at that
+    * size. Plain-JSON manifests (format_version 1 tables, pre-existing
+    * tables, hand-written test fixtures) remain readable forever via
+    * the sniff; readers never need a flag. Java's GZIPOutputStream
+    * writes a fixed zero-MTIME header, so the encoding is deterministic
+    * and (mtime, len) cache-revalidation identity is unaffected. */
+  private[format] def encodeManifest(m: Manifest): Array[Byte] = {
+    val json = toJson(m).getBytes(UTF_8)
+    if (m.formatVersion < 2) return json // v1 readers expect plain JSON
+    val bos = new java.io.ByteArrayOutputStream(json.length / 8 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+    gz.write(json); gz.close()
+    bos.toByteArray
+  }
+
+  private[format] def decodeManifest(bytes: Array[Byte]): Manifest = {
+    val json =
+      if (bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
+          bytes(1) == 0x8b.toByte) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+        try in.readAllBytes() finally in.close()
+      } else bytes
+    fromJson(new String(json, UTF_8))
+  }
+
   def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
-    fromJson(new String(readBytes(fs, manifestPath(table, version)), UTF_8))
+    decodeManifest(readBytes(fs, manifestPath(table, version)))
 
   def readLatest(fs: FileSystem, table: Path): Option[Manifest] =
     latestVersion(fs, table).map(readManifest(fs, table, _))
@@ -578,7 +638,7 @@ object GraftFormat {
     val toWrite =
       if (m.formatVersion >= 2) m
       else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))
-    if (!createExclusive(fs, manifestPath(table, m.version), toJson(toWrite).getBytes(UTF_8)))
+    if (!createExclusive(fs, manifestPath(table, m.version), encodeManifest(toWrite)))
       throw new CommitConflictException(
         s"version ${m.version} already committed at $table")
     // same-process readers must see this commit immediately, whatever the

@@ -571,6 +571,21 @@ object Maintenance {
         }
       }
     }
+    // staging-debris GC: a writer killed between its distributed
+    // parquet write and adoptStaged leaves a `.staging-<uuid>` dir at
+    // the table root that NO manifest will ever reference (every
+    // surviving write path deletes it) — at 100 TB that is a whole
+    // task-fleet's parquet output per crash. Age-gated on the NEWEST
+    // contained file like the other orphan classes: an in-flight
+    // write's staging dir is always young, and an empty dir has no age
+    // evidence (newestMtimeUnder = MaxValue) so it is never GC'd.
+    fs.listStatus(qualDir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+          newestMtimeUnder(fs, st.getPath) < orphanCutoffMs) {
+        if (!dryRun) fs.delete(st.getPath, true)
+        deleted += 1
+      }
+    }
     // index sidecar GC: an _indices/<col>.<kind>/v=<N> directory is
     // reachable through manifest version N OR through a retained
     // version's segment manifest (incremental refresh references prior

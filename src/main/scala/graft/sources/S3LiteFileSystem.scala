@@ -66,8 +66,55 @@ class S3LiteFileSystem extends FileSystem {
     if (endpoint.endsWith("/")) endpoint = endpoint.dropRight(1)
     listPageSize = conf.getInt(ListPageSizeKey, 1000)
     readAhead = conf.getInt(ReadAheadKey, 65536)
+    retryLimit = conf.getInt(RetryLimitKey, 5)
+    retryBaseMs = conf.getLong(RetryBaseMsKey, 50L)
     workingDir = new Path(fsUri.toString + "/")
     statistics = FileSystem.getStatistics(name.getScheme, getClass)
+  }
+
+  // ------------------------------------------------------------ retries
+
+  private var retryLimit: Int = 5
+  private var retryBaseMs: Long = 50L
+
+  /** True for failures a retry can heal: throttles (503 SlowDown), other
+    * 5xx, and torn connections (premature EOF / socket resets). Definite
+    * protocol answers — 404 (FileNotFound), 412 (FileAlreadyExists) —
+    * are never transient. */
+  private def isTransient(t: Throwable): Boolean = t match {
+    case h: S3HttpException => h.code >= 500
+    case _: java.io.FileNotFoundException => false
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    case _: IOException => true // premature EOF, connection reset, timeout
+    case _ => false
+  }
+
+  /** Bounded exponential-backoff retry for IDEMPOTENT requests only
+    * (GET / HEAD / LIST / DELETE / full-object PUT / COPY): re-issuing
+    * them lands the same end state however many times the store applied
+    * them (s3a's own retry policy makes the same split,
+    * org.apache.hadoop.fs.s3a.S3ARetryPolicy). CONDITIONAL puts never
+    * come through here — a blind re-PUT of `If-None-Match: *` after an
+    * ambiguous failure would answer 412 against the caller's OWN landed
+    * write and masquerade as a lost race (see [[S3Output.close]]). */
+  private def retrying[A](what: => String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case t: Throwable if attempt <= retryLimit && isTransient(t) =>
+          S3LiteFileSystem.retriedRequests.incrementAndGet()
+          try Thread.sleep(retryBaseMs * (1L << math.min(attempt - 1, 6)))
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); throw t }
+        case t: Throwable =>
+          if (isTransient(t)) throw new IOException(
+            s"$what failed after $retryLimit retries", t)
+          else throw t
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def getScheme: String = if (fsUri == null) "s3a" else fsUri.getScheme
@@ -119,18 +166,22 @@ class S3LiteFileSystem extends FileSystem {
 
   // ------------------------------------------------------------ status
 
-  /** HEAD the object; None on 404. */
-  private def headObject(k: String): Option[FileStatus] = {
-    val c = connect("HEAD", k)
-    val code = c.getResponseCode
-    c.disconnect()
-    if (code == 200) {
-      val len = c.getHeaderFieldLong("Content-Length", 0L)
-      val mtime = c.getHeaderFieldDate("Last-Modified", 0L)
-      Some(new FileStatus(len, false, 1, DefaultBlockSize, mtime,
-        makeQualified(new Path("/" + k))))
-    } else None
-  }
+  /** HEAD the object; None on 404. Any other failure surfaces (after
+    * idempotent retries) instead of masquerading as "not found" — a 503
+    * read as None would make exists() report a live manifest missing. */
+  private def headObject(k: String): Option[FileStatus] =
+    retrying(s"HEAD $k") {
+      val c = connect("HEAD", k)
+      val code = c.getResponseCode
+      c.disconnect()
+      if (code == 200) {
+        val len = c.getHeaderFieldLong("Content-Length", 0L)
+        val mtime = c.getHeaderFieldDate("Last-Modified", 0L)
+        Some(new FileStatus(len, false, 1, DefaultBlockSize, mtime,
+          makeQualified(new Path("/" + k))))
+      } else if (code == 404) None
+      else throw new S3HttpException(code, s"HEAD $k -> HTTP $code")
+    }
 
   /** A "directory" exists iff some key extends `k/` (or k is the root). */
   private def isPrefix(k: String): Boolean =
@@ -165,9 +216,12 @@ class S3LiteFileSystem extends FileSystem {
     qs.append("&max-keys=").append(maxKeys)
     if (token != null)
       qs.append("&continuation-token=").append(URLEncoder.encode(token, UTF_8.name))
-    val (code, body) = finish(connect("GET", "", qs.toString))
-    if (code != 200) throw new IOException(s"LIST $prefix -> HTTP $code")
-    parseListXml(new String(body, UTF_8))
+    retrying(s"LIST $prefix") {
+      val (code, body) = finish(connect("GET", "", qs.toString))
+      if (code != 200)
+        throw new S3HttpException(code, s"LIST $prefix -> HTTP $code")
+      parseListXml(new String(body, UTF_8))
+    }
   }
 
   private def listAll(prefix: String, delimiter: String): (Seq[(String, Long, Long)], Seq[String]) = {
@@ -244,13 +298,15 @@ class S3LiteFileSystem extends FileSystem {
       * (silent corruption once the readahead buffer persists it). */
     private def rangeGet(start: Long, n: Int): (Long, Array[Byte]) = {
       val end = math.min(len, start + n) - 1
-      val (code, body) = finish(connect("GET", k,
-        headers = Map("Range" -> s"bytes=$start-$end")))
-      code match {
-        case 206 => (start, body)
-        case 200 => (0L, body)
-        case _ =>
-          throw new IOException(s"GET $k range $start-$end -> HTTP $code")
+      retrying(s"GET $k range $start-$end") {
+        val (code, body) = finish(connect("GET", k,
+          headers = Map("Range" -> s"bytes=$start-$end")))
+        code match {
+          case 206 => (start, body)
+          case 200 => (0L, body)
+          case _ => throw new S3HttpException(code,
+            s"GET $k range $start-$end -> HTTP $code")
+        }
       }
     }
 
@@ -324,9 +380,7 @@ class S3LiteFileSystem extends FileSystem {
     override def write(b: Int): Unit = buf.write(b)
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       buf.write(b, off, len)
-    override def close(): Unit = {
-      if (closed) return // idempotent: a second close must not re-PUT
-      closed = true
+    private def putOnce(): Unit = {
       val headers =
         if (overwrite) Map.empty[String, String]
         else Map("If-None-Match" -> "*")
@@ -340,7 +394,55 @@ class S3LiteFileSystem extends FileSystem {
       if (code == 412)
         throw new FileAlreadyExistsException(s"conditional put lost: $k")
       if (code != 200)
-        throw new IOException(s"PUT $k -> HTTP $code")
+        throw new S3HttpException(code, s"PUT $k -> HTTP $code")
+    }
+
+    /** GET the object and compare with what this stream holds: Some(eq)
+      * when present, None on 404. The GET is idempotent -> retried. */
+    private def readBack(): Option[Boolean] = retrying(s"GET $k") {
+      val (code, body) = finish(connect("GET", k))
+      if (code == 200) Some(java.util.Arrays.equals(body, buf.toByteArray))
+      else if (code == 404) None
+      else throw new S3HttpException(code, s"GET $k -> HTTP $code")
+    }
+
+    override def close(): Unit = {
+      if (closed) return // idempotent: a second close must not re-PUT
+      closed = true
+      // full-object overwrite PUTs are idempotent -> plainly retried
+      if (overwrite) { retrying(s"PUT $k")(putOnce()); return }
+      // A CONDITIONAL put must never be blindly re-issued after a
+      // transient failure: if the store applied it and only the reply
+      // was lost, the re-PUT answers 412 against our OWN landed write
+      // and masquerades as a lost race. Disambiguate by CONTENT
+      // read-back instead: our exact bytes present = the put landed
+      // (success); different bytes = a racer truly won (the 412
+      // contract, FileAlreadyExistsException); absent = the put never
+      // took effect, safe to re-attempt (bounded). This keeps
+      // store-enforced exclusivity exact under 503/500/torn-connection
+      // windows — the commit layer above sees only the clean contract.
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try { putOnce(); return }
+        catch {
+          case t: Throwable if isTransient(t) =>
+            readBack() match {
+              case Some(true) => return // our put landed; reply was lost
+              case Some(false) =>
+                throw new FileAlreadyExistsException(
+                  s"conditional put lost: $k")
+              case None if attempt <= retryLimit =>
+                S3LiteFileSystem.retriedRequests.incrementAndGet()
+                try Thread.sleep(
+                  retryBaseMs * (1L << math.min(attempt - 1, 6)))
+                catch { case _: InterruptedException =>
+                  Thread.currentThread().interrupt(); throw t }
+              case None => throw new IOException(
+                s"conditional PUT $k failed after $retryLimit retries", t)
+            }
+        }
+      }
     }
   }
 
@@ -390,23 +492,30 @@ class S3LiteFileSystem extends FileSystem {
       page.foreach(k => xml.append("<Object><Key>").append(xmlEsc(k))
         .append("</Key></Object>"))
       xml.append("</Delete>")
-      val c = connect("POST", "", "delete")
-      c.setDoOutput(true)
       val bytes = xml.toString.getBytes(UTF_8)
-      c.setFixedLengthStreamingMode(bytes.length)
-      val out = c.getOutputStream
-      out.write(bytes)
-      out.close()
-      val (code, _) = finish(c)
-      if (code != 200) throw new IOException(s"multi-delete -> HTTP $code")
+      retrying("multi-delete") {
+        val c = connect("POST", "", "delete")
+        c.setDoOutput(true)
+        c.setFixedLengthStreamingMode(bytes.length)
+        val out = c.getOutputStream
+        out.write(bytes)
+        out.close()
+        val (code, _) = finish(c)
+        if (code != 200)
+          throw new S3HttpException(code, s"multi-delete -> HTTP $code")
+      }
     }
 
   override def delete(p: Path, recursive: Boolean): Boolean = {
     val k = key(p)
     headObject(k) match {
       case Some(_) =>
-        val (code, _) = finish(connect("DELETE", k))
-        code == 204 || code == 200
+        retrying(s"DELETE $k") {
+          val (code, _) = finish(connect("DELETE", k))
+          if (code >= 500)
+            throw new S3HttpException(code, s"DELETE $k -> HTTP $code")
+          code == 204 || code == 200
+        }
       case None =>
         val prefix = if (k.isEmpty) "" else k + "/"
         val (contents, _) = listAll(prefix, null)
@@ -421,15 +530,18 @@ class S3LiteFileSystem extends FileSystem {
 
   // ------------------------------------------------------------ rename
 
-  private def copyObject(src: String, dst: String): Unit = {
-    // copy-source must be percent-encoded the same way object paths are,
-    // or keys with spaces/special chars miss against a real endpoint
-    val c = connect("PUT", dst,
-      headers = Map("x-amz-copy-source" ->
-        s"/$bucket/${S3LiteFileSystem.encodeKey(src)}"))
-    val (code, _) = finish(c)
-    if (code != 200) throw new IOException(s"COPY $src -> $dst: HTTP $code")
-  }
+  private def copyObject(src: String, dst: String): Unit =
+    retrying(s"COPY $src") {
+      // copy-source must be percent-encoded the same way object paths
+      // are, or keys with spaces/special chars miss against a real
+      // endpoint
+      val c = connect("PUT", dst,
+        headers = Map("x-amz-copy-source" ->
+          s"/$bucket/${S3LiteFileSystem.encodeKey(src)}"))
+      val (code, _) = finish(c)
+      if (code != 200)
+        throw new S3HttpException(code, s"COPY $src -> $dst: HTTP $code")
+    }
 
   /** Object-store rename: per-object server-side COPY then DELETE.
     * NOT atomic — the graft commit protocol never relies on rename
@@ -500,6 +612,22 @@ object S3LiteFileSystem {
   /** Minimum bytes fetched per sequential ranged GET (readahead buffer;
     * s3a analog: fs.s3a.readahead.range, same 64 KB default). */
   val ReadAheadKey = "graft.s3.readahead"
+
+  /** Max retries for idempotent requests on transient failures (503
+    * SlowDown / 5xx / torn connections). s3a analog: fs.s3a.retry.limit. */
+  val RetryLimitKey = "graft.s3.retry.limit"
+
+  /** Backoff base in ms; attempt n sleeps base * 2^(n-1), capped at 64×. */
+  val RetryBaseMsKey = "graft.s3.retry.baseMs"
+
+  /** Idempotent requests re-issued after a transient failure (process-
+    * wide; specs snapshot-and-diff, bench artifacts may report it). */
+  val retriedRequests = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A non-2xx the protocol doesn't map to a definite answer: 5xx are
+    * transient (retried when idempotent); anything else surfaces. */
+  final class S3HttpException(val code: Int, msg: String)
+      extends IOException(msg)
 
   /** Percent-encode an object key per path segment, preserving empty
     * segments (directory markers end in '/'). [[decodeKey]] in

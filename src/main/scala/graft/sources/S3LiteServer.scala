@@ -42,6 +42,41 @@ class S3LiteServer {
     * shifted bytes on every later read. */
   @volatile var ignoreRange = false
 
+  /** Fault-injection window (r13 VERDICT #5, the LocalStack-style
+    * error-path shakeout): the next `count` requests whose method is in
+    * `methods` fail BEFORE touching the store — "503" answers SlowDown
+    * (S3's throttle signal), "500" answers InternalError, "reset"
+    * promises a 1 MB body and closes after 4 bytes (the wire shape of a
+    * dropped connection: the client observes premature EOF mid-body).
+    * Exhausted windows go inert; clearFaults() disarms early. */
+  def injectFaults(kind: String, methods: Set[String], count: Int): Unit = {
+    require(Set("503", "500", "reset").contains(kind), kind)
+    faultKind = kind
+    faultMethods = methods
+    faultRemaining.set(count)
+  }
+  def clearFaults(): Unit = faultRemaining.set(0)
+  val faultsInjected = new AtomicLong()
+  @volatile private var faultKind: String = "503"
+  @volatile private var faultMethods: Set[String] = Set.empty
+  private val faultRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** True (and consumes one budget unit) if this request must fail. */
+  private def faultFires(method: String): Boolean =
+    faultMethods.contains(method) &&
+      faultRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0
+
+  /** Fail-AFTER-effect for conditional puts: the next `count` WINNING
+    * conditional puts are APPLIED to the store but answered 503 — the
+    * success reply is lost on the wire, the worst-case commit ambiguity
+    * (the client cannot distinguish it from a throttle that preceded
+    * the apply). Exercises the commit layer's content read-back
+    * disambiguation end-to-end. */
+  def injectCommitResponseLoss(count: Int): Unit =
+    commitLossRemaining.set(count)
+  private val commitLossRemaining =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   val conditionalPuts = new AtomicLong()
   val lostRaces = new AtomicLong()
   val rangeGets = new AtomicLong()
@@ -108,6 +143,23 @@ class S3LiteServer {
       case "HEAD" => heads.incrementAndGet()
       case _ => ()
     }
+    if (faultFires(ex.getRequestMethod)) {
+      faultsInjected.incrementAndGet()
+      faultKind match {
+        case "500" => respond(ex, 500, errXml("InternalError"))
+        // a HEAD response carries no body, so a torn body cannot be
+        // simulated through HttpServer — degrade to 503 (still a
+        // transient the client must retry)
+        case "reset" if ex.getRequestMethod != "HEAD" =>
+          // fixed-length promise, torn body: handle()'s finally closes
+          // the exchange and the client gets premature EOF mid-read
+          ex.sendResponseHeaders(200, 1L << 20)
+          ex.getResponseBody.write("torn".getBytes(UTF_8))
+          ex.getResponseBody.flush()
+        case _ => respond(ex, 503, errXml("SlowDown"))
+      }
+      return
+    }
     ex.getRequestMethod match {
       case "PUT" =>
         val copySource = ex.getRequestHeaders.getFirst("x-amz-copy-source")
@@ -129,6 +181,12 @@ class S3LiteServer {
             if (store.putIfAbsent(id, obj) != null) {
               lostRaces.incrementAndGet()
               respond(ex, 412, errXml("PreconditionFailed"))
+            } else if (commitLossRemaining
+                .getAndUpdate(n => math.max(0, n - 1)) > 0) {
+              // fail-after-effect: the put LANDED; the success reply is
+              // lost (see injectCommitResponseLoss)
+              faultsInjected.incrementAndGet()
+              respond(ex, 503, errXml("SlowDown"))
             } else respond(ex, 200, Array.empty)
           } else { store.put(id, obj); respond(ex, 200, Array.empty) }
         }

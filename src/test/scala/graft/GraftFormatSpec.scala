@@ -104,6 +104,42 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(GraftFormat.fromJson(GraftFormat.toJson(m)) == m)
   }
 
+  test("manifests commit gzip-encoded (metadata scale); plain-JSON and " +
+      "format_version 1 manifests remain readable via the magic sniff") {
+    val m = Manifest(1, """{"type":"struct","fields":[]}""",
+      Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,
+        Map("k" -> ColStats(Some("1"), Some("99"), 2)))),
+      0, 123, "Create", Map("note" -> "zipped"))
+    val dir = tmp()
+    GraftFormat.commit(fs, dir, m)
+    val raw = {
+      val p = GraftFormat.manifestPath(dir, 1)
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, b); b
+      } finally in.close()
+    }
+    assert(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte,
+      "format v2 manifest must be gzip on the wire")
+    assert(GraftFormat.readManifest(fs, dir, 1) == m)
+    // a plain-JSON manifest (pre-gzip table / hand-written fixture)
+    // decodes through the same reader
+    val m2 = m.copy(version = 2, operation = "Append")
+    val out = fs.create(GraftFormat.manifestPath(dir, 2), true)
+    try out.write(GraftFormat.toJson(m2).getBytes("UTF-8"))
+    finally out.close()
+    assert(GraftFormat.readManifest(fs, dir, 2) == m2)
+    // format_version 1 commits stay plain JSON (v1-reader compatible)
+    val dir2 = tmp()
+    GraftFormat.commit(fs, dir2, m.copy(
+      properties = Map(GraftFormat.FormatVersionProp -> "1")))
+    val p1 = GraftFormat.manifestPath(dir2, 1)
+    val in1 = fs.open(p1)
+    val first = try in1.read() finally in1.close()
+    assert(first == '{'.toInt, "format v1 manifest must stay plain JSON")
+  }
+
   test("format_version 1 manifests are written without sizeBytes/stats") {
     val m = Manifest(1, """{"type":"struct","fields":[]}""",
       Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,

@@ -152,13 +152,22 @@ class ManifestCacheSpec extends AnyFunSuite {
   private def quiesceBody(): Unit = {
     freshTable("t4q")
     val dir = tdir("t4q")
+    // re-write the head as PLAIN json so the plain-json swap below is
+    // length-identical by construction (commits are gzip on the wire
+    // now; the cache sniffs both encodings)
+    val latest = GraftFormat.readLatest(fs, dir).get
+    val vp = new Path(new Path(dir, "_versions"),
+      s"${latest.version}.manifest.json")
+    locally {
+      val out = fs.create(vp, true)
+      try out.write(GraftFormat.toJson(latest).getBytes("UTF-8"))
+      finally out.close()
+    }
+    ManifestCache.purge(fs, dir)
     spark.table("mc.db.t4q").count() // prime
     // simulate ANOTHER PROCESS swapping the head manifest with one of
     // IDENTICAL length at the same version — 1-second-mtime stores make
     // this stat-indistinguishable when it lands in the same second
-    val latest = GraftFormat.readLatest(fs, dir).get
-    val vp = new Path(new Path(dir, "_versions"),
-      s"${latest.version}.manifest.json")
     val st0 = fs.getFileStatus(vp)
     val swapped = latest.copy(properties = latest.properties +
       (GraftFormat.TableIdProp -> java.util.UUID.randomUUID().toString))
@@ -287,17 +296,26 @@ class ManifestCacheSpec extends AnyFunSuite {
     setup(ttlMs = 0)
     freshTable("t13")
     val dir = tdir("t13")
+    // re-write the committed manifest as PLAIN json first: the swap
+    // below is plain json too, so length-equality is by construction
+    // (a gzip-encoded original and a plain swap would differ in length
+    // and miss the point of the test — the cache sniffs both encodings)
+    val v = GraftFormat.readLatest(fs, dir).get.version
+    val p = GraftFormat.manifestPath(dir, v)
+    val m = GraftFormat.readManifest(fs, dir, v)
+    locally {
+      val out = fs.create(p, true)
+      try out.write(GraftFormat.toJson(m).getBytes("UTF-8"))
+      finally out.close()
+    }
     ManifestCache.purge(fs, dir)
     assert(ManifestCache.latest(fs, dir, ttlMs = 0L).isDefined) // body read
     val bodyReadBy = System.currentTimeMillis()
-    val v = GraftFormat.readLatest(fs, dir).get.version
-    val p = GraftFormat.manifestPath(dir, v)
     val st = fs.getFileStatus(p)
     // same-second swap: another generation's manifest at the same
     // version with IDENTICAL length and mtime (the object-store
     // 1-second-granularity collision) — different table_id, reversed
     // so the byte length cannot change
-    val m = GraftFormat.readManifest(fs, dir, v)
     val oldId = m.properties(GraftFormat.TableIdProp)
     val newId = oldId.reverse
     assert(newId != oldId)

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.{GraftFormat, ZoneMaps}
+import graft.format.GraftFormat.ColStats
+
+/** Metadata-scale guard (r13 VERDICT #1, the in-gate companion of
+  * `graft.MetaBench` / BENCH_META.json): a 100 TB table is ~10⁵
+  * fragments of zone-mapped metadata in ONE manifest; this spec pins
+  * the planning path's metadata costs at 10⁴ fragments with generous
+  * (~5×) headroom over measured walls so a regression in manifest
+  * encoding, parsing, or fragment pruning fails `sbt test` instead of
+  * waiting for the next bench round. Byte budgets are exact-ish
+  * (encoding is deterministic); time budgets are loose by design. */
+class MetaScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Fragments = 10000
+
+  private lazy val built: (Path, org.apache.hadoop.fs.FileSystem,
+      GraftFormat.Manifest, Long) = {
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-metascale").resolve("t.graft").toUri)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val li = Tables.load(spark, sf, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber").limit(2000).coalesce(1)
+    graft.connector.GraftWriter.write(fs, dir, li, overwrite = true)
+    val m1 = GraftFormat.readLatest(fs, dir).get
+    val seed = m1.fragments.head
+    val longCols = Set("l_orderkey", "l_partkey", "l_suppkey")
+    def shifted(k: Int): Map[String, ColStats] = seed.stats.map {
+      case (c, cs) if longCols.contains(c) =>
+        val lo = cs.min.get.toLong; val hi = cs.max.get.toLong
+        val span = hi - lo + 1
+        c -> ColStats(Some((lo + k * span).toString),
+          Some((hi + k * span).toString), cs.nulls)
+      case other => other
+    }
+    val synth = (1 until Fragments).map { k =>
+      seed.copy(id = seed.id + k, path = s"data/synth-$k.parquet",
+        rowCount = 6000000L, deletedCount = 0L, deletionPath = None,
+        sizeBytes = 1L << 30, stats = shifted(k))
+    }
+    val m2 = m1.copy(version = m1.version + 1, fragments = seed +: synth,
+      maxFragmentId = seed.id + Fragments - 1,
+      createdAtMs = System.currentTimeMillis(), operation = "Append")
+    GraftFormat.commit(fs, dir, m2)
+    val len = fs.getFileStatus(GraftFormat.manifestPath(dir, m2.version)).getLen
+    (dir, fs, m2, len)
+  }
+
+  test(s"manifest bytes at $Fragments fragments stay bounded " +
+      "(gzip encoding + truncated zone maps)") {
+    val (_, _, _, len) = built
+    // measured 0.26 MB; plain JSON was 7.2 MB. 1 MB of headroom still
+    // catches an encoding regression (plain JSON would be 7×over)
+    assert(len < (1L << 20),
+      s"manifest is ${len / 1024} KB at $Fragments fragments — " +
+        "metadata no longer fits the 100 TB budget (100 MB at 10⁵)")
+  }
+
+  test(s"cold manifest load at $Fragments fragments stays fast") {
+    val (dir, fs, m2, _) = built
+    val t0 = System.nanoTime()
+    val loaded = GraftFormat.readManifest(fs, dir, m2.version)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(loaded.fragments.size == Fragments)
+    assert(ms < 2000, f"cold load took $ms%.0f ms (measured ~240 ms; " +
+      "2 s here implies ~20 s at 10⁵ fragments)")
+  }
+
+  test(s"zone-map prune walks $Fragments fragments fast and exactly") {
+    val (dir, fs, m2, _) = built
+    val loaded = GraftFormat.readManifest(fs, dir, m2.version)
+    val keyMax = m2.fragments.head.stats("l_orderkey").max.get.toLong
+    val pred = org.apache.spark.sql.sources.LessThanOrEqual(
+      "l_orderkey", keyMax)
+    val schema = loaded.schema
+    val t0 = System.nanoTime()
+    val kept = loaded.fragments.count(f => ZoneMaps.mayMatch(pred, schema, f))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(kept == 1, s"prune kept $kept, expected 1")
+    assert(ms < 500, f"prune walk took $ms%.0f ms over $Fragments fragments")
+  }
+
+  test(s"filter-to-planned-partitions at $Fragments fragments: pruned " +
+      "plan is O(match), not O(fragments) tasks") {
+    val (dir, fs, m2, _) = built
+    val loaded = GraftFormat.readManifest(fs, dir, m2.version)
+    val keyMax = m2.fragments.head.stats("l_orderkey").max.get.toLong
+    def tableDF = org.apache.spark.sql.GraftShim.tableDF(spark,
+      new graft.connector.GraftTable(s"metascale:$dir", dir, loaded,
+        fs.getConf))
+    val t0 = System.nanoTime()
+    val parts = tableDF.where(col("l_orderkey") <= keyMax)
+      .rdd.getNumPartitions
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(parts == 1, s"zone prune must plan 1 partition, got $parts")
+    assert(ms < 3000, f"plan took $ms%.0f ms")
+    // and the pruned query actually answers from the one real fragment
+    val rows = tableDF.where(col("l_orderkey") <= keyMax)
+      .select("l_orderkey").collect()
+    assert(rows.nonEmpty)
+  }
+}

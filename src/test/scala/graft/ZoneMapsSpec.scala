@@ -194,6 +194,54 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(res.passed, s"zone-map soundness violated: ${res.status}")
   }
 
+  test("string zone maps are truncated to 64 chars at harvest, soundly: " +
+      "min is a prefix, max is rounded UP, and pruning never drops a " +
+      "fragment containing a match") {
+    import graft.format.FragmentStats
+    // truncUpper unit contract first
+    assert(FragmentStats.truncUpper("short").contains("short"))
+    val long = "b" * 100
+    assert(FragmentStats.truncUpper(long).contains("b" * 63 + "c"))
+    assert(FragmentStats.truncUpper("a" + "\uffff" * 100)
+      .contains("b"), "trailing MaxValue chars must round the earlier char")
+    assert(FragmentStats.truncUpper("\uffff" * 100).isEmpty,
+      "an un-roundable prefix must drop the max (absent never prunes)")
+
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.longstr")
+    spark.sql("CREATE TABLE zm.db.longstr (k BIGINT, doc STRING)")
+    // two fragments of document-length strings with disjoint prefixes
+    spark.sql("""INSERT INTO zm.db.longstr
+      SELECT id, concat('alpha-', id, repeat('x', 200))
+      FROM range(0, 100, 1, 1)""")
+    spark.sql("""INSERT INTO zm.db.longstr
+      SELECT id, concat('omega-', id, repeat('x', 200))
+      FROM range(0, 100, 1, 1)""")
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/db/longstr.graft")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = graft.format.GraftFormat.readLatest(fs, dir).get
+    val docStats = m.fragments.flatMap(_.stats.get("doc"))
+    assert(docStats.size == m.fragments.size, "doc column must have stats")
+    docStats.foreach { cs =>
+      assert(cs.min.get.length <= 64, s"min not truncated: ${cs.min}")
+      assert(cs.max.get.length <= 64, s"max not truncated: ${cs.max}")
+    }
+    val all = spark.table("zm.db.longstr")
+    // the true max of the alpha fragment is ~208 chars; its truncated
+    // max must still ADMIT it (rounded up, not prefix-chopped)
+    val trueMax = all.where(col("doc").startsWith("alpha-"))
+      .agg(org.apache.spark.sql.functions.max("doc")).head.getString(0)
+    assert(trueMax.length > 64)
+    val hit = all.filter(col("doc") === trueMax)
+    assert(plannedPartitions(hit) == 1,
+      "equality on a beyond-truncation value must keep its fragment " +
+        "and prune the other")
+    assert(hit.count() == 1, "truncated max must not prune a real match")
+    // prefix pruning still works on the truncated stats
+    assert(plannedPartitions(all.filter(col("doc").startsWith("omega-"))) == 1)
+    assert(plannedPartitions(all.filter(col("doc") > "zzz")) == 0)
+  }
+
   test("decimal ranges prune: unscaled INT64 stats vs BigDecimal filters") {
     wh
     spark.sql("DROP TABLE IF EXISTS zm.db.dec")
