@@ -44,18 +44,25 @@ import graft.functions.{CosineSim, L2Squared}
   * force exact results even where an index exists);
   * `spark.graft.ann.nprobe` (default 4);
   * `spark.graft.ann.adaptiveNprobe` (default true) — before committing
-  * to a probe, count the rows that would survive it (candidate-list
-  * rows; through the query's own predicate when one sits below the
-  * sort) and, while the count is short of k, double nprobe; if even
-  * probing every list cannot fill k, the rewrite abandons itself and
-  * the exact scan runs. This closes the filtered-ANN recall cliff — a
-  * sharp predicate can no longer silently thin the shortlist below k —
-  * at the cost of at most ONE count job per distinct ANN query
-  * regardless of how far nprobe escalates: survivors are counted per
-  * list, each escalation level is a driver-side prefix sum, and the
-  * counts are cached per (index version dir, canonicalized plan) so
-  * explain()/re-planning the same query never re-runs the job (see
-  * [[selectCandidates]]).
+  * to a probe, count the rows that would survive it per list
+  * (candidate-list rows; through the query's own predicate when one
+  * sits below the sort) and take the MINIMAL list prefix whose
+  * survivors reach k; if only the full list set can fill k, the rewrite
+  * abandons itself and the exact scan runs. This closes the
+  * filtered-ANN recall cliff — a sharp predicate can no longer silently
+  * thin the shortlist below k — at the cost of at most ONE count job
+  * per distinct ANN query: survivors are counted per list, every
+  * escalation level is a driver-side prefix sum, and the counts are
+  * cached per (index version dir, canonicalized plan) so explain()/
+  * re-planning the same query never re-runs the job (see
+  * [[selectCandidates]]);
+  * `spark.graft.ann.selectivityScale` (default true) — when the
+  * predicate keeps more than k rows, scale the starting prefix by
+  * 1/selectivity (capped at every-list = exact scan): the k-row
+  * guarantee alone measured ~0.74 filtered recall (BENCH_RECALL.json)
+  * because a thinner candidate density needs a larger distance radius;
+  * probing base/selectivity lists restores the unfiltered candidate
+  * count and the certified ≥0.8 floor.
   *
   * Scale shape: centroids (k×dim doubles) are read once per (table,
   * version) and cached driver-side; the probe itself is plan surgery —
@@ -103,7 +110,8 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       probe <- indexProbe(table, embName)
       idAttr <- child.output.find(a =>
         spark.sessionState.conf.resolver(a.name, probe.idName))
-      candPlan <- selectCandidates(probe, qv, child, idAttr, k)
+      candPlan <- selectCandidates(probe, qv, child, idAttr, k,
+        table.manifest.liveRows)
     } yield {
       val join = Join(child, candPlan, LeftSemi,
         Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
@@ -266,7 +274,8 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * probe's semi-join cuts the SORT input, not the scan), so the
     * adaptive guard adds one job, never a new scan shape. */
   private def selectCandidates(probe: IndexProbe, qv: Array[Double],
-      child: LogicalPlan, idAttr: Attribute, k: Int): Option[LogicalPlan] = {
+      child: LogicalPlan, idAttr: Attribute, k: Int,
+      liveRows: Long): Option[LogicalPlan] = {
     val nLists = probe.cents.length
     // full L2 ranking of the coarse centroids, computed once; every
     // escalation is a longer prefix of the same ranking
@@ -357,13 +366,38 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)
           computed
       }
+    // Selectivity-scaled recall floor (BENCH_RECALL.json finding: the
+    // k-row guarantee alone left filtered recall at ~0.74 — the guard
+    // ensured ENOUGH rows, not the RIGHT rows, because a filtered top-k
+    // draws from a thinner candidate density and so needs a larger
+    // distance radius = more lists than the unfiltered base). When the
+    // predicate keeps survivorsTotal > k (a genuine selection among
+    // matches), scale the starting prefix by 1/selectivity — probing
+    // base/selectivity lists restores the unfiltered candidate count —
+    // capped at nLists, where the semi-join would keep everything and
+    // the exact scan is the same answer with a simpler plan (a sharp
+    // filter over few lists SHOULD scan exactly; at production list
+    // counts the scaled prefix stays a small fraction). When
+    // survivorsTotal <= k every covering prefix returns ALL matches
+    // (recall 1 by construction), so the minimal fill below suffices
+    // and scaling would only widen the scan. Same trade as prefiltered
+    // IVF search in native vector stores. Conf escape hatch:
+    // spark.graft.ann.selectivityScale=false.
+    val survivorsTotal = perList.values.sum
+    val scaleOn =
+      spark.conf.get("spark.graft.ann.selectivityScale", "true") != "false"
+    val scaled =
+      if (!filtered || !scaleOn || survivorsTotal <= k || survivorsTotal == 0L)
+        base
+      else math.min(nLists.toLong, math.ceil(
+        base.toDouble * liveRows / survivorsTotal).toLong).toInt
     // minimal sufficient nprobe, directly from the driver-side prefix
     // sums over the ranked lists (r13 ADVICE: doubling only visited
     // power-of-two prefixes, so a query whose survivors first reach k at
     // an intermediate prefix was abandoned to the exact scan for
     // nothing — perList is fully materialized, nothing is saved by
     // sampling prefixes). nprobe never shrinks below the user's base.
-    var nprobe = base
+    var nprobe = math.max(base, scaled)
     var survivors = ranked.take(nprobe).map(perList.getOrElse(_, 0L)).sum
     while (survivors < k && nprobe < nLists) {
       survivors += perList.getOrElse(ranked(nprobe), 0L)

@@ -98,6 +98,14 @@ class AnnRewriteSpec extends AnyFunSuite {
       .limit(k)
       .select("vec_id")
     withRule {
+      // pin the prefix to the base nprobe: this test hand-computes the
+      // 4-probed-list expectation; the selectivity-scaled prefix has
+      // its own test below
+      spark.conf.set("spark.graft.ann.selectivityScale", "false")
+      try filteredBody()
+      finally spark.conf.unset("spark.graft.ann.selectivityScale")
+    }
+    def filteredBody(): Unit = {
       val q = filteredTopK(5)
       assert(semiJoins(q) == 1, "filtered top-k must still probe the " +
         s"index:\n${q.queryExecution.optimizedPlan}")
@@ -123,6 +131,44 @@ class AnnRewriteSpec extends AnyFunSuite {
         .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(approx == expected,
         "filtered probe differs from manual probe ∩ predicate")
+    }
+  }
+
+  test("selectivity-scaled nprobe: a filter keeping ~2/3 of rows widens " +
+      "the prefix beyond the base by 1/selectivity (recall floor), and " +
+      "a sharp filter keeping > k rows degenerates to the exact scan") {
+    dir
+    def q(pred: org.apache.spark.sql.Column) = tableDF
+      .where(pred)
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(5).select("vec_id")
+    withRule {
+      // ~2/3 selectivity: scaled = ceil(base / selectivity), from data
+      val total = tableDF.count()
+      val surv = tableDF.where(col("vec_id") % 3 =!= 0).count()
+      val expectedPrefix =
+        math.min(8L, math.ceil(4.0 * total / surv).toLong).toInt
+      assert(expectedPrefix > 4 && expectedPrefix < 8,
+        s"fixture must scale strictly between base and nLists: $expectedPrefix")
+      val mild = q(col("vec_id") % 3 =!= 0)
+      assert(semiJoins(mild) == 1,
+        s"mild filter must keep the probe:\n${mild.queryExecution.optimizedPlan}")
+      assert(probedLists(mild).contains(expectedPrefix),
+        s"expected a $expectedPrefix-list scaled prefix, got ${probedLists(mild)}")
+      assert(mild.collect().length == 5)
+      // sharp filter, > k matches: 1/(1/43) scales past nLists — the
+      // semi-join would keep everything, so the exact scan runs and
+      // recall is 1 by construction
+      val sharp = q(col("vec_id") % 43 === 0)
+      val rows = sharp.collect().map(_.getLong(0)).toSeq
+      assert(semiJoins(sharp) == 0,
+        s"sharp filter should abandon to exact:\n${sharp.queryExecution.optimizedPlan}")
+      assert(rows.length == 5 && rows.forall(_ % 43 == 0))
+      // and the exact answer it returns IS the true filtered top-k
+      spark.conf.set("spark.graft.ann.indexRewrite", "false")
+      try assert(rows == sharp.collect().map(_.getLong(0)).toSeq)
+      finally spark.conf.set("spark.graft.ann.indexRewrite", "true")
     }
   }
 

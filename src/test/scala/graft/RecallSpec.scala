@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-gate ANN recall floors (r13 VERDICT #4; the artifact companion is
+  * `graft.RecallBench` -> BENCH_RECALL.json, which certifies the same
+  * floors at sf0.1 and 4×): recall@10 of the PRODUCTION rewrite path —
+  * optimizer rule over a persisted index, adaptive nprobe + selectivity
+  * scaling on — vs the exact top-k, for both index kinds and both the
+  * unfiltered and the mild-filtered path. Pinned here so a recall
+  * regression (a probe-selection bug, a broken scaling heuristic, a
+  * stale-cache leak) fails `sbt test` rather than waiting for a bench
+  * round. The sharp-filter arm degenerates to the exact scan by design
+  * and is asserted as exactly that in AnnRewriteSpec. */
+class RecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Floor = 0.8
+
+  for (kind <- Seq("ivf", "ivfpq")) {
+    test(s"$kind unfiltered probe recall@10 >= $Floor at the test SF") {
+      val r = RecallBench.measure(spark, sf, kind, None, nQueries = 10)
+      assert(r.probed == 10, s"probes must fire: $r")
+      assert(r.recall >= Floor, s"$kind unfiltered recall ${r.recall}")
+    }
+
+    test(s"$kind mild-filtered (selectivity-scaled) recall@10 >= $Floor " +
+        "at the test SF") {
+      val r = RecallBench.measure(spark, sf, kind, Some(2), nQueries = 10)
+      assert(r.probed == 10, s"probes must fire: $r")
+      assert(r.recall >= Floor, s"$kind filtered recall ${r.recall}")
+    }
+  }
+}
