@@ -109,8 +109,9 @@ def main():
         try:
             with open("BENCH_SCALE.json") as f:
                 prev = json.load(f)
-            if "deep" in prev:
-                result["deep"] = prev["deep"]
+            for k in prev:
+                if k.startswith("deep"):
+                    result[k] = prev[k]
         except (json.JSONDecodeError, OSError) as e:
             # a corrupt/partial previous artifact must not discard this
             # run's freshly-benched result; it only loses the carry-over

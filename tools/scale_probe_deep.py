@@ -20,6 +20,7 @@ import sys
 SRC = os.environ.get("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("GRAFT_SCALE_DEEP_FACTOR", "16"))
 OUT = os.environ.get("GRAFT_SCALE_DEEP_DIR", f"/tmp/graft_scale/sf_deep{FACTOR}")
+SECTION = os.environ.get("GRAFT_SCALE_DEEP_SECTION", "deep")
 QUERIES = os.environ.get("GRAFT_SCALE_DEEP_QUERIES", "t15,v09")
 
 # reuse scale_probe's run/bench (same sbt invocation, artifact-line
@@ -39,9 +40,14 @@ def main():
     with open("BENCH_SCALE.json") as f:
         result = json.load(f)
 
-    print(f"generating {FACTOR}x corpus at {OUT} ...")
-    run(f'sbt -batch "runMain graft.ScaleGen {SRC} {OUT} {FACTOR}"',
-        env={"SPARK_GRAFT_CPUS": CPUS})
+    if os.path.isdir(OUT) and os.path.exists(f"{OUT}/embeddings.parquet"):
+        # pre-built (e.g. composed 4x-of-16x for factors past ScaleGen's
+        # 26-rotation cap); trust the caller's corpus
+        print(f"reusing existing {FACTOR}x corpus at {OUT}")
+    else:
+        print(f"generating {FACTOR}x corpus at {OUT} ...")
+        run(f'sbt -batch "runMain graft.ScaleGen {SRC} {OUT} {FACTOR}"',
+            env={"SPARK_GRAFT_CPUS": CPUS})
 
     print("bench: base scale (deep queries) ...")
     base = bench(SRC)
@@ -50,8 +56,12 @@ def main():
 
     deep = {
         "factor": FACTOR,
-        "why": ("the two highest 4x ratios pushed one decade further: at "
-                "4x a constant overhead can hide a superlinear term"),
+        "why": (("the two highest 4x ratios pushed one decade further: at "
+                 "4x a constant overhead can hide a superlinear term")
+                if SECTION == "deep" else
+                (f"single-query {FACTOR}x decade probe (r13 VERDICT #2: "
+                 "the occupancy-keyed sub-split must keep the "
+                 "16x->64x leg linear)")),
         "base_sec": base["queries"],
         "scaled_sec": scaled["queries"],
         "ratio": {},
@@ -75,7 +85,7 @@ def main():
             sys.exit(f"deep probe measured NOTHING for '{prefix}' — "
                      "check GRAFT_SCALE_DEEP_QUERIES")
     deep["all_linear"] = ok
-    result["deep"] = deep
+    result[SECTION] = deep
     with open("BENCH_SCALE.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(deep, indent=1))
