@@ -161,6 +161,17 @@ class S3LiteFileSystem extends FileSystem {
     val body =
       if (code >= 400) { Option(c.getErrorStream).map(drain).getOrElse(Array.empty) }
       else drain(c.getInputStream)
+    // a dropped connection can deliver a SHORT 200 body without any
+    // exception — and a short 200 is byte-for-byte indistinguishable
+    // from a legitimate Range-ignoring full-object 200 (the rangeGet
+    // fallback would then cache torn bytes as the whole object: silent
+    // corruption). The declared Content-Length is the tiebreaker; a
+    // mismatch is a torn read -> transient, retried by idempotent
+    // callers. (Found by the lossy-window storm, r13 VERDICT #5.)
+    val declared = c.getHeaderFieldLong("Content-Length", -1L)
+    if (code < 400 && declared >= 0 && body.length != declared)
+      throw new IOException(
+        s"truncated body: got ${body.length} of $declared declared bytes")
     (code, body)
   }
 
@@ -568,7 +579,7 @@ class S3LiteFileSystem extends FileSystem {
       case Some(_) =>
         if (headObject(dk).isDefined) return false
         copyObject(sk, dk)
-        finish(connect("DELETE", sk))
+        retrying(s"DELETE $sk")(finish(connect("DELETE", sk)))
         true
       case None if isPrefix(sk) =>
         val (contents, _) = listAll(sk + "/", null)

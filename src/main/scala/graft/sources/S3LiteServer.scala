@@ -146,11 +146,12 @@ class S3LiteServer {
     if (faultFires(ex.getRequestMethod)) {
       faultsInjected.incrementAndGet()
       faultKind match {
+        // HEAD responses carry no body — the JDK server logs a warning
+        // and the client can stall waiting for promised bytes
+        case _ if ex.getRequestMethod == "HEAD" =>
+          ex.sendResponseHeaders(if (faultKind == "500") 500 else 503, -1)
         case "500" => respond(ex, 500, errXml("InternalError"))
-        // a HEAD response carries no body, so a torn body cannot be
-        // simulated through HttpServer — degrade to 503 (still a
-        // transient the client must retry)
-        case "reset" if ex.getRequestMethod != "HEAD" =>
+        case "reset" =>
           // fixed-length promise, torn body: handle()'s finally closes
           // the exchange and the client gets premature EOF mid-read
           ex.sendResponseHeaders(200, 1L << 20)
