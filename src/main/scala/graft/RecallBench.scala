@@ -102,7 +102,9 @@ object RecallBench {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir4 = sys.env.getOrElse("GRAFT_RECALL_4X_DIR",
       "/tmp/graft_recall/sf4x")
-    if (!new java.io.File(s"$dir4/embeddings.parquet").exists())
+    // _SUCCESS gate: a directory left by an interrupted ScaleGen must
+    // not silently certify recall against a truncated "4x" corpus
+    if (!new java.io.File(s"$dir4/embeddings.parquet/_SUCCESS").exists())
       ScaleGen.main(Array(src, dir4, "4"))
 
     val floor = 0.8

@@ -80,15 +80,40 @@ object FragmentStats {
     * column-index truncation (BinaryTruncator.truncateMax). */
   private[graft] val MaxStatLength = 64
 
+  /** Truncated lower bound: the prefix, minus a trailing HIGH surrogate
+    * a 64-char cut may have split off its pair (a lone surrogate does
+    * not survive the manifest's UTF-8 encoding — it would decode as
+    * '?', silently CHANGING the stored stat; for a min the shorter
+    * prefix is still <= the value, so dropping the char stays sound). */
+  private[graft] def truncLower(s: String): String = {
+    val p = s.take(MaxStatLength)
+    if (p.nonEmpty && Character.isHighSurrogate(p.last)) p.dropRight(1)
+    else p
+  }
+
+  /** Truncated UPPER bound: round the prefix up by bumping its last
+    * bumpable char — never INTO or WITHIN the surrogate range
+    * (0xD800-0xDFFF): a lone surrogate mangles to '?' (0x3F) on the
+    * manifest's UTF-8 wire encoding, making the persisted max SMALLER
+    * than the true max — unsound pruning. 0xD7FF rounds to 0xE000
+    * (the first char past the surrogates); a LOW surrogate is skipped
+    * (bumping it strands its high partner); a HIGH surrogate is
+    * replaced by 0xE000 (its pair is cut, the chars before it end on a
+    * pair boundary). Char.MaxValue cannot be bumped; a prefix of only
+    * unbumpable chars drops the max (absent stats never prune). */
   private[graft] def truncUpper(s: String): Option[String] =
     if (s.length <= MaxStatLength) Some(s)
     else {
       val prefix = s.substring(0, MaxStatLength).toCharArray
       var i = prefix.length - 1
-      while (i >= 0 && prefix(i) == Char.MaxValue) i -= 1
+      while (i >= 0 && (prefix(i) == Char.MaxValue ||
+          Character.isLowSurrogate(prefix(i)))) i -= 1
       if (i < 0) None
       else {
-        prefix(i) = (prefix(i) + 1).toChar
+        prefix(i) =
+          if (prefix(i) == 0xD7FF.toChar ||
+              Character.isHighSurrogate(prefix(i))) 0xE000.toChar
+          else (prefix(i) + 1).toChar
         Some(new String(prefix, 0, i + 1))
       }
     }
@@ -125,7 +150,7 @@ object FragmentStats {
       case PrimitiveTypeName.BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
         val mm =
           if (hasMinMax)
-            (Some(st.minAsString().take(MaxStatLength)),
+            (Some(truncLower(st.minAsString())),
               truncUpper(st.maxAsString()))
           else (None, None)
         Some((mm, Ordering.String))

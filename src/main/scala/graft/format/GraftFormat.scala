@@ -85,13 +85,19 @@ object GraftFormat {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     /** Writer format version (S9; reference: LanceTableProperties.java:34-58).
-      * 1 = round-1 manifests without sizeBytes/stats; 2 = current. */
+      * 1 = round-1 manifests without sizeBytes/stats, plain JSON;
+      * 2 = sizeBytes + zone-map stats, plain JSON;
+      * 3 = current: same content, gzip wire encoding. A table pinned to
+      * an older version via the `format_version` property keeps that
+      * version's exact wire format, so readers built for it stay
+      * compatible; readers of THIS build sniff the encoding and read
+      * all three. */
     def formatVersion: Int =
       properties.get(FormatVersionProp).map(_.toInt).getOrElse(CurrentFormatVersion)
   }
 
   val FormatVersionProp = "format_version"
-  val CurrentFormatVersion = 2
+  val CurrentFormatVersion = 3
 
   /** Stable per-history identity ("generation"): stamped into version
     * 1's properties at creation and inherited by every later commit
@@ -478,6 +484,14 @@ object GraftFormat {
           // absent = the put never took effect -> safe to re-attempt
           // the conditional create, bounded. (The old `if fs.exists(p)
           // => false` read a landed own-write as a lost race.)
+          //
+          // Layering note: S3LiteFileSystem performs the same read-back
+          // inside its own conditional close() — that one heals TASK
+          // writers (parquet attempt files) that never reach this
+          // layer; this one covers generic FileSystems (hadoop-aws
+          // throws plain IOEs). Both bounds are small, so the nested
+          // worst case under an unhealable fault window stays ~tens of
+          // requests (measured in S3FaultSpec's typed-surfacing case).
           val onDisk: Option[Boolean] =
             try {
               val in = fs.open(p)
@@ -595,14 +609,17 @@ object GraftFormat {
     * rewrites the whole thing — a 100-version history carries 7.3 GB of
     * metadata and every cross-process planning pass ships 73 MB over
     * the wire (s3a). Gzip cuts it ~10× for ~100 ms of deflate at that
-    * size. Plain-JSON manifests (format_version 1 tables, pre-existing
-    * tables, hand-written test fixtures) remain readable forever via
-    * the sniff; readers never need a flag. Java's GZIPOutputStream
-    * writes a fixed zero-MTIME header, so the encoding is deterministic
-    * and (mtime, len) cache-revalidation identity is unaffected. */
+    * size. The encoding is gated on format_version >= 3 (r14 review:
+    * keying it to the existing v2 would have changed what a v2 reader
+    * can parse out from under it) — tables pinned to format_version
+    * 1/2 keep plain JSON, and plain-JSON manifests (older tables,
+    * hand-written test fixtures) remain readable forever via the
+    * sniff; readers never need a flag. Java's GZIPOutputStream writes
+    * a fixed zero-MTIME header, so the encoding is deterministic and
+    * (mtime, len) cache-revalidation identity is unaffected. */
   private[format] def encodeManifest(m: Manifest): Array[Byte] = {
     val json = toJson(m).getBytes(UTF_8)
-    if (m.formatVersion < 2) return json // v1 readers expect plain JSON
+    if (m.formatVersion < 3) return json // v1/v2 readers expect plain JSON
     val bos = new java.io.ByteArrayOutputStream(json.length / 8 + 64)
     val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
     gz.write(json); gz.close()

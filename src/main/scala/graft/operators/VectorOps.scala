@@ -94,12 +94,10 @@ object VectorOps {
     val spark = e.sparkSession
     import spark.implicits._
     // auto-k: one metadata-cheap count (parquet row-group stats); the
-    // derived k — and the occupancy-keyed split threshold below — are
-    // pure functions of N, so the result stays deterministic and
-    // partitioning-invariant (golden-pin eligible)
-    lazy val nRows = e.count()
+    // derived k is a pure function of N, so the result stays
+    // deterministic and partitioning-invariant (golden-pin eligible)
     val kEff = if (k > 0) k
-      else math.min(1024L, math.max(16L, nRows / 100L)).toInt
+      else math.min(1024L, math.max(16L, e.count() / 100L)).toInt
     // deterministic centroids: ordered driver-bounded sample, Lloyd
     // iterations shared with the IVF index build; the sample must
     // comfortably exceed k for Lloyd to place distinct centroids
@@ -123,14 +121,22 @@ object VectorOps {
         (id, graft.ops.VectorIndex.Ivf.nearest(bc.value, emb), emb)
       }.toDF("vec_id", "cid", "embedding")
     // skew guard: sub-split only clusters whose self-join would blow up.
-    // The threshold derives from N/k (target occupancy), so it is a
-    // pure function of the corpus like kEff — deterministic and
-    // partitioning-invariant (golden-pin eligible).
-    val splitAt =
-      if (maxClusterSize > 0) maxClusterSize.toLong
-      else 4L * math.max(nRows / kEff, 100L)
-    val big = assigned.groupBy("cid").count()
-      .filter(col("count") > splitAt).select("cid")
+    // The occupancy threshold derives from N/k — a pure function of the
+    // corpus like kEff, so deterministic and partitioning-invariant
+    // (golden-pin eligible). N comes from the SAME per-cluster
+    // aggregate via one unpartitioned window over <= 1024 rows, so an
+    // explicit-k caller pays no extra count job (r14 review).
+    val sizes = assigned.groupBy("cid").count()
+    val big =
+      if (maxClusterSize > 0)
+        sizes.filter(col("count") > maxClusterSize).select("cid")
+      else {
+        val w = Window.partitionBy(lit(1))
+        sizes.withColumn("n", sum(col("count")).over(w))
+          .filter(col("count") > lit(4L) *
+            greatest(floor(col("n") / kEff).cast("long"), lit(100L)))
+          .select("cid")
+      }
     val sub = withLshBucket(assigned, "embedding")
       .join(broadcast(big).withColumn("split", lit(true)), Seq("cid"), "left")
       .withColumn("sub", when(col("split"), col("bucket")).otherwise(lit(0)))

@@ -579,7 +579,13 @@ class S3LiteFileSystem extends FileSystem {
       case Some(_) =>
         if (headObject(dk).isDefined) return false
         copyObject(sk, dk)
-        retrying(s"DELETE $sk")(finish(connect("DELETE", sk)))
+        // code check inside the retry or a throttled DELETE is silently
+        // swallowed and the object survives at BOTH keys
+        retrying(s"DELETE $sk") {
+          val (code, _) = finish(connect("DELETE", sk))
+          if (code >= 500)
+            throw new S3HttpException(code, s"DELETE $sk -> HTTP $code")
+        }
         true
       case None if isPrefix(sk) =>
         val (contents, _) = listAll(sk + "/", null)

@@ -121,8 +121,18 @@ class GraftFormatSpec extends AnyFunSuite {
       } finally in.close()
     }
     assert(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte,
-      "format v2 manifest must be gzip on the wire")
+      "format v3 (current) manifest must be gzip on the wire")
     assert(GraftFormat.readManifest(fs, dir, 1) == m)
+    // a table PINNED to format_version 2 keeps plain JSON — readers
+    // built for v2 stay byte-compatible with what they declare
+    val dirV2 = tmp()
+    GraftFormat.commit(fs, dirV2, m.copy(
+      properties = Map(GraftFormat.FormatVersionProp -> "2")))
+    val inV2 = fs.open(GraftFormat.manifestPath(dirV2, 1))
+    val firstV2 = try inV2.read() finally inV2.close()
+    assert(firstV2 == '{'.toInt, "format v2 manifest must stay plain JSON")
+    assert(GraftFormat.readManifest(fs, dirV2, 1).fragments.head
+      .stats.nonEmpty, "v2 keeps stats content")
     // a plain-JSON manifest (pre-gzip table / hand-written fixture)
     // decodes through the same reader
     val m2 = m.copy(version = 2, operation = "Append")

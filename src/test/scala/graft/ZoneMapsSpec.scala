@@ -206,6 +206,24 @@ class ZoneMapsSpec extends AnyFunSuite {
       .contains("b"), "trailing MaxValue chars must round the earlier char")
     assert(FragmentStats.truncUpper("\uffff" * 100).isEmpty,
       "an un-roundable prefix must drop the max (absent never prunes)")
+    // surrogate safety (r14 review): a lone surrogate would mangle to
+    // '?' on the manifest's UTF-8 wire, making the persisted max
+    // SMALLER than the true max \u2014 every rounded result must be valid
+    // UTF-16 and still compare >= the original
+    val emoji = "\ud83d\ude00" // U+1F600, a surrogate pair
+    val cut = "x" * 63 + emoji + "tail" * 20 // 64-char cut splits the pair
+    val up = FragmentStats.truncUpper(cut).get
+    assert(up.compareTo(cut) > 0, "rounded max must stay an upper bound")
+    assert(new String(up.getBytes("UTF-8"), "UTF-8") == up,
+      "rounded max must survive the UTF-8 wire exactly (valid UTF-16)")
+    // 0xD7FF bumps PAST the surrogate block, not into it
+    val edge = "x" * 63 + "\ud7ff" + "y" * 20
+    assert(FragmentStats.truncUpper(edge).contains("x" * 63 + "\ue000"))
+    // min side: a cut that strands a high surrogate drops it (prefix
+    // stays a sound lower bound and survives the wire)
+    val lo = FragmentStats.truncLower(cut)
+    assert(lo == "x" * 63, "trailing lone high surrogate must be dropped")
+    assert(new String(lo.getBytes("UTF-8"), "UTF-8") == lo)
 
     wh
     spark.sql("DROP TABLE IF EXISTS zm.db.longstr")

@@ -40,7 +40,7 @@ def main():
     with open("BENCH_SCALE.json") as f:
         result = json.load(f)
 
-    if os.path.isdir(OUT) and os.path.exists(f"{OUT}/embeddings.parquet"):
+    if os.path.exists(f"{OUT}/embeddings.parquet/_SUCCESS"):
         # pre-built (e.g. composed 4x-of-16x for factors past ScaleGen's
         # 26-rotation cap); trust the caller's corpus
         print(f"reusing existing {FACTOR}x corpus at {OUT}")
