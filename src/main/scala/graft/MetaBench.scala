@@ -28,6 +28,46 @@ import graft.format.GraftFormat.{ColStats, FragmentMeta}
   */
 object MetaBench {
 
+  /** (table dir, fs, UNCOMMITTED manifest of `fragments` fragments):
+    * fragment 0 is REAL — written by the real writer from a lineitem
+    * slice, so its zone maps are footer-shaped — and fragments 1..n-1
+    * are metadata clones with disjoint shifted integer key ranges
+    * (like an append-ordered key column at 100 TB); doubles and
+    * strings keep the seed's shape (realistic overlap). Callers commit
+    * the manifest themselves (the bench times that commit). Shared
+    * with MetaScaleSpec so the in-gate guard measures EXACTLY the
+    * manifest shape the artifact certifies. */
+  def syntheticTable(spark: SparkSession, sfDir: String, fragments: Int,
+      seedRows: Int = 5000): (Path, org.apache.hadoop.fs.FileSystem,
+      graft.format.GraftFormat.Manifest) = {
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-metabench").resolve("t.graft").toUri)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .orderBy("l_orderkey", "l_linenumber").limit(seedRows).coalesce(1)
+    graft.connector.GraftWriter.write(fs, dir, li, overwrite = true)
+    val m1 = GraftFormat.readLatest(fs, dir).get
+    val seed = m1.fragments.head
+    val longCols = Set("l_orderkey", "l_partkey", "l_suppkey")
+    def shifted(k: Int): Map[String, ColStats] = seed.stats.map {
+      case (c, cs) if longCols.contains(c) =>
+        val lo = cs.min.get.toLong; val hi = cs.max.get.toLong
+        val span = hi - lo + 1
+        c -> ColStats(Some((lo + k * span).toString),
+          Some((hi + k * span).toString), cs.nulls)
+      case other => other
+    }
+    val synth = (1 until fragments).map { k =>
+      seed.copy(id = seed.id + k, path = s"data/synth-$k.parquet",
+        rowCount = 6000000L, deletedCount = 0L, deletionPath = None,
+        sizeBytes = 1L << 30, stats = shifted(k))
+    }
+    (dir, fs, m1.copy(version = m1.version + 1,
+      fragments = seed +: synth,
+      maxFragmentId = seed.id + fragments - 1,
+      createdAtMs = System.currentTimeMillis(), operation = "Append"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -41,41 +81,9 @@ object MetaBench {
     def ms(n: Long): Double = math.round(n / 1e5) / 10.0
 
     def probe(fragments: Int): Map[String, Any] = {
-      val dir = new Path(java.nio.file.Files
-        .createTempDirectory("graft-metabench").resolve("t.graft").toUri)
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      // fragment 0: real file, real footer-harvested zone maps
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .orderBy("l_orderkey", "l_linenumber").limit(5000).coalesce(1)
-      graft.connector.GraftWriter.write(fs, dir, li, overwrite = true)
-      val m1 = GraftFormat.readLatest(fs, dir).get
-      val seed = m1.fragments.head
-      val schema = m1.schema
-
-      // shift integer zone ranges per synthetic fragment so ranges are
-      // disjoint (like an append-ordered key column at 100 TB); doubles
-      // and strings keep the seed's shape (realistic overlap)
-      val longCols = schema.fields.collect {
-        case f if Seq("l_orderkey", "l_partkey", "l_suppkey")
-          .contains(f.name) => f.name
-      }.toSet
-      def shifted(k: Int): Map[String, ColStats] = seed.stats.map {
-        case (c, cs) if longCols.contains(c) =>
-          val lo = cs.min.get.toLong; val hi = cs.max.get.toLong
-          val span = hi - lo + 1
-          c -> ColStats(Some((lo + k * span).toString),
-            Some((hi + k * span).toString), cs.nulls)
-        case other => other
-      }
-      val synth = (1 until fragments).map { k =>
-        seed.copy(id = seed.id + k, path = s"data/synth-$k.parquet",
-          rowCount = 6000000L, deletedCount = 0L, deletionPath = None,
-          sizeBytes = 1L << 30, stats = shifted(k))
-      }
-      val m2 = m1.copy(version = m1.version + 1,
-        fragments = seed +: synth,
-        maxFragmentId = seed.id + fragments - 1,
-        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      val (dir, fs, m2) = MetaBench.syntheticTable(spark, sfDir, fragments)
+      val seed = m2.fragments.head
+      val schema = m2.schema
 
       val t0 = System.nanoTime()
       GraftFormat.commit(fs, dir, m2)

@@ -92,6 +92,17 @@ object RecallBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir4 = sys.env.getOrElse("GRAFT_RECALL_4X_DIR",
+      "/tmp/graft_recall/sf4x")
+    // _SUCCESS gate: a directory left by an interrupted ScaleGen must
+    // not silently certify recall against a truncated "4x" corpus.
+    // Generation runs BEFORE this main's session exists — ScaleGen.main
+    // stops whatever session it used, and stopping a shared one strands
+    // every later measure() on a dead SparkContext (r14 review,
+    // reproduced on a cold /tmp).
+    if (!new java.io.File(s"$dir4/embeddings.parquet/_SUCCESS").exists())
+      ScaleGen.main(Array(src, dir4, "4"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -99,13 +110,6 @@ object RecallBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dir4 = sys.env.getOrElse("GRAFT_RECALL_4X_DIR",
-      "/tmp/graft_recall/sf4x")
-    // _SUCCESS gate: a directory left by an interrupted ScaleGen must
-    // not silently certify recall against a truncated "4x" corpus
-    if (!new java.io.File(s"$dir4/embeddings.parquet/_SUCCESS").exists())
-      ScaleGen.main(Array(src, dir4, "4"))
 
     val floor = 0.8
     // filtered paths: a mild 1/2 predicate exercises the selectivity-

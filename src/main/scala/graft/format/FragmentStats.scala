@@ -80,6 +80,31 @@ object FragmentStats {
     * column-index truncation (BinaryTruncator.truncateMax). */
   private[graft] val MaxStatLength = 64
 
+  /** Unicode CODE-POINT order — the order parquet computed string
+    * min/max in (string stats use unsigned UTF-8 byte comparison,
+    * which equals code-point order). Java's String.compareTo is UTF-16
+    * code-UNIT order, which sorts every supplementary character
+    * (surrogate units 0xD800-0xDFFF) BELOW the BMP range
+    * [0xE000, 0xFFFF] — comparing stats in a different order than they
+    * were minimized/maximized in can prune fragments holding real
+    * matches (r14 review: min="", max=U+1F600; an EqualTo on
+    * "" read max < v under compareTo and dropped the fragment). */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[format] val CodePointOrdering: Ordering[String] =
+    (a: String, b: String) => codePointCompare(a, b)
+
   /** Truncated lower bound: the prefix, minus a trailing HIGH surrogate
     * a 64-char cut may have split off its pair (a lone surrogate does
     * not survive the manifest's UTF-8 encoding — it would decode as
@@ -92,27 +117,27 @@ object FragmentStats {
   }
 
   /** Truncated UPPER bound: round the prefix up by bumping its last
-    * bumpable char — never INTO or WITHIN the surrogate range
-    * (0xD800-0xDFFF): a lone surrogate mangles to '?' (0x3F) on the
-    * manifest's UTF-8 wire encoding, making the persisted max SMALLER
-    * than the true max — unsound pruning. 0xD7FF rounds to 0xE000
-    * (the first char past the surrogates); a LOW surrogate is skipped
-    * (bumping it strands its high partner); a HIGH surrogate is
-    * replaced by 0xE000 (its pair is cut, the chars before it end on a
-    * pair boundary). Char.MaxValue cannot be bumped; a prefix of only
-    * unbumpable chars drops the max (absent stats never prune). */
+    * bumpable char, soundly in CODE-POINT order and never emitting a
+    * lone surrogate (it would mangle to '?' on the manifest's UTF-8
+    * wire, making the persisted max SMALLER than the true max —
+    * unsound pruning). Surrogate units are unbumpable and skipped
+    * whole: bumping a supplementary character's half to any BMP char
+    * rounds DOWN in code-point order. 0xD7FF rounds to 0xE000 (the
+    * next real code point — nothing lives in the surrogate block);
+    * 0xFFFF (== Char.MaxValue) cannot be bumped without growing a
+    * pair, so it is skipped; a prefix of only unbumpable chars drops
+    * the max (absent stats never prune). */
   private[graft] def truncUpper(s: String): Option[String] =
     if (s.length <= MaxStatLength) Some(s)
     else {
       val prefix = s.substring(0, MaxStatLength).toCharArray
       var i = prefix.length - 1
       while (i >= 0 && (prefix(i) == Char.MaxValue ||
-          Character.isLowSurrogate(prefix(i)))) i -= 1
+          Character.isSurrogate(prefix(i)))) i -= 1
       if (i < 0) None
       else {
         prefix(i) =
-          if (prefix(i) == 0xD7FF.toChar ||
-              Character.isHighSurrogate(prefix(i))) 0xE000.toChar
+          if (prefix(i) == 0xD7FF.toChar) 0xE000.toChar
           else (prefix(i) + 1).toChar
         Some(new String(prefix, 0, i + 1))
       }
@@ -153,7 +178,7 @@ object FragmentStats {
             (Some(truncLower(st.minAsString())),
               truncUpper(st.maxAsString()))
           else (None, None)
-        Some((mm, Ordering.String))
+        Some((mm, CodePointOrdering))
       case _ => None // boolean/decimal/binary/int96: no pruning
     }
   }
@@ -255,7 +280,11 @@ object ZoneMaps {
       case FloatType | DoubleType =>
         toDoubleV(v).map(x => java.lang.Double.compare(s.toDouble, x))
       case StringType => v match {
-        case str: String => Some(s.compareTo(str).sign)
+        // code-point order: the order parquet computed the stat in
+        // (FragmentStats.codePointCompare) — compareTo would misorder
+        // supplementary characters vs [U+E000, U+FFFF]
+        case str: String =>
+          Some(Integer.signum(FragmentStats.codePointCompare(s, str)))
         case _ => None
       }
       // date/timestamp stats serialize as their parquet physical longs
@@ -295,8 +324,11 @@ object ZoneMaps {
       case Some(GraftFormat.ColStats(Some(min), Some(max), _)) if v != null =>
         // strings >= min, <= max; a string with prefix v exists in range
         // unless max < v, or min > all strings with that prefix (min's
-        // prefix of v.length is already > v)
-        !(max < v || min.take(v.length) > v)
+        // prefix of v.length is already > v). Code-point compares, like
+        // every other string-stat comparison. A code-unit take() that
+        // splits a pair only LOWERS the min prefix -> conservative.
+        !(FragmentStats.codePointCompare(max, v) < 0 ||
+          FragmentStats.codePointCompare(min.take(v.length), v) > 0)
       case _ => true
     }
 }

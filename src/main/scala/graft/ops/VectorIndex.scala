@@ -53,6 +53,19 @@ object VectorIndex {
     finally out.close()
   }
 
+  /** Remove a stale `_build_id` BEFORE a (re)build writes any artifact:
+    * a rebuild that dies mid-way must leave the version dir with NO id —
+    * the rewrite then falls back to the listing fingerprint of the new
+    * partial files (a cache miss) instead of serving the OLD build's
+    * cached centroids/survivor-counts over the new files (r14 review:
+    * the old id surviving a crashed rebuild was exactly the staleness
+    * class the listing fingerprint used to self-heal). */
+  private[ops] def clearBuildId(fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path): Unit = {
+    fs.delete(new Path(dest, "_build_id"), false)
+    ()
+  }
+
   def indexRoot(table: Path, col: String): Path =
     new Path(GraftFormat.indicesDir(table), s"$col.lsh")
 
@@ -223,6 +236,7 @@ object VectorIndex {
       val dest = versionDir(qual, embCol, manifest.version)
       fs.delete(IndexSegments.manifestPath(dest), false)
       IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
+      VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
       spark.createDataset(centroids.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")
@@ -303,6 +317,7 @@ object VectorIndex {
           val priorDir = versionDir(qual, embCol, v1)
           val priorSegs = IndexSegments.expandPrior(fs, r, priorDir)
           val dest = versionDir(qual, embCol, manifest.version)
+          VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
           val centDF = spark.read
             .parquet(new Path(priorDir, "centroids").toString)
           val segs =
@@ -518,6 +533,7 @@ object VectorIndex {
       val dest = versionDir(qual, embCol, manifest.version)
       fs.delete(IndexSegments.manifestPath(dest), false)
       IndexSegments.invalidateDir(fs, dest) // rebuild replaces the chain
+      VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
       spark.createDataset(cents.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid")
@@ -600,6 +616,7 @@ object VectorIndex {
           val priorDir = versionDir(qual, embCol, v1)
           val priorSegs = IndexSegments.expandPrior(fs, r, priorDir)
           val dest = versionDir(qual, embCol, manifest.version)
+          VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
           val centDF = spark.read
             .parquet(new Path(priorDir, "centroids").toString)
           val bookDF = spark.read

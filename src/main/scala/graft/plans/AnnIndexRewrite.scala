@@ -231,16 +231,19 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // indexes built before the id existed fall back to the listing.
     // One driver-side read-or-listing per planning pass.
     val centsFp = try {
-      val idFile = new Path(vdir, "_build_id")
-      if (fs.exists(idFile)) {
-        val in = fs.open(idFile)
+      // one RPC: open directly, fall back to the listing on 404 — an
+      // exists() probe first would double the round trips on every
+      // planning pass over an object store
+      try {
+        val in = fs.open(new Path(vdir, "_build_id"))
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-      } else
+      } catch { case _: java.io.FileNotFoundException =>
         fs.listStatus(new Path(vdir, "centroids"))
           .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
           .sorted.mkString(",")
+      }
     } catch { case _: java.io.IOException => return None }
     // the fingerprint goes in VERBATIM (it is one entry per centroids
     // part-file — short): truncating it to a 32-bit hash would let two

@@ -22,31 +22,10 @@ class MetaScaleSpec extends AnyFunSuite {
 
   private lazy val built: (Path, org.apache.hadoop.fs.FileSystem,
       GraftFormat.Manifest, Long) = {
-    val dir = new Path(java.nio.file.Files
-      .createTempDirectory("graft-metascale").resolve("t.graft").toUri)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val li = Tables.load(spark, sf, "lineitem")
-      .orderBy("l_orderkey", "l_linenumber").limit(2000).coalesce(1)
-    graft.connector.GraftWriter.write(fs, dir, li, overwrite = true)
-    val m1 = GraftFormat.readLatest(fs, dir).get
-    val seed = m1.fragments.head
-    val longCols = Set("l_orderkey", "l_partkey", "l_suppkey")
-    def shifted(k: Int): Map[String, ColStats] = seed.stats.map {
-      case (c, cs) if longCols.contains(c) =>
-        val lo = cs.min.get.toLong; val hi = cs.max.get.toLong
-        val span = hi - lo + 1
-        c -> ColStats(Some((lo + k * span).toString),
-          Some((hi + k * span).toString), cs.nulls)
-      case other => other
-    }
-    val synth = (1 until Fragments).map { k =>
-      seed.copy(id = seed.id + k, path = s"data/synth-$k.parquet",
-        rowCount = 6000000L, deletedCount = 0L, deletionPath = None,
-        sizeBytes = 1L << 30, stats = shifted(k))
-    }
-    val m2 = m1.copy(version = m1.version + 1, fragments = seed +: synth,
-      maxFragmentId = seed.id + Fragments - 1,
-      createdAtMs = System.currentTimeMillis(), operation = "Append")
+    // the SAME synthetic-manifest builder the bench artifact uses, so
+    // this guard measures exactly the shape BENCH_META.json certifies
+    val (dir, fs, m2) =
+      MetaBench.syntheticTable(spark, sf, Fragments, seedRows = 2000)
     GraftFormat.commit(fs, dir, m2)
     val len = fs.getFileStatus(GraftFormat.manifestPath(dir, m2.version)).getLen
     (dir, fs, m2, len)

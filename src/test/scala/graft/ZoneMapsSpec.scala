@@ -116,6 +116,38 @@ class ZoneMapsSpec extends AnyFunSuite {
     // unsupported filter shape -> never prune
     assert(ZoneMaps.mayMatch(StringContains("s", "zzz"), schema, f))
     assert(ZoneMaps.mayMatch(Not(EqualTo("k", 15L)), schema, f))
+
+    // CODE-POINT order (r14 review): parquet computes string stats in
+    // unsigned UTF-8 byte order = code-point order, where supplementary
+    // chars sort ABOVE [U+E000, U+FFFF]; a code-UNIT compare would read
+    // max=U+1F600 < "" and prune a row that exists
+    val sup = frag(Map("s" ->
+      ColStats(Some(""), Some("😀"), 0)))
+    assert(ZoneMaps.mayMatch(EqualTo("s", ""), schema, sup),
+      "code-unit ordering would unsoundly prune the min itself")
+    assert(ZoneMaps.mayMatch(EqualTo("s", "😀"), schema, sup))
+    assert(ZoneMaps.mayMatch(GreaterThan("s", ""), schema, sup))
+    assert(!ZoneMaps.mayMatch(EqualTo("s", "😁"), schema, sup))
+    assert(!ZoneMaps.mayMatch(EqualTo("s", "a"), schema, sup))
+  }
+
+  test("supplementary characters roundtrip the zone maps end to end: " +
+      "equality on a BMP value coexisting with emoji rows is not pruned") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS zm.db.sup")
+    spark.sql("CREATE TABLE zm.db.sup (s STRING)")
+    spark.sql("INSERT INTO zm.db.sup VALUES (''), ('😀')")
+    val all = spark.table("zm.db.sup")
+    // parquet's footer min/max for this fragment are byte-ordered:
+    // min='', max=the emoji — the compare path must agree
+    val hit = all.filter(col("s") === "")
+    assert(hit.count() == 1,
+      "code-unit stat comparison pruned the fragment holding the row")
+    assert(all.filter(col("s") === "😀").count() == 1)
+    assert(plannedPartitions(all.filter(col("s") === "zzz")) == 0,
+      "a value below the byte-order min must still prune")
+    assert(plannedPartitions(all.filter(col("s") === "😁")) == 0,
+      "a value above the byte-order max must still prune")
   }
 
   test("pruning effectiveness surfaces as SQL metrics on the scan node") {
