@@ -120,14 +120,14 @@ class ZoneMapsSpec extends AnyFunSuite {
     // CODE-POINT order (r14 review): parquet computes string stats in
     // unsigned UTF-8 byte order = code-point order, where supplementary
     // chars sort ABOVE [U+E000, U+FFFF]; a code-UNIT compare would read
-    // max=U+1F600 < "" and prune a row that exists
+    // max=U+1F600 < U+E000 and prune a row that exists
     val sup = frag(Map("s" ->
-      ColStats(Some(""), Some("😀"), 0)))
-    assert(ZoneMaps.mayMatch(EqualTo("s", ""), schema, sup),
+      ColStats(Some("\ue000"), Some("\ud83d\ude00"), 0)))
+    assert(ZoneMaps.mayMatch(EqualTo("s", "\ue000"), schema, sup),
       "code-unit ordering would unsoundly prune the min itself")
-    assert(ZoneMaps.mayMatch(EqualTo("s", "😀"), schema, sup))
-    assert(ZoneMaps.mayMatch(GreaterThan("s", ""), schema, sup))
-    assert(!ZoneMaps.mayMatch(EqualTo("s", "😁"), schema, sup))
+    assert(ZoneMaps.mayMatch(EqualTo("s", "\ud83d\ude00"), schema, sup))
+    assert(ZoneMaps.mayMatch(GreaterThan("s", "\ue000"), schema, sup))
+    assert(!ZoneMaps.mayMatch(EqualTo("s", "\ud83d\ude01"), schema, sup))
     assert(!ZoneMaps.mayMatch(EqualTo("s", "a"), schema, sup))
   }
 
@@ -136,17 +136,19 @@ class ZoneMapsSpec extends AnyFunSuite {
     wh
     spark.sql("DROP TABLE IF EXISTS zm.db.sup")
     spark.sql("CREATE TABLE zm.db.sup (s STRING)")
-    spark.sql("INSERT INTO zm.db.sup VALUES (''), ('😀')")
+    spark.sql("INSERT INTO zm.db.sup VALUES ('\ue000'), ('\ud83d\ude00')")
     val all = spark.table("zm.db.sup")
     // parquet's footer min/max for this fragment are byte-ordered:
-    // min='', max=the emoji — the compare path must agree
-    val hit = all.filter(col("s") === "")
+    // min=U+E000, max=the emoji — the compare path must agree
+    val hit = all.filter(col("s") === "\ue000")
     assert(hit.count() == 1,
       "code-unit stat comparison pruned the fragment holding the row")
-    assert(all.filter(col("s") === "😀").count() == 1)
+    assert(all.filter(col("s") === "\ud83d\ude00").count() == 1)
+    // 'z' (U+007A) sorts BELOW the U+E000 min in code-point order
     assert(plannedPartitions(all.filter(col("s") === "zzz")) == 0,
       "a value below the byte-order min must still prune")
-    assert(plannedPartitions(all.filter(col("s") === "😁")) == 0,
+    assert(plannedPartitions(
+        all.filter(col("s") === "\ud83d\ude01")) == 0,
       "a value above the byte-order max must still prune")
   }
 
