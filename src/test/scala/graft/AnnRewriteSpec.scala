@@ -165,9 +165,12 @@ class AnnRewriteSpec extends AnyFunSuite {
       assert(semiJoins(sharp) == 0,
         s"sharp filter should abandon to exact:\n${sharp.queryExecution.optimizedPlan}")
       assert(rows.length == 5 && rows.forall(_ % 43 == 0))
-      // and the exact answer it returns IS the true filtered top-k
+      // and the exact answer it returns IS the true filtered top-k —
+      // a FRESH DataFrame under rewrite-off (re-collecting `sharp`
+      // would reuse its already-planned execution: vacuous)
       spark.conf.set("spark.graft.ann.indexRewrite", "false")
-      try assert(rows == sharp.collect().map(_.getLong(0)).toSeq)
+      try assert(rows ==
+        q(col("vec_id") % 43 === 0).collect().map(_.getLong(0)).toSeq)
       finally spark.conf.set("spark.graft.ann.indexRewrite", "true")
     }
   }
@@ -359,7 +362,7 @@ class AnnRewriteSpec extends AnyFunSuite {
   }
 
   test("adaptive escalation: a shortlist short of k at the configured " +
-      "nprobe doubles the probe instead of returning short") {
+      "nprobe widens the probe instead of returning short") {
     dir
     val ranks = listsByRank
     // k rows from the SECOND-nearest list only: nprobe=1 sees none of

@@ -58,21 +58,35 @@ class CrashStormSpec extends AnyFunSuite {
     (d ++ dl).filterNot(referenced.contains)
   }
 
-  private def crashCase(point: String): Unit = {
+  private def crashCase(point: String, s3a: Boolean = false): Unit = {
     import spark.implicits._
-    val dir = new Path(Files.createTempDirectory("graft-crash")
-      .resolve("db").resolve("t.graft").toUri)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (dir, fs, endpointEnv) =
+      if (s3a) {
+        val srv = graft.sources.S3LiteServer.shared
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.s3a.impl",
+          classOf[graft.sources.S3LiteFileSystem].getName)
+        hc.set(graft.sources.S3LiteFileSystem.EndpointKey, srv.endpoint)
+        hc.setBoolean("fs.s3a.impl.disable.cache", true)
+        val d = new Path("s3a://crashstorm/db/t.graft")
+        (d, d.getFileSystem(hc),
+          Map("GRAFT_STORM_ENDPOINT" -> srv.endpoint))
+      } else {
+        val d = new Path(Files.createTempDirectory("graft-crash")
+          .resolve("db").resolve("t.graft").toUri)
+        (d, d.getFileSystem(spark.sessionState.newHadoopConf()),
+          Map.empty[String, String])
+      }
     graft.connector.GraftWriter.write(fs, dir, Seq(-1L).toDF("k"),
       overwrite = true)
     val crashAt = 1 + rng.nextInt(4)
-    val clue = s"point=$point crashAt=$crashAt seed=$seed: "
+    val clue = s"point=$point s3a=$s3a crashAt=$crashAt seed=$seed: "
     val agent = StormHarness.launchAgent(Map(
       "GRAFT_STORM_DIR" -> dir.toUri.toString,
       "GRAFT_STORM_KEYS" -> "100:10",
       "GRAFT_STORM_SLEEP_MS" -> "10",
       "GRAFT_STORM_CRASH" -> point,
-      "GRAFT_STORM_CRASH_AT" -> crashAt.toString))
+      "GRAFT_STORM_CRASH_AT" -> crashAt.toString) ++ endpointEnv)
     val (exit, out) = try StormHarness.await(agent, 240)
     finally { agent.proc.destroyForcibly(); () }
     assert(exit == 137, clue +
@@ -137,5 +151,14 @@ class CrashStormSpec extends AnyFunSuite {
   test("kill -9 after the deletion-vector write, before its commit: " +
       "the DV is never applied, then GC'd") {
     crashCase("dv")
+  }
+
+  test("kill -9 after adoptStaged over s3a (real HTTP to an object " +
+      "store): atomic through virtual directories, debris GC'd") {
+    // the distinct surface: staging 'dirs' are key prefixes, mtimes
+    // come from objects not directory inodes (newestMtimeUnder), and
+    // adoption is COPY+DELETE instead of rename — the same crash
+    // window must hold
+    crashCase("adopted", s3a = true)
   }
 }
