@@ -53,6 +53,48 @@ object VectorIndex {
     finally out.close()
   }
 
+  /** Persist per-list row counts (`list_sizes`: cid, count) into an
+    * index version dir, computed by a NARROW single-column read-back of
+    * the just-written assignments/codes. The adaptive ANN guard's
+    * UNFILTERED path serves from this file instead of running a
+    * plan-time count job over the whole assignment table — at 100 TB
+    * that job is a full pass over the (id, cid) codes before the first
+    * query runs. Filtered queries still count through their predicate
+    * (the file cannot know it). Valid for the pinned version by the
+    * same argument as the assignments themselves: any commit (append,
+    * DELETE) stales the index and probes stop firing. */
+  private[ops] def writeListSizes(spark: SparkSession,
+      assignDirs: Seq[String], dest: Path): Unit =
+    spark.read.parquet(assignDirs: _*)
+      .groupBy(col("cid")).count()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(dest, "list_sizes").toString)
+
+  /** O(delta) refresh of the persisted list sizes: prior sizes (a few
+    * K tiny rows) merged with a narrow cid read of ONLY the new
+    * segment — never a re-read of the whole index (that would break
+    * the refresh probe's O(delta) records contract). An index without
+    * the file (built before it existed) skips; the guard falls back to
+    * its count job. `deltaDir = None` (carry-forward refresh with no
+    * new rows) copies the prior file. */
+  private[ops] def refreshListSizes(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, priorDir: Path, dest: Path,
+      deltaDir: Option[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val prior = new Path(priorDir, "list_sizes")
+    if (!fs.exists(prior)) return
+    deltaDir match {
+      case None =>
+        copyFrozen(fs, prior, new Path(dest, "list_sizes"), conf)
+      case Some(d) =>
+        spark.read.parquet(prior.toString)
+          .unionByName(spark.read.parquet(d).groupBy(col("cid")).count())
+          .groupBy(col("cid")).agg(sum(col("count")).as("count"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(dest, "list_sizes").toString)
+    }
+  }
+
   /** Remove a stale `_build_id` BEFORE a (re)build writes any artifact:
     * a rebuild that dies mid-way must leave the version dir with NO id —
     * the rewrite then falls back to the listing fingerprint of the new
@@ -246,6 +288,8 @@ object VectorIndex {
       assign(df.as[(Long, Seq[Float])], centroids)
         .select(col("__id").as(idCol), col("cid"))
         .write.mode("overwrite").parquet(new Path(dest, "assign").toString)
+      VectorIndex.writeListSizes(spark,
+        Seq(new Path(dest, "assign").toString), dest)
       VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
@@ -345,6 +389,9 @@ object VectorIndex {
             }
           copyFrozen(fs, new Path(priorDir, "centroids"),
             new Path(dest, "centroids"), conf)
+          VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
+            segs.diff(priorSegs).headOption
+              .map(n => new Path(new Path(r, n), "assign").toString), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)
@@ -548,6 +595,8 @@ object VectorIndex {
         .parquet(new Path(dest, "codebooks").toString)
       codes.select(col("__id").as(idCol), col("cid"), col("code"))
         .write.mode("overwrite").parquet(new Path(dest, "codes").toString)
+      VectorIndex.writeListSizes(spark,
+        Seq(new Path(dest, "codes").toString), dest)
       VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
@@ -668,6 +717,9 @@ object VectorIndex {
             new Path(dest, "centroids"), conf)
           copyFrozen(fs, new Path(priorDir, "codebooks"),
             new Path(dest, "codebooks"), conf)
+          VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
+            segs.diff(priorSegs).headOption
+              .map(n => new Path(new Path(r, n), "codes").toString), conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)

@@ -201,7 +201,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * catches that). */
   private case class IndexProbe(cents: Array[(Int, Array[Double])],
       assign: org.apache.spark.sql.DataFrame, idName: String,
-      genVdir: String)
+      genVdir: String, vdir: Path)
 
   /** Resolves the probe inputs if a CURRENT vector index exists for the
     * table's pinned version. IVF_PQ is preferred when both kinds are
@@ -260,7 +260,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val assign = spark.read.parquet(assignDirs: _*)
     val idName = assign.schema.fieldNames
       .find(n => n != "cid" && n != "code").getOrElse(return None)
-    Some(IndexProbe(cents, assign, idName, genVdir))
+    Some(IndexProbe(cents, assign, idName, genVdir, vdir))
   }
 
   /** Picks the candidate plan for the probe, escalating nprobe while the
@@ -343,27 +343,49 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
           cached
         case None =>
-          val assign = probe.assign.select(
-            col(probe.idName).as("__graft_probe_id"),
-            col("cid").as("__graft_probe_cid"))
-          val assignPlan = GraftShim.planOf(assign)
-          val counted =
-            if (filtered)
-              GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
-                Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
-            else assign
-          // the one observable plan-time cost of the adaptive guard: a
-          // blocking count job inside optimizer-rule application on
-          // cache miss (r13 VERDICT #6) — log it so "why did planning
-          // take N seconds" is answerable from the driver log
-          val t0 = System.nanoTime()
-          val computed = counted.groupBy(col("__graft_probe_cid")).count()
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          AnnTopKIndexRewrite.metrics.countJobs.incrementAndGet()
-          logInfo(s"graft adaptive-ANN survivor-count job ran at plan " +
-            s"time (cache miss): index=${probe.genVdir.take(120)} " +
-            s"filtered=$filtered lists=${computed.size} " +
-            s"wallMs=${(System.nanoTime() - t0) / 1000000}")
+          // UNFILTERED survivors are just the per-list sizes, persisted
+          // at build/refresh time (`list_sizes` in the version dir): a
+          // few-KB read instead of a count job over the whole
+          // assignment table — at 100 TB the job is a full codes-column
+          // pass before the first query runs. Filtered queries must
+          // still count through their predicate. Indexes built before
+          // the file existed fall back to the job.
+          val persisted: Option[Map[Int, Long]] =
+            if (filtered) None
+            else try {
+              val m = spark.read
+                .parquet(new Path(probe.vdir, "list_sizes").toString)
+                .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+              logInfo("graft adaptive-ANN served survivor counts from " +
+                s"persisted list sizes: index=${probe.genVdir.take(120)}")
+              Some(m)
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => None
+            }
+          val computed = persisted.getOrElse {
+            val assign = probe.assign.select(
+              col(probe.idName).as("__graft_probe_id"),
+              col("cid").as("__graft_probe_cid"))
+            val assignPlan = GraftShim.planOf(assign)
+            val counted =
+              if (filtered)
+                GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
+                  Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
+              else assign
+            // the one observable plan-time cost of the adaptive guard:
+            // a blocking count job inside optimizer-rule application on
+            // cache miss (r13 VERDICT #6) — log it so "why did planning
+            // take N seconds" is answerable from the driver log
+            val t0 = System.nanoTime()
+            val c = counted.groupBy(col("__graft_probe_cid")).count()
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            AnnTopKIndexRewrite.metrics.countJobs.incrementAndGet()
+            logInfo(s"graft adaptive-ANN survivor-count job ran at plan " +
+              s"time (cache miss): index=${probe.genVdir.take(120)} " +
+              s"filtered=$filtered lists=${c.size} " +
+              s"wallMs=${(System.nanoTime() - t0) / 1000000}")
+            c
+          }
           if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
             AnnTopKIndexRewrite.survivorCounts.clear()
           AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)

@@ -175,6 +175,36 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("unfiltered survivor counts come from the persisted list_sizes " +
+      "file: ZERO plan-time count jobs on a fresh index") {
+    val d = new Path(java.nio.file.Files
+      .createTempDirectory("graft-annsizes").resolve("e.graft").toUri)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.connector.GraftWriter.write(fs, d,
+      Tables.load(spark, sf, "embeddings"), overwrite = true)
+    Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+    assert(fs.exists(new Path(new Path(new Path(new Path(d, "_indices"),
+      "embedding.ivf"), "v=1"), "list_sizes")),
+      "build must persist list sizes")
+    def df = {
+      val m = graft.format.GraftFormat.readLatest(fs, d).get
+      org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"annsizes:$d", d, m, fs.getConf))
+    }
+    val metrics = graft.plans.AnnTopKIndexRewrite.metrics
+    withRule {
+      val jobs0 = metrics.countJobs.get()
+      val q = df.orderBy(VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(queryVec)).desc)
+        .limit(5).select("vec_id")
+      assert(semiJoins(q) == 1, "fresh unfiltered top-k must probe")
+      assert(q.collect().length == 5)
+      assert(metrics.countJobs.get() == jobs0,
+        "unfiltered planning must serve from persisted list sizes, " +
+          "never a plan-time count job over the assignments")
+    }
+  }
+
   test("rewrite prefers the IVF_PQ codes table when both indexes exist") {
     dir
     graft.ops.VectorIndex.Pq.build(spark, dir, "vec_id", "embedding",
