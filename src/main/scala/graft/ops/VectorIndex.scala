@@ -105,6 +105,12 @@ object VectorIndex {
   private[ops] def clearBuildId(fs: org.apache.hadoop.fs.FileSystem,
       dest: Path): Unit = {
     fs.delete(new Path(dest, "_build_id"), false)
+    // list_sizes carries the same staleness risk (r14 review): a
+    // rebuild dying between the new assignments and writeListSizes
+    // must leave NO sizes file, so the unfiltered guard falls back to
+    // counting the live assignments instead of reading the old build's
+    // counts over the new files
+    fs.delete(new Path(dest, "list_sizes"), true)
     ()
   }
 
@@ -364,8 +370,8 @@ object VectorIndex {
           VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
           val centDF = spark.read
             .parquet(new Path(priorDir, "centroids").toString)
-          val segs =
-            if (delta.isEmpty) priorSegs
+          val (segs, deltaAssign) =
+            if (delta.isEmpty) (priorSegs, Option.empty[String])
             else {
               val cents = centDF.collect()
                 .map(row => row.getInt(0) -> row.getSeq[Double](1).toArray)
@@ -379,19 +385,18 @@ object VectorIndex {
               import spark.implicits._
               val bc = spark.sparkContext.broadcast(cents)
               val segName = IndexSegments.newSegmentName()
+              val segAssign = new Path(new Path(r, segName), "assign")
               df.as[(Long, Seq[Float])]
                 .map { case (id, e) => (id, Ivf.nearest(bc.value, e)) }
                 .toDF("__id", "cid")
                 .select(col("__id").as(idCol), col("cid"))
-                .write.mode("overwrite")
-                .parquet(new Path(new Path(r, segName), "assign").toString)
-              priorSegs :+ segName
+                .write.mode("overwrite").parquet(segAssign.toString)
+              (priorSegs :+ segName, Some(segAssign.toString))
             }
           copyFrozen(fs, new Path(priorDir, "centroids"),
             new Path(dest, "centroids"), conf)
           VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
-            segs.diff(priorSegs).headOption
-              .map(n => new Path(new Path(r, n), "assign").toString), conf)
+            deltaAssign, conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)
@@ -670,8 +675,8 @@ object VectorIndex {
             .parquet(new Path(priorDir, "centroids").toString)
           val bookDF = spark.read
             .parquet(new Path(priorDir, "codebooks").toString)
-          val segs =
-            if (delta.isEmpty) priorSegs
+          val (segs, deltaCodes) =
+            if (delta.isEmpty) (priorSegs, Option.empty[String])
             else {
               val cents = centDF.collect()
                 .map(row => row.getInt(0) -> row.getSeq[Double](1).toArray)
@@ -693,6 +698,7 @@ object VectorIndex {
               val bcC = spark.sparkContext.broadcast(cents)
               val bcB = spark.sparkContext.broadcast(books)
               val segName = IndexSegments.newSegmentName()
+              val segCodes = new Path(new Path(r, segName), "codes")
               df.as[(Long, Seq[Float])].map { case (id, e) =>
                 val cs = bcC.value; val bks = bcB.value
                 val cid = Ivf.nearest(cs, e)
@@ -709,17 +715,15 @@ object VectorIndex {
                 (id, cid, code)
               }.toDF("__id", "cid", "code")
                 .select(col("__id").as(idCol), col("cid"), col("code"))
-                .write.mode("overwrite")
-                .parquet(new Path(new Path(r, segName), "codes").toString)
-              priorSegs :+ segName
+                .write.mode("overwrite").parquet(segCodes.toString)
+              (priorSegs :+ segName, Some(segCodes.toString))
             }
           copyFrozen(fs, new Path(priorDir, "centroids"),
             new Path(dest, "centroids"), conf)
           copyFrozen(fs, new Path(priorDir, "codebooks"),
             new Path(dest, "codebooks"), conf)
           VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
-            segs.diff(priorSegs).headOption
-              .map(n => new Path(new Path(r, n), "codes").toString), conf)
+            deltaCodes, conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)

@@ -360,7 +360,14 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 s"persisted list sizes: index=${probe.genVdir.take(120)}")
               Some(m)
             } catch {
-              case _: org.apache.spark.sql.AnalysisException => None
+              // ANY unreadable sizes file (absent, truncated by a
+              // crashed copy, transient store error) falls back to the
+              // count job — a plan-time convenience must never fail a
+              // query the job could answer
+              case scala.util.control.NonFatal(e) =>
+                logInfo(s"graft adaptive-ANN list_sizes unavailable " +
+                  s"(${e.getClass.getSimpleName}); counting instead")
+                None
             }
           val computed = persisted.getOrElse {
             val assign = probe.assign.select(
