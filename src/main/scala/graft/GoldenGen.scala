@@ -43,6 +43,12 @@ object GoldenGen {
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("golden"))
     val dataRoot = sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
+    // GRAFT_GOLDEN_ONLY=v09_semantic_dedup,... regenerates a subset —
+    // also the cheap way to CHECK a golden is unchanged after a code
+    // change (generate to a temp dir, diff values against golden/)
+    val only = sys.env.get("GRAFT_GOLDEN_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = GoldenQueries.filter(q => only.forall(_.contains(q)))
     Files.createDirectories(outDir)
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -52,7 +58,7 @@ object GoldenGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- GoldenQueries) {
+    for (name <- selected) {
       val perSf = Seq("0.001", "0.01", "0.1").map { sf =>
         val d = s"$dataRoot/sf$sf"
         val key = spark.read.parquet(s"$d/lineitem.parquet").count()

@@ -501,7 +501,15 @@ object GraftFormat {
           onDisk match {
             case Some(true) => return true
             case Some(false) => return false
-            case None if attempt < 5 => () // never applied: retry the put
+            case None if attempt < 5 =>
+              // never applied: re-attempt the conditional put, but back
+              // off exponentially first — the transient failure is
+              // usually a 503/SlowDown window, and an immediate re-PUT
+              // (plus its read-back GET) hammers an already-throttling
+              // store (same shape as S3LiteFileSystem.retrying)
+              try Thread.sleep(25L * (1L << math.min(attempt - 1, 4)))
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e }
             case None => throw e
           }
       }
@@ -565,6 +573,35 @@ object GraftFormat {
       s""""fragments":[${m.fragments.map(fragJson).mkString(",")}]}"""
   }
 
+  /** Drop zone-map stats of string-typed columns from every fragment.
+    * Pre-v3 manifests merged string min/max across row groups under
+    * UTF-16 code-unit Ordering.String, while this build compares stats
+    * in code-point order (FragmentStats.codePointCompare) — for row
+    * groups straddling a supplementary character and a BMP char in
+    * [U+E000, U+FFFF] the persisted merged bound can sit on the wrong
+    * side of the true bound in code-point order, so pruning with it is
+    * UNSOUND (silent wrong results on pre-upgrade tables). Absent stats
+    * never prune, so dropping them is the sound read of old manifests;
+    * numeric/date/timestamp stats merge identically under both orders
+    * and are kept. The same strip applies when WRITING a v2-pinned
+    * manifest: this build harvests string stats in code-point order,
+    * which a v2-era reader would compare in code-unit order — the dual
+    * unsoundness. (Stats re-harvest on upgrade: any compaction rewrite
+    * under format_version 3 restores string pruning.) */
+  private def stripStringStats(m: Manifest): Manifest = {
+    if (m.fragments.forall(_.stats.isEmpty)) return m
+    val stringCols =
+      try m.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSet
+      catch { case NonFatal(_) => return m } // unparseable schema: leave as-is
+    if (stringCols.isEmpty) m
+    else m.copy(fragments = m.fragments.map { f =>
+      if (f.stats.keysIterator.exists(stringCols)) f.copy(stats = f.stats -- stringCols)
+      else f
+    })
+  }
+
   def fromJson(s: String): Manifest = {
     // minimal recursive-descent JSON parser (objects/arrays/strings/
     // numbers/null only — exactly the manifest grammar)
@@ -590,7 +627,7 @@ object GraftFormat {
         sizeBytes = f.get("sizeBytes").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
         stats = stats)
     }
-    Manifest(
+    val m = Manifest(
       version = root("version").asInstanceOf[Double].toLong,
       schemaJson = root("schemaJson").asInstanceOf[String],
       fragments = frags,
@@ -601,6 +638,9 @@ object GraftFormat {
         .map(_.asInstanceOf[Map[String, Any]].map {
           case (k, v) => k -> v.asInstanceOf[String]
         }).getOrElse(Map.empty))
+    // pre-v3 string stats were merged in code-unit order: unsound to
+    // compare in this build's code-point order — treat as absent
+    if (m.formatVersion < 3) stripStringStats(m) else m
   }
 
   /** Manifest wire encoding: gzip(JSON), sniffed by magic on read.
@@ -653,7 +693,11 @@ object GraftFormat {
     // real HTTP round trips, widening the race window under contention)
     if (m.version == 1L) init(fs, table)
     val toWrite =
-      if (m.formatVersion >= 2) m
+      if (m.formatVersion >= 3) m
+      // v2-pinned: strip string stats — this build harvests them in
+      // code-point order, which a v2-era reader compares in code-unit
+      // order (the dual of the read-side strip above)
+      else if (m.formatVersion == 2) stripStringStats(m)
       else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))
     if (!createExclusive(fs, manifestPath(table, m.version), encodeManifest(toWrite)))
       throw new CommitConflictException(

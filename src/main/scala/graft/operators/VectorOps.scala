@@ -32,18 +32,23 @@ object VectorOps {
     graft.functions.VectorFunctions.cosine_sim(col("qe"), col("e")).as("cos")
 
   /** Fixed random hyperplanes (deterministic seed) for sign-LSH.
-    * 6 planes -> 64 buckets; at real scale raise planes with corpus
-    * size (buckets ~ corpus/expected-bucket-occupancy). */
+    * The public bucketing (v02/v03 and the skew sub-split's floor) uses
+    * the first [[Planes]] = 6 planes -> 64 buckets; the sub-split may
+    * widen up to [[MaxPlanes]] with cluster size (buckets ~
+    * cluster/expected-occupancy). The pool is one sequential draw from
+    * seed 42, so the first 6 planes are bit-identical to every earlier
+    * round's (v02/v03 goldens unchanged). */
   private val Dim = 64
   private val Planes = 6
+  private[graft] val MaxPlanes = 16
   private val hyperplanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(Planes)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(MaxPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Bucket id = sign bits of projections onto the fixed hyperplanes. */
-  def withLshBucket(df: DataFrame, embCol: String): DataFrame = {
-    val bucket = hyperplanes.zipWithIndex.map { case (h, k) =>
+  /** Sign-bit bucket id over the first `planes` hyperplanes. */
+  private def bucketExpr(embCol: String, planes: Int): Column =
+    hyperplanes.take(planes).zipWithIndex.map { case (h, k) =>
       val hLit = h.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
       expr(
         s"""IF(aggregate(zip_with($embCol, $hLit,
@@ -51,8 +56,10 @@ object VectorOps {
            |     CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,
            |   shiftleft(1, $k), 0)""".stripMargin)
     }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
-  }
+
+  /** Bucket id = sign bits of projections onto the fixed hyperplanes. */
+  def withLshBucket(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("bucket", bucketExpr(embCol, Planes))
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -82,13 +89,33 @@ object VectorOps {
     * term would otherwise explode.
     *
     * `maxClusterSize <= 0` (the default) keys the sub-split threshold
-    * to OCCUPANCY — `4 × max(N/k, 100)` — instead of a fixed count
-    * (r13 VERDICT #2): a fixed 4096 never fired on the 16× scale probe
-    * while occupancy skew (replica pile-ups landing in one cell) grew
-    * Σ|c|² to 2.5× the balanced N·100 term, the one superlinear curve
-    * left in the heavy family. Keyed to occupancy the guard engages
-    * exactly when a cell exceeds 4× its fair share, restoring the
-    * linear Σ|c|² bound at every factor. */
+    * to `min(absCap, 4 × max(N/k, 100))` — BOTH guards composed (r14
+    * VERDICT #1). Occupancy alone (r13 VERDICT #2) catches skewed
+    * pile-ups — a cell over 4× its fair share splits — but with kEff
+    * capped at 1024 the fair share N/kEff grows linearly with the
+    * corpus, so BALANCED clusters would never split and Σ|c|² would
+    * reach Θ(N²/1024): ~10¹⁵ candidate pairs at 10⁹ rows. The absolute
+    * cap (conf [[AbsCapKey]], default 4096) bounds that regime: past
+    * N ≈ 4·10⁶ every balanced cluster splits too, and total pair work
+    * is ≤ N × absCap — linear with a bounded constant, proven on a
+    * deliberately balanced fair-share ≫ absCap corpus
+    * (BENCH_SCALE.json "balanced" section, tools/balanced_probe.py).
+    *
+    * The sub-split itself is bounded two ways (a fixed 64-bucket LSH
+    * left M²/64 pairs inside a mega-cluster): (1) LSH planes WIDEN with
+    * cluster size — p = max(6, ceil(log2(|c| / targetOcc))) keeps
+    * expected bucket occupancy ≤ targetOcc = max(threshold/4, 64) at
+    * any cluster size; (2) a group that STILL exceeds the threshold
+    * (a pile of near-identical vectors shares one LSH bucket no matter
+    * how many planes) is force-chunked by id-hash into ceil(size/t)
+    * uniform chunks, and every chunked group gains PIVOT edges — each
+    * row compared to the group's min-id row — so a mutually-similar
+    * pile still resolves to one component (the chunks alone would keep
+    * one representative per chunk) at O(group) extra cost. Lost
+    * cross-chunk edges between rows similar to each other but not to
+    * the pivot are the same recall-for-boundedness trade the LSH
+    * family already makes, engaged only where all-pairs would
+    * explode. */
   def semanticDedup(e: DataFrame, k: Int = 0, tau: Double, sampleN: Int = 2048,
       iters: Int = 8, maxClusterSize: Int = 0): DataFrame = {
     val spark = e.sparkSession
@@ -121,38 +148,103 @@ object VectorOps {
         (id, graft.ops.VectorIndex.Ivf.nearest(bc.value, emb), emb)
       }.toDF("vec_id", "cid", "embedding")
     // skew guard: sub-split only clusters whose self-join would blow up.
-    // The occupancy threshold derives from N/k — a pure function of the
-    // corpus like kEff, so deterministic and partitioning-invariant
-    // (golden-pin eligible). N comes from the SAME per-cluster
-    // aggregate via one unpartitioned window over <= 1024 rows, so an
-    // explicit-k caller pays no extra count job (r14 review).
+    // The threshold derives from N/k and the absolute cap — pure
+    // functions of the corpus like kEff, so deterministic and
+    // partitioning-invariant (golden-pin eligible). N comes from the
+    // SAME per-cluster aggregate via one unpartitioned window over
+    // <= 1024 rows, so an explicit-k caller pays no extra count job
+    // (r14 review). An explicit maxClusterSize IS the threshold
+    // (callers pinning the bound get exactly it); the default composes
+    // min(absCap, 4 × fair share) per r14 VERDICT #1.
+    val absCap = spark.conf.get(AbsCapKey, DefaultAbsCap.toString).toLong
     val sizes = assigned.groupBy("cid").count()
     val big =
       if (maxClusterSize > 0)
-        sizes.filter(col("count") > maxClusterSize).select("cid")
+        sizes.filter(col("count") > maxClusterSize)
+          .select(col("cid"), col("count").as("csize"),
+            lit(maxClusterSize.toLong).as("t"))
       else {
         val w = Window.partitionBy(lit(1))
         sizes.withColumn("n", sum(col("count")).over(w))
-          .filter(col("count") > lit(4L) *
-            greatest(floor(col("n") / kEff).cast("long"), lit(100L)))
-          .select("cid")
+          .withColumn("t", least(lit(absCap), lit(4L) *
+            greatest(floor(col("n") / kEff).cast("long"), lit(100L))))
+          .filter(col("count") > col("t"))
+          .select(col("cid"), col("count").as("csize"), col("t"))
       }
-    val sub = withLshBucket(assigned, "embedding")
-      .join(broadcast(big).withColumn("split", lit(true)), Seq("cid"), "left")
-      .withColumn("sub", when(col("split"), col("bucket")).otherwise(lit(0)))
-      .select(col("vec_id"), col("cid"), col("sub"), col("embedding"))
-    val a = sub.select(col("cid"), col("sub"), col("vec_id").as("a_id"),
-      col("embedding").as("qe"))
-    val b = sub.select(col("cid"), col("sub"), col("vec_id").as("b_id"),
-      col("embedding").as("e"))
-    val edges = a.join(b, Seq("cid", "sub"))
+    // sub-split of flagged clusters: LSH planes widened by cluster size
+    // so expected bucket occupancy stays <= targetOcc = max(t/4, 64)
+    // at any cluster size (a fixed 64-bucket split retains M²/64 pairs
+    // in a mega-cluster). p floors at Planes=6 — identical to earlier
+    // rounds' split for |c| <= 64·targetOcc, wider only beyond. The
+    // bucket projection evaluates inside the when(), so non-flagged
+    // rows (the common case) never pay the 16-plane dot products.
+    val withBig = assigned
+      .join(broadcast(big), Seq("cid"), "left")
+      .withColumn("p", least(greatest(
+        ceil(log(2.0, col("csize").cast("double") /
+          greatest(col("t").cast("double") / 4.0, lit(64.0)))).cast("int"),
+        lit(Planes)), lit(MaxPlanes)))
+      .withColumn("sub", when(col("t").isNotNull,
+        bucketExpr("embedding", MaxPlanes)
+          .bitwiseAND(expr("shiftleft(1, p) - 1"))).otherwise(lit(0)))
+    // forced residual split: LSH preserves similarity, so a pile of
+    // near-identical vectors lands in ONE bucket no matter how many
+    // planes. Groups still over t are chunked by id-hash into
+    // ceil(size/t) uniform chunks — a GUARANTEED bound on every
+    // self-joined group. <= one row per oversized group (<= N/t total):
+    // broadcast-small.
+    val gsizes = withBig.filter(col("t").isNotNull)
+      .groupBy("cid", "sub")
+      .agg(count(lit(1)).as("gsize"), max(col("t")).as("gt"))
+      .filter(col("gsize") > col("gt"))
+      .withColumn("nchunks",
+        ceil(col("gsize").cast("double") / col("gt")).cast("int"))
+      .select(col("cid"), col("sub"), col("nchunks"))
+    val subbed = withBig
+      .join(broadcast(gsizes), Seq("cid", "sub"), "left")
+      .withColumn("chunk", when(col("nchunks").isNotNull,
+        pmod(xxhash64(col("vec_id")), col("nchunks")).cast("int"))
+        .otherwise(lit(0)))
+      .select(col("vec_id"), col("cid"), col("sub"), col("chunk"),
+        col("nchunks"), col("embedding"))
+    val a = subbed.select(col("cid"), col("sub"), col("chunk"),
+      col("vec_id").as("a_id"), col("embedding").as("qe"))
+    val b = subbed.select(col("cid"), col("sub"), col("chunk"),
+      col("vec_id").as("b_id"), col("embedding").as("e"))
+    val edges = a.join(b, Seq("cid", "sub", "chunk"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos_raw", cosineCol)
       .filter(col("cos_raw") >= tau)
       .select(col("a_id"), col("b_id"))
-    TextOps.dedupClusters(sub.select(col("vec_id").as("doc_id")), edges)
+    // pivot re-anchor for chunked groups: every row is compared to the
+    // group's min-id row, so a mutually-similar pile still resolves to
+    // ONE component (chunks alone would keep one rep per chunk).
+    // O(group) extra work; pivots are <= one row per oversized group.
+    val chunkedRows = subbed.filter(col("nchunks") > 1)
+      .select(col("cid"), col("sub"), col("vec_id"),
+        col("embedding").as("e"))
+    val pivots = chunkedRows.groupBy("cid", "sub")
+      .agg(min(col("vec_id")).as("p_id"),
+        min_by(col("e"), col("vec_id")).as("qe"))
+    val pivotEdges = chunkedRows.join(broadcast(pivots), Seq("cid", "sub"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cos_raw", cosineCol)
+      .filter(col("cos_raw") >= tau)
+      // p_id is the group min, so the (a < b) edge orientation is free
+      .select(col("p_id").as("a_id"), col("vec_id").as("b_id"))
+    // duplicate edges (a pivot pair also present in its own chunk's
+    // all-pairs) are harmless to the union-find / pointer-jumping CC
+    TextOps.dedupClusters(subbed.select(col("vec_id").as("doc_id")),
+      edges.union(pivotEdges))
       .select(col("doc_id").as("vec_id"), col("cluster_rep").as("rep"))
   }
+
+  /** Absolute ceiling composed into the default sub-split threshold —
+    * min(absCap, 4 × fair share). Overridable per-session for probes
+    * (tools/balanced_probe.py scales it down to keep the balanced
+    * corpus tractable while preserving fairShare ≫ absCap). */
+  private[graft] val AbsCapKey = "spark.graft.semdedup.absCap"
+  private[graft] val DefaultAbsCap = 4096
 
   val all: Seq[Q] = Seq(
 

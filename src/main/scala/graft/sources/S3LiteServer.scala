@@ -55,7 +55,13 @@ class S3LiteServer {
     faultMethods = methods
     faultRemaining.set(count)
   }
-  def clearFaults(): Unit = faultRemaining.set(0)
+  /** Disarm EVERY armed fault, including commit-response loss — a
+    * leftover commit-loss unit on a shared server would fire during a
+    * later leg or co-resident test and skew its fault/retry counters. */
+  def clearFaults(): Unit = {
+    faultRemaining.set(0)
+    commitLossRemaining.set(0)
+  }
   val faultsInjected = new AtomicLong()
   @volatile private var faultKind: String = "503"
   @volatile private var faultMethods: Set[String] = Set.empty

@@ -52,6 +52,30 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out.filter(col("rep") === 0L).count() === 200L)
   }
 
+  test("absolute cap composes with occupancy: balanced over-cap clusters " +
+      "split, chunk, and still fully dedup via pivot edges") {
+    import spark.implicits._
+    // two BALANCED clusters of 600 near-identical vectors each: the
+    // occupancy threshold alone (4 x fair share = 2400) never fires —
+    // exactly the r14 VERDICT #1 regime. With the absolute cap scaled
+    // to 100 the composed threshold min(100, 2400) flags both; the LSH
+    // sub-split cannot separate identical vectors (one bucket), so the
+    // forced id-hash chunking bounds every self-joined group at ~100
+    // rows and the pivot edges stitch the chunks back into ONE
+    // component per cluster.
+    val df = (0L until 1200L).map { i =>
+      if (i % 2 == 0) (i, unit(1, 2, 3, 4, 5, 6, 7, 8))
+      else (i, unit(-8, 7, -6, 5, -4, 3, -2, 1))
+    }.toDF("vec_id", "embedding")
+    spark.conf.set(VectorOps.AbsCapKey, "100")
+    try {
+      val out = VectorOps.semanticDedup(df, k = 2, tau = 0.99, sampleN = 64)
+      assert(out.filter(col("vec_id") === col("rep")).count() === 2L)
+      assert(out.filter(col("rep") === 0L).count() === 600L)
+      assert(out.filter(col("rep") === 1L).count() === 600L)
+    } finally spark.conf.unset(VectorOps.AbsCapKey)
+  }
+
   test("partitioning-invariant (golden-pin eligibility) on real embeddings") {
     // auto-k path, exactly as the v09 gate query calls it
     val e = Tables.load(spark, sf, "embeddings")
