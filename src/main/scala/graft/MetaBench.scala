@@ -97,6 +97,29 @@ object MetaBench {
       val loadNs = System.nanoTime() - t1
       require(loaded.fragments.size == fragments, "roundtrip lost fragments")
 
+      // O(delta) commit (r14 VERDICT #2): a one-fragment append on the
+      // full-size table — the steady-state commit shape of a busy
+      // 100 TB table. commit_ms above is the CHECKPOINT cost (the big
+      // append is not delta-representable within the half-the-table
+      // bound); this one stores O(1) bytes + the CAS.
+      val m3 = loaded.copy(version = loaded.version + 1,
+        fragments = loaded.fragments :+ seed.copy(
+          id = loaded.maxFragmentId + 1, path = "data/synth-delta.parquet",
+          deletionPath = None, deletedCount = 0L),
+        maxFragmentId = loaded.maxFragmentId + 1,
+        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      val t6 = System.nanoTime()
+      GraftFormat.commit(fs, dir, m3, base = Some(loaded))
+      val deltaNs = System.nanoTime() - t6
+      val deltaLen = fs.getFileStatus(
+        GraftFormat.manifestPath(dir, m3.version)).getLen
+      // cold resolve THROUGH the delta: checkpoint read + 1 delta apply
+      val t7 = System.nanoTime()
+      val resolved = GraftFormat.readManifest(fs, dir, m3.version)
+      val loadDeltaNs = System.nanoTime() - t7
+      require(resolved.fragments.size == fragments + 1,
+        "delta resolution lost fragments")
+
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0
       val keyMax = seed.stats("l_orderkey").max.get.toLong
@@ -121,6 +144,17 @@ object MetaBench {
       val t4 = System.nanoTime()
       val fullParts = tableDF.rdd.getNumPartitions
       val planFullNs = System.nanoTime() - t4
+      // tightly-capped full-scan planning (r14 VERDICT #4): with
+      // spark.graft.scan.maxPartitions=8192 the effective split widens
+      // to ceil(total/8192) and the planned task count tracks the cap —
+      // the scheduler-cost bound for a 100 TB scan (fragment-aligned:
+      // whole fragments pack, large ones range-split at the wider size)
+      val t8 = System.nanoTime()
+      spark.conf.set(graft.connector.GraftScan.MaxPartitionsConf, "8192")
+      val packedParts =
+        try tableDF.rdd.getNumPartitions
+        finally spark.conf.unset(graft.connector.GraftScan.MaxPartitionsConf)
+      val planPackedNs = System.nanoTime() - t8
       // end-to-end: the pruned query actually runs (reads only the one
       // real fragment; 10⁵-1 synthetic files are never touched)
       val t5 = System.nanoTime()
@@ -134,11 +168,16 @@ object MetaBench {
         "fragments" -> fragments,
         "manifest_mb" -> math.round(manifestLen / 1e4) / 100.0,
         "commit_ms" -> ms(writeNs),
+        "commit_delta_ms" -> ms(deltaNs),
+        "delta_bytes" -> deltaLen,
+        "load_delta_ms" -> ms(loadDeltaNs),
         "load_ms" -> ms(loadNs),
         "prune_ms" -> ms(pruneNs),
         "plan_pruned_ms" -> ms(planPrunedNs),
         "plan_full_ms" -> ms(planFullNs),
+        "plan_packed_ms" -> ms(planPackedNs),
         "full_partitions" -> fullParts,
+        "full_partitions_packed" -> packedParts,
         "pruned_partitions" -> prunedParts,
         "query_pruned_ms" -> ms(queryNs))
     }
@@ -146,7 +185,10 @@ object MetaBench {
     val results = Seq(1000, 10000, 100000).map(f => f.toString -> probe(f))
     val at1e5 = results.last._2
     val budget = Map[String, Double]("manifest_mb" -> 100.0,
-      "load_ms" -> 2000.0, "prune_ms" -> 1000.0, "plan_pruned_ms" -> 2000.0)
+      "load_ms" -> 2000.0, "prune_ms" -> 1000.0, "plan_pruned_ms" -> 2000.0,
+      // steady-state append on a 10^5-fragment table must cost O(delta):
+      // ~10x under the pre-delta full-rewrite commit (1535 ms in r14)
+      "commit_delta_ms" -> 150.0)
     val pass = budget.forall { case (k, lim) =>
       at1e5(k).asInstanceOf[Double] <= lim }
 

@@ -103,6 +103,16 @@ object RecallBench {
     // reproduced on a cold /tmp).
     if (!new java.io.File(s"$dir4/embeddings.parquet/_SUCCESS").exists())
       ScaleGen.main(Array(src, dir4, "4"))
+    // 16x leg (r14 VERDICT #3): unfiltered recall fell 0.91 -> 0.83 from
+    // base -> 4x; one more decade on that trajectory plausibly breaches
+    // the 0.8 floor, so the trajectory is MEASURED one decade further
+    // instead of extrapolated. GRAFT_RECALL_16X=false skips (quick runs).
+    val dir16 = sys.env.getOrElse("GRAFT_RECALL_16X_DIR",
+      "/tmp/graft_recall/sf16x")
+    val want16 = sys.env.getOrElse("GRAFT_RECALL_16X", "true") != "false"
+    if (want16 &&
+        !new java.io.File(s"$dir16/embeddings.parquet/_SUCCESS").exists())
+      ScaleGen.main(Array(src, dir16, "16"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -121,7 +131,8 @@ object RecallBench {
       ("filtered_mild", Some(2)),
       ("filtered_sharp", Some(5)))
     val rows = for {
-      (scale, d) <- Seq("base" -> src, "4x" -> dir4)
+      (scale, d) <- Seq("base" -> src, "4x" -> dir4) ++
+        (if (want16) Seq("16x" -> dir16) else Nil)
       kind <- Seq("ivf", "ivfpq")
       (path, mod) <- paths
     } yield {

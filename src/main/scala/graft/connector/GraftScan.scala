@@ -194,6 +194,22 @@ object GraftScan {
     * (default ON — Spark's file-source semantics). Specs that count
     * planned partitions 1:1 per fragment pin this off. */
   val PackSmallFragmentsConf = "spark.graft.scan.packSmallFragments"
+
+  /** Soft cap on a full scan's planned partition count (r14 VERDICT
+    * #4): a fixed maxPartitionBytes split plans bytes/128 MB tasks —
+    * ~10⁶ at 100 TB — and nothing bounded scheduler/task-launch cost at
+    * fragment scale (the reference plans exactly one split per
+    * fragment, LanceSplitManager.java:87-91). When the planned bytes
+    * exceed cap × maxPartitionBytes, the effective split size grows to
+    * ceil(totalBytes / cap) so the scan plans ~cap partitions: splits
+    * stay fragment-aligned (whole small fragments bin-pack; large
+    * fragments range-split at the wider size), so row-address
+    * arithmetic and DV mapping are untouched. Scans smaller than
+    * cap × maxPartitionBytes are unaffected — the default 65536 keeps
+    * a 100 TB scan at ~1.6 GiB/task (a few waves on a 1000-executor
+    * cluster) instead of 8×10⁵ tasks. <= 0 disables the cap. */
+  val MaxPartitionsConf = "spark.graft.scan.maxPartitions"
+  val DefaultMaxPartitions = 65536L
 }
 
 class GraftScan(
@@ -690,9 +706,26 @@ class GraftScan(
     // single task at 100 TB. Skipped under a pushed limit: limit
     // planning reasons in whole deletion-aware fragment prefixes and
     // per-reader early stop assumes fragment-ordered rows.
-    val maxSplit =
+    val baseMaxSplit =
       if (limit.isDefined) Long.MaxValue
       else GraftShim.filesMaxPartitionBytes(SparkSession.active)
+    // task-count soft cap: once planned bytes exceed cap × split size,
+    // widen the effective split to ceil(total / cap) — partition count
+    // then tracks the cap instead of growing linearly with the table
+    // (fragments with unknown size contribute 0 to the estimate: an
+    // underestimate only keeps splits narrower — conservative)
+    val maxSplit =
+      if (baseMaxSplit == Long.MaxValue) baseMaxSplit
+      else {
+        val cap = SparkSession.active.conf
+          .get(GraftScan.MaxPartitionsConf,
+            GraftScan.DefaultMaxPartitions.toString).toLong
+        if (cap <= 0L) baseMaxSplit
+        else {
+          val total = planned.iterator.map(f => math.max(f.sizeBytes, 0L)).sum
+          math.max(baseMaxSplit, (total + cap - 1L) / cap)
+        }
+      }
     val openCost = GraftShim.filesOpenCostInBytes(SparkSession.active)
     val units: Seq[GraftFragmentPartition] = planned.flatMap { f =>
       val size =

@@ -87,17 +87,31 @@ object GraftFormat {
     /** Writer format version (S9; reference: LanceTableProperties.java:34-58).
       * 1 = round-1 manifests without sizeBytes/stats, plain JSON;
       * 2 = sizeBytes + zone-map stats, plain JSON;
-      * 3 = current: same content, gzip wire encoding. A table pinned to
-      * an older version via the `format_version` property keeps that
-      * version's exact wire format, so readers built for it stay
-      * compatible; readers of THIS build sniff the encoding and read
-      * all three. */
+      * 3 = same content, gzip wire encoding;
+      * 4 = current: versions between full (checkpoint) manifests may be
+      * O(changed-fragments) DELTAS against the previous version
+      * (reference analog: Lance's `_transactions/<n>-<uuid>.txn`
+      * commit entries, LanceMetadata.java:1368-1428 — commits append a
+      * txn record instead of rewriting the fragment list). A table
+      * pinned to an older version via the `format_version` property
+      * keeps that version's exact wire format, so readers built for it
+      * stay compatible; readers of THIS build sniff the encoding/kind
+      * and read all four. */
     def formatVersion: Int =
       properties.get(FormatVersionProp).map(_.toInt).getOrElse(CurrentFormatVersion)
   }
 
   val FormatVersionProp = "format_version"
-  val CurrentFormatVersion = 3
+  val CurrentFormatVersion = 4
+
+  /** Every N-th version is a full (checkpoint) manifest; versions
+    * between are deltas, so a cold reader pays at most one checkpoint
+    * read + N-1 small delta reads and a busy table's commit path writes
+    * O(changed-fragments) bytes instead of O(table) (BENCH_META.json
+    * measured 1535 ms / 2.58 MB per commit at 10⁵ fragments pre-delta).
+    * Hadoop-conf key; <= 1 disables deltas entirely. */
+  val CheckpointEveryKey = "graft.manifest.checkpointEvery"
+  val DefaultCheckpointEvery = 16
 
   /** Stable per-history identity ("generation"): stamped into version
     * 1's properties at creation and inherited by every later commit
@@ -536,6 +550,157 @@ object GraftFormat {
     }
   }
 
+  // ------------------------------------------------------- delta commits
+
+  /** One O(changed-fragments) commit record (format_version 4): applied
+    * to the resolved manifest of `baseVersion` (always version-1) it
+    * reconstructs the full manifest of `version` exactly. `removed` are
+    * fragment ids dropped from the base; `upserts` replace same-id base
+    * fragments IN PLACE and append new ids at the end in listed order;
+    * schema/properties/maxFragmentId travel whole (they are small).
+    * `depth` = deltas since the last checkpoint, stamped so any process
+    * can decide checkpoint cadence from the head file alone. */
+  private[graft] final case class ManifestDelta(
+      version: Long, baseVersion: Long, depth: Int, schemaJson: String,
+      removed: Seq[Int], upserts: Seq[FragmentMeta], maxFragmentId: Int,
+      createdAtMs: Long, operation: String, properties: Map[String, String])
+
+  private[graft] def applyDelta(base: Manifest, d: ManifestDelta): Manifest = {
+    require(base.version == d.baseVersion,
+      s"delta ${d.version} applies to ${d.baseVersion}, got ${base.version}")
+    val up = d.upserts.map(f => f.id -> f).toMap
+    val removed = d.removed.toSet
+    val baseIds = base.fragments.map(_.id).toSet
+    val kept = base.fragments.iterator.filterNot(f => removed(f.id))
+      .map(f => up.getOrElse(f.id, f)).toVector
+    val appended = d.upserts.filterNot(f => baseIds(f.id))
+    Manifest(d.version, d.schemaJson, kept ++ appended, d.maxFragmentId,
+      d.createdAtMs, d.operation, d.properties)
+  }
+
+  /** `m` as a delta against `base`, when representable: surviving
+    * fragments must keep base's relative order and new fragments must
+    * sit appended at the end — the shape every append/row-level/compact
+    * commit produces. Reordering rewrites (Bucketize) and restores
+    * (Rollback) return None and commit a full manifest instead; so does
+    * a duplicate fragment id (never produced, never silently encoded). */
+  private[graft] def computeDelta(base: Manifest, m: Manifest, depth: Int)
+      : Option[ManifestDelta] = {
+    if (m.version != base.version + 1) return None
+    // single two-pointer walk, no hash-map of the full fragment list:
+    // the diff runs on every eligible commit, and at 10⁵ fragments the
+    // map-building formulation alone cost ~150 ms. Untouched fragments
+    // are carried forward BY REFERENCE on every write path, so `eq`
+    // short-circuits the deep equality for the unchanged bulk.
+    // indexed views: parsed manifests carry Lists, and positional access
+    // on a linear Seq turns this walk O(n²) (observed: a 1e5-fragment
+    // diff pinned a core for minutes)
+    val bf = base.fragments.toIndexedSeq
+    val mf = m.fragments.toIndexedSeq
+    val baseIds = new java.util.HashSet[Integer](bf.size * 2)
+    bf.foreach(f => baseIds.add(f.id))
+    val seen = new java.util.HashSet[Integer](mf.size * 2)
+    val removed = Seq.newBuilder[Int]
+    val upserts = Seq.newBuilder[FragmentMeta]
+    var bi = 0
+    var mi = 0
+    // survivors: base order, changed ones in place
+    while (mi < mf.size && baseIds.contains(mf(mi).id)) {
+      val f = mf(mi)
+      if (!seen.add(f.id)) return None // duplicate id: never encode
+      while (bi < bf.size && bf(bi).id != f.id) {
+        removed += bf(bi).id
+        bi += 1
+      }
+      if (bi == bf.size) return None // survivor out of base order
+      if ((f ne bf(bi)) && f != bf(bi)) upserts += f
+      bi += 1
+      mi += 1
+    }
+    while (bi < bf.size) { removed += bf(bi).id; bi += 1 }
+    // appended news: anything after the survivor prefix must be new
+    while (mi < mf.size) {
+      val f = mf(mi)
+      if (baseIds.contains(f.id) || !seen.add(f.id)) return None
+      upserts += f
+      mi += 1
+    }
+    Some(ManifestDelta(m.version, base.version, depth, m.schemaJson,
+      removed.result(), upserts.result(), m.maxFragmentId, m.createdAtMs,
+      m.operation, m.properties))
+  }
+
+  // Latest-known (version, chain depth) per table — lets commit decide
+  // full-vs-delta without re-reading the base file's kind. Purely an
+  // optimization: a missing/mismatched entry falls back to one raw
+  // header read (storedDepth). One small tuple per table path (same
+  // growth class as ManifestCache.gens).
+  private val chainDepths =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+  private def depthKey(fs: FileSystem, table: Path): String =
+    fs.makeQualified(table).toUri.toString.stripSuffix("/")
+  private def recordDepth(fs: FileSystem, table: Path, v: Long, d: Int): Unit = {
+    val k = depthKey(fs, table)
+    if (chainDepths.get(k).forall(_._1 <= v)) chainDepths.put(k, (v, d))
+  }
+
+  /** Chain depth of committed version `v`: 0 for a checkpoint, else the
+    * delta's stamped depth. Served from the in-process map when it
+    * matches, else one small raw read. */
+  private def storedDepth(fs: FileSystem, table: Path, v: Long): Int =
+    chainDepths.get(depthKey(fs, table)) match {
+      case Some((ver, d)) if ver == v => d
+      case _ =>
+        decodeAny(readBytes(fs, manifestPath(table, v))) match {
+          case Right(_) => 0
+          case Left(d) => d.depth
+        }
+    }
+
+  /** True when version `v`'s stored file is a FULL manifest. Vacuum uses
+    * it to keep the oldest retained version resolvable (a retained delta
+    * whose base was dropped would be unreadable). */
+  private[graft] def isCheckpoint(fs: FileSystem, table: Path, v: Long): Boolean =
+    decodeAny(readBytes(fs, manifestPath(table, v))).isRight
+
+  /** Rewrite version `v`'s stored file as a FULL manifest with the SAME
+    * resolved content — vacuum's boundary materialization: the oldest
+    * retained version's delta bases are about to be dropped, and
+    * widening retention instead would make keepVersions granular to the
+    * checkpoint cadence. This is an equivalent-content re-encode, not a
+    * commit: committed manifests are immutable in their RESOLVED
+    * content, and both byte streams decode to the same manifest, so a
+    * reader racing the swap is correct either way. Local filesystems
+    * swap atomically (rename replaces); object stores overwrite-PUT
+    * (readers observe the old or the new complete object). Must run
+    * BEFORE any base manifest is deleted — a crash after it leaves only
+    * extra history, never a stranded delta. */
+  private[graft] def materializeCheckpoint(fs: FileSystem, table: Path,
+      v: Long): Unit = {
+    val bytes = encodeManifest(readManifest(fs, table, v))
+    val p = manifestPath(table, v)
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = local.resolveSibling(
+        s".${local.getFileName}.${java.util.UUID.randomUUID()}.ckpt.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, local,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    // the version is now a checkpoint: refresh the cadence bookkeeping
+    // if it happens to be the head entry (stale depth would only make
+    // the next checkpoint come early — cosmetic, but free to fix)
+    val k = depthKey(fs, table)
+    chainDepths.get(k) match {
+      case Some((ver, _)) if ver == v => chainDepths.put(k, (v, 0))
+      case _ => ()
+    }
+  }
+
   // ---------------------------------------------------------------- JSON
   // Hand-rolled, dependency-free codec for the manifest envelope; the
   // schema payload uses Spark's own StructType JSON form.
@@ -602,45 +767,79 @@ object GraftFormat {
     })
   }
 
-  def fromJson(s: String): Manifest = {
-    // minimal recursive-descent JSON parser (objects/arrays/strings/
-    // numbers/null only — exactly the manifest grammar)
-    val p = new JsonParser(s)
-    val root = p.parseValue().asInstanceOf[Map[String, Any]]
-    val frags = root("fragments").asInstanceOf[Seq[Any]].map { fAny =>
-      val f = fAny.asInstanceOf[Map[String, Any]]
-      val stats = f.get("stats").map(_.asInstanceOf[Map[String, Any]].map {
-        case (c, csAny) =>
-          val cs = csAny.asInstanceOf[Map[String, Any]]
-          c -> ColStats(
-            Option(cs("min")).map(_.asInstanceOf[String]),
-            Option(cs("max")).map(_.asInstanceOf[String]),
-            cs("nulls").asInstanceOf[Double].toLong)
-      }).getOrElse(Map.empty[String, ColStats])
-      FragmentMeta(
-        id = f("id").asInstanceOf[Double].toInt,
-        path = f("path").asInstanceOf[String],
-        rowCount = f("rowCount").asInstanceOf[Double].toLong,
-        deletionPath = Option(f("deletionPath")).collect { case s: String => s },
-        deletedCount = f("deletedCount").asInstanceOf[Double].toLong,
-        // format_version 1 manifests lack these fields (S9 compatibility)
-        sizeBytes = f.get("sizeBytes").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
-        stats = stats)
+  def fromJson(s: String): Manifest = parseAny(s) match {
+    case Right(m) => m
+    case Left(d) => throw new IllegalArgumentException(
+      s"version ${d.version} is a delta record; resolve it via readManifest")
+  }
+
+  private def parseFrag(fAny: Any): FragmentMeta = {
+    val f = fAny.asInstanceOf[Map[String, Any]]
+    val stats = f.get("stats").map(_.asInstanceOf[Map[String, Any]].map {
+      case (c, csAny) =>
+        val cs = csAny.asInstanceOf[Map[String, Any]]
+        c -> ColStats(
+          Option(cs("min")).map(_.asInstanceOf[String]),
+          Option(cs("max")).map(_.asInstanceOf[String]),
+          cs("nulls").asInstanceOf[Double].toLong)
+    }).getOrElse(Map.empty[String, ColStats])
+    FragmentMeta(
+      id = f("id").asInstanceOf[Double].toInt,
+      path = f("path").asInstanceOf[String],
+      rowCount = f("rowCount").asInstanceOf[Double].toLong,
+      deletionPath = Option(f("deletionPath")).collect { case s: String => s },
+      deletedCount = f("deletedCount").asInstanceOf[Double].toLong,
+      // format_version 1 manifests lack these fields (S9 compatibility)
+      sizeBytes = f.get("sizeBytes").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+      stats = stats)
+  }
+
+  /** Parse one stored version record: a full manifest or (v4+) a delta.
+    * Minimal recursive-descent JSON (objects/arrays/strings/numbers/
+    * null only — exactly the manifest grammar). */
+  private[graft] def parseAny(s: String): Either[ManifestDelta, Manifest] = {
+    val root = new JsonParser(s).parseValue().asInstanceOf[Map[String, Any]]
+    val props = root.get("properties")
+      .map(_.asInstanceOf[Map[String, Any]].map {
+        case (k, v) => k -> v.asInstanceOf[String]
+      }).getOrElse(Map.empty[String, String])
+    if (root.get("delta").contains(true))
+      Left(ManifestDelta(
+        version = root("version").asInstanceOf[Double].toLong,
+        baseVersion = root("baseVersion").asInstanceOf[Double].toLong,
+        depth = root("depth").asInstanceOf[Double].toInt,
+        schemaJson = root("schemaJson").asInstanceOf[String],
+        removed = root("removed").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Double].toInt),
+        upserts = root("upserts").asInstanceOf[Seq[Any]].map(parseFrag),
+        maxFragmentId = root("maxFragmentId").asInstanceOf[Double].toInt,
+        createdAtMs = root("createdAtMs").asInstanceOf[Double].toLong,
+        operation = root("operation").asInstanceOf[String],
+        properties = props))
+    else {
+      val m = Manifest(
+        version = root("version").asInstanceOf[Double].toLong,
+        schemaJson = root("schemaJson").asInstanceOf[String],
+        fragments = root("fragments").asInstanceOf[Seq[Any]].map(parseFrag),
+        maxFragmentId = root("maxFragmentId").asInstanceOf[Double].toInt,
+        createdAtMs = root("createdAtMs").asInstanceOf[Double].toLong,
+        operation = root("operation").asInstanceOf[String],
+        properties = props)
+      // pre-v3 string stats were merged in code-unit order: unsound to
+      // compare in this build's code-point order — treat as absent
+      Right(if (m.formatVersion < 3) stripStringStats(m) else m)
     }
-    val m = Manifest(
-      version = root("version").asInstanceOf[Double].toLong,
-      schemaJson = root("schemaJson").asInstanceOf[String],
-      fragments = frags,
-      maxFragmentId = root("maxFragmentId").asInstanceOf[Double].toInt,
-      createdAtMs = root("createdAtMs").asInstanceOf[Double].toLong,
-      operation = root("operation").asInstanceOf[String],
-      properties = root.get("properties")
-        .map(_.asInstanceOf[Map[String, Any]].map {
-          case (k, v) => k -> v.asInstanceOf[String]
-        }).getOrElse(Map.empty))
-    // pre-v3 string stats were merged in code-unit order: unsound to
-    // compare in this build's code-point order — treat as absent
-    if (m.formatVersion < 3) stripStringStats(m) else m
+  }
+
+  private def deltaJson(d: ManifestDelta): String = {
+    val props = d.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    s"""{"delta":true,"version":${d.version},"baseVersion":${d.baseVersion},""" +
+      s""""depth":${d.depth},"operation":"${esc(d.operation)}",""" +
+      s""""createdAtMs":${d.createdAtMs},"maxFragmentId":${d.maxFragmentId},""" +
+      s""""schemaJson":"${esc(d.schemaJson)}","properties":{$props},""" +
+      s""""removed":[${d.removed.mkString(",")}],""" +
+      s""""upserts":[${d.upserts.map(fragJson).mkString(",")}]}"""
   }
 
   /** Manifest wire encoding: gzip(JSON), sniffed by magic on read.
@@ -657,36 +856,104 @@ object GraftFormat {
     * sniff; readers never need a flag. Java's GZIPOutputStream writes
     * a fixed zero-MTIME header, so the encoding is deterministic and
     * (mtime, len) cache-revalidation identity is unaffected. */
-  private[format] def encodeManifest(m: Manifest): Array[Byte] = {
-    val json = toJson(m).getBytes(UTF_8)
-    if (m.formatVersion < 3) return json // v1/v2 readers expect plain JSON
+  private def gzipBytes(json: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(json.length / 8 + 64)
     val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
     gz.write(json); gz.close()
     bos.toByteArray
   }
 
-  private[format] def decodeManifest(bytes: Array[Byte]): Manifest = {
-    val json =
-      if (bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
-          bytes(1) == 0x8b.toByte) {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-        try in.readAllBytes() finally in.close()
-      } else bytes
-    fromJson(new String(json, UTF_8))
+  private[format] def encodeManifest(m: Manifest): Array[Byte] = {
+    val json = toJson(m).getBytes(UTF_8)
+    if (m.formatVersion < 3) json // v1/v2 readers expect plain JSON
+    else gzipBytes(json)
   }
 
+  private def gunzipSniff(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
+        bytes(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      try in.readAllBytes() finally in.close()
+    } else bytes
+
+  /** Decode one stored version record (full or delta), gzip-sniffed. */
+  private[format] def decodeAny(bytes: Array[Byte])
+      : Either[ManifestDelta, Manifest] =
+    parseAny(new String(gunzipSniff(bytes), UTF_8))
+
+  private[format] def decodeManifest(bytes: Array[Byte]): Manifest =
+    decodeAny(bytes) match {
+      case Right(m) => m
+      case Left(d) => throw new IllegalArgumentException(
+        s"version ${d.version} is a delta record; resolve it via readManifest")
+    }
+
+  /** Resolved manifest of `version`: a checkpoint reads directly; a
+    * delta walks its chain back to the nearest checkpoint (<= the
+    * checkpoint cadence hops, each a small file) and folds the deltas
+    * forward. The pinned cache is consulted per hop — committed
+    * manifests are immutable — so warm walks read nothing. */
   def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
-    decodeManifest(readBytes(fs, manifestPath(table, version)))
+    decodeAny(readBytes(fs, manifestPath(table, version))) match {
+      case Right(m) =>
+        recordDepth(fs, table, version, 0)
+        m
+      case Left(d0) =>
+        var deltas: List[ManifestDelta] = List(d0) // kept ascending
+        val expectId = d0.properties.get(TableIdProp)
+        // generation guard: the walk spans MULTIPLE reads, and a drop +
+        // re-create landing between them restarts version numbers — an
+        // unguarded walk could apply the dead generation's delta onto
+        // the NEW generation's base (same version arithmetic, different
+        // table) and resolve a franken-manifest. Every hop must carry
+        // the head delta's id; a mismatch surfaces typed, and the
+        // cache's latest() maps it to the no-manifest-visible evidence
+        // rule (hold / re-list), like a mid-listing delete.
+        def guard(props: Map[String, String], v: Long): Unit =
+          for (want <- expectId; got <- props.get(TableIdProp) if got != want)
+            throw ManifestCache.WrongGeneration(table, v, want, Some(got))
+        var base: Manifest = null
+        while (base == null) {
+          val v = deltas.head.baseVersion
+          ManifestCache.peekPinned(fs, table, v, expectId) match {
+            case Some(m) => base = m
+            case None =>
+              decodeAny(readBytes(fs, manifestPath(table, v))) match {
+                case Right(m) =>
+                  guard(m.properties, v)
+                  base = m
+                case Left(d) =>
+                  guard(d.properties, v)
+                  // a corrupt/cyclic chain must fail typed, never spin
+                  require(d.baseVersion < v,
+                    s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
+                  deltas ::= d
+              }
+          }
+        }
+        val resolved = deltas.foldLeft(base)(applyDelta)
+        recordDepth(fs, table, version, d0.depth)
+        resolved
+    }
 
   def readLatest(fs: FileSystem, table: Path): Option[Manifest] =
     latestVersion(fs, table).map(readManifest(fs, table, _))
 
   /** Atomic CAS commit of version m.version; throws on lost race.
     * format_version 1 tables are written without sizeBytes/stats content
-    * (the fields serialize as 0/empty) to stay readable by v1 readers. */
-  def commit(fs: FileSystem, table: Path, m: Manifest): Unit = {
+    * (the fields serialize as 0/empty) to stay readable by v1 readers.
+    *
+    * `base` (the resolved manifest of m.version - 1, which every retry
+    * loop already holds) enables O(changed-fragments) DELTA commits for
+    * format_version >= 4 tables: when the change is delta-representable,
+    * the chain since the last checkpoint is shorter than
+    * [[CheckpointEveryKey]], and the delta touches at most half the
+    * fragments, the stored record is the diff instead of the full
+    * fragment list. base = None (or any ineligible case) writes a full
+    * manifest — always correct, never required for correctness. */
+  def commit(fs: FileSystem, table: Path, m: Manifest,
+      base: Option[Manifest] = None): Unit = {
     // only the chain's first commit may need the layout dirs; for v2+
     // they exist by construction, and re-probing them here would sit on
     // the readLatest->CAS critical path (on an object store that is
@@ -699,23 +966,50 @@ object GraftFormat {
       // order (the dual of the read-side strip above)
       else if (m.formatVersion == 2) stripStringStats(m)
       else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))
-    if (!createExclusive(fs, manifestPath(table, m.version), encodeManifest(toWrite)))
+    val every = Option(fs.getConf)
+      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
+      .getOrElse(DefaultCheckpointEvery)
+    val asDelta: Option[ManifestDelta] =
+      if (toWrite.formatVersion < 4 || every <= 1 || toWrite.version <= 1L ||
+          !base.exists(_.version == toWrite.version - 1)) None
+      else {
+        val b = base.get
+        val depth = storedDepth(fs, table, b.version) + 1
+        if (depth >= every) None
+        else computeDelta(b, toWrite, depth).filter { d =>
+          // a delta touching most of the table is no smaller than a
+          // checkpoint, and readers would pay the chain walk on top
+          d.upserts.size + d.removed.size <=
+            math.max(8, b.fragments.size / 2)
+        }
+      }
+    val bytes = asDelta match {
+      case Some(d) => gzipBytes(deltaJson(d).getBytes(UTF_8))
+      case None => encodeManifest(toWrite)
+    }
+    if (!createExclusive(fs, manifestPath(table, m.version), bytes))
       throw new CommitConflictException(
         s"version ${m.version} already committed at $table")
+    // depth is recorded only for OUR committed version (a lost race is
+    // another process's version — its kind is unknown here)
+    chainDepths.put(depthKey(fs, table),
+      (m.version, asDelta.map(_.depth).getOrElse(0)))
     // same-process readers must see this commit immediately, whatever the
     // manifest-cache TTL says
     ManifestCache.invalidateLatest(fs, table)
   }
 
   /** Retry loop for append-style commits: rebuild the manifest from the
-    * freshest base on each conflict. */
+    * freshest base on each conflict. The base each attempt read is
+    * passed through to [[commit]] so eligible commits store deltas. */
   def commitWithRetry(fs: FileSystem, table: Path, maxAttempts: Int = 20)(
       build: Option[Manifest] => Manifest): Manifest = {
     var attempt = 0
     while (true) {
       attempt += 1
-      val m = build(readLatest(fs, table))
-      try { commit(fs, table, m); return m }
+      val base = readLatest(fs, table)
+      val m = build(base)
+      try { commit(fs, table, m, base); return m }
       catch {
         case e: CommitConflictException if attempt < maxAttempts =>
           // jittered exponential backoff: N contending committers

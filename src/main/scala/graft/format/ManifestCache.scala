@@ -232,12 +232,36 @@ object ManifestCache {
                     case _: java.io.FileNotFoundException =>
                       entries.synchronized(entries.remove(k))
                       return None
+                    // a drop + re-create landed INSIDE the delta-chain
+                    // walk (the head file read belonged to the dead
+                    // generation, a base hop to the new one): the same
+                    // no-manifest-visible evidence as the head file
+                    // vanishing — the next load reads the new
+                    // generation cleanly
+                    case _: WrongGeneration =>
+                      entries.synchronized(entries.remove(k))
+                      return None
                   }
                 guardedPut(k, g, Entry(v, m, now, mtime, len,
                   bodyReadAtMs = now))
                 Some(m)
             }
         }
+    }
+  }
+
+  /** Cache-only pinned lookup (NO read on miss): the manifest
+    * delta-chain resolver's per-hop probe — it runs INSIDE
+    * GraftFormat.readManifest and must not recurse back through
+    * [[readPinned]]. A hit is served only when its generation id
+    * matches `expectedId` exactly; with no expected id (pre-id
+    * manifests) the cache is skipped — the raw read is the safe path. */
+  private[format] def peekPinned(fs: FileSystem, table: Path, version: Long,
+      expectedId: Option[String]): Option[Manifest] = {
+    val k = key(fs, table) + "@" + version
+    pinned.synchronized(Option(pinned.get(k))).filter { m =>
+      expectedId.exists(id =>
+        m.properties.get(GraftFormat.TableIdProp).contains(id))
     }
   }
 

@@ -337,66 +337,93 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
     }
     val cacheKey = (probe.genVdir, planKey)
+    // UNFILTERED survivors are just the per-list sizes, persisted at
+    // build/refresh time (`list_sizes` in the version dir): a few-KB
+    // read instead of a count job over the whole assignment table — at
+    // 100 TB the job is a full codes-column pass before the first query
+    // runs. Filtered queries must still count through their predicate.
+    // Indexes built before the file existed fall back to the job.
+    def computeCounts(): Map[Int, Long] = {
+      val persisted: Option[Map[Int, Long]] =
+        if (filtered) None
+        else try {
+          val m = spark.read
+            .parquet(new Path(probe.vdir, "list_sizes").toString)
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          logInfo("graft adaptive-ANN served survivor counts from " +
+            s"persisted list sizes: index=${probe.genVdir.take(120)}")
+          Some(m)
+        } catch {
+          // ANY unreadable sizes file (absent, truncated by a
+          // crashed copy, transient store error) falls back to the
+          // count job — a plan-time convenience must never fail a
+          // query the job could answer
+          case scala.util.control.NonFatal(e) =>
+            logInfo(s"graft adaptive-ANN list_sizes unavailable " +
+              s"(${e.getClass.getSimpleName}); counting instead")
+            None
+        }
+      persisted.getOrElse {
+        val assign = probe.assign.select(
+          col(probe.idName).as("__graft_probe_id"),
+          col("cid").as("__graft_probe_cid"))
+        val assignPlan = GraftShim.planOf(assign)
+        val counted =
+          if (filtered)
+            GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
+              Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
+          else assign
+        // the one observable plan-time cost of the adaptive guard:
+        // a blocking count job inside optimizer-rule application on
+        // cache miss (r13 VERDICT #6) — log it so "why did planning
+        // take N seconds" is answerable from the driver log
+        val t0 = System.nanoTime()
+        val c = counted.groupBy(col("__graft_probe_cid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        AnnTopKIndexRewrite.metrics.countJobs.incrementAndGet()
+        logInfo(s"graft adaptive-ANN survivor-count job ran at plan " +
+          s"time (cache miss): index=${probe.genVdir.take(120)} " +
+          s"filtered=$filtered lists=${c.size} " +
+          s"wallMs=${(System.nanoTime() - t0) / 1000000}")
+        c
+      }
+    }
+    // per-key in-flight LATCH (r14 VERDICT #7): N concurrent
+    // first-plannings of the same (index, predicate) previously each
+    // ran the count job (the racy duplicate was "tolerated by design" —
+    // at 100 TB that is N full codes-column passes). The map now holds
+    // a future: whoever installs it computes ONCE (outside any CHM bin
+    // lock — the putIfAbsent only allocates), everyone else awaits the
+    // same result. An owner that fails removes its latch and rethrows;
+    // latched waiters on a failed owner compute their own (no
+    // re-publish — the next putIfAbsent race is just another latch).
+    if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
+      AnnTopKIndexRewrite.survivorCounts.clear()
+    val fresh = new java.util.concurrent.CompletableFuture[Map[Int, Long]]()
+    val existing =
+      AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, fresh)
     val perList: Map[Int, Long] =
-      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
-        case Some(cached) =>
+      if (existing == null) {
+        try {
+          val c = computeCounts()
+          fresh.complete(c)
+          c
+        } catch {
+          case t: Throwable =>
+            AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, fresh)
+            fresh.completeExceptionally(t)
+            throw t
+        }
+      } else {
+        if (existing.isDone)
           AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
-          cached
-        case None =>
-          // UNFILTERED survivors are just the per-list sizes, persisted
-          // at build/refresh time (`list_sizes` in the version dir): a
-          // few-KB read instead of a count job over the whole
-          // assignment table — at 100 TB the job is a full codes-column
-          // pass before the first query runs. Filtered queries must
-          // still count through their predicate. Indexes built before
-          // the file existed fall back to the job.
-          val persisted: Option[Map[Int, Long]] =
-            if (filtered) None
-            else try {
-              val m = spark.read
-                .parquet(new Path(probe.vdir, "list_sizes").toString)
-                .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-              logInfo("graft adaptive-ANN served survivor counts from " +
-                s"persisted list sizes: index=${probe.genVdir.take(120)}")
-              Some(m)
-            } catch {
-              // ANY unreadable sizes file (absent, truncated by a
-              // crashed copy, transient store error) falls back to the
-              // count job — a plan-time convenience must never fail a
-              // query the job could answer
-              case scala.util.control.NonFatal(e) =>
-                logInfo(s"graft adaptive-ANN list_sizes unavailable " +
-                  s"(${e.getClass.getSimpleName}); counting instead")
-                None
-            }
-          val computed = persisted.getOrElse {
-            val assign = probe.assign.select(
-              col(probe.idName).as("__graft_probe_id"),
-              col("cid").as("__graft_probe_cid"))
-            val assignPlan = GraftShim.planOf(assign)
-            val counted =
-              if (filtered)
-                GraftShim.dfOf(spark, Join(assignPlan, child, LeftSemi,
-                  Some(EqualTo(assignPlan.output.head, idAttr)), JoinHint.NONE))
-              else assign
-            // the one observable plan-time cost of the adaptive guard:
-            // a blocking count job inside optimizer-rule application on
-            // cache miss (r13 VERDICT #6) — log it so "why did planning
-            // take N seconds" is answerable from the driver log
-            val t0 = System.nanoTime()
-            val c = counted.groupBy(col("__graft_probe_cid")).count()
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-            AnnTopKIndexRewrite.metrics.countJobs.incrementAndGet()
-            logInfo(s"graft adaptive-ANN survivor-count job ran at plan " +
-              s"time (cache miss): index=${probe.genVdir.take(120)} " +
-              s"filtered=$filtered lists=${c.size} " +
-              s"wallMs=${(System.nanoTime() - t0) / 1000000}")
-            c
-          }
-          if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
-            AnnTopKIndexRewrite.survivorCounts.clear()
-          AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, computed)
-          computed
+        else
+          AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
+        try existing.join()
+        catch {
+          case _: java.util.concurrent.CompletionException =>
+            computeCounts()
+        }
       }
     // Selectivity-scaled recall floor (BENCH_RECALL.json finding: the
     // k-row guarantee alone left filtered recall at ~0.74 — the guard
@@ -487,11 +514,15 @@ object AnnTopKIndexRewrite {
     * version within one generation and a deterministic predicate, so
     * entries never go stale; bounded by a whole-map reset (distinct
     * (index, predicate) pairs per JVM are few, but a metadata-map would
-    * leak on a long-lived driver serving many ad-hoc filters). Populated
-    * get/putIfAbsent-style — never compute a Spark job under a CHM bin
-    * lock. */
-  private[graft] val survivorCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, LogicalPlan), Map[Int, Long]]()
+    * leak on a long-lived driver serving many ad-hoc filters). Values
+    * are FUTURES (r14 VERDICT #7): putIfAbsent installs an in-flight
+    * latch cheaply (no Spark job ever runs under a CHM bin lock — the
+    * winner computes after the insert), and concurrent first-plannings
+    * of the same key await one count job instead of each running their
+    * own. */
+  private[graft] val survivorCounts = new java.util.concurrent.ConcurrentHashMap[
+    (String, LogicalPlan),
+    java.util.concurrent.CompletableFuture[Map[Int, Long]]]()
 
   /** Driver-side counters for the adaptive guard's plan-time behavior
     * (r13 VERDICT #6: the survivor-count job is a blocking Spark job
@@ -500,6 +531,9 @@ object AnnTopKIndexRewrite {
   final class Metrics {
     val countJobs = new java.util.concurrent.atomic.AtomicLong()
     val countJobCacheHits = new java.util.concurrent.atomic.AtomicLong()
+    /** Plannings that latched onto another thread's IN-FLIGHT count
+      * job instead of running their own (r14 VERDICT #7). */
+    val countJobLatchWaits = new java.util.concurrent.atomic.AtomicLong()
     val escalations = new java.util.concurrent.atomic.AtomicLong()
     val abandons = new java.util.concurrent.atomic.AtomicLong()
   }

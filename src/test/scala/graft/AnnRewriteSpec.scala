@@ -501,6 +501,52 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent first-plannings of the same query run ONE count job " +
+      "(per-key in-flight latch)") {
+    // fresh table + index: nothing cached for this generation
+    val d = new Path(java.nio.file.Files
+      .createTempDirectory("graft-annlatch").resolve("e.graft").toUri)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.connector.GraftWriter.write(fs, d,
+      Tables.load(spark, sf, "embeddings"), overwrite = true)
+    Ivf.build(spark, d, "vec_id", "embedding", nLists = 8)
+    def df = {
+      val m = graft.format.GraftFormat.readLatest(fs, d).get
+      org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"annlatch:$d", d, m, fs.getConf))
+    }
+    // FILTERED: must count through the predicate (list_sizes can't serve)
+    def q = df.where(col("vec_id") % 3 === 0)
+      .orderBy(VectorFunctions.cosine_sim(
+        col("embedding"), typedlit(queryVec)).desc)
+      .limit(5).select("vec_id")
+    val metrics = graft.plans.AnnTopKIndexRewrite.metrics
+    withRule {
+      val jobs0 = metrics.countJobs.get()
+      val threads = 8
+      val barrier = new java.util.concurrent.CyclicBarrier(threads)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val pool = (1 to threads).map { _ =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results.add(q.collect().map(_.getLong(0)).toSeq)
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      pool.foreach(_.start())
+      pool.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent planning failed: ${errors.peek()}")
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.toSet.size == 1,
+        "all threads must see the identical result")
+      assert(metrics.countJobs.get() == jobs0 + 1,
+        s"concurrent first-planning must run exactly ONE count job, " +
+          s"ran ${metrics.countJobs.get() - jobs0}")
+    }
+  }
+
   test("property: filtered adaptive ANN always returns min(k, matches) " +
       "predicate-true rows across seeded random predicates and ks") {
     dir

@@ -133,6 +133,23 @@ class TwoProcessStormSpec extends AnyFunSuite {
       s"version chain has holes: ${o.versions}")
   }
 
+  /** r14 VERDICT #2: the storm must provably exercise the O(delta)
+    * commit path — default-format (v4) appends between checkpoints
+    * store delta records, so a two-process chain of this length that
+    * contains NO delta would mean the path silently degraded to full
+    * rewrites (or the cadence broke). */
+  private def assertDeltasExercised(dir: Path): Unit = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = GraftFormat.listVersions(fs, dir)
+    val deltas = versions.count(v => !GraftFormat.isCheckpoint(fs, dir, v))
+    assert(deltas > 0,
+      s"no delta commits in a ${versions.size}-version storm chain — " +
+        "the O(delta) path was never exercised")
+    // and every retained version still resolves exactly once more
+    versions.foreach(v =>
+      assert(GraftFormat.readManifest(fs, dir, v).version == v))
+  }
+
   test("two-JVM storm over file://: child appends+deletes+compacts+" +
       "vacuums while this JVM streams and inserts — exactly-once final " +
       "state, typed cross-process CAS conflict") {
@@ -171,6 +188,7 @@ class TwoProcessStormSpec extends AnyFunSuite {
       assert(StormHarness.agentDeletes(o.agentOut) == 3, o.agentOut)
       val all = (parentKeys ++ childKeys).toSet
       assertExactlyOnce(o, all, all -- childDeleted)
+      assertDeltasExercised(dir)
     } finally {
       agent.proc.destroyForcibly()
       spark.sql("DROP TABLE IF EXISTS tps.db.storm")
@@ -215,6 +233,8 @@ class TwoProcessStormSpec extends AnyFunSuite {
           s"${srv.conditionalPuts.get() - condBefore}")
       val all = (parentKeys ++ childKeys).toSet
       assertExactlyOnce(o, all, all -- childDeleted)
+      // the delta path held over real HTTP + conditional puts too
+      assertDeltasExercised(dir)
     } finally {
       agent.proc.destroyForcibly()
       spark.sql("DROP TABLE IF EXISTS tps3.db.storm")
