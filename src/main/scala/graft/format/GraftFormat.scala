@@ -663,22 +663,36 @@ object GraftFormat {
   private[graft] def isCheckpoint(fs: FileSystem, table: Path, v: Long): Boolean =
     decodeAny(readBytes(fs, manifestPath(table, v))).isRight
 
-  /** Rewrite version `v`'s stored file as a FULL manifest with the SAME
-    * resolved content — vacuum's boundary materialization: the oldest
-    * retained version's delta bases are about to be dropped, and
-    * widening retention instead would make keepVersions granular to the
-    * checkpoint cadence. This is an equivalent-content re-encode, not a
-    * commit: committed manifests are immutable in their RESOLVED
-    * content, and both byte streams decode to the same manifest, so a
-    * reader racing the swap is correct either way. Local filesystems
-    * swap atomically (rename replaces); object stores overwrite-PUT
-    * (readers observe the old or the new complete object). Must run
-    * BEFORE any base manifest is deleted — a crash after it leaves only
-    * extra history, never a stranded delta. */
+  /** Ensure version `v`'s stored file is a FULL manifest, rewriting a
+    * delta record with the SAME resolved content — vacuum's boundary
+    * materialization: the oldest retained version's delta bases are
+    * about to be dropped, and widening retention instead would make
+    * keepVersions granular to the checkpoint cadence. This is an
+    * equivalent-content re-encode, not a commit: committed manifests
+    * are immutable in their RESOLVED content, and both byte streams
+    * decode to the same manifest, so a reader racing the swap is
+    * correct either way. The swap is atomic per store class: local
+    * filesystems rename-replace, object stores overwrite-PUT (readers
+    * observe the old or the new complete object), HDFS-likes
+    * FileContext-rename with OVERWRITE. Must run BEFORE any base
+    * manifest is deleted — a crash after it leaves only extra history,
+    * never a stranded delta. A version (or chain base) a RACING vacuum
+    * or drop already removed reads as done — that pass owns the
+    * boundary; nothing here can help it. */
   private[graft] def materializeCheckpoint(fs: FileSystem, table: Path,
       v: Long): Unit = {
-    val bytes = encodeManifest(readManifest(fs, table, v))
     val p = manifestPath(table, v)
+    val resolved =
+      try {
+        decodeAny(readBytes(fs, p)) match {
+          case Right(_) => return // already a checkpoint: one read, done
+          case Left(d0) => resolveDelta(fs, table, v, d0)
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => return
+        case _: ManifestCache.WrongGeneration => return
+      }
+    val bytes = encodeManifest(resolved)
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       val tmp = local.resolveSibling(
@@ -687,9 +701,30 @@ object GraftFormat {
       java.nio.file.Files.move(tmp, local,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
+    } else if (ConditionalPutSchemes(fs.getScheme)) {
+      // whole-object PUT: readers see the old or the new object
       val out = fs.create(p, true)
       try out.write(bytes) finally out.close()
+    } else {
+      // HDFS-likes: create(overwrite) would TRUNCATE in place (a torn
+      // window for concurrent readers, and a crash destroys the old
+      // bytes) — write a temp sibling and atomically rename over
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.${java.util.UUID.randomUUID()}.ckpt.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, fs.getConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding (exotic schemes): fall back
+          // to the overwrite-create, accepting its visibility caveat
+          fs.delete(tmp, false)
+          val out2 = fs.create(p, true)
+          try out2.write(bytes) finally out2.close()
+      }
     }
     // the version is now a checkpoint: refresh the cadence bookkeeping
     // if it happens to be the head entry (stale depth would only make
@@ -739,20 +774,24 @@ object GraftFormat {
   }
 
   /** Drop zone-map stats of string-typed columns from every fragment.
-    * Pre-v3 manifests merged string min/max across row groups under
-    * UTF-16 code-unit Ordering.String, while this build compares stats
-    * in code-point order (FragmentStats.codePointCompare) — for row
-    * groups straddling a supplementary character and a BMP char in
+    * Pre-gzip-era manifests merged string min/max across row groups
+    * under UTF-16 code-unit Ordering.String, while this build compares
+    * stats in code-point order (FragmentStats.codePointCompare) — for
+    * row groups straddling a supplementary character and a BMP char in
     * [U+E000, U+FFFF] the persisted merged bound can sit on the wrong
     * side of the true bound in code-point order, so pruning with it is
     * UNSOUND (silent wrong results on pre-upgrade tables). Absent stats
     * never prune, so dropping them is the sound read of old manifests;
     * numeric/date/timestamp stats merge identically under both orders
-    * and are kept. The same strip applies when WRITING a v2-pinned
-    * manifest: this build harvests string stats in code-point order,
-    * which a v2-era reader would compare in code-unit order — the dual
-    * unsoundness. (Stats re-harvest on upgrade: any compaction rewrite
-    * under format_version 3 restores string pruning.) */
+    * and are kept. Gated on PLAIN-JSON WIRE in [[decodeAny]] — gzip and
+    * code-point harvesting shipped in the same build, and pre-upgrade
+    * writers never stamped `format_version`, so the property (which
+    * DEFAULTS to current) cannot gate this. The same strip applies when
+    * WRITING a v2-pinned manifest: this build harvests string stats in
+    * code-point order, which a v2-era reader would compare in code-unit
+    * order — the dual unsoundness. (Stats re-harvest on upgrade: any
+    * compaction rewrite under the current format restores string
+    * pruning.) */
   private def stripStringStats(m: Manifest): Manifest = {
     if (m.fragments.forall(_.stats.isEmpty)) return m
     val stringCols =
@@ -825,9 +864,7 @@ object GraftFormat {
         createdAtMs = root("createdAtMs").asInstanceOf[Double].toLong,
         operation = root("operation").asInstanceOf[String],
         properties = props)
-      // pre-v3 string stats were merged in code-unit order: unsound to
-      // compare in this build's code-point order — treat as absent
-      Right(if (m.formatVersion < 3) stripStringStats(m) else m)
+      Right(m)
     }
   }
 
@@ -877,10 +914,27 @@ object GraftFormat {
       try in.readAllBytes() finally in.close()
     } else bytes
 
-  /** Decode one stored version record (full or delta), gzip-sniffed. */
+  /** Decode one stored version record (full or delta), gzip-sniffed.
+    *
+    * Plain-JSON WIRE is the pre-v3 evidence that gates the string-stat
+    * strip — not the `format_version` property, which pre-upgrade
+    * writers never stamped (it DEFAULTS to current, so a property gate
+    * silently skips exactly the manifests the strip exists for). Gzip
+    * arrived in the same build as code-point stat harvesting, so a
+    * gzip record always carries code-point-sound stats, and a plain
+    * record was written either by a pre-code-point build (stats merged
+    * in code-unit order — unsound to compare, strip) or by a current
+    * build under a v1/v2 pin (string stats already stripped at write;
+    * re-stripping is a no-op). */
   private[format] def decodeAny(bytes: Array[Byte])
-      : Either[ManifestDelta, Manifest] =
-    parseAny(new String(gunzipSniff(bytes), UTF_8))
+      : Either[ManifestDelta, Manifest] = {
+    val gzipped = bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
+      bytes(1) == 0x8b.toByte
+    parseAny(new String(gunzipSniff(bytes), UTF_8)) match {
+      case Right(m) if !gzipped => Right(stripStringStats(m))
+      case other => other
+    }
+  }
 
   private[format] def decodeManifest(bytes: Array[Byte]): Manifest =
     decodeAny(bytes) match {
@@ -899,43 +953,48 @@ object GraftFormat {
       case Right(m) =>
         recordDepth(fs, table, version, 0)
         m
-      case Left(d0) =>
-        var deltas: List[ManifestDelta] = List(d0) // kept ascending
-        val expectId = d0.properties.get(TableIdProp)
-        // generation guard: the walk spans MULTIPLE reads, and a drop +
-        // re-create landing between them restarts version numbers — an
-        // unguarded walk could apply the dead generation's delta onto
-        // the NEW generation's base (same version arithmetic, different
-        // table) and resolve a franken-manifest. Every hop must carry
-        // the head delta's id; a mismatch surfaces typed, and the
-        // cache's latest() maps it to the no-manifest-visible evidence
-        // rule (hold / re-list), like a mid-listing delete.
-        def guard(props: Map[String, String], v: Long): Unit =
-          for (want <- expectId; got <- props.get(TableIdProp) if got != want)
-            throw ManifestCache.WrongGeneration(table, v, want, Some(got))
-        var base: Manifest = null
-        while (base == null) {
-          val v = deltas.head.baseVersion
-          ManifestCache.peekPinned(fs, table, v, expectId) match {
-            case Some(m) => base = m
-            case None =>
-              decodeAny(readBytes(fs, manifestPath(table, v))) match {
-                case Right(m) =>
-                  guard(m.properties, v)
-                  base = m
-                case Left(d) =>
-                  guard(d.properties, v)
-                  // a corrupt/cyclic chain must fail typed, never spin
-                  require(d.baseVersion < v,
-                    s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
-                  deltas ::= d
-              }
-          }
-        }
-        val resolved = deltas.foldLeft(base)(applyDelta)
-        recordDepth(fs, table, version, d0.depth)
-        resolved
+      case Left(d0) => resolveDelta(fs, table, version, d0)
     }
+
+  /** Fold version `version`'s delta chain back to its checkpoint. */
+  private def resolveDelta(fs: FileSystem, table: Path, version: Long,
+      d0: ManifestDelta): Manifest = {
+    var deltas: List[ManifestDelta] = List(d0) // kept ascending
+    val expectId = d0.properties.get(TableIdProp)
+    // generation guard: the walk spans MULTIPLE reads, and a drop +
+    // re-create landing between them restarts version numbers — an
+    // unguarded walk could apply the dead generation's delta onto
+    // the NEW generation's base (same version arithmetic, different
+    // table) and resolve a franken-manifest. Every hop must carry
+    // the head delta's id; a mismatch surfaces typed, and the
+    // cache's latest() maps it to the no-manifest-visible evidence
+    // rule (hold / re-list), like a mid-listing delete.
+    def guard(props: Map[String, String], v: Long): Unit =
+      for (want <- expectId; got <- props.get(TableIdProp) if got != want)
+        throw ManifestCache.WrongGeneration(table, v, want, Some(got))
+    var base: Manifest = null
+    while (base == null) {
+      val v = deltas.head.baseVersion
+      ManifestCache.peekPinned(fs, table, v, expectId) match {
+        case Some(m) => base = m
+        case None =>
+          decodeAny(readBytes(fs, manifestPath(table, v))) match {
+            case Right(m) =>
+              guard(m.properties, v)
+              base = m
+            case Left(d) =>
+              guard(d.properties, v)
+              // a corrupt/cyclic chain must fail typed, never spin
+              require(d.baseVersion < v,
+                s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
+              deltas ::= d
+          }
+      }
+    }
+    val resolved = deltas.foldLeft(base)(applyDelta)
+    recordDepth(fs, table, version, d0.depth)
+    resolved
+  }
 
   def readLatest(fs: FileSystem, table: Path): Option[Manifest] =
     latestVersion(fs, table).map(readManifest(fs, table, _))

@@ -493,7 +493,7 @@ object Maintenance {
     if (versions.isEmpty) return (0, 0)
     val (drop0, keep0) = versions.splitAt(math.max(0, versions.size - effKeep))
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val (drop1, keep1) =
+    val (drop, keep) =
       if (olderThanMs <= 0L) (drop0, keep0)
       else {
         // drop the longest droppable PREFIX, never a partition: version
@@ -514,7 +514,6 @@ object Maintenance {
           catch { case _: java.io.FileNotFoundException => true })
         (d, drop0.drop(d.size) ++ keep0)
       }
-    val (drop, keep) = (drop1, keep1)
     // delta-chain boundary (format_version 4): the oldest RETAINED
     // version must stay resolvable after its delta bases are dropped.
     // MATERIALIZE the boundary — rewrite it as an equivalent FULL
@@ -522,16 +521,11 @@ object Maintenance {
     // the wire kind is an encoding detail) — instead of widening
     // retention, which would make keepVersions granular to the
     // checkpoint cadence. Ordered BEFORE any manifest delete: a crash
-    // in between leaves only extra history, never a stranded delta. A
-    // boundary a racing vacuum already deleted reads as done (that
-    // pass materialized or dropped it).
-    if (!dryRun && drop.nonEmpty && keep.nonEmpty) {
-      val boundary = keep.head
-      val isCkpt =
-        try GraftFormat.isCheckpoint(fs, qualDir, boundary)
-        catch { case _: java.io.FileNotFoundException => true }
-      if (!isCkpt) GraftFormat.materializeCheckpoint(fs, qualDir, boundary)
-    }
+    // in between leaves only extra history, never a stranded delta.
+    // One read when already a checkpoint; racing vacuums/drops read
+    // as done inside materializeCheckpoint.
+    if (!dryRun && drop.nonEmpty && keep.nonEmpty)
+      GraftFormat.materializeCheckpoint(fs, qualDir, keep.head)
     // same race on the retained side (two vacuums with different
     // keep_versions): a concurrently-deleted manifest contributes no
     // file references — matching the surviving history. The latest

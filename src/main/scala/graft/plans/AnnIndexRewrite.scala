@@ -397,33 +397,42 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // same result. An owner that fails removes its latch and rethrows;
     // latched waiters on a failed owner compute their own (no
     // re-publish — the next putIfAbsent race is just another latch).
-    if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
-      AnnTopKIndexRewrite.survivorCounts.clear()
-    val fresh = new java.util.concurrent.CompletableFuture[Map[Int, Long]]()
-    val existing =
-      AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, fresh)
+    // Lookup runs BEFORE the size-triggered whole-map reset: a hot,
+    // already-counted key must never recount just because the map
+    // refilled past its bound.
+    def await(f: java.util.concurrent.CompletableFuture[Map[Int, Long]])
+        : Map[Int, Long] = {
+      if (f.isDone)
+        AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
+      else
+        AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
+      try f.join()
+      catch { case _: java.util.concurrent.CompletionException =>
+        computeCounts()
+      }
+    }
+    def computeAndPublish(): Map[Int, Long] = {
+      if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
+        AnnTopKIndexRewrite.survivorCounts.clear()
+      val fresh = new java.util.concurrent.CompletableFuture[Map[Int, Long]]()
+      val raced =
+        AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, fresh)
+      if (raced != null) await(raced)
+      else try {
+        val c = computeCounts()
+        fresh.complete(c)
+        c
+      } catch {
+        case t: Throwable =>
+          AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+    }
     val perList: Map[Int, Long] =
-      if (existing == null) {
-        try {
-          val c = computeCounts()
-          fresh.complete(c)
-          c
-        } catch {
-          case t: Throwable =>
-            AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, fresh)
-            fresh.completeExceptionally(t)
-            throw t
-        }
-      } else {
-        if (existing.isDone)
-          AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
-        else
-          AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
-        try existing.join()
-        catch {
-          case _: java.util.concurrent.CompletionException =>
-            computeCounts()
-        }
+      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
+        case Some(f) => await(f)
+        case None => computeAndPublish()
       }
     // Selectivity-scaled recall floor (BENCH_RECALL.json finding: the
     // k-row guarantee alone left filtered recall at ~0.74 — the guard

@@ -150,6 +150,40 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(first == '{'.toInt, "format v1 manifest must stay plain JSON")
   }
 
+  test("pre-gzip-era string zone-map stats are dropped on read by WIRE " +
+      "evidence (plain JSON), not the defaulting format_version property") {
+    // an r2-era writer stamped NO format_version (the property defaults
+    // to current on read), merged string stats in code-unit order, and
+    // wrote plain JSON — the plain wire is the only reliable evidence
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val m = Manifest(1, schema.json,
+      Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,
+        Map("s" -> ColStats(Some("a"), Some("z"), 0),
+          "k" -> ColStats(Some("1"), Some("9"), 0)))),
+      0, 123, "Create") // properties EMPTY: formatVersion defaults to 4
+    val dir = tmp()
+    GraftFormat.init(fs, dir)
+    val out = fs.create(GraftFormat.manifestPath(dir, 1), true)
+    try out.write(GraftFormat.toJson(m).getBytes("UTF-8"))
+    finally out.close()
+    val back = GraftFormat.readManifest(fs, dir, 1)
+    assert(back.fragments.head.stats.get("s").isEmpty,
+      "plain-wire string stats were merged in code-unit order: never prune on them")
+    assert(back.fragments.head.stats.get("k").contains(
+      ColStats(Some("1"), Some("9"), 0)),
+      "numeric stats merge identically under both orders: keep them")
+    // the SAME manifest committed by THIS build (gzip wire) keeps its
+    // string stats — they were harvested in code-point order
+    val dir2 = tmp()
+    GraftFormat.commit(fs, dir2, m)
+    assert(GraftFormat.readManifest(fs, dir2, 1)
+      .fragments.head.stats.contains("s"))
+  }
+
   test("format_version 1 manifests are written without sizeBytes/stats") {
     val m = Manifest(1, """{"type":"struct","fields":[]}""",
       Seq(FragmentMeta(0, "data/a.parquet", 10, None, 0, 2048,

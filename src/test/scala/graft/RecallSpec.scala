@@ -17,6 +17,27 @@ class RecallSpec extends AnyFunSuite {
 
   private val Floor = 0.8
 
+  test("committed BENCH_RECALL.json certifies the 16x decade above the " +
+      "floor (r14 VERDICT #3: the base->4x downtrend, measured one " +
+      "decade further, must not cross 0.8)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_RECALL.json")), "UTF-8")
+    val root = new graft.format.JsonParser(txt).parseValue()
+      .asInstanceOf[Map[String, Any]]
+    assert(root("floor").asInstanceOf[Double] == Floor,
+      "artifact floor drifted from the spec-pinned floor")
+    val rows = root("rows").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    val r16 = rows.filter(_("scale") == "16x")
+    assert(r16.size == 6,
+      s"BENCH_RECALL.json must carry the full 16x leg (2 kinds x 3 " +
+        s"paths), found ${r16.size} rows — re-run graft.RecallBench")
+    r16.foreach { r =>
+      assert(r("recall").asInstanceOf[Double] >= Floor,
+        s"16x recall below the floor: $r")
+    }
+  }
+
   for (kind <- Seq("ivf", "ivfpq")) {
     test(s"$kind unfiltered probe recall@10 >= $Floor at the test SF") {
       val r = RecallBench.measure(spark, sf, kind, None, nQueries = 10)
