@@ -280,12 +280,38 @@ object GraftFormat {
       // later Compact's outputs classify as pure rewrites and its rows
       // are silently excluded: data loss. A version in the range that
       // is truly gone (vacuum racing this walk) surfaces typed below.
+      def guardGen(props: Map[String, String], v: Long): Unit =
+        for (want <- genId; got <- props.get(TableIdProp) if got != want)
+          throw ManifestCache.WrongGeneration(table, v, want, Some(got))
       ((from + 1L) to endManifest.version).foreach { v =>
-        val m = ManifestCache.readPinned(fs, table, v, genId)
-        val ids = m.fragments.map(_.id).toSet
-        val introduced = ids diff prev
-        if (m.operation == "Compact") {
-          val consumed = prev diff ids
+        // the walk only needs each version's OPERATION and fragment-id
+        // TRANSITION — a delta record carries both directly (removed =
+        // consumed; upsert ids not in prev = introduced), so a steady
+        // CDC sync reads O(changed-fragments) bytes per version instead
+        // of resolving full manifests (at 10⁵ fragments a resolved
+        // manifest is MBs of metadata per walked version). Versions
+        // someone already resolved serve from the pinned cache for
+        // free; checkpoints read their full record once.
+        val (op, introduced, consumed, nextPrev) =
+          ManifestCache.peekPinned(fs, table, v, genId) match {
+            case Some(m) =>
+              val ids = m.fragments.map(_.id).toSet
+              (m.operation, ids diff prev, prev diff ids, ids)
+            case None =>
+              decodeAny(readBytes(fs, manifestPath(table, v))) match {
+                case Right(m) =>
+                  guardGen(m.properties, v)
+                  val ids = m.fragments.map(_.id).toSet
+                  (m.operation, ids diff prev, prev diff ids, ids)
+                case Left(d) =>
+                  guardGen(d.properties, v)
+                  val removed = d.removed.toSet
+                  val intro =
+                    d.upserts.iterator.map(_.id).filterNot(prev).toSet
+                  (d.operation, intro, removed, prev -- removed ++ intro)
+              }
+          }
+        if (op == "Compact") {
           if ((consumed intersect undelivered).isEmpty)
             excluded ++= introduced // rewrote only pre-`from` rows
           else {
@@ -293,7 +319,7 @@ object GraftFormat {
             undelivered = undelivered -- consumed ++ introduced
           }
         } else undelivered ++= introduced
-        prev = ids
+        prev = nextPrev
       }
       excluded.result()
     } catch {

@@ -72,6 +72,11 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
       // compacts: (version, consumed fragIds)
       var compacts = Vector.empty[(Long, Set[Int])]
 
+      // base threaded like every production retry loop: eligible commits
+      // store O(delta) records, so the property walks REAL mixed
+      // delta/checkpoint histories (appends/compacts ride deltas,
+      // overwrites fall back to full manifests)
+      var prevManifest: Option[Manifest] = None
       def commit(op: String): Unit = {
         version += 1
         val m = Manifest(version, schemaJson,
@@ -80,7 +85,8 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
           },
           maxFragmentId = nextFrag, createdAtMs = System.currentTimeMillis(),
           operation = op)
-        GraftFormat.commit(fs, dir, m)
+        GraftFormat.commit(fs, dir, m, base = prevManifest)
+        prevManifest = Some(m)
         remaining :+= version
         committed :+= version
       }
@@ -118,6 +124,10 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
           commit("Overwrite")
         case Truncate if remaining.size >= 2 =>
           val cut = remaining(remaining.size / 2)
+          // vacuum's contract: the new oldest version is materialized
+          // as a full manifest BEFORE its delta bases are dropped —
+          // the property exercises the materialization path too
+          GraftFormat.materializeCheckpoint(fs, dir, cut)
           remaining.filter(_ < cut).foreach { v =>
             fs.delete(new Path(GraftFormat.versionsDir(dir),
               s"$v.manifest.json"), false)
