@@ -301,6 +301,9 @@ object GraftFormat {
               decodeAny(readBytes(fs, manifestPath(table, v))) match {
                 case Right(m) =>
                   guardGen(m.properties, v)
+                  // pin the checkpoint so the NEXT overlapping walk (a
+                  // second stream, a restarted sync) peeks it for free
+                  ManifestCache.pinPeeked(fs, table, v, m)
                   val ids = m.fragments.map(_.id).toSet
                   (m.operation, ids diff prev, prev diff ids, ids)
                 case Left(d) =>
@@ -982,11 +985,47 @@ object GraftFormat {
       case Left(d0) => resolveDelta(fs, table, version, d0)
     }
 
-  /** Fold version `version`'s delta chain back to its checkpoint. */
-  private def resolveDelta(fs: FileSystem, table: Path, version: Long,
+  /** Fold version `version`'s delta chain back to its checkpoint.
+    *
+    * A RACING VACUUM can delete a chain base mid-walk: vacuum first
+    * materializes the oldest retained version as a checkpoint, THEN
+    * deletes the versions below it — so a base hop that 404s means the
+    * chain now terminates at a materialized checkpoint at or above the
+    * stranded hop. Re-reading `version`'s record and re-walking (bounded
+    * retries) resolves through the new boundary; a reader must never
+    * fail on a healthy, retained version just because vacuum ran. If the
+    * re-read itself 404s, `version` was genuinely vacuumed/dropped —
+    * propagate. */
+  private[graft] def resolveDelta(fs: FileSystem, table: Path, version: Long,
       d0: ManifestDelta): Manifest = {
-    var deltas: List[ManifestDelta] = List(d0) // kept ascending
+    // the generation pin survives retries: a retry must never silently
+    // cross into a dropped+re-created table's history
     val expectId = d0.properties.get(TableIdProp)
+    var head = d0
+    var attempt = 0
+    while (true) {
+      try return resolveDeltaWalk(fs, table, version, head, expectId)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 3) throw e // not vacuum cadence: corrupt chain
+          decodeAny(readBytes(fs, manifestPath(table, version))) match {
+            case Right(m) =>
+              for (want <- expectId; got <- m.properties.get(TableIdProp)
+                   if got != want)
+                throw ManifestCache.WrongGeneration(table, version, want, Some(got))
+              recordDepth(fs, table, version, 0)
+              return m // the racing vacuum materialized `version` itself
+            case Left(d) => head = d
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveDeltaWalk(fs: FileSystem, table: Path, version: Long,
+      d0: ManifestDelta, expectId: Option[String]): Manifest = {
+    var deltas: List[ManifestDelta] = List(d0) // kept ascending
     // generation guard: the walk spans MULTIPLE reads, and a drop +
     // re-create landing between them restarts version numbers — an
     // unguarded walk could apply the dead generation's delta onto
@@ -1007,6 +1046,11 @@ object GraftFormat {
           decodeAny(readBytes(fs, manifestPath(table, v))) match {
             case Right(m) =>
               guard(m.properties, v)
+              // the chain's checkpoint is its largest read by far —
+              // pin it so the NEXT resolve over this chain (every
+              // subsequent delta commit until the cadence rolls) hops
+              // straight to a cache hit instead of re-reading MBs
+              ManifestCache.pinPeeked(fs, table, v, m)
               base = m
             case Left(d) =>
               guard(d.properties, v)

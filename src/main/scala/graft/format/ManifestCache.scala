@@ -265,6 +265,27 @@ object ManifestCache {
     }
   }
 
+  /** Pin a manifest a walk already read raw (delta-chain base hops, the
+    * provenance walk's checkpoint records) so LATER walks' [[peekPinned]]
+    * serves it without re-reading a multi-MB checkpoint per sync.
+    * Generation-guarded like [[readPinned]]'s miss path: a purge landing
+    * around the put wins. Only id-carrying manifests are pinned —
+    * peekPinned never serves id-less entries (the raw read is their safe
+    * path), so caching them would only churn the LRU; and a hit is
+    * always re-validated against the caller's pinned id, so an entry
+    * staled by a drop+re-create can only ever be served back to a walker
+    * still pinning ITS generation — exactly the immutable snapshot that
+    * walker wants. */
+  private[format] def pinPeeked(fs: FileSystem, table: Path, version: Long,
+      m: Manifest): Unit = {
+    if (!m.properties.contains(GraftFormat.TableIdProp)) return
+    val tk = key(fs, table)
+    val k = tk + "@" + version
+    val g = gen(tk).get()
+    pinned.synchronized(pinned.put(k, m))
+    if (gen(tk).get() != g) pinned.synchronized(pinned.remove(k))
+  }
+
   /** Version-pinned manifest (time travel). Immutable once committed, so
     * cached without TTL under an LRU bound. Callers are expected to have
     * checked the version exists (the catalog's VERSION AS OF path lists

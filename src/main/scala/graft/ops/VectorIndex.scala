@@ -91,13 +91,19 @@ object VectorIndex {
     * same argument as the assignments themselves: any commit (append,
     * DELETE) stales the index and probes stop firing. */
   private[ops] def writeListSizes(spark: SparkSession,
-      counts: Array[Long], dest: Path): Unit = {
+      counts: Array[Long], dest: Path): Unit =
+    countsDf(spark, counts)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(dest, "list_sizes").toString)
+
+  /** The accumulator array as a (cid, count) frame — the one place the
+    * list_sizes schema (and its drop-empty-lists rule) is encoded, so
+    * build- and refresh-time files can never silently diverge. */
+  private def countsDf(spark: SparkSession, counts: Array[Long]) = {
     import spark.implicits._
     spark.createDataset(counts.toSeq.zipWithIndex.collect {
       case (n, cid) if n > 0 => (cid, n)
     }).toDF("cid", "count")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new Path(dest, "list_sizes").toString)
   }
 
   /** O(delta) refresh of the persisted list sizes: prior sizes (a few
@@ -117,12 +123,8 @@ object VectorIndex {
       case None =>
         copyFrozen(fs, prior, new Path(dest, "list_sizes"), conf)
       case Some(cnts) =>
-        import spark.implicits._
-        val deltaDf = spark.createDataset(cnts.toSeq.zipWithIndex.collect {
-          case (n, cid) if n > 0 => (cid, n)
-        }).toDF("cid", "count")
         spark.read.parquet(prior.toString)
-          .unionByName(deltaDf)
+          .unionByName(countsDf(spark, cnts))
           .groupBy(col("cid")).agg(sum(col("count")).as("count"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(dest, "list_sizes").toString)

@@ -395,45 +395,53 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // a future: whoever installs it computes ONCE (outside any CHM bin
     // lock — the putIfAbsent only allocates), everyone else awaits the
     // same result. An owner that fails removes its latch and rethrows;
-    // latched waiters on a failed owner compute their own (no
-    // re-publish — the next putIfAbsent race is just another latch).
-    // Lookup runs BEFORE the size-triggered whole-map reset: a hot,
-    // already-counted key must never recount just because the map
-    // refilled past its bound.
-    def await(f: java.util.concurrent.CompletableFuture[Map[Int, Long]])
-        : Map[Int, Long] = {
-      if (f.isDone)
-        AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
-      else
-        AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
-      try f.join()
-      catch { case _: java.util.concurrent.CompletionException =>
-        computeCounts()
+    // waiters latched onto the failed owner RE-ENTER the loop and race
+    // for a fresh latch — so every retry wave still runs ONE job, never
+    // a per-waiter stampede (the whole point of the latch at 100 TB:
+    // one transient store error must not convert N waiters into N full
+    // codes-column passes). Lookup runs BEFORE the size-triggered
+    // whole-map reset: a hot, already-counted key must never recount
+    // just because the map refilled past its bound.
+    val perList: Map[Int, Long] = {
+      var result: Map[Int, Long] = null
+      while (result == null) {
+        Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
+          case Some(f) =>
+            val wasDone = f.isDone
+            try {
+              result = f.join()
+              if (wasDone)
+                AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
+              else
+                AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
+            } catch {
+              case _: java.util.concurrent.CompletionException =>
+                // owner failed: drop the dead latch (its owner usually
+                // already did) and loop — the next iteration installs
+                // or joins a FRESH latch, keeping one job per wave
+                AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, f)
+            }
+          case None =>
+            if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
+              AnnTopKIndexRewrite.survivorCounts.clear()
+            val fresh =
+              new java.util.concurrent.CompletableFuture[Map[Int, Long]]()
+            if (AnnTopKIndexRewrite.survivorCounts
+                .putIfAbsent(cacheKey, fresh) == null) {
+              try {
+                result = computeCounts()
+                fresh.complete(result)
+              } catch {
+                case t: Throwable =>
+                  AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, fresh)
+                  fresh.completeExceptionally(t)
+                  throw t
+              }
+            } // else: raced — loop joins whatever won
+        }
       }
+      result
     }
-    def computeAndPublish(): Map[Int, Long] = {
-      if (AnnTopKIndexRewrite.survivorCounts.size() > 256)
-        AnnTopKIndexRewrite.survivorCounts.clear()
-      val fresh = new java.util.concurrent.CompletableFuture[Map[Int, Long]]()
-      val raced =
-        AnnTopKIndexRewrite.survivorCounts.putIfAbsent(cacheKey, fresh)
-      if (raced != null) await(raced)
-      else try {
-        val c = computeCounts()
-        fresh.complete(c)
-        c
-      } catch {
-        case t: Throwable =>
-          AnnTopKIndexRewrite.survivorCounts.remove(cacheKey, fresh)
-          fresh.completeExceptionally(t)
-          throw t
-      }
-    }
-    val perList: Map[Int, Long] =
-      Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
-        case Some(f) => await(f)
-        case None => computeAndPublish()
-      }
     // Selectivity-scaled recall floor (BENCH_RECALL.json finding: the
     // k-row guarantee alone left filtered recall at ~0.74 — the guard
     // ensured ENOUGH rows, not the RIGHT rows, because a filtered top-k

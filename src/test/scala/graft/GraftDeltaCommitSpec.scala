@@ -201,6 +201,56 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
     assert(GraftFormat.readManifest(fsx, dir, 12L) == committed(12L))
   }
 
+  test("a racing vacuum that materializes the head and drops chain " +
+      "bases mid-walk: resolve retries through the new boundary") {
+    val dir = tmp()
+    var m = create(fs, dir, 5)
+    (2L to 3L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fs, dir, m, base = Some(base))
+    }
+    assert(!GraftFormat.isCheckpoint(fs, dir, 3L))
+    // the record a reader decoded BEFORE the vacuum ran: v3 as a delta
+    val prior = GraftFormat.readManifest(fs, dir, 2L)
+    val staleHead = GraftFormat.computeDelta(prior, m, depth = 2).get
+    // vacuum's sequence: materialize the retained boundary, THEN drop
+    // the bases under it — mid-walk, the reader sees v2/v1 vanish
+    GraftFormat.materializeCheckpoint(fs, dir, 3L)
+    fs.delete(GraftFormat.manifestPath(dir, 1L), false)
+    fs.delete(GraftFormat.manifestPath(dir, 2L), false)
+    // the stale walk 404s on its base hop; the retry re-reads v3 —
+    // now a checkpoint — and must return the exact same content
+    assert(GraftFormat.resolveDelta(fs, dir, 3L, staleHead) == m,
+      "a reader holding a pre-vacuum delta record must resolve through " +
+        "the materialized boundary, not fail on a healthy retained version")
+  }
+
+  test("delta-chain resolution pins its checkpoint: a warm re-resolve " +
+      "reads nothing from the chain's base") {
+    val dir = tmp()
+    var m = create(fs, dir, 5)
+    val base1 = m
+    m = m.copy(version = 2L,
+      fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+      maxFragmentId = m.maxFragmentId + 1,
+      createdAtMs = 2000L, operation = "Append")
+    GraftFormat.commit(fs, dir, m, base = Some(base1))
+    // cold resolve walks v2 (delta) -> v1 (checkpoint) and PINS v1
+    assert(GraftFormat.readManifest(fs, dir, 2L) == m)
+    // deleting v1's file proves the warm walk serves it from the pinned
+    // cache (this on-disk state is unreachable outside a test — vacuum
+    // materializes before it drops — which is what makes it a sharp
+    // probe: any re-read of the base would throw)
+    fs.delete(GraftFormat.manifestPath(dir, 1L), false)
+    assert(GraftFormat.readManifest(fs, dir, 2L) == m,
+      "the chain's checkpoint must be served from the pinned cache on " +
+        "a warm re-resolve")
+  }
+
   test("computeDelta/applyDelta invariants under random commit shapes") {
     val rnd = new scala.util.Random(7)
     var base = Manifest(1L, schemaJson, (0 until 20).map(frag(_)), 19,
