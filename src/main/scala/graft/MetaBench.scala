@@ -120,6 +120,46 @@ object MetaBench {
       require(resolved.fragments.size == fragments + 1,
         "delta resolution lost fragments")
 
+      // steady-state CHURN: 33 successive one-fragment appends riding
+      // through the checkpoint cadence (16). The single delta above
+      // shows the best case; this is what a busy table pays FOREVER —
+      // mostly ~600 B delta records plus the periodic full checkpoint,
+      // whose cost the cadence amortizes into commit_amortized_ms. Also
+      // resolves the head at max chain depth: the worst-case reader
+      // (checkpoint + up to cadence-1 small delta reads).
+      val churnN = 33
+      var cur = resolved
+      var churnBytes = 0L
+      var churnCheckpoints = 0
+      val perCommitNs = new Array[Long](churnN)
+      var ci = 0
+      while (ci < churnN) {
+        val base = cur
+        cur = cur.copy(version = cur.version + 1,
+          fragments = cur.fragments :+ seed.copy(
+            id = cur.maxFragmentId + 1,
+            path = s"data/synth-churn-$ci.parquet",
+            deletionPath = None, deletedCount = 0L),
+          maxFragmentId = cur.maxFragmentId + 1,
+          createdAtMs = System.currentTimeMillis(), operation = "Append")
+        val c0 = System.nanoTime()
+        GraftFormat.commit(fs, dir, cur, base = Some(base))
+        perCommitNs(ci) = System.nanoTime() - c0
+        churnBytes += fs.getFileStatus(
+          GraftFormat.manifestPath(dir, cur.version)).getLen
+        if (GraftFormat.isCheckpoint(fs, dir, cur.version))
+          churnCheckpoints += 1
+        ci += 1
+      }
+      val amortizedNs = perCommitNs.sum / churnN
+      val deltaOnly = perCommitNs.sorted.take(churnN - churnCheckpoints)
+      val medianDeltaNs = deltaOnly(deltaOnly.length / 2)
+      val t10 = System.nanoTime()
+      val deepResolved = GraftFormat.readManifest(fs, dir, cur.version)
+      val loadHeadNs = System.nanoTime() - t10
+      require(deepResolved.fragments.size == fragments + 1 + churnN,
+        "churn resolution lost fragments")
+
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0
       val keyMax = seed.stats("l_orderkey").max.get.toLong
@@ -179,7 +219,13 @@ object MetaBench {
         "full_partitions" -> fullParts,
         "full_partitions_packed" -> packedParts,
         "pruned_partitions" -> prunedParts,
-        "query_pruned_ms" -> ms(queryNs))
+        "query_pruned_ms" -> ms(queryNs),
+        "churn_commits" -> churnN,
+        "churn_checkpoints" -> churnCheckpoints,
+        "churn_total_mb" -> math.round(churnBytes / 1e4) / 100.0,
+        "commit_amortized_ms" -> ms(amortizedNs),
+        "commit_delta_median_ms" -> ms(medianDeltaNs),
+        "load_head_depth_ms" -> ms(loadHeadNs))
     }
 
     val results = Seq(1000, 10000, 100000).map(f => f.toString -> probe(f))
@@ -188,7 +234,12 @@ object MetaBench {
       "load_ms" -> 2000.0, "prune_ms" -> 1000.0, "plan_pruned_ms" -> 2000.0,
       // steady-state append on a 10^5-fragment table must cost O(delta):
       // ~10x under the pre-delta full-rewrite commit (1535 ms in r14)
-      "commit_delta_ms" -> 150.0)
+      "commit_delta_ms" -> 150.0,
+      // ...and stay O(delta) AMORTIZED across the checkpoint cadence:
+      // the periodic full-manifest write (~1.5 s at 10^5) divided by
+      // the cadence (16) plus the per-delta cost — the price a busy
+      // table pays per commit forever, not just between checkpoints
+      "commit_amortized_ms" -> 400.0)
     val pass = budget.forall { case (k, lim) =>
       at1e5(k).asInstanceOf[Double] <= lim }
 

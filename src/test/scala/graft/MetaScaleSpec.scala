@@ -89,6 +89,37 @@ class MetaScaleSpec extends AnyFunSuite {
       s"capped full scan planned $parts partitions (cap 512)")
   }
 
+  test(s"steady-state churn at $Fragments fragments stays O(delta) " +
+      "amortized across the checkpoint cadence") {
+    val (dir, fs, m2, _) = built
+    var cur = GraftFormat.readManifest(fs, dir, m2.version)
+    val churnN = 20 // rides through at least one checkpoint rollover
+    val perCommitNs = new Array[Long](churnN)
+    (0 until churnN).foreach { i =>
+      val base = cur
+      cur = cur.copy(version = cur.version + 1,
+        fragments = cur.fragments :+ cur.fragments.head.copy(
+          id = cur.maxFragmentId + 1, path = s"data/churn-$i.parquet",
+          deletionPath = None, deletedCount = 0L),
+        maxFragmentId = cur.maxFragmentId + 1,
+        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      val t0 = System.nanoTime()
+      GraftFormat.commit(fs, dir, cur, base = Some(base))
+      perCommitNs(i) = System.nanoTime() - t0
+    }
+    val amortizedMs = perCommitNs.sum / churnN / 1e6
+    // measured ~18 ms at 10⁴ (median delta 3 ms + one ~300 ms
+    // checkpoint / cadence); 500 ms of headroom still catches a
+    // computeDelta regression to O(fragments²) or a lost delta path
+    // (full rewrites here cost ~300 ms EVERY commit)
+    assert(amortizedMs < 500,
+      f"churn commit amortized $amortizedMs%.0f ms at $Fragments " +
+        "fragments — the O(delta) commit path regressed")
+    val head = GraftFormat.readManifest(fs, dir, cur.version)
+    assert(head.fragments.size == Fragments + churnN,
+      "churned head must resolve exactly")
+  }
+
   test(s"filter-to-planned-partitions at $Fragments fragments: pruned " +
       "plan is O(match), not O(fragments) tasks") {
     val (dir, fs, m2, _) = built
