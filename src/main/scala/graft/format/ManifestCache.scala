@@ -69,14 +69,36 @@ object ManifestCache {
       checkedAtMs: Long, fileMtime: Long, fileLen: Long,
       bodyReadAtMs: Long)
 
-  // Access-ordered LRU bounded by the session cap; all access under
-  // `entries.synchronized` (driver-side metadata path, low contention).
+  // Access-ordered LRU bounded by the session cap AND a fragment-weight
+  // budget (evictOverweight); all access under `entries.synchronized`
+  // (driver-side metadata path, low contention).
   private val entries =
-    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Entry]): Boolean =
-        size > sessionMaxEntries
+    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+
+  /** Evict eldest-first until `map` satisfies both the entry cap and
+    * the fragment-weight budget, never evicting `keep` (the key just
+    * inserted — an oversized single manifest must be SERVED, not
+    * thrashed). Entry COUNT alone is not a memory bound at 100 TB: one
+    * 10⁵-fragment manifest is tens of MB on-heap, so 1024 of them would
+    * be tens of GB of driver heap — the weight budget caps total
+    * fragment metas across the tier (~1 GB worst case at the default),
+    * which no fixed entry count can. O(size) weight sum per insert:
+    * puts happen once per manifest READ (metadata path), so the linear
+    * walk over ≤cap entries is noise next to the read it follows. */
+  private def evictOverweight[V](map: java.util.LinkedHashMap[String, V],
+      weightOf: V => Long, cap: Int, budget: Long, keep: String): Unit = {
+    var total = 0L
+    val vit = map.values().iterator()
+    while (vit.hasNext) total += weightOf(vit.next())
+    val it = map.entrySet().iterator()
+    while ((map.size > cap || total > budget) && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != keep) {
+        total -= weightOf(e.getValue)
+        it.remove()
+      }
     }
+  }
 
   // Per-table invalidation generation. latest() snapshots it BEFORE its
   // FS reads and only caches the result if no invalidateLatest/purge
@@ -96,17 +118,27 @@ object ManifestCache {
     * race the counter exists to close. */
   private def guardedPut(k: String, g: Long, e: Entry): Unit =
     if (gen(k).get() == g) {
-      entries.synchronized(entries.put(k, e))
+      entries.synchronized {
+        entries.put(k, e)
+        evictOverweight[Entry](entries, _.manifest.fragments.size.toLong,
+          sessionMaxEntries, sessionMaxFragments, k)
+      }
       if (gen(k).get() != g) entries.synchronized(entries.remove(k))
     }
 
-  // LRU of immutable (table@version) manifests; access-ordered.
+  // LRU of immutable (table@version) manifests; access-ordered. Bounded
+  // by entry count AND fragment weight (see evictOverweight — a
+  // 10⁵-fragment manifest is tens of MB on-heap; 256 of them is not a
+  // memory bound). All puts go through pinnedPut.
   private val PinnedCap = 256
   private val pinned =
-    new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Manifest]): Boolean =
-        size > PinnedCap
+    new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true)
+
+  private def pinnedPut(k: String, m: Manifest): Unit =
+    pinned.synchronized {
+      pinned.put(k, m)
+      evictOverweight[Manifest](pinned, _.fragments.size.toLong,
+        PinnedCap, sessionMaxFragments, k)
     }
 
   val hits = new AtomicLong
@@ -146,8 +178,34 @@ object ManifestCache {
     sessionConf("spark.graft.manifest.cache.max.entries",
       DefaultMaxEntries).max(1L).min(Int.MaxValue.toLong).toInt
 
+  /** Session fragment-weight budget per cache tier (latest AND pinned
+    * each): total fragment metas held across a tier's manifests. The
+    * default (2²¹ ≈ 2M) is ~20 manifests of a 10⁵-fragment 100 TB
+    * table — roughly 1 GB of driver heap worst case — where the entry
+    * caps alone would admit 50–100× that. Resolved per insert like
+    * [[sessionMaxEntries]]. */
+  val DefaultMaxFragments = 1L << 21
+  def sessionMaxFragments: Long =
+    sessionConf("spark.graft.manifest.cache.max.fragments",
+      DefaultMaxFragments).max(1L)
+
   /** Current latest-tier entry count (spec observability). */
   private[graft] def latestTierSize: Int = entries.synchronized(entries.size)
+
+  /** Current pinned-tier entry count (spec observability). */
+  private[graft] def pinnedTierSize: Int = pinned.synchronized(pinned.size)
+
+  /** Current fragment weight per tier (spec observability). */
+  private[graft] def latestTierWeight: Long = entries.synchronized {
+    var t = 0L
+    entries.values().forEach(e => t += e.manifest.fragments.size)
+    t
+  }
+  private[graft] def pinnedTierWeight: Long = pinned.synchronized {
+    var t = 0L
+    pinned.values().forEach(m => t += m.fragments.size)
+    t
+  }
 
   /** The quiescence a cached entry's BODY READ must prove before a
     * matching revalidation stat is trusted: the stat match is
@@ -282,7 +340,7 @@ object ManifestCache {
     val tk = key(fs, table)
     val k = tk + "@" + version
     val g = gen(tk).get()
-    pinned.synchronized(pinned.put(k, m))
+    pinnedPut(k, m)
     if (gen(tk).get() != g) pinned.synchronized(pinned.remove(k))
   }
 
@@ -337,7 +395,7 @@ object ManifestCache {
         val g = gen(tk).get()
         val m = GraftFormat.readManifest(fs, table, version)
         if (gen(tk).get() == g) {
-          pinned.synchronized(pinned.put(k, m))
+          pinnedPut(k, m)
           if (gen(tk).get() != g) pinned.synchronized(pinned.remove(k))
         }
         // a caller that PINNED a generation must not receive another

@@ -466,6 +466,43 @@ class ManifestCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("both cache tiers evict by FRAGMENT WEIGHT, not entry count " +
+      "(a 10^5-fragment manifest is tens of MB on-heap)") {
+    setup(ttlMs = 60000)
+    // three 2-fragment tables against a 3-fragment budget: entry-count
+    // bounds (1024 / 256) never fire here, so any survival beyond one
+    // entry per tier proves weight eviction is broken
+    spark.conf.set("spark.graft.manifest.cache.max.fragments", "3")
+    try {
+      ManifestCache.clearAll()
+      Seq("w1", "w2", "w3").foreach { t =>
+        freshTable(t) // create + insert = 1 data fragment, 2 versions
+        spark.sql(s"INSERT INTO mc.db.$t VALUES (3, 'c')") // 2nd fragment
+      }
+      Seq("w1", "w2", "w3").foreach { t =>
+        assert(ManifestCache.latest(fs, tdir(t)).nonEmpty)
+        val head = GraftFormat.latestVersion(fs, tdir(t)).get
+        ManifestCache.readPinned(fs, tdir(t), head)
+      }
+      // the bound is WEIGHT, not count: zero-fragment manifests (the
+      // empty creates, pinned as chain checkpoints) may all stay — only
+      // total fragment metas must respect the budget
+      assert(ManifestCache.latestTierWeight <= 3,
+        s"latest tier carries ${ManifestCache.latestTierWeight} fragment " +
+          "metas against a 3-fragment budget")
+      assert(ManifestCache.pinnedTierWeight <= 3,
+        s"pinned tier carries ${ManifestCache.pinnedTierWeight} fragment " +
+          "metas against a 3-fragment budget")
+      // the most recent insert must have SURVIVED (never evict the key
+      // just inserted), so w3 serves warm
+      val before = ManifestCache.pinnedHits.get()
+      ManifestCache.readPinned(fs, tdir("w3"),
+        GraftFormat.latestVersion(fs, tdir("w3")).get)
+      assert(ManifestCache.pinnedHits.get() == before + 1,
+        "the just-inserted manifest must survive its own eviction pass")
+    } finally spark.conf.unset("spark.graft.manifest.cache.max.fragments")
+  }
+
   test("cross-process drop + re-create at the SAME head version is " +
       "detected on revalidation (file identity, not just number)") {
     setup(ttlMs = 200)
