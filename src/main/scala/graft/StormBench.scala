@@ -58,7 +58,12 @@ object StormBench {
             overwrite = false)
           Thread.sleep(15)
         }
-        val (e, o) = StormHarness.await(agent, 300)
+        // liveness bound, not a perf metric: the default must tolerate a
+        // slower machine (round-15 lesson — a 1.45x slower box pushed
+        // the s3a leg's child past the old 300 s and the kill read as
+        // lost rows in the artifact, which the storm exists to DISPROVE)
+        val awaitSec = sys.env.getOrElse("GRAFT_STORM_AWAIT_SEC", "900").toLong
+        val (e, o) = StormHarness.await(agent, awaitSec)
         (e, o, conflict)
       } finally {
         agent.proc.destroyForcibly()
@@ -123,11 +128,28 @@ object StormBench {
       val kinds = Array("503", "500", "reset")
       var n = 0
       while (!stopInjector.get()) {
-        srv.injectFaults(kinds(n % 3),
-          Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
-        if (n % 4 == 0) srv.injectCommitResponseLoss(1)
-        n += 1
-        Thread.sleep(400)
+        // burst: re-arm every 400 ms for ~1.2 s...
+        var b = 0
+        while (b < 3 && !stopInjector.get()) {
+          srv.injectFaults(kinds(n % 3),
+            Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
+          if (n % 4 == 0) srv.injectCommitResponseLoss(1)
+          n += 1; b += 1
+          Thread.sleep(400)
+        }
+        // ...then RELENT. Without fault-free air the leg is unwinnable
+        // by construction, not by any client's fault: armed units
+        // persist until consumed, so once one process goes quiet the
+        // lone remaining requester (whose backoff sleeps exceed the
+        // 400 ms re-arm cadence) meets a fresh fault on EVERY retry —
+        // a permanently-down store, which no bounded-retry client
+        // (ours, s3a's, or the AWS SDK's) survives. Real throttle
+        // windows relent; this models that: burst ≈ 1.2 s, relief
+        // 1.2 s, so a 9-attempt exponential retry always straddles
+        // some relief. (r14's run passed only because its shorter
+        // backoff happened to out-race the arming cadence.)
+        srv.clearFaults()
+        Thread.sleep(1200)
       }
       srv.clearFaults()
     }, "storm-fault-injector")

@@ -505,6 +505,14 @@ object GraftFormat {
   private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     verifyConditionalCapability(fs, p)
     if (fs.exists(p)) return false
+    // shares the store's retry-limit conf (graft.s3.retry.limit) so the
+    // ambiguity-resolution bound survives the same throttle windows the
+    // idempotent-retry layer is budgeted for — a sustained 503 window
+    // that outlasts a hardcoded handful of PUT+GET pairs would
+    // otherwise fail a commit the next pair would have landed
+    val maxAttempts = Option(fs.getConf)
+      .map(_.getInt(graft.sources.S3LiteFileSystem.RetryLimitKey, 9))
+      .getOrElse(9)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -544,13 +552,13 @@ object GraftFormat {
           onDisk match {
             case Some(true) => return true
             case Some(false) => return false
-            case None if attempt < 5 =>
+            case None if attempt < maxAttempts =>
               // never applied: re-attempt the conditional put, but back
               // off exponentially first — the transient failure is
               // usually a 503/SlowDown window, and an immediate re-PUT
               // (plus its read-back GET) hammers an already-throttling
               // store (same shape as S3LiteFileSystem.retrying)
-              try Thread.sleep(25L * (1L << math.min(attempt - 1, 4)))
+              try Thread.sleep(25L * (1L << math.min(attempt - 1, 6)))
               catch { case _: InterruptedException =>
                 Thread.currentThread().interrupt(); throw e }
             case None => throw e
@@ -1103,7 +1111,16 @@ object GraftFormat {
           !base.exists(_.version == toWrite.version - 1)) None
       else {
         val b = base.get
-        val depth = storedDepth(fs, table, b.version) + 1
+        // the depth lookup is an OPTIMIZATION input (full-vs-delta
+        // choice), usually served from the in-process map — but its
+        // fallback is a raw header read, and on a throttling object
+        // store that read can fail where the commit itself would have
+        // succeeded. A commit must never fail because a cadence hint
+        // was unreadable: any failure degrades to "write a checkpoint",
+        // which is always correct.
+        val depth =
+          try storedDepth(fs, table, b.version) + 1
+          catch { case scala.util.control.NonFatal(_) => every }
         if (depth >= every) None
         else computeDelta(b, toWrite, depth).filter { d =>
           // a delta touching most of the table is no smaller than a

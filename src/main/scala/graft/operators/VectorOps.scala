@@ -226,7 +226,13 @@ object VectorOps {
     val pivots = chunkedRows.groupBy("cid", "sub")
       .agg(min(col("vec_id")).as("p_id"),
         min_by(col("e"), col("vec_id")).as("qe"))
-    val pivotEdges = chunkedRows.join(broadcast(pivots), Seq("cid", "sub"))
+    // NO broadcast hint, deliberately: pivots carry an embedding per
+    // oversized group, and the adversarial bound (every group just over
+    // the cap) is N/absCap rows — ~100 MB of vectors at 10⁹ rows. AQE
+    // broadcasts it at runtime whenever it is actually small (the
+    // normal case: few near-identical piles); a forced hint would ship
+    // the worst case to every executor.
+    val pivotEdges = chunkedRows.join(pivots, Seq("cid", "sub"))
       .filter(col("vec_id") =!= col("p_id"))
       .withColumn("cos_raw", cosineCol)
       .filter(col("cos_raw") >= tau)

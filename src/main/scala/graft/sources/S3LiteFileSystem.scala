@@ -66,7 +66,7 @@ class S3LiteFileSystem extends FileSystem {
     if (endpoint.endsWith("/")) endpoint = endpoint.dropRight(1)
     listPageSize = conf.getInt(ListPageSizeKey, 1000)
     readAhead = conf.getInt(ReadAheadKey, 65536)
-    retryLimit = conf.getInt(RetryLimitKey, 5)
+    retryLimit = conf.getInt(RetryLimitKey, 9)
     retryBaseMs = conf.getLong(RetryBaseMsKey, 50L)
     workingDir = new Path(fsUri.toString + "/")
     statistics = FileSystem.getStatistics(name.getScheme, getClass)
@@ -74,7 +74,15 @@ class S3LiteFileSystem extends FileSystem {
 
   // ------------------------------------------------------------ retries
 
-  private var retryLimit: Int = 5
+  // default 9 attempts × exponential 50 ms base (cap 3.2 s/sleep,
+  // ~13 s total span) ≈ s3a's fs.s3a.retry.limit=7 / AWS SDK standard
+  // posture. The old 5-attempt/1.5 s span was outlasted by a sustained
+  // throttle window in the faulted storm: a delta-chain resolve issues
+  // several reads per readLatest, so the per-REQUEST budget must cover
+  // a real multi-second 503 window, not just a blip (round-15 storm:
+  // one HEAD crossing a window killed a writer that s3a's own policy
+  // would have carried through).
+  private var retryLimit: Int = 9
   private var retryBaseMs: Long = 50L
 
   /** True for failures a retry can heal: throttles (503 SlowDown), other
