@@ -152,8 +152,12 @@ object MetaBench {
         ci += 1
       }
       val amortizedNs = perCommitNs.sum / churnN
+      // guard the degenerate case (every commit a checkpoint = delta
+      // path lost): the bench must REPORT that regression via the
+      // amortized budget, not crash on an empty median slice
       val deltaOnly = perCommitNs.sorted.take(churnN - churnCheckpoints)
-      val medianDeltaNs = deltaOnly(deltaOnly.length / 2)
+      val medianDeltaNs =
+        if (deltaOnly.isEmpty) amortizedNs else deltaOnly(deltaOnly.length / 2)
       val t10 = System.nanoTime()
       val deepResolved = GraftFormat.readManifest(fs, dir, cur.version)
       val loadHeadNs = System.nanoTime() - t10

@@ -28,6 +28,18 @@ object StormBench {
     import spark.implicits._
 
     val appendsEach = 30
+    // liveness bound, not a perf metric: the default must tolerate a
+    // slower machine (round-15 lesson — a 1.45x slower box pushed the
+    // s3a leg's child past the old 300 s and the kill read as lost rows
+    // in the artifact, which the storm exists to DISPROVE). Parsed ONCE
+    // before any leg launches so a malformed value fails fast, not
+    // minutes in with a live agent to tear down.
+    val awaitSec = sys.env.get("GRAFT_STORM_AWAIT_SEC").map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        sys.error(s"GRAFT_STORM_AWAIT_SEC must be a number of seconds, got '$s'")
+      }
+    }.getOrElse(900L)
     def storm(dir: Path, fs: org.apache.hadoop.fs.FileSystem,
         childBase: Long): Map[String, Any] = {
       graft.connector.GraftWriter.write(fs, dir, Seq(-1L).toDF("k"),
@@ -58,11 +70,6 @@ object StormBench {
             overwrite = false)
           Thread.sleep(15)
         }
-        // liveness bound, not a perf metric: the default must tolerate a
-        // slower machine (round-15 lesson — a 1.45x slower box pushed
-        // the s3a leg's child past the old 300 s and the kill read as
-        // lost rows in the artifact, which the storm exists to DISPROVE)
-        val awaitSec = sys.env.getOrElse("GRAFT_STORM_AWAIT_SEC", "900").toLong
         val (e, o) = StormHarness.await(agent, awaitSec)
         (e, o, conflict)
       } finally {
@@ -122,6 +129,7 @@ object StormBench {
     val s3fDir = new Path("s3a://stormfault/t.graft")
     val s3fFs = s3fDir.getFileSystem(hc)
     val faultsBefore = srv.faultsInjected.get()
+    val lossesBefore = srv.commitLossesFired.get()
     val retriedBefore = graft.sources.S3LiteFileSystem.retriedRequests.get()
     val stopInjector = new java.util.concurrent.atomic.AtomicBoolean(false)
     val injector = new Thread(() => {
@@ -133,7 +141,12 @@ object StormBench {
         while (b < 3 && !stopInjector.get()) {
           srv.injectFaults(kinds(n % 3),
             Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
-          if (n % 4 == 0) srv.injectCommitResponseLoss(1)
+          // one lost-commit-reply unit armed EVERY burst (an n-keyed
+          // stride aliased against the 3-step burst and could arm none
+          // for whole cycles); the relief-phase clearFaults discards
+          // unconsumed units, so commit_losses_fired in the artifact is
+          // the ground truth of how often the read-back path ran
+          if (b == 0) srv.injectCommitResponseLoss(1)
           n += 1; b += 1
           Thread.sleep(400)
         }
@@ -160,6 +173,8 @@ object StormBench {
     }
     val s3fRes = s3FaultRes ++ Map(
       "faults_injected" -> (srv.faultsInjected.get() - faultsBefore),
+      "commit_losses_fired" ->
+        (srv.commitLossesFired.get() - lossesBefore),
       "requests_retried" ->
         (graft.sources.S3LiteFileSystem.retriedRequests.get() - retriedBefore))
     s3fFs.delete(new Path("s3a://stormfault/"), true)

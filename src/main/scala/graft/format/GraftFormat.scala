@@ -505,14 +505,19 @@ object GraftFormat {
   private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     verifyConditionalCapability(fs, p)
     if (fs.exists(p)) return false
-    // shares the store's retry-limit conf (graft.s3.retry.limit) so the
-    // ambiguity-resolution bound survives the same throttle windows the
-    // idempotent-retry layer is budgeted for — a sustained 503 window
-    // that outlasts a hardcoded handful of PUT+GET pairs would
-    // otherwise fail a commit the next pair would have landed
+    // shares the store's retry confs (graft.s3.retry.limit/baseMs) so
+    // the ambiguity-resolution bound survives the same throttle windows
+    // the idempotent-retry layer is budgeted for — a sustained 503
+    // window that outlasts a hardcoded handful of PUT+GET pairs would
+    // otherwise fail a commit the next pair would have landed — and so
+    // a session tuning the backoff (S3FaultSpec keeps tests fast with
+    // baseMs=5) tunes BOTH loops, not just one
     val maxAttempts = Option(fs.getConf)
       .map(_.getInt(graft.sources.S3LiteFileSystem.RetryLimitKey, 9))
       .getOrElse(9)
+    val baseMs = Option(fs.getConf)
+      .map(_.getLong(graft.sources.S3LiteFileSystem.RetryBaseMsKey, 25L))
+      .getOrElse(25L)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -540,9 +545,13 @@ object GraftFormat {
           // inside its own conditional close() — that one heals TASK
           // writers (parquet attempt files) that never reach this
           // layer; this one covers generic FileSystems (hadoop-aws
-          // throws plain IOEs). Both bounds are small, so the nested
-          // worst case under an unhealable fault window stays ~tens of
-          // requests (measured in S3FaultSpec's typed-surfacing case).
+          // throws plain IOEs). Both loops share the same conf'd
+          // limit, so the nested worst case under an unhealable fault
+          // window is ~limit² request pairs (~couple hundred at the
+          // default 9) — bounded, and only reachable when the store is
+          // down hard enough that failing the commit is the right call
+          // (S3FaultSpec's typed-surfacing case drives it with a small
+          // conf'd base to stay fast).
           val onDisk: Option[Boolean] =
             try {
               val in = fs.open(p)
@@ -558,7 +567,7 @@ object GraftFormat {
               // usually a 503/SlowDown window, and an immediate re-PUT
               // (plus its read-back GET) hammers an already-throttling
               // store (same shape as S3LiteFileSystem.retrying)
-              try Thread.sleep(25L * (1L << math.min(attempt - 1, 6)))
+              try Thread.sleep(baseMs * (1L << math.min(attempt - 1, 6)))
               catch { case _: InterruptedException =>
                 Thread.currentThread().interrupt(); throw e }
             case None => throw e

@@ -82,6 +82,11 @@ class S3LiteServer {
     commitLossRemaining.set(count)
   private val commitLossRemaining =
     new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Lost commit replies that actually FIRED (a winning conditional put
+    * was applied and answered 503) — storms report it so a run where no
+    * armed unit ever met a winning put is visible in the artifact
+    * instead of silently certifying an unexercised path. */
+  val commitLossesFired = new AtomicLong()
 
   val conditionalPuts = new AtomicLong()
   val lostRaces = new AtomicLong()
@@ -193,6 +198,7 @@ class S3LiteServer {
               // fail-after-effect: the put LANDED; the success reply is
               // lost (see injectCommitResponseLoss)
               faultsInjected.incrementAndGet()
+              commitLossesFired.incrementAndGet()
               respond(ex, 503, errXml("SlowDown"))
             } else respond(ex, 200, Array.empty)
           } else { store.put(id, obj); respond(ex, 200, Array.empty) }

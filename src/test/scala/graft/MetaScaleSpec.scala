@@ -109,12 +109,20 @@ class MetaScaleSpec extends AnyFunSuite {
     }
     val amortizedMs = perCommitNs.sum / churnN / 1e6
     // measured ~18 ms at 10⁴ (median delta 3 ms + one ~300 ms
-    // checkpoint / cadence); 500 ms of headroom still catches a
-    // computeDelta regression to O(fragments²) or a lost delta path
-    // (full rewrites here cost ~300 ms EVERY commit)
+    // checkpoint / cadence); 500 ms of headroom catches a computeDelta
+    // regression to O(fragments²) on any plausible machine
     assert(amortizedMs < 500,
       f"churn commit amortized $amortizedMs%.0f ms at $Fragments " +
         "fragments — the O(delta) commit path regressed")
+    // the TIME bound alone cannot catch a silently lost delta path
+    // (full rewrites at 10⁴ cost ~300 ms < 500): assert the stored
+    // RECORDS — a 20-commit churn from a checkpointed base must write
+    // mostly deltas (exactly one cadence-16 rollover from depth 0)
+    val deltaRecords = (cur.version - churnN + 1 to cur.version)
+      .count(v => !GraftFormat.isCheckpoint(fs, dir, v))
+    assert(deltaRecords >= churnN - 2,
+      s"only $deltaRecords of $churnN churn commits stored deltas — " +
+        "the O(delta) path silently fell back to full manifests")
     val head = GraftFormat.readManifest(fs, dir, cur.version)
     assert(head.fragments.size == Fragments + churnN,
       "churned head must resolve exactly")
