@@ -194,7 +194,11 @@ object StormBench {
       r("lost_rows") == 0 && r("dup_rows") == 0 &&
         r("versions_contiguous") == true && r("child_exit") == 0 &&
         Set("none", "CommitConflictException").contains(
-          r("typed_conflict").asInstanceOf[String]) }
+          r("typed_conflict").asInstanceOf[String]) } &&
+      // the faulted leg must have actually EXERCISED the lost-reply
+      // read-back (a run where every armed unit was discarded by the
+      // relief phase would otherwise certify a path it never ran)
+      s3fRes("commit_losses_fired").asInstanceOf[Long] > 0L
     val line = s"""{"metric":"two_process_storm","exactly_once":$exact,""" +
       s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)},""" +
       s""""s3a_faulted":${jobj(s3fRes)}}"""

@@ -516,8 +516,8 @@ object GraftFormat {
       .map(_.getInt(graft.sources.S3LiteFileSystem.RetryLimitKey, 9))
       .getOrElse(9)
     val baseMs = Option(fs.getConf)
-      .map(_.getLong(graft.sources.S3LiteFileSystem.RetryBaseMsKey, 25L))
-      .getOrElse(25L)
+      .map(_.getLong(graft.sources.S3LiteFileSystem.RetryBaseMsKey, 50L))
+      .getOrElse(50L) // same unset-default as the FS layer's retrying()
     var attempt = 0
     while (true) {
       attempt += 1
