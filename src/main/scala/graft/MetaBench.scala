@@ -114,6 +114,13 @@ object MetaBench {
       val deltaLen = fs.getFileStatus(
         GraftFormat.manifestPath(dir, m3.version)).getLen
       // cold resolve THROUGH the delta: checkpoint read + 1 delta apply
+      // resolve THROUGH the delta on the steady-reader path (r15
+      // VERDICT #1): the checkpoint was pinned when this process read
+      // (and committed) it, so the resolve reads the ~600 B delta and
+      // folds it onto the cached base — the cost any process that has
+      // touched the table once pays per new version. The genuinely
+      // COLD worst case (nothing cached, full chain depth) is measured
+      // separately below as load_head_depth_ms.
       val t7 = System.nanoTime()
       val resolved = GraftFormat.readManifest(fs, dir, m3.version)
       val loadDeltaNs = System.nanoTime() - t7
@@ -132,6 +139,7 @@ object MetaBench {
       var churnBytes = 0L
       var churnCheckpoints = 0
       val perCommitNs = new Array[Long](churnN)
+      val wasCheckpoint = new Array[Boolean](churnN)
       var ci = 0
       while (ci < churnN) {
         val base = cur
@@ -147,22 +155,80 @@ object MetaBench {
         perCommitNs(ci) = System.nanoTime() - c0
         churnBytes += fs.getFileStatus(
           GraftFormat.manifestPath(dir, cur.version)).getLen
-        if (GraftFormat.isCheckpoint(fs, dir, cur.version))
-          churnCheckpoints += 1
+        // classify THIS sample by what the commit actually stored (r15
+        // ADVICE: the old sorted.take(churnN - checkpoints) slice
+        // assumed the slowest samples were exactly the checkpoints,
+        // so one jittery delta outrunning a checkpoint write skewed
+        // the reported delta median)
+        wasCheckpoint(ci) = GraftFormat.isCheckpoint(fs, dir, cur.version)
+        if (wasCheckpoint(ci)) churnCheckpoints += 1
         ci += 1
       }
       val amortizedNs = perCommitNs.sum / churnN
       // guard the degenerate case (every commit a checkpoint = delta
       // path lost): the bench must REPORT that regression via the
       // amortized budget, not crash on an empty median slice
-      val deltaOnly = perCommitNs.sorted.take(churnN - churnCheckpoints)
+      val deltaOnly = perCommitNs.indices
+        .filterNot(wasCheckpoint).map(perCommitNs).sorted
       val medianDeltaNs =
         if (deltaOnly.isEmpty) amortizedNs else deltaOnly(deltaOnly.length / 2)
+      // COLD depth-worst-case head resolution (r15 VERDICT #1): drop
+      // every cached manifest first, so this measures what a brand-new
+      // process pays to resolve a head at whatever chain depth the
+      // churn ended on — one checkpoint read + up-to-cadence-1 delta
+      // reads, now issued CONCURRENTLY by the chain prefetcher instead
+      // of as sequential round trips.
+      graft.format.ManifestCache.clearAll()
       val t10 = System.nanoTime()
       val deepResolved = GraftFormat.readManifest(fs, dir, cur.version)
       val loadHeadNs = System.nanoTime() - t10
       require(deepResolved.fragments.size == fragments + 1 + churnN,
         "churn resolution lost fragments")
+
+      // long-lived CDC reader at churn scale (r15 VERDICT #6): ~10³
+      // further one-fragment commits; after EACH, a reader syncs the
+      // way the streaming source does — resolve the new head, walk the
+      // (prev, head] range for the fragment transition. The committer's
+      // own pin of each new head is dropped first so the reader pays
+      // exactly what a separate process would (its own prior sync's
+      // pins + depth hints only). Certified: version-record bytes per
+      // synced version stay O(delta) — flat in fragment count — with
+      // cadence rollovers served by the checkpoint-delta sidecar, and
+      // the walk's end-version probes served from the pinned cache.
+      val cdcN = 1000
+      var cdcCur = deepResolved
+      val pins0 = graft.format.ManifestCache.pinnedHits.get()
+      var readerBytes = 0L
+      var readerReads = 0L
+      var syncNs = 0L
+      var ci2 = 0
+      while (ci2 < cdcN) {
+        val base = cdcCur
+        cdcCur = cdcCur.copy(version = cdcCur.version + 1,
+          fragments = cdcCur.fragments :+ seed.copy(
+            id = cdcCur.maxFragmentId + 1,
+            path = s"data/synth-cdc-$ci2.parquet",
+            deletionPath = None, deletedCount = 0L),
+          maxFragmentId = cdcCur.maxFragmentId + 1,
+          createdAtMs = System.currentTimeMillis(), operation = "Append")
+        GraftFormat.commit(fs, dir, cdcCur, base = Some(base))
+        graft.format.ManifestCache.unpin(fs, dir, cdcCur.version)
+        val b0 = GraftFormat.versionBytesRead.get()
+        val r0 = GraftFormat.versionReads.get()
+        val s0 = System.nanoTime()
+        val head = GraftFormat.readManifest(fs, dir, cdcCur.version)
+        val excluded = GraftFormat.excludedAsOf(fs, dir,
+          cdcCur.version - 1, head, knownVersions = Seq(cdcCur.version - 1))
+        syncNs += System.nanoTime() - s0
+        readerBytes += GraftFormat.versionBytesRead.get() - b0
+        readerReads += GraftFormat.versionReads.get() - r0
+        require(head.fragments.size == fragments + 1 + churnN + ci2 + 1,
+          "cdc sync lost fragments")
+        require((head.fragments.map(_.id).toSet -- excluded).size == 1,
+          "cdc sync must surface exactly the one new fragment")
+        ci2 += 1
+      }
+      val cdcPinnedHits = graft.format.ManifestCache.pinnedHits.get() - pins0
 
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0
@@ -177,28 +243,37 @@ object MetaBench {
       def tableDF = org.apache.spark.sql.GraftShim.tableDF(spark,
         new graft.connector.GraftTable(s"metabench:$dir", dir, loaded,
           fs.getConf))
+      // plan_* metrics are the MEDIAN of repeats (r15
+      // VERDICT #2 adjudication, graft.PackProbe): the r15 artifact's
+      // plan_packed > plan_full inversion at 10⁵ was single-shot
+      // measurement order — packed ran last, cold JIT, accumulated GC —
+      // not an algorithmic cost; interleaved repeats on the same box
+      // show packed at or below full at every fragment count.
+      def medianOf(n: Int)(body: => Int): (Long, Int) = {
+        val runs = (1 to n).map { _ =>
+          val t = System.nanoTime()
+          val parts = body
+          (System.nanoTime() - t, parts)
+        }
+        (runs.map(_._1).sorted.apply(n / 2), runs.head._2)
+      }
       // filter -> planned partitions: Catalyst + pushdown + zone prune +
       // split generation, no task execution
-      val t3 = System.nanoTime()
-      val prunedParts = tableDF.where(col("l_orderkey") <= keyMax)
-        .rdd.getNumPartitions
-      val planPrunedNs = System.nanoTime() - t3
+      val (planPrunedNs, prunedParts) = medianOf(3)(
+        tableDF.where(col("l_orderkey") <= keyMax).rdd.getNumPartitions)
       // unfiltered full-scan planning: every fragment splits into
       // maxPartitionBytes ranges (the 100 TB task-fleet shape)
-      val t4 = System.nanoTime()
-      val fullParts = tableDF.rdd.getNumPartitions
-      val planFullNs = System.nanoTime() - t4
+      val (planFullNs, fullParts) = medianOf(3)(tableDF.rdd.getNumPartitions)
       // tightly-capped full-scan planning (r14 VERDICT #4): with
       // spark.graft.scan.maxPartitions=8192 the effective split widens
       // to ceil(total/8192) and the planned task count tracks the cap —
       // the scheduler-cost bound for a 100 TB scan (fragment-aligned:
       // whole fragments pack, large ones range-split at the wider size)
-      val t8 = System.nanoTime()
-      spark.conf.set(graft.connector.GraftScan.MaxPartitionsConf, "8192")
-      val packedParts =
+      val (planPackedNs, packedParts) = medianOf(3) {
+        spark.conf.set(graft.connector.GraftScan.MaxPartitionsConf, "8192")
         try tableDF.rdd.getNumPartitions
         finally spark.conf.unset(graft.connector.GraftScan.MaxPartitionsConf)
-      val planPackedNs = System.nanoTime() - t8
+      }
       // end-to-end: the pruned query actually runs (reads only the one
       // real fragment; 10⁵-1 synthetic files are never touched)
       val t5 = System.nanoTime()
@@ -229,7 +304,12 @@ object MetaBench {
         "churn_total_mb" -> math.round(churnBytes / 1e4) / 100.0,
         "commit_amortized_ms" -> ms(amortizedNs),
         "commit_delta_median_ms" -> ms(medianDeltaNs),
-        "load_head_depth_ms" -> ms(loadHeadNs))
+        "load_head_depth_ms" -> ms(loadHeadNs),
+        "cdc_versions" -> cdcN,
+        "cdc_bytes_per_sync" -> (readerBytes / cdcN).toDouble,
+        "cdc_reads_per_sync" -> math.round(readerReads * 10.0 / cdcN) / 10.0,
+        "cdc_sync_ms" -> ms(syncNs / cdcN),
+        "cdc_pinned_hits" -> cdcPinnedHits)
     }
 
     val results = Seq(1000, 10000, 100000).map(f => f.toString -> probe(f))
@@ -243,7 +323,20 @@ object MetaBench {
       // the periodic full-manifest write (~1.5 s at 10^5) divided by
       // the cadence (16) plus the per-delta cost — the price a busy
       // table pays per commit forever, not just between checkpoints
-      "commit_amortized_ms" -> 400.0)
+      "commit_amortized_ms" -> 400.0,
+      // steady-reader resolve of a new delta version (checkpoint base
+      // pinned): must be FAR under the cold checkpoint load (r15
+      // VERDICT #1 — was 2000.2 ms when it re-read the chain cold)
+      "load_delta_ms" -> 500.0,
+      // cold depth-worst-case resolve (nothing cached, full chain
+      // depth, prefetched concurrently): the cold-load budget applies
+      // at ANY depth, not just to checkpoint heads
+      "load_head_depth_ms" -> 2000.0,
+      // long-lived CDC reader: version-record bytes per synced version
+      // must stay O(delta) — ~600 B records incl. cadence rollovers
+      // (sidecar-served) — never O(table) (a single 10^5-fragment
+      // checkpoint read would blow this by ~400x)
+      "cdc_bytes_per_sync" -> 8192.0)
     val pass = budget.forall { case (k, lim) =>
       at1e5(k).asInstanceOf[Double] <= lim }
 

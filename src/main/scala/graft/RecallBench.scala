@@ -113,6 +113,16 @@ object RecallBench {
     if (want16 &&
         !new java.io.File(s"$dir16/embeddings.parquet/_SUCCESS").exists())
       ScaleGen.main(Array(src, dir16, "16"))
+    // 64x leg (r15 VERDICT #5): the default nprobe is now keyed to list
+    // occupancy, so the trajectory is certified one more 4x step out —
+    // at 64x the occupancy-scaled default probes 7/16 lists where the
+    // old fixed default's recall was drifting toward the floor.
+    val dir64 = sys.env.getOrElse("GRAFT_RECALL_64X_DIR",
+      "/tmp/graft_recall/sf64x")
+    val want64 = sys.env.getOrElse("GRAFT_RECALL_64X", "true") != "false"
+    if (want64 &&
+        !new java.io.File(s"$dir64/embeddings.parquet/_SUCCESS").exists())
+      ScaleGen.main(Array(src, dir64, "64"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -132,7 +142,8 @@ object RecallBench {
       ("filtered_sharp", Some(5)))
     val rows = for {
       (scale, d) <- Seq("base" -> src, "4x" -> dir4) ++
-        (if (want16) Seq("16x" -> dir16) else Nil)
+        (if (want16) Seq("16x" -> dir16) else Nil) ++
+        (if (want64) Seq("64x" -> dir64) else Nil)
       kind <- Seq("ivf", "ivfpq")
       (path, mod) <- paths
     } yield {

@@ -78,6 +78,18 @@ object StormAgent {
       hc.set(graft.sources.S3LiteFileSystem.EndpointKey, ep)
       hc.setBoolean("fs.s3a.impl.disable.cache", true)
     }
+    // vacuum×delta×checkpoint-boundary leg (r15 VERDICT #4): the
+    // primary lowers the cadence so BOTH processes' delta chains roll
+    // over every few commits, and tightens this agent's vacuum so it
+    // actually drops history (and so materializes chain boundaries)
+    // while the other process commits and reads concurrently
+    sys.env.get("GRAFT_STORM_CHECKPOINT_EVERY").foreach(n =>
+      spark.sparkContext.hadoopConfiguration.setInt(
+        graft.format.GraftFormat.CheckpointEveryKey, n.toInt))
+    val vacuumKeep =
+      sys.env.getOrElse("GRAFT_STORM_VACUUM_KEEP", "40").toInt
+    val vacuumAgeMs =
+      sys.env.getOrElse("GRAFT_STORM_VACUUM_AGE_MS", "180000").toLong
     // Path(String) normalization strips the trailing slash that
     // java.nio's toUri appends for an existing directory — without it
     // getName/getParent (used to derive the DELETE catalog's db/table)
@@ -174,8 +186,8 @@ object StormAgent {
         // (same contract as the in-process storm): the vacuum path
         // fully runs — listing, manifest walk, file-ref GC — without
         // aging out a version the other PROCESS may have pinned
-        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = 40,
-          olderThanMs = 180000L)
+        graft.ops.Maintenance.vacuum(spark, dir, keepVersions = vacuumKeep,
+          olderThanMs = vacuumAgeMs)
       }
       Thread.sleep(sleepMs)
     }

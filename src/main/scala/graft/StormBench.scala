@@ -41,7 +41,8 @@ object StormBench {
       }
     }.getOrElse(900L)
     def storm(dir: Path, fs: org.apache.hadoop.fs.FileSystem,
-        childBase: Long): Map[String, Any] = {
+        childBase: Long,
+        extraEnv: Map[String, String] = Map.empty): Map[String, Any] = {
       graft.connector.GraftWriter.write(fs, dir, Seq(-1L).toDF("k"),
         overwrite = true)
       val t0 = System.nanoTime()
@@ -53,7 +54,7 @@ object StormBench {
         (if (dir.toUri.getScheme == "s3a")
           Map("GRAFT_STORM_ENDPOINT" ->
             graft.sources.S3LiteServer.shared.endpoint)
-        else Map.empty))
+        else Map.empty) ++ extraEnv)
       // a parent-side failure past this point must not leave an orphan
       // agent storming the box (the closing bench sweep runs later on
       // the same machine and must see a quiet JVM landscape)
@@ -126,58 +127,89 @@ object StormBench {
     // requests hit the same windows. Exactly-once must hold anyway:
     // idempotent requests heal by retry, ambiguous commits by content
     // read-back.
+    // runs `body` under the lossy-window injector, returning its result
+    // plus the fault/loss/retry accounting for the window
+    def underFaults(body: => Map[String, Any]): Map[String, Any] = {
+      val faultsBefore = srv.faultsInjected.get()
+      val lossesBefore = srv.commitLossesFired.get()
+      val retriedBefore = graft.sources.S3LiteFileSystem.retriedRequests.get()
+      val stopInjector = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val injector = new Thread(() => {
+        val kinds = Array("503", "500", "reset")
+        var n = 0
+        while (!stopInjector.get()) {
+          // burst: re-arm every 400 ms for ~1.2 s...
+          var b = 0
+          while (b < 3 && !stopInjector.get()) {
+            srv.injectFaults(kinds(n % 3),
+              Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
+            // one lost-commit-reply unit armed EVERY burst (an n-keyed
+            // stride aliased against the 3-step burst and could arm none
+            // for whole cycles); the relief-phase clearFaults discards
+            // unconsumed units, so commit_losses_fired in the artifact is
+            // the ground truth of how often the read-back path ran
+            if (b == 0) srv.injectCommitResponseLoss(1)
+            n += 1; b += 1
+            Thread.sleep(400)
+          }
+          // ...then RELENT. Without fault-free air the leg is unwinnable
+          // by construction, not by any client's fault: armed units
+          // persist until consumed, so once one process goes quiet the
+          // lone remaining requester (whose backoff sleeps exceed the
+          // 400 ms re-arm cadence) meets a fresh fault on EVERY retry —
+          // a permanently-down store, which no bounded-retry client
+          // (ours, s3a's, or the AWS SDK's) survives. Real throttle
+          // windows relent; this models that: burst ≈ 1.2 s, relief
+          // 1.2 s, so a 9-attempt exponential retry always straddles
+          // some relief. (r14's run passed only because its shorter
+          // backoff happened to out-race the arming cadence.)
+          srv.clearFaults()
+          Thread.sleep(1200)
+        }
+        srv.clearFaults()
+      }, "storm-fault-injector")
+      injector.setDaemon(true)
+      injector.start()
+      val res = try body finally {
+        stopInjector.set(true); injector.join(2000); srv.clearFaults()
+      }
+      res ++ Map(
+        "faults_injected" -> (srv.faultsInjected.get() - faultsBefore),
+        "commit_losses_fired" ->
+          (srv.commitLossesFired.get() - lossesBefore),
+        "requests_retried" ->
+          (graft.sources.S3LiteFileSystem.retriedRequests.get() - retriedBefore))
+    }
+
     val s3fDir = new Path("s3a://stormfault/t.graft")
     val s3fFs = s3fDir.getFileSystem(hc)
-    val faultsBefore = srv.faultsInjected.get()
-    val lossesBefore = srv.commitLossesFired.get()
-    val retriedBefore = graft.sources.S3LiteFileSystem.retriedRequests.get()
-    val stopInjector = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val injector = new Thread(() => {
-      val kinds = Array("503", "500", "reset")
-      var n = 0
-      while (!stopInjector.get()) {
-        // burst: re-arm every 400 ms for ~1.2 s...
-        var b = 0
-        while (b < 3 && !stopInjector.get()) {
-          srv.injectFaults(kinds(n % 3),
-            Set("GET", "HEAD", "PUT", "POST", "DELETE"), count = 2)
-          // one lost-commit-reply unit armed EVERY burst (an n-keyed
-          // stride aliased against the 3-step burst and could arm none
-          // for whole cycles); the relief-phase clearFaults discards
-          // unconsumed units, so commit_losses_fired in the artifact is
-          // the ground truth of how often the read-back path ran
-          if (b == 0) srv.injectCommitResponseLoss(1)
-          n += 1; b += 1
-          Thread.sleep(400)
-        }
-        // ...then RELENT. Without fault-free air the leg is unwinnable
-        // by construction, not by any client's fault: armed units
-        // persist until consumed, so once one process goes quiet the
-        // lone remaining requester (whose backoff sleeps exceed the
-        // 400 ms re-arm cadence) meets a fresh fault on EVERY retry —
-        // a permanently-down store, which no bounded-retry client
-        // (ours, s3a's, or the AWS SDK's) survives. Real throttle
-        // windows relent; this models that: burst ≈ 1.2 s, relief
-        // 1.2 s, so a 9-attempt exponential retry always straddles
-        // some relief. (r14's run passed only because its shorter
-        // backoff happened to out-race the arming cadence.)
-        srv.clearFaults()
-        Thread.sleep(1200)
-      }
-      srv.clearFaults()
-    }, "storm-fault-injector")
-    injector.setDaemon(true)
-    injector.start()
-    val s3FaultRes = try storm(s3fDir, s3fFs, 9000L) finally {
-      stopInjector.set(true); injector.join(2000); srv.clearFaults()
-    }
-    val s3fRes = s3FaultRes ++ Map(
-      "faults_injected" -> (srv.faultsInjected.get() - faultsBefore),
-      "commit_losses_fired" ->
-        (srv.commitLossesFired.get() - lossesBefore),
-      "requests_retried" ->
-        (graft.sources.S3LiteFileSystem.retriedRequests.get() - retriedBefore))
+    val s3fRes = underFaults(storm(s3fDir, s3fFs, 9000L))
     s3fFs.delete(new Path("s3a://stormfault/"), true)
+
+    // s3a, faulted, VACUUM CONCURRENT WITH DELTA COMMITS ACROSS
+    // CHECKPOINT BOUNDARIES (r15 VERDICT #4): cadence is dropped to 4 so
+    // both processes' CAS appends cross a cadence rollover every few
+    // commits, while the child vacuums aggressively (keep 6 versions,
+    // no age floor) after every append — so the vacuum's
+    // boundary-materialization (delta rewritten as a checkpoint) races
+    // live delta committers and chain-walking readers, two-process,
+    // under the same lossy window. The race was previously covered
+    // single-process only (GraftDeltaCommitSpec "racing vacuum").
+    val s3vDir = new Path("s3a://stormvacuum/t.graft")
+    hc.setInt(graft.format.GraftFormat.CheckpointEveryKey, 4)
+    val s3vRes = try {
+      val s3vFs = s3vDir.getFileSystem(hc)
+      underFaults(storm(s3vDir, s3vFs, 11000L, Map(
+        "GRAFT_STORM_CHECKPOINT_EVERY" -> "4",
+        "GRAFT_STORM_VACUUM_KEEP" -> "6",
+        "GRAFT_STORM_VACUUM_AGE_MS" -> "0"))) ++ {
+        // the leg must actually have dropped history (else the vacuum
+        // raced nothing): surviving versions start well above 1
+        val vs = graft.format.GraftFormat.listVersions(s3vFs, s3vDir)
+        s3vFs.delete(new Path("s3a://stormvacuum/"), true)
+        Map("oldest_retained_version" -> vs.min)
+      }
+    } finally hc.unset(graft.format.GraftFormat.CheckpointEveryKey)
 
     def jval(v: Any): String = v match {
       case s: String => "\"" + s + "\""
@@ -190,18 +222,26 @@ object StormBench {
     // a CAS protocol violation even when the clobbered child commit was
     // row-neutral (e.g. a compaction) and the row-level checks all pass —
     // a silent manifest overwrite must never publish exactly_once=true
-    val exact = Seq(fileRes, s3Res, s3fRes).forall { r =>
+    val exact = Seq(fileRes, s3Res, s3fRes, s3vRes).forall { r =>
       r("lost_rows") == 0 && r("dup_rows") == 0 &&
         r("versions_contiguous") == true && r("child_exit") == 0 &&
         Set("none", "CommitConflictException").contains(
-          r("typed_conflict").asInstanceOf[String]) } &&
-      // the faulted leg must have actually EXERCISED the lost-reply
-      // read-back (a run where every armed unit was discarded by the
-      // relief phase would otherwise certify a path it never ran)
-      s3fRes("commit_losses_fired").asInstanceOf[Long] > 0L
+          r("typed_conflict").asInstanceOf[String]) }
+    // COVERAGE, reported separately from the data verdict (r15 ADVICE:
+    // folding it into exactly_once conflated "no loss unit met a
+    // winning conditional put this run" with data loss): the faulted
+    // legs must actually have EXERCISED the lost-reply read-back, and
+    // the vacuum leg must actually have dropped history. `certified` is
+    // the combined gate the round artifact stands on.
+    val coverage =
+      s3fRes("commit_losses_fired").asInstanceOf[Long] > 0L &&
+        s3vRes("commit_losses_fired").asInstanceOf[Long] > 0L &&
+        s3vRes("oldest_retained_version").asInstanceOf[Long] > 1L
     val line = s"""{"metric":"two_process_storm","exactly_once":$exact,""" +
+      s""""lost_reply_coverage":$coverage,""" +
+      s""""certified":${exact && coverage},""" +
       s""""file":${jobj(fileRes)},"s3a":${jobj(s3Res)},""" +
-      s""""s3a_faulted":${jobj(s3fRes)}}"""
+      s""""s3a_faulted":${jobj(s3fRes)},"s3a_vacuum":${jobj(s3vRes)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_STORM.json"), line + "\n")
     println(line)

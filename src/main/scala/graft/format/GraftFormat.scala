@@ -177,6 +177,26 @@ object GraftFormat {
   def manifestPath(table: Path, v: Long): Path =
     new Path(versionsDir(table), s"$v.manifest.json")
 
+  /** Companion CHECKPOINT-DELTA sidecar (r15 VERDICT #6, the O(delta)
+    * CDC completion): when a cadence rollover forces a FULL manifest
+    * but the commit's transition was delta-representable, the committer
+    * also stores that transition here — so an incremental reader
+    * crossing the checkpoint boundary reads O(changed-fragments) bytes
+    * instead of the O(table) checkpoint it does not need (it already
+    * holds version v-1 resolved). Best-effort and derived: absent or
+    * unreadable sidecars fall back to the full record, and the suffix
+    * keeps it invisible to the version listing (versionStats filters
+    * on `.manifest.json`). */
+  def checkpointDeltaPath(table: Path, v: Long): Path =
+    new Path(versionsDir(table), s"$v.ckptdelta.json")
+
+  /** Version-record read accounting: bytes/count of `_versions/` files
+    * this process has read. The CDC-at-churn certification
+    * (BENCH_META.json, MetaScaleSpec) asserts bytes-per-synced-version
+    * stays flat in fragment count; monotonic, snapshot-and-diff. */
+  val versionBytesRead = new java.util.concurrent.atomic.AtomicLong()
+  val versionReads = new java.util.concurrent.atomic.AtomicLong()
+
   def exists(fs: FileSystem, table: Path): Boolean =
     try fs.getFileStatus(versionsDir(table)).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
@@ -283,6 +303,32 @@ object GraftFormat {
       def guardGen(props: Map[String, String], v: Long): Unit =
         for (want <- genId; got <- props.get(TableIdProp) if got != want)
           throw ManifestCache.WrongGeneration(table, v, want, Some(got))
+      // cadence position of the previous hop (-1 = unknown): lets the
+      // walk PREDICT which versions are checkpoints and probe their
+      // O(delta) sidecar first, so a catch-up sync crossing N cadence
+      // boundaries reads N small records instead of N full manifests
+      // (r15 VERDICT #6 — at 10⁵ fragments each avoided checkpoint is
+      // MBs of parse). A wrong prediction costs one 404 and falls back.
+      var lastDepth = -1
+      val every = Option(fs.getConf)
+        .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
+        .getOrElse(DefaultCheckpointEvery)
+      def sidecarTransition(v: Long): Option[(String, Set[Int], Set[Int], Set[Int])] =
+        try {
+          decodeAny(readBytes(fs, checkpointDeltaPath(table, v))) match {
+            case Left(d) if d.baseVersion == v - 1 =>
+              guardGen(d.properties, v)
+              val removed = d.removed.toSet
+              val intro = d.upserts.iterator.map(_.id).filterNot(prev).toSet
+              Some((d.operation, intro, removed, prev -- removed ++ intro))
+            case _ => None
+          }
+        } catch {
+          case e: ManifestCache.WrongGeneration => throw e
+          // absent (non-representable rollover, pre-sidecar history) or
+          // torn best-effort write: the full record is the fallback
+          case NonFatal(_) => None
+        }
       ((from + 1L) to endManifest.version).foreach { v =>
         // the walk only needs each version's OPERATION and fragment-id
         // TRANSITION — a delta record carries both directly (removed =
@@ -291,27 +337,40 @@ object GraftFormat {
         // of resolving full manifests (at 10⁵ fragments a resolved
         // manifest is MBs of metadata per walked version). Versions
         // someone already resolved serve from the pinned cache for
-        // free; checkpoints read their full record once.
+        // free; predicted checkpoints read their O(delta) sidecar;
+        // everything else reads its stored record once.
         val (op, introduced, consumed, nextPrev) =
           ManifestCache.peekPinned(fs, table, v, genId) match {
             case Some(m) =>
+              lastDepth = -1 // pinned entries carry no cadence position
               val ids = m.fragments.map(_.id).toSet
               (m.operation, ids diff prev, prev diff ids, ids)
             case None =>
-              decodeAny(readBytes(fs, manifestPath(table, v))) match {
-                case Right(m) =>
-                  guardGen(m.properties, v)
-                  // pin the checkpoint so the NEXT overlapping walk (a
-                  // second stream, a restarted sync) peeks it for free
-                  ManifestCache.pinPeeked(fs, table, v, m)
-                  val ids = m.fragments.map(_.id).toSet
-                  (m.operation, ids diff prev, prev diff ids, ids)
-                case Left(d) =>
-                  guardGen(d.properties, v)
-                  val removed = d.removed.toSet
-                  val intro =
-                    d.upserts.iterator.map(_.id).filterNot(prev).toSet
-                  (d.operation, intro, removed, prev -- removed ++ intro)
+              val viaSidecar =
+                if (every > 1 && lastDepth >= 0 && lastDepth + 1 >= every)
+                  sidecarTransition(v)
+                else None
+              viaSidecar match {
+                case Some(t) =>
+                  lastDepth = 0 // the sidecar's version IS a checkpoint
+                  t
+                case None => decodeAny(readBytes(fs, manifestPath(table, v))) match {
+                  case Right(m) =>
+                    guardGen(m.properties, v)
+                    lastDepth = 0
+                    // pin the checkpoint so the NEXT overlapping walk (a
+                    // second stream, a restarted sync) peeks it for free
+                    ManifestCache.pinPeeked(fs, table, v, m)
+                    val ids = m.fragments.map(_.id).toSet
+                    (m.operation, ids diff prev, prev diff ids, ids)
+                  case Left(d) =>
+                    guardGen(d.properties, v)
+                    lastDepth = d.depth
+                    val removed = d.removed.toSet
+                    val intro =
+                      d.upserts.iterator.map(_.id).filterNot(prev).toSet
+                    (d.operation, intro, removed, prev -- removed ++ intro)
+                }
               }
           }
         if (op == "Compact") {
@@ -388,6 +447,13 @@ object GraftFormat {
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
+    // version-record accounting (metadata path only — the parent-name
+    // check is two string compares per manifest/delta read)
+    val parent = p.getParent
+    if (parent != null && parent.getName == "_versions") {
+      versionBytesRead.addAndGet(len.toLong)
+      versionReads.incrementAndGet()
+    }
     buf
   }
 
@@ -993,14 +1059,78 @@ object GraftFormat {
     * delta walks its chain back to the nearest checkpoint (<= the
     * checkpoint cadence hops, each a small file) and folds the deltas
     * forward. The pinned cache is consulted per hop — committed
-    * manifests are immutable — so warm walks read nothing. */
-  def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
+    * manifests are immutable — so warm walks read nothing, and every
+    * manifest this resolves (checkpoint or folded delta head) is PINNED
+    * on the way out: a continuous reader's next resolve then walks
+    * exactly ONE hop (the new version's record) instead of re-reading
+    * the chain, which is what makes steady incremental sync O(delta)
+    * bytes per version (r15 VERDICT #1/#6). */
+  def readManifest(fs: FileSystem, table: Path, version: Long): Manifest = {
+    // continuous-reader checkpoint fast path: when the depth arithmetic
+    // says `version` rolled the cadence (so its stored record is an
+    // O(table) full manifest) and this process holds version-1 resolved,
+    // the committer's checkpoint-delta sidecar — O(changed-fragments)
+    // bytes — resolves it without reading the checkpoint at all
+    sidecarFastPath(fs, table, version) match {
+      case Some(m) => return m
+      case None => ()
+    }
     decodeAny(readBytes(fs, manifestPath(table, version))) match {
       case Right(m) =>
         recordDepth(fs, table, version, 0)
+        ManifestCache.pinPeeked(fs, table, version, m)
         m
       case Left(d0) => resolveDelta(fs, table, version, d0)
     }
+  }
+
+  /** Resolve `version` by applying its checkpoint-delta sidecar to the
+    * PINNED resolved manifest of version-1, when both exist and belong
+    * to the same generation. Only attempted when the head-depth hint
+    * predicts a cadence rollover — a wrong prediction costs one 404 and
+    * falls through; a right one replaces an O(table) checkpoint read
+    * with an O(delta) one. Generation safety: the sidecar is read FRESH
+    * from disk (it is the current history's file at that path — drops
+    * delete the directory wholesale) and must carry the same table id
+    * as the pinned base; id-less histories never take this path. */
+  private def sidecarFastPath(fs: FileSystem, table: Path,
+      version: Long): Option[Manifest] = {
+    if (version <= 1L) return None
+    val every = Option(fs.getConf)
+      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
+      .getOrElse(DefaultCheckpointEvery)
+    if (every <= 1) return None
+    val rollover = chainDepths.get(depthKey(fs, table)) match {
+      // a continuous reader knows the PREVIOUS head's chain position:
+      // the next version rolls the cadence when the chain is full
+      case Some((v, d)) if v == version - 1 => d + 1 >= every
+      // this process already knows `version` itself is a checkpoint
+      // (it committed or previously resolved it) — e.g. a reader
+      // re-resolving a head whose pin was evicted
+      case Some((v, d)) if v == version => d == 0
+      case _ => false
+    }
+    if (!rollover) return None
+    val prev = ManifestCache.peekPinnedRaw(fs, table, version - 1)
+      .getOrElse(return None)
+    val prevId = prev.properties.get(TableIdProp).getOrElse(return None)
+    try {
+      decodeAny(readBytes(fs, checkpointDeltaPath(table, version))) match {
+        case Left(d) if d.baseVersion == version - 1 &&
+            d.properties.get(TableIdProp).contains(prevId) =>
+          val m = applyDelta(prev, d)
+          recordDepth(fs, table, version, 0)
+          ManifestCache.pinPeeked(fs, table, version, m)
+          Some(m)
+        case _ => None
+      }
+    } catch {
+      // absent (non-representable checkpoint, pre-sidecar table) or
+      // unreadable (torn best-effort write): the full record is the
+      // always-correct fallback
+      case NonFatal(_) => None
+    }
+  }
 
   /** Fold version `version`'s delta chain back to its checkpoint.
     *
@@ -1040,9 +1170,61 @@ object GraftFormat {
     throw new IllegalStateException("unreachable")
   }
 
+  // Chain-prefetch pool (r15 VERDICT #1): a cold depth-k resolve used to
+  // read its k chain hops SEQUENTIALLY — over an object store that is k
+  // round trips serialized behind each other. The hop FILE NAMES are
+  // computable up front (every delta's base is version-1 and the head's
+  // stamped depth bounds the chain), so the walk issues them
+  // concurrently and consumes decoded records in order. Small daemon
+  // pool: the reads are metadata-sized and latency-bound, not
+  // CPU-bound.
+  private lazy val prefetchPool = java.util.concurrent.Executors
+    .newFixedThreadPool(8, (r: Runnable) => {
+      val t = new Thread(r, "graft-manifest-prefetch")
+      t.setDaemon(true)
+      t
+    })
+
   private def resolveDeltaWalk(fs: FileSystem, table: Path, version: Long,
       d0: ManifestDelta, expectId: Option[String]): Manifest = {
     var deltas: List[ManifestDelta] = List(d0) // kept ascending
+    // concurrent chain prefetch: versions [version - depth, version - 1]
+    // cover the remaining chain (the bottom one is the checkpoint —
+    // issued first so the largest read starts earliest). Hops already
+    // pinned are skipped; a hop another walk pins mid-flight only costs
+    // a duplicate small read. Failures are NOT surfaced here — the walk
+    // falls back to its own raw read so the existing vacuum-race retry
+    // logic stays the single error path.
+    val prefetched: Map[Long, java.util.concurrent.Future[
+        Either[ManifestDelta, Manifest]]] =
+      if (d0.depth < 2) Map.empty
+      else {
+        val lo = math.max(1L, version - d0.depth)
+        (lo until version)
+          .filter(v => ManifestCache.peekPinned(fs, table, v, expectId).isEmpty)
+          .map { v =>
+            v -> prefetchPool.submit(
+              new java.util.concurrent.Callable[Either[ManifestDelta, Manifest]] {
+                override def call(): Either[ManifestDelta, Manifest] =
+                  decodeAny(readBytes(fs, manifestPath(table, v)))
+              })
+          }.toMap
+      }
+    // a prefetched record, unwrapped to the walk's own error surface
+    // (FileNotFoundException must reach resolveDelta's retry loop raw)
+    def fetch(v: Long): Either[ManifestDelta, Manifest] =
+      prefetched.get(v) match {
+        case Some(f) =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              e.getCause match {
+                case c: Exception => throw c
+                case _ => throw e
+              }
+          }
+        case None => decodeAny(readBytes(fs, manifestPath(table, v)))
+      }
     // generation guard: the walk spans MULTIPLE reads, and a drop +
     // re-create landing between them restarts version numbers — an
     // unguarded walk could apply the dead generation's delta onto
@@ -1060,7 +1242,7 @@ object GraftFormat {
       ManifestCache.peekPinned(fs, table, v, expectId) match {
         case Some(m) => base = m
         case None =>
-          decodeAny(readBytes(fs, manifestPath(table, v))) match {
+          fetch(v) match {
             case Right(m) =>
               guard(m.properties, v)
               // the chain's checkpoint is its largest read by far —
@@ -1080,6 +1262,15 @@ object GraftFormat {
     }
     val resolved = deltas.foldLeft(base)(applyDelta)
     recordDepth(fs, table, version, d0.depth)
+    // pin the RESOLVED head too: the next resolve over this table (the
+    // next commit's base read, a streaming reader's next sync) then
+    // walks exactly one hop — its own new record — instead of
+    // re-folding the chain. Weight-bounded LRU in the cache keeps this
+    // safe on busy 10⁵-fragment tables (resolved manifests share
+    // fragment objects with their base, so the heap cost is the vector
+    // spine, while the cache's weight accounting still treats them as
+    // full-size — conservative).
+    ManifestCache.pinPeeked(fs, table, version, resolved)
     resolved
   }
 
@@ -1115,9 +1306,19 @@ object GraftFormat {
     val every = Option(fs.getConf)
       .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
       .getOrElse(DefaultCheckpointEvery)
-    val asDelta: Option[ManifestDelta] =
+    // sizeable = small enough that readers win by reading it over the
+    // full record (a delta touching most of the table is no smaller
+    // than a checkpoint, and readers would pay the chain walk on top)
+    def sizeable(b: Manifest)(d: ManifestDelta): Boolean =
+      d.upserts.size + d.removed.size <= math.max(8, b.fragments.size / 2)
+    // (stored-record delta, checkpoint-delta sidecar): at most one is
+    // Some. The sidecar is the cadence-rollover case — the commit MUST
+    // store a full manifest, but its transition was representable, so
+    // the O(delta) record is stored BESIDE the checkpoint for
+    // incremental readers (r15 VERDICT #6).
+    val (asDelta, sidecar): (Option[ManifestDelta], Option[ManifestDelta]) =
       if (toWrite.formatVersion < 4 || every <= 1 || toWrite.version <= 1L ||
-          !base.exists(_.version == toWrite.version - 1)) None
+          !base.exists(_.version == toWrite.version - 1)) (None, None)
       else {
         val b = base.get
         // the depth lookup is an OPTIMIZATION input (full-vs-delta
@@ -1130,13 +1331,12 @@ object GraftFormat {
         val depth =
           try storedDepth(fs, table, b.version) + 1
           catch { case scala.util.control.NonFatal(_) => every }
-        if (depth >= every) None
-        else computeDelta(b, toWrite, depth).filter { d =>
-          // a delta touching most of the table is no smaller than a
-          // checkpoint, and readers would pay the chain walk on top
-          d.upserts.size + d.removed.size <=
-            math.max(8, b.fragments.size / 2)
-        }
+        if (depth >= every)
+          // depth 0 in the sidecar: the committed version IS a
+          // checkpoint; the record exists purely as the v-1 -> v
+          // transition, never as a chain link
+          (None, computeDelta(b, toWrite, 0).filter(sizeable(b)))
+        else (computeDelta(b, toWrite, depth).filter(sizeable(b)), None)
       }
     val bytes = asDelta match {
       case Some(d) => gzipBytes(deltaJson(d).getBytes(UTF_8))
@@ -1149,6 +1349,22 @@ object GraftFormat {
     // another process's version — its kind is unknown here)
     chainDepths.put(depthKey(fs, table),
       (m.version, asDelta.map(_.depth).getOrElse(0)))
+    // best-effort, post-CAS, derived data: a crash or store error here
+    // leaves a checkpoint without a sidecar — readers fall back to the
+    // full record. Only id-stamped histories write one (the read paths
+    // validate the sidecar against a pinned base BY generation id).
+    for (d <- sidecar if toWrite.properties.contains(TableIdProp)) {
+      try {
+        val out = fs.create(checkpointDeltaPath(table, m.version), true)
+        try out.write(gzipBytes(deltaJson(d).getBytes(UTF_8)))
+        finally out.close()
+      } catch { case NonFatal(_) => () }
+    }
+    // the committer holds the resolved content it just stored: pin it,
+    // so this process's next base read / incremental sync resolves the
+    // head without re-reading what it just wrote (on a 10⁵-fragment
+    // table that re-read is MBs of parse per commit)
+    ManifestCache.pinPeeked(fs, table, m.version, toWrite)
     // same-process readers must see this commit immediately, whatever the
     // manifest-cache TTL says
     ManifestCache.invalidateLatest(fs, table)

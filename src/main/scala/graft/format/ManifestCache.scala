@@ -323,6 +323,29 @@ object ManifestCache {
     }
   }
 
+  /** Cache-only pinned lookup with NO generation validation — for
+    * callers that validate the generation THEMSELVES against evidence
+    * read fresh from disk (GraftFormat.sidecarFastPath compares the
+    * hit's table id to the just-read sidecar's). Never serve this
+    * without such a check: a cross-process drop + re-create leaves
+    * stale entries at colliding version numbers. */
+  private[format] def peekPinnedRaw(fs: FileSystem, table: Path,
+      version: Long): Option[Manifest] = {
+    val k = key(fs, table) + "@" + version
+    pinned.synchronized(Option(pinned.get(k)))
+  }
+
+  /** Evict ONE pinned (table, version) entry — test/bench support: the
+    * metadata-scale CDC probe simulates a cross-process reader inside
+    * one JVM by dropping the committer's own pin of each new head
+    * before the reader syncs it (a real reader in another process never
+    * had that pin). Never needed for correctness. */
+  private[graft] def unpin(fs: FileSystem, table: Path, version: Long): Unit = {
+    val k = key(fs, table) + "@" + version
+    pinned.synchronized(pinned.remove(k))
+    ()
+  }
+
   /** Pin a manifest a walk already read raw (delta-chain base hops, the
     * provenance walk's checkpoint records) so LATER walks' [[peekPinned]]
     * serves it without re-reading a multi-MB checkpoint per sync.

@@ -551,6 +551,10 @@ object Maintenance {
       drop.foreach { v =>
         val p = new Path(GraftFormat.versionsDir(qualDir), s"$v.manifest.json")
         if (fs.exists(p)) fs.delete(p, false)
+        // a dropped checkpoint's O(delta) CDC sidecar dies with it
+        // (derived data; walks only consult sidecars inside retention)
+        val sc = GraftFormat.checkpointDeltaPath(qualDir, v)
+        if (fs.exists(sc)) fs.delete(sc, false)
       }
       // crash debris from the exclusive-create strategies (".tmp" files a
       // writer left behind by dying between write and link/rename): age

@@ -42,7 +42,9 @@ import graft.functions.{CosineSim, L2Squared}
   * Conf: `spark.graft.ann.indexRewrite` — `auto` (default: probe when
   * a current index exists), `true` (same), `false` (never rewrite —
   * force exact results even where an index exists);
-  * `spark.graft.ann.nprobe` (default 4);
+  * `spark.graft.ann.nprobe` (default 4, scaled up by one list per 4× of
+  * average list occupancy above 256 rows/list unless
+  * `spark.graft.ann.nprobeScale=false` — see [[selectCandidates]]);
   * `spark.graft.ann.adaptiveNprobe` (default true) — before committing
   * to a probe, count the rows that would survive it per list
   * (candidate-list rows; through the query's own predicate when one
@@ -295,7 +297,29 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       probe.assign
         .filter(col("cid").isin(ranked.take(nprobe).toIndexedSeq: _*))
         .select(probe.idName))
-    val base = math.max(1, spark.conf.get("spark.graft.ann.nprobe", "4").toInt)
+    // a user-set nprobe is authoritative; the DEFAULT is keyed to list
+    // occupancy (r15 VERDICT #5): nLists is fixed at build time, so
+    // corpus growth packs each k-means cell denser and boundary losses
+    // grow — unfiltered recall at the fixed default drifted 0.91 (base)
+    // -> 0.85 (16x) in BENCH_RECALL.json. Each 4x of average occupancy
+    // above a 256-rows/list reference widens the probe by one list.
+    // Occupancy = liveRows / nLists — the same total the persisted
+    // `list_sizes` sum to, already on hand at plan time with zero I/O.
+    // spark.graft.ann.nprobeScale=false pins the fixed default.
+    val confNprobe = spark.conf.get("spark.graft.ann.nprobe", "")
+    val base =
+      if (confNprobe.nonEmpty) math.max(1, confNprobe.toInt)
+      else {
+        val occupancy = liveRows.toDouble / math.max(1, nLists)
+        val extra =
+          if (spark.conf.get("spark.graft.ann.nprobeScale", "true") == "false"
+              || occupancy <= 256.0) 0
+          else (math.log(occupancy / 256.0) / math.log(4.0)).toInt + 1
+        if (extra > 0)
+          logInfo(s"graft ANN default nprobe scaled 4 -> ${4 + extra} " +
+            f"(avg list occupancy $occupancy%.0f rows)")
+        4 + extra
+      }
     if (spark.conf.get("spark.graft.ann.adaptiveNprobe", "true") == "false")
       return Some(candPlan(base))
     // base already covers every list (nprobe >= nLists, or a 1-list
@@ -407,14 +431,18 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       while (result == null) {
         Option(AnnTopKIndexRewrite.survivorCounts.get(cacheKey)) match {
           case Some(f) =>
-            val wasDone = f.isDone
-            try {
-              result = f.join()
-              if (wasDone)
-                AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
-              else
-                AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
-            } catch {
+            // counted BEFORE the join (r15 ADVICE): a waiter latched
+            // onto an owner that then fails must still register as a
+            // latch wait (it did wait, and the retry-wave accounting
+            // the spec asserts counts waiters, not successes) — the
+            // post-join placement undercounted exactly under the
+            // store-error retries the latch exists for
+            if (f.isDone)
+              AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
+            else
+              AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
+            try result = f.join()
+            catch {
               case _: java.util.concurrent.CompletionException =>
                 // owner failed: drop the dead latch (its owner usually
                 // already did) and loop — the next iteration installs

@@ -128,6 +128,86 @@ class MetaScaleSpec extends AnyFunSuite {
       "churned head must resolve exactly")
   }
 
+  test(s"cold head resolution at FULL chain depth stays within the " +
+      "cold-load budget (r15 VERDICT #1: the depth-15 walk was " +
+      "unasserted and at the 2 s edge at 10⁵; hops now prefetch " +
+      "concurrently)") {
+    val (dir, fs, _, _) = built
+    var cur = GraftFormat.readLatest(fs, dir).get
+    def append(tag: String): Unit = {
+      val base = cur
+      cur = cur.copy(version = cur.version + 1,
+        fragments = cur.fragments :+ cur.fragments.head.copy(
+          id = cur.maxFragmentId + 1, path = s"data/$tag.parquet",
+          deletionPath = None, deletedCount = 0L),
+        maxFragmentId = cur.maxFragmentId + 1,
+        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      GraftFormat.commit(fs, dir, cur, base = Some(base))
+    }
+    // roll to a fresh checkpoint, then stack cadence-1 deltas on it —
+    // the deepest chain the default cadence (16) can produce
+    var guard = 0
+    while (!GraftFormat.isCheckpoint(fs, dir, cur.version) && guard < 20) {
+      append(s"depth-roll-$guard"); guard += 1
+    }
+    assert(GraftFormat.isCheckpoint(fs, dir, cur.version),
+      "never reached a checkpoint within a full cadence of appends")
+    (1 until 16).foreach(i => append(s"depth-chain-$i"))
+    assert(!GraftFormat.isCheckpoint(fs, dir, cur.version),
+      "head must sit at full chain depth for this test")
+    // cold: nothing cached, the walk pays checkpoint + 15 delta reads
+    graft.format.ManifestCache.clearAll()
+    val t0 = System.nanoTime()
+    val resolved = GraftFormat.readManifest(fs, dir, cur.version)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(resolved.fragments.size == cur.fragments.size,
+      "full-depth resolve lost fragments")
+    assert(ms < 2000, f"cold full-depth resolve took $ms%.0f ms at " +
+      s"$Fragments fragments — the chain walk budget regressed")
+  }
+
+  test("steady CDC sync reads O(delta) version-record bytes per synced " +
+      "version, including across a cadence rollover (r15 VERDICT #6)") {
+    val (dir, fs, _, _) = built
+    var cur = GraftFormat.readLatest(fs, dir).get
+    // reader warm start: resolve the current head once (its own pins)
+    GraftFormat.readManifest(fs, dir, cur.version)
+    val syncs = 20 // crosses at least one checkpoint boundary
+    var readerBytes = 0L
+    var rollovers = 0
+    (0 until syncs).foreach { i =>
+      val base = cur
+      cur = cur.copy(version = cur.version + 1,
+        fragments = cur.fragments :+ cur.fragments.head.copy(
+          id = cur.maxFragmentId + 1, path = s"data/cdc-spec-$i.parquet",
+          deletionPath = None, deletedCount = 0L),
+        maxFragmentId = cur.maxFragmentId + 1,
+        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      GraftFormat.commit(fs, dir, cur, base = Some(base))
+      if (GraftFormat.isCheckpoint(fs, dir, cur.version)) rollovers += 1
+      // drop the committer's own pin of the new head: the reader must
+      // pay what a SEPARATE process pays (its prior pins + depth hints)
+      graft.format.ManifestCache.unpin(fs, dir, cur.version)
+      val b0 = GraftFormat.versionBytesRead.get()
+      val head = GraftFormat.readManifest(fs, dir, cur.version)
+      val excluded = GraftFormat.excludedAsOf(fs, dir, cur.version - 1,
+        head, knownVersions = Seq(cur.version - 1))
+      readerBytes += GraftFormat.versionBytesRead.get() - b0
+      assert((head.fragments.map(_.id).toSet -- excluded).size == 1,
+        "each sync must surface exactly the one new fragment")
+    }
+    assert(rollovers >= 1,
+      "the sync window never crossed a checkpoint boundary — the test " +
+        "no longer exercises the sidecar path")
+    val perSync = readerBytes / syncs
+    // a single full checkpoint read at 10⁴ fragments is ~260 KB; a
+    // delta/sidecar record is ~600 B — 16 KB of headroom per sync
+    // proves NO sync (including the rollover) read O(table) metadata
+    assert(perSync < 16384,
+      s"CDC reader paid $perSync B/sync — a checkpoint-boundary sync " +
+        "is reading O(table) metadata instead of the O(delta) sidecar")
+  }
+
   test(s"filter-to-planned-partitions at $Fragments fragments: pruned " +
       "plan is O(match), not O(fragments) tasks") {
     val (dir, fs, m2, _) = built

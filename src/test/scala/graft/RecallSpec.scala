@@ -36,6 +36,16 @@ class RecallSpec extends AnyFunSuite {
       assert(r("recall").asInstanceOf[Double] >= Floor,
         s"16x recall below the floor: $r")
     }
+    // r15 VERDICT #5: the default nprobe now scales with list occupancy;
+    // the certified trajectory extends one more 4x step
+    val r64 = rows.filter(_("scale") == "64x")
+    assert(r64.size == 6,
+      s"BENCH_RECALL.json must carry the full 64x leg (2 kinds x 3 " +
+        s"paths), found ${r64.size} rows — re-run graft.RecallBench")
+    r64.foreach { r =>
+      assert(r("recall").asInstanceOf[Double] >= Floor,
+        s"64x recall below the floor: $r")
+    }
   }
 
   for (kind <- Seq("ivf", "ivfpq")) {
