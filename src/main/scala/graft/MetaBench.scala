@@ -197,7 +197,7 @@ object MetaBench {
       // the walk's end-version probes served from the pinned cache.
       val cdcN = 1000
       var cdcCur = deepResolved
-      val pins0 = graft.format.ManifestCache.pinnedHits.get()
+      val pins0 = graft.format.ManifestCache.peekPinnedHits.get()
       var readerBytes = 0L
       var readerReads = 0L
       var syncNs = 0L
@@ -228,7 +228,8 @@ object MetaBench {
           "cdc sync must surface exactly the one new fragment")
         ci2 += 1
       }
-      val cdcPinnedHits = graft.format.ManifestCache.pinnedHits.get() - pins0
+      val cdcPinnedHits =
+        graft.format.ManifestCache.peekPinnedHits.get() - pins0
 
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0

@@ -122,7 +122,10 @@ object RecallBench {
     val want64 = sys.env.getOrElse("GRAFT_RECALL_64X", "true") != "false"
     if (want64 &&
         !new java.io.File(s"$dir64/embeddings.parquet/_SUCCESS").exists())
-      ScaleGen.main(Array(src, dir64, "64"))
+      // embeddings only: the recall probe reads nothing else, and the
+      // documents letter rotation (the reason ScaleGen caps full
+      // generation at 26x) is not involved
+      ScaleGen.main(Array(src, dir64, "64", "embeddings"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

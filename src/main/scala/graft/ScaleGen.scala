@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    the same reason (identical vectors collapse into the same LSH
   *    buckets and blow up pair generation).
   *
-  * Usage: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <factor>"`.
-  * The output is a bench INPUT ONLY — correctness gates stay on the
-  * driver-generated data.
+  * Usage: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <factor>
+  * [tables]"` — the optional comma-separated table subset lets probes
+  * that need one table at an extreme factor (the 64× ANN recall leg
+  * reads only `embeddings`) skip the rest. The output is a bench INPUT
+  * ONLY — correctness gates stay on the driver-generated data.
   */
 object ScaleGen {
 
@@ -38,13 +40,25 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorStr) = args
+    val (srcDir, outDir, factorStr) = (args(0), args(1), args(2))
+    val tables =
+      if (args.length > 3) {
+        val want = args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = want.filterNot(Tables.contains)
+        require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+        want
+      } else Tables
     val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     // > 26 would wrap the letter rotation: replica 26's text becomes
     // byte-identical to replica 0's and near-dup work goes quadratic —
-    // exactly the replication artifact the rotation exists to prevent
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in [1, 26], got $factor")
+    // exactly the replication artifact the rotation exists to prevent.
+    // Only `documents` carries rotated text, so the cap binds only when
+    // it is generated; key shifts and embedding jitter scale to any
+    // factor (the jitter phase term is per-replica, never periodic)
+    require(factor <= 26 || !tables.contains("documents"),
+      s"factor must be in [1, 26] when generating `documents` " +
+        s"(letter rotation wraps at 26), got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -56,7 +70,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val src: Map[String, DataFrame] =
-      Tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
+      tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
 
     // one offset base per key DOMAIN, global across tables, so foreign
     // keys stay consistent (c_custkey and o_custkey shift identically)
@@ -75,7 +89,7 @@ object ScaleGen {
       alphabet.drop(r) + alphabet.take(r)
     }
 
-    for (t <- Tables) {
+    for (t <- tables) {
       val df = src(t)
       val replicas = (0 until factor).map { i =>
         var rep = df

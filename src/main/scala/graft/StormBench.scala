@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
 /** Two-process storm probe (r12 VERDICT ask #2's artifact row): this
   * JVM and a [[StormAgent]] child JVM interleave CAS appends (the
   * child also compacts + vacuums after every append) on one table,
-  * over file:// and over s3a:// (real HTTP to this JVM's
-  * S3LiteServer). Writes BENCH_STORM.json: wall time, per-process
-  * commit counts, final-state integrity (lost/duplicated rows,
-  * version-chain contiguity), the typed cross-process CAS conflict,
-  * and the s3a wire evidence (conditional puts, lost races).
+  * over file://, over s3a:// (real HTTP to this JVM's S3LiteServer),
+  * over a FAULTED s3a window, and — r15 VERDICT #4 — over a faulted
+  * s3a window with checkpoint cadence 4 and an aggressively vacuuming
+  * child, so vacuum's boundary materialization races live delta
+  * committers and chain walkers across cadence rollovers. Writes
+  * BENCH_STORM.json: wall time, per-process commit counts, final-state
+  * integrity (lost/duplicated rows, version-chain contiguity), the
+  * typed cross-process CAS conflict, and the s3a wire evidence
+  * (conditional puts, lost races). `exactly_once` is strictly the
+  * data-integrity verdict; `lost_reply_coverage` separately reports
+  * whether the loss-unit/vacuum paths actually fired this run (r15
+  * ADVICE: a coverage shortfall must not read as data loss);
+  * `certified` is their conjunction.
   *
   * The correctness contract lives in TwoProcessStormSpec; this main
   * exists so the round artifact carries a committed measurement of the

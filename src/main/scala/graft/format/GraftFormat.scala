@@ -432,10 +432,20 @@ object GraftFormat {
   }
 
   /** Latest version whose commit time is <= tsMs (reference semantics:
-    * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388). */
+    * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388).
+    * Reads each version's stored RECORD only — both full manifests and
+    * delta records carry createdAtMs — never resolving delta chains: a
+    * 10³-version history costs 10³ small reads, not 10³ chain folds.
+    * No binary search: createdAtMs is stamped from each committer's
+    * wall clock, so cross-process skew can make it non-monotone in
+    * version — the linear filter is the only order-safe read. */
   def versionAtTimestamp(fs: FileSystem, table: Path, tsMs: Long): Option[Long] = {
     val at = listVersions(fs, table)
-      .map(v => v -> readManifest(fs, table, v).createdAtMs)
+      .map { v =>
+        val createdAt = decodeAny(readBytes(fs, manifestPath(table, v)))
+          .fold(_.createdAtMs, _.createdAtMs)
+        v -> createdAt
+      }
       .filter(_._2 <= tsMs)
     at.lastOption.map(_._1)
   }
@@ -771,9 +781,35 @@ object GraftFormat {
 
   /** True when version `v`'s stored file is a FULL manifest. Vacuum uses
     * it to keep the oldest retained version resolvable (a retained delta
-    * whose base was dropped would be unreadable). */
-  private[graft] def isCheckpoint(fs: FileSystem, table: Path, v: Long): Boolean =
-    decodeAny(readBytes(fs, manifestPath(table, v))).isRight
+    * whose base was dropped would be unreadable). Sniffs the record KIND
+    * from its first bytes — delta records serialize with the fixed
+    * prefix `{"delta":true` (deltaJson) — instead of parsing the whole
+    * record: at 10⁵ fragments a checkpoint is MBs of gunzip + JSON walk
+    * just to answer one bit. */
+  private[graft] def isCheckpoint(fs: FileSystem, table: Path, v: Long): Boolean = {
+    val prefix = "{\"delta\":true".getBytes(UTF_8)
+    val in = fs.open(manifestPath(table, v))
+    try {
+      val head = new Array[Byte](2)
+      val n = in.read(head, 0, 2)
+      val stream: java.io.InputStream =
+        if (n == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte) {
+          in.seek(0L)
+          new java.util.zip.GZIPInputStream(in, 1024)
+        } else {
+          in.seek(0L)
+          in
+        }
+      val buf = new Array[Byte](prefix.length)
+      var read = 0
+      while (read < buf.length) {
+        val r = stream.read(buf, read, buf.length - read)
+        if (r < 0) return true // shorter than any delta prefix: full
+        read += r
+      }
+      !java.util.Arrays.equals(buf, prefix)
+    } finally in.close()
+  }
 
   /** Ensure version `v`'s stored file is a FULL manifest, rewriting a
     * delta record with the SAME resolved content — vacuum's boundary

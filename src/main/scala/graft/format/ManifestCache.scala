@@ -145,6 +145,11 @@ object ManifestCache {
   val revalidations = new AtomicLong
   val misses = new AtomicLong
   val pinnedHits = new AtomicLong
+  /** Pinned-tier serves through the cache-only [[peekPinned]] probe (the
+    * delta-chain/CDC walks) — counted apart from [[pinnedHits]] so the
+    * CDC certification can observe its walk hits without disturbing the
+    * readPinned accounting existing specs pin. */
+  val peekPinnedHits = new AtomicLong
 
   // stripSuffix: java.nio `Paths.get(dir).toUri` carries a trailing "/"
   // that Hadoop-built Paths lack; both must key identically
@@ -317,10 +322,12 @@ object ManifestCache {
   private[format] def peekPinned(fs: FileSystem, table: Path, version: Long,
       expectedId: Option[String]): Option[Manifest] = {
     val k = key(fs, table) + "@" + version
-    pinned.synchronized(Option(pinned.get(k))).filter { m =>
+    val served = pinned.synchronized(Option(pinned.get(k))).filter { m =>
       expectedId.exists(id =>
         m.properties.get(GraftFormat.TableIdProp).contains(id))
     }
+    if (served.isDefined) peekPinnedHits.incrementAndGet()
+    served
   }
 
   /** Cache-only pinned lookup with NO generation validation — for
