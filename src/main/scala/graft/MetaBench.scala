@@ -91,10 +91,22 @@ object MetaBench {
       val manifestLen = fs.getFileStatus(
         GraftFormat.manifestPath(dir, m2.version)).getLen
 
-      // cold load: bytes off disk + full parse
-      val t1 = System.nanoTime()
-      val loaded = GraftFormat.readManifest(fs, dir, m2.version)
-      val loadNs = System.nanoTime() - t1
+      // single-shot sub-2s measurements on a busy JVM invert orderings
+      // by GC/JIT noise (graft.PackProbe, r15 VERDICT #2): every load_*
+      // metric below reports the median of 3 runs
+      def medianNs(n: Int)(body: => Unit): Long = {
+        val runs = (1 to n).map { _ =>
+          val t = System.nanoTime(); body; System.nanoTime() - t
+        }
+        runs.sorted.apply(n / 2)
+      }
+      // cold load: bytes off disk + full parse (readManifest never
+      // serves a checkpoint from cache, so each repeat pays the full
+      // read + gunzip + parse)
+      var loaded: GraftFormat.Manifest = null
+      val loadNs = medianNs(3) {
+        loaded = GraftFormat.readManifest(fs, dir, m2.version)
+      }
       require(loaded.fragments.size == fragments, "roundtrip lost fragments")
 
       // O(delta) commit (r14 VERDICT #2): a one-fragment append on the
@@ -121,9 +133,10 @@ object MetaBench {
       // touched the table once pays per new version. The genuinely
       // COLD worst case (nothing cached, full chain depth) is measured
       // separately below as load_head_depth_ms.
-      val t7 = System.nanoTime()
-      val resolved = GraftFormat.readManifest(fs, dir, m3.version)
-      val loadDeltaNs = System.nanoTime() - t7
+      var resolved: GraftFormat.Manifest = null
+      val loadDeltaNs = medianNs(3) {
+        resolved = GraftFormat.readManifest(fs, dir, m3.version)
+      }
       require(resolved.fragments.size == fragments + 1,
         "delta resolution lost fragments")
 
@@ -178,10 +191,11 @@ object MetaBench {
       // churn ended on — one checkpoint read + up-to-cadence-1 delta
       // reads, now issued CONCURRENTLY by the chain prefetcher instead
       // of as sequential round trips.
-      graft.format.ManifestCache.clearAll()
-      val t10 = System.nanoTime()
-      val deepResolved = GraftFormat.readManifest(fs, dir, cur.version)
-      val loadHeadNs = System.nanoTime() - t10
+      var deepResolved: GraftFormat.Manifest = null
+      val loadHeadNs = medianNs(3) {
+        graft.format.ManifestCache.clearAll() // cold EVERY repeat
+        deepResolved = GraftFormat.readManifest(fs, dir, cur.version)
+      }
       require(deepResolved.fragments.size == fragments + 1 + churnN,
         "churn resolution lost fragments")
 

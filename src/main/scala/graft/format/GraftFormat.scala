@@ -692,10 +692,20 @@ object GraftFormat {
       s"delta ${d.version} applies to ${d.baseVersion}, got ${base.version}")
     val up = d.upserts.map(f => f.id -> f).toMap
     val removed = d.removed.toSet
-    val baseIds = base.fragments.map(_.id).toSet
-    val kept = base.fragments.iterator.filterNot(f => removed(f.id))
-      .map(f => up.getOrElse(f.id, f)).toVector
-    val appended = d.upserts.filterNot(f => baseIds(f.id))
+    // upsert ids consumed by the base walk replace IN PLACE; the rest
+    // append. Tracked with a small set sized to the DELTA, not an
+    // O(base) id set — a chain fold applies cadence-many deltas to a
+    // 10⁵-fragment base, and per-fold O(base) set builds dominated the
+    // cold full-depth resolve (BENCH_META load_head_depth)
+    val consumed = new java.util.HashSet[Integer](d.upserts.size * 2)
+    val kept = base.fragments.iterator.flatMap { f =>
+      val isUp = up.contains(f.id)
+      if (isUp) consumed.add(f.id) // base id: in-place or removed, never appended
+      if (removed(f.id)) None
+      else if (isUp) Some(up(f.id))
+      else Some(f)
+    }.toVector
+    val appended = d.upserts.filterNot(f => consumed.contains(f.id))
     Manifest(d.version, d.schemaJson, kept ++ appended, d.maxFragmentId,
       d.createdAtMs, d.operation, d.properties)
   }
