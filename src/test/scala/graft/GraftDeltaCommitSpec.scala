@@ -71,6 +71,58 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint-delta sidecars (r15 VERDICT #6): written exactly at " +
+      "delta-representable rollovers, resolve the checkpoint O(delta) " +
+      "for a reader holding version-1, and fall back when deleted") {
+    val fsx = freshFs(every = 4)
+    val dir = tmp()
+    // enough fragments that O(table) and O(delta) separate clearly
+    // (records carry fixed schema/props/gzip overhead; BENCH_META
+    // certifies the real separation at 10⁵: 609 B vs 2.6 MB)
+    var m = create(fsx, dir, 400)
+    (2L to 9L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+    }
+    // cadence 4 from a v1 checkpoint: v5 and v9 are rollover checkpoints
+    (1L to 9L).foreach { v =>
+      val isCkpt = GraftFormat.isCheckpoint(fsx, dir, v)
+      val hasSidecar = fsx.exists(GraftFormat.checkpointDeltaPath(dir, v))
+      assert(isCkpt == Set(1L, 5L, 9L).contains(v), s"kind at $v")
+      // v1 (Create, no base) gets no sidecar; rollovers do
+      assert(hasSidecar == Set(5L, 9L).contains(v), s"sidecar at $v")
+    }
+    // the sidecar is O(delta): far smaller than the checkpoint beside it
+    val ckptLen = fsx.getFileStatus(GraftFormat.manifestPath(dir, 9L)).getLen
+    val scLen =
+      fsx.getFileStatus(GraftFormat.checkpointDeltaPath(dir, 9L)).getLen
+    assert(scLen < ckptLen / 4,
+      s"sidecar $scLen B not O(delta) vs checkpoint $ckptLen B")
+    // continuous reader: resolve v8 (pins it), then resolve the v9
+    // rollover — the sidecar path must serve it byte-cheaply and
+    // EXACTLY (same resolved content as the stored checkpoint)
+    graft.format.ManifestCache.clearAll()
+    val v8 = GraftFormat.readManifest(fsx, dir, 8L)
+    assert(v8.version == 8L)
+    val b0 = GraftFormat.versionBytesRead.get()
+    val v9 = GraftFormat.readManifest(fsx, dir, 9L)
+    val sidecarBytes = GraftFormat.versionBytesRead.get() - b0
+    assert(v9 == m, "sidecar fast path resolved different content")
+    assert(sidecarBytes < ckptLen,
+      s"rollover resolve read $sidecarBytes B — the O(table) checkpoint, " +
+        "not the O(delta) sidecar")
+    // deleted sidecar: the full record is the always-correct fallback
+    graft.format.ManifestCache.clearAll()
+    fsx.delete(GraftFormat.checkpointDeltaPath(dir, 9L), false)
+    GraftFormat.readManifest(fsx, dir, 8L) // re-pin the reader state
+    assert(GraftFormat.readManifest(fsx, dir, 9L) == m,
+      "fallback after sidecar deletion must read the checkpoint")
+  }
+
   test("checkpoint cadence: the chain re-checkpoints every N versions") {
     val fsx = freshFs(every = 4)
     val dir = tmp()

@@ -30,7 +30,16 @@ import graft.format.GraftFormat.{FragmentMeta, Manifest}
   */
 class ProvenanceWalkPropertySpec extends AnyFunSuite {
 
-  private val fs: FileSystem = FileSystem.getLocal(new Configuration())
+  // cadence 3: random histories (3-11 versions) then cross checkpoint
+  // rollovers routinely, so the property also covers the
+  // checkpoint-delta SIDECAR path (r16) — commits write sidecars at
+  // rollovers and the walk's predicted-checkpoint probe consumes them —
+  // alongside plain delta records and full manifests
+  private val fs: FileSystem = {
+    val conf = new Configuration()
+    conf.setInt(GraftFormat.CheckpointEveryKey, 3)
+    FileSystem.getLocal(conf)
+  }
   private val schemaJson = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("k",
       org.apache.spark.sql.types.LongType))).json
@@ -77,6 +86,10 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
       // delta/checkpoint histories (appends/compacts ride deltas,
       // overwrites fall back to full manifests)
       var prevManifest: Option[Manifest] = None
+      // generation-stamped like every real history (withTableId at v1):
+      // the id activates the pinned-cache serving and the sidecar write
+      // inside commit/walk — id-less histories skip both paths
+      val tableId = java.util.UUID.randomUUID().toString
       def commit(op: String): Unit = {
         version += 1
         val m = Manifest(version, schemaJson,
@@ -84,7 +97,8 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
             FragmentMeta(id, s"data/f$id.parquet", rows.size.toLong, None, 0L)
           },
           maxFragmentId = nextFrag, createdAtMs = System.currentTimeMillis(),
-          operation = op)
+          operation = op,
+          properties = Map(GraftFormat.TableIdProp -> tableId))
         GraftFormat.commit(fs, dir, m, base = prevManifest)
         prevManifest = Some(m)
         remaining :+= version
@@ -131,11 +145,19 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
           remaining.filter(_ < cut).foreach { v =>
             fs.delete(new Path(GraftFormat.versionsDir(dir),
               s"$v.manifest.json"), false)
+            // vacuum's contract: a dropped version's sidecar dies too
+            fs.delete(GraftFormat.checkpointDeltaPath(dir, v), false)
           }
           remaining = remaining.filter(_ >= cut)
         case Truncate => // nothing to drop
       }
 
+      // cold walks first: the commits above pinned every version, which
+      // would route EVERY check through the cache; clearing here makes
+      // the first from-walk read records/sidecars raw while later
+      // from-walks re-hit what the walk itself re-pinned — both paths
+      // covered within one history
+      graft.format.ManifestCache.clearAll()
       val end = GraftFormat.readManifest(fs, dir, version)
       val endRows: Set[Long] = end.fragments.flatMap(f => live(f.id)).toSet
 
