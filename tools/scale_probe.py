@@ -102,15 +102,15 @@ def main():
     result["all_linear"] = ok
     result["total_ratio"] = round(
         result["scaled_total_sec"] / max(result["base_total_sec"], 1e-9), 2)
-    # a 4x refresh must not erase the committed deep (16x) section —
-    # scale_probe_deep.py owns that key and preserves this section in
-    # return
+    # a 4x refresh must not erase sections owned by the OTHER probes —
+    # scale_probe_deep.py owns deep/deep64, balanced_probe.py owns
+    # balanced (r16: a refresh silently dropped it once)
     if os.path.exists("BENCH_SCALE.json"):
         try:
             with open("BENCH_SCALE.json") as f:
                 prev = json.load(f)
             for k in prev:
-                if k.startswith("deep"):
+                if k.startswith("deep") or k == "balanced":
                     result[k] = prev[k]
         except (json.JSONDecodeError, OSError) as e:
             # a corrupt/partial previous artifact must not discard this
