@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.format.GraftFormat
+
+/** The COMMITTER side of the two-process CDC certification
+  * (BENCH_META.json `cdc2p_*`, r15 VERDICT #6): a standalone JVM that
+  * performs one-fragment metadata appends against an existing graft
+  * table while the launching process plays the long-lived incremental
+  * reader. No SparkSession — the commit path is pure
+  * [[graft.format.GraftFormat]] over the Hadoop FileSystem, which is
+  * exactly what the certification needs: the reader's pinned caches and
+  * depth hints live in the OTHER process, so every byte it reads per
+  * synced version is what a real cross-process deployment pays.
+  *
+  * Env contract (set by [[StormHarness.launchJvm]]):
+  *  - GRAFT_CDC_DIR       table directory URI
+  *  - GRAFT_CDC_COMMITS   number of one-fragment appends (default 200)
+  *  - GRAFT_CDC_SLEEP_MS  pacing between commits (default 25)
+  *
+  * Prints `CDC_AGENT_DONE commits=<n>` on success; exits nonzero with
+  * the stack on stderr otherwise.
+  */
+object CdcChurnAgent {
+  def main(args: Array[String]): Unit = {
+    val dir = new Path(sys.env("GRAFT_CDC_DIR"))
+    val n = sys.env.getOrElse("GRAFT_CDC_COMMITS", "200").toInt
+    val sleepMs = sys.env.getOrElse("GRAFT_CDC_SLEEP_MS", "25").toLong
+    val fs = dir.getFileSystem(new Configuration())
+    var cur = GraftFormat.readLatest(fs, dir)
+      .getOrElse(sys.error(s"no committed table at $dir"))
+    val seed = cur.fragments.head
+    (0 until n).foreach { i =>
+      val base = cur
+      cur = cur.copy(version = cur.version + 1,
+        fragments = cur.fragments :+ seed.copy(
+          id = cur.maxFragmentId + 1,
+          path = s"data/agent-cdc-$i.parquet",
+          deletionPath = None, deletedCount = 0L),
+        maxFragmentId = cur.maxFragmentId + 1,
+        createdAtMs = System.currentTimeMillis(), operation = "Append")
+      GraftFormat.commit(fs, dir, cur, base = Some(base))
+      Thread.sleep(sleepMs)
+    }
+    println(s"CDC_AGENT_DONE commits=$n")
+  }
+}

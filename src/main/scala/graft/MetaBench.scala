@@ -245,6 +245,49 @@ object MetaBench {
       val cdcPinnedHits =
         graft.format.ManifestCache.peekPinnedHits.get() - pins0
 
+      // TWO-PROCESS CDC reader: a [[CdcChurnAgent]] child JVM commits
+      // 200 further one-fragment appends while THIS process syncs —
+      // no unpin simulation needed, the committer's caches live in the
+      // other process, so the bytes measured are exactly a real
+      // deployment's. Catch-up syncs (several versions per sync) are
+      // allowed and normalized per synced VERSION.
+      val cdc2pN = 200
+      val agent = StormHarness.launchJvm("graft.CdcChurnAgent", Map(
+        "GRAFT_CDC_DIR" -> dir.toUri.toString,
+        "GRAFT_CDC_COMMITS" -> cdc2pN.toString,
+        "GRAFT_CDC_SLEEP_MS" -> "40"))
+      var lastSynced = cdcCur.version
+      val target = cdcCur.version + cdc2pN
+      var bytes2p = 0L
+      var reads2p = 0L
+      var syncs2p = 0L
+      val child = try {
+        val deadline = System.nanoTime() + 900L * 1000 * 1000 * 1000
+        while (lastSynced < target) {
+          require(System.nanoTime() < deadline,
+            s"two-process CDC stalled at $lastSynced of $target")
+          GraftFormat.latestVersion(fs, dir) match {
+            case Some(head) if head > lastSynced =>
+              val b0 = GraftFormat.versionBytesRead.get()
+              val r0 = GraftFormat.versionReads.get()
+              val hm = GraftFormat.readManifest(fs, dir, head)
+              val excluded = GraftFormat.excludedAsOf(fs, dir, lastSynced,
+                hm, knownVersions = Seq(lastSynced))
+              bytes2p += GraftFormat.versionBytesRead.get() - b0
+              reads2p += GraftFormat.versionReads.get() - r0
+              syncs2p += 1
+              // every synced version appended exactly one fragment
+              require((hm.fragments.map(_.id).toSet -- excluded).size ==
+                (head - lastSynced),
+                s"two-process sync delivered the wrong fragment count")
+              lastSynced = head
+            case _ => Thread.sleep(10)
+          }
+        }
+        StormHarness.await(agent, 120)
+      } finally { agent.proc.destroyForcibly(); () }
+      require(child._1 == 0, s"CdcChurnAgent exited ${child._1}")
+
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0
       val keyMax = seed.stats("l_orderkey").max.get.toLong
@@ -324,7 +367,12 @@ object MetaBench {
         "cdc_bytes_per_sync" -> (readerBytes / cdcN).toDouble,
         "cdc_reads_per_sync" -> math.round(readerReads * 10.0 / cdcN) / 10.0,
         "cdc_sync_ms" -> ms(syncNs / cdcN),
-        "cdc_pinned_hits" -> cdcPinnedHits)
+        "cdc_pinned_hits" -> cdcPinnedHits,
+        "cdc2p_versions" -> cdc2pN,
+        "cdc2p_syncs" -> syncs2p,
+        "cdc2p_bytes_per_version" -> (bytes2p.toDouble / cdc2pN).round.toDouble,
+        "cdc2p_reads_per_version" ->
+          math.round(reads2p * 10.0 / cdc2pN) / 10.0)
     }
 
     val results = Seq(1000, 10000, 100000).map(f => f.toString -> probe(f))
@@ -351,7 +399,13 @@ object MetaBench {
       // must stay O(delta) — ~600 B records incl. cadence rollovers
       // (sidecar-served) — never O(table) (a single 10^5-fragment
       // checkpoint read would blow this by ~400x)
-      "cdc_bytes_per_sync" -> 8192.0)
+      "cdc_bytes_per_sync" -> 8192.0,
+      // ...and the same flatness CROSS-PROCESS (committer in a child
+      // JVM, its caches unreachable): looser bound because catch-up
+      // syncs read a lagged version's record twice (resolve + walk)
+      // and a poll landing mid-rollover may occasionally pay one full
+      // checkpoint — still ~80x under the O(table)-per-sync signal
+      "cdc2p_bytes_per_version" -> 32768.0)
     val pass = budget.forall { case (k, lim) =>
       at1e5(k).asInstanceOf[Double] <= lim }
 
