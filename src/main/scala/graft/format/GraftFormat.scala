@@ -1197,7 +1197,12 @@ object GraftFormat {
     var head = d0
     var attempt = 0
     while (true) {
-      try return resolveDeltaWalk(fs, table, version, head, expectId)
+      // sidecar boundary-crossing only on the first attempt: a retry
+      // means a vacuum raced the walk, and crossing could descend into
+      // freshly-dropped history behind a stale pin — the plain walk
+      // reads the materialized boundary instead, always correct
+      try return resolveDeltaWalk(fs, table, version, head, expectId,
+        allowCross = attempt == 0)
       catch {
         case e: java.io.FileNotFoundException =>
           attempt += 1
@@ -1232,30 +1237,55 @@ object GraftFormat {
     })
 
   private def resolveDeltaWalk(fs: FileSystem, table: Path, version: Long,
-      d0: ManifestDelta, expectId: Option[String]): Manifest = {
+      d0: ManifestDelta, expectId: Option[String],
+      allowCross: Boolean = true): Manifest = {
     var deltas: List[ManifestDelta] = List(d0) // kept ascending
-    // concurrent chain prefetch: versions [version - depth, version - 1]
-    // cover the remaining chain (the bottom one is the checkpoint —
-    // issued first so the largest read starts earliest). Hops already
-    // pinned are skipped; a hop another walk pins mid-flight only costs
-    // a duplicate small read. Failures are NOT surfaced here — the walk
+    val every = Option(fs.getConf)
+      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
+      .getOrElse(DefaultCheckpointEvery)
+    // newest pinned gen-matching version in [ckpt - cadence, ckpt - 1]:
+    // when one exists, the walk CROSSES the checkpoint at `ckpt` via its
+    // O(delta) sidecar and keeps descending small delta records to the
+    // pin, instead of paying the O(table) checkpoint read — the lagged
+    // long-lived reader's case (a reader synced to just below a rollover
+    // resolving a head just above it). Only id-carrying histories cross
+    // (the raw pinned probe has no other generation guard).
+    def crossPinnedBelow(ckpt: Long): Option[Long] =
+      if (!allowCross || expectId.isEmpty || every <= 1) None
+      else ((ckpt - 1) to math.max(1L, ckpt - every) by -1L).find { p =>
+        ManifestCache.peekPinnedRaw(fs, table, p)
+          .exists(_.properties.get(TableIdProp) == expectId)
+      }
+    val lo0 = math.max(1L, version - d0.depth) // the chain's checkpoint
+    val crossAt = if (d0.depth >= 1) crossPinnedBelow(lo0) else None
+    // concurrent chain prefetch: the chain hops' file names are
+    // computable (every delta's base is version-1; the head's stamped
+    // depth locates the checkpoint), so the walk issues them
+    // concurrently and consumes decoded records in order. With a
+    // crossing planned, the checkpoint's O(table) record is NOT
+    // prefetched (the sidecar replaces it) and the below-boundary
+    // deltas down to the pin are prefetched instead. Hops already
+    // pinned are skipped; failures are NOT surfaced here — the walk
     // falls back to its own raw read so the existing vacuum-race retry
     // logic stays the single error path.
+    val prefetchVersions: Seq[Long] = {
+      val above = if (d0.depth < 2) Seq.empty[Long] else (lo0 until version)
+      crossAt match {
+        case Some(p) => ((p + 1) until lo0) ++ above.filterNot(_ == lo0)
+        case None => above
+      }
+    }
     val prefetched: Map[Long, java.util.concurrent.Future[
         Either[ManifestDelta, Manifest]]] =
-      if (d0.depth < 2) Map.empty
-      else {
-        val lo = math.max(1L, version - d0.depth)
-        (lo until version)
-          .filter(v => ManifestCache.peekPinned(fs, table, v, expectId).isEmpty)
-          .map { v =>
-            v -> prefetchPool.submit(
-              new java.util.concurrent.Callable[Either[ManifestDelta, Manifest]] {
-                override def call(): Either[ManifestDelta, Manifest] =
-                  decodeAny(readBytes(fs, manifestPath(table, v)))
-              })
-          }.toMap
-      }
+      prefetchVersions
+        .filter(v => ManifestCache.peekPinned(fs, table, v, expectId).isEmpty)
+        .map { v =>
+          v -> prefetchPool.submit(
+            new java.util.concurrent.Callable[Either[ManifestDelta, Manifest]] {
+              override def call(): Either[ManifestDelta, Manifest] =
+                decodeAny(readBytes(fs, manifestPath(table, v)))
+            })
+        }.toMap
     // a prefetched record, unwrapped to the walk's own error surface
     // (FileNotFoundException must reach resolveDelta's retry loop raw)
     def fetch(v: Long): Either[ManifestDelta, Manifest] =
@@ -1282,27 +1312,48 @@ object GraftFormat {
     def guard(props: Map[String, String], v: Long): Unit =
       for (want <- expectId; got <- props.get(TableIdProp) if got != want)
         throw ManifestCache.WrongGeneration(table, v, want, Some(got))
+    // the sidecar at a predicted checkpoint hop, as a chain link: its
+    // baseVersion is ckpt-1, so pushing it keeps the fold exact while
+    // the walk descends PAST the boundary to the pinned version below
+    def crossingSidecar(ckpt: Long): Option[ManifestDelta] =
+      try {
+        decodeAny(readBytes(fs, checkpointDeltaPath(table, ckpt))) match {
+          case Left(d) if d.baseVersion == ckpt - 1 &&
+              d.properties.get(TableIdProp) == expectId => Some(d)
+          case _ => None
+        }
+      } catch { case NonFatal(_) => None } // absent/torn: read the record
     var base: Manifest = null
     while (base == null) {
       val v = deltas.head.baseVersion
       ManifestCache.peekPinned(fs, table, v, expectId) match {
         case Some(m) => base = m
         case None =>
-          fetch(v) match {
-            case Right(m) =>
-              guard(m.properties, v)
-              // the chain's checkpoint is its largest read by far —
-              // pin it so the NEXT resolve over this chain (every
-              // subsequent delta commit until the cadence rolls) hops
-              // straight to a cache hit instead of re-reading MBs
-              ManifestCache.pinPeeked(fs, table, v, m)
-              base = m
-            case Left(d) =>
-              guard(d.properties, v)
-              // a corrupt/cyclic chain must fail typed, never spin
-              require(d.baseVersion < v,
-                s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
-              deltas ::= d
+          // hop v is the current chain's checkpoint exactly when the
+          // last-pushed delta sits at depth 1; cross it via sidecar
+          // when a pin waits within one cadence below
+          val crossed =
+            if (deltas.head.depth == 1 && crossPinnedBelow(v).isDefined)
+              crossingSidecar(v)
+            else None
+          crossed match {
+            case Some(d) => deltas ::= d
+            case None => fetch(v) match {
+              case Right(m) =>
+                guard(m.properties, v)
+                // the chain's checkpoint is its largest read by far —
+                // pin it so the NEXT resolve over this chain (every
+                // subsequent delta commit until the cadence rolls) hops
+                // straight to a cache hit instead of re-reading MBs
+                ManifestCache.pinPeeked(fs, table, v, m)
+                base = m
+              case Left(d) =>
+                guard(d.properties, v)
+                // a corrupt/cyclic chain must fail typed, never spin
+                require(d.baseVersion < v,
+                  s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
+                deltas ::= d
+            }
           }
       }
     }

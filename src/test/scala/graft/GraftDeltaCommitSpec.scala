@@ -123,6 +123,44 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
       "fallback after sidecar deletion must read the checkpoint")
   }
 
+  test("a lagged reader CROSSES a checkpoint boundary backward via the " +
+      "sidecar: resolving a head above a rollover from a pin below it " +
+      "reads only O(delta) records, with the full-record fallback intact") {
+    val fsx = freshFs(every = 4)
+    val dir = tmp()
+    var m = create(fsx, dir, 400) // v1 checkpoint
+    val manifests = scala.collection.mutable.Map(1L -> m)
+    (2L to 7L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+      manifests(v) = m
+    }
+    // cadence 4: v5 is the rollover checkpoint; the reader last synced
+    // v4 (below the boundary) and now resolves v7 (above it, depth 2)
+    assert(GraftFormat.isCheckpoint(fsx, dir, 5L))
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+    val ckptLen = fsx.getFileStatus(GraftFormat.manifestPath(dir, 5L)).getLen
+    val b0 = GraftFormat.versionBytesRead.get()
+    val v7 = GraftFormat.readManifest(fsx, dir, 7L)
+    val crossedBytes = GraftFormat.versionBytesRead.get() - b0
+    assert(v7 == manifests(7L), "crossed resolve returned wrong content")
+    assert(crossedBytes < ckptLen,
+      s"crossing read $crossedBytes B >= the $ckptLen B checkpoint — " +
+        "the walk paid the O(table) record despite a pin below the boundary")
+    // fallback: with the sidecar gone, the same lagged resolve reads the
+    // full checkpoint and still resolves exactly
+    fsx.delete(GraftFormat.checkpointDeltaPath(dir, 5L), false)
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+    assert(GraftFormat.readManifest(fsx, dir, 7L) == manifests(7L),
+      "fallback resolve after sidecar deletion must still be exact")
+  }
+
   test("checkpoint cadence: the chain re-checkpoints every N versions") {
     val fsx = freshFs(every = 4)
     val dir = tmp()
