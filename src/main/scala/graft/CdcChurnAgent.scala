@@ -29,19 +29,23 @@ object CdcChurnAgent {
     val n = sys.env.getOrElse("GRAFT_CDC_COMMITS", "200").toInt
     val sleepMs = sys.env.getOrElse("GRAFT_CDC_SLEEP_MS", "25").toLong
     val fs = dir.getFileSystem(new Configuration())
-    var cur = GraftFormat.readLatest(fs, dir)
+    val seed = GraftFormat.readLatest(fs, dir)
       .getOrElse(sys.error(s"no committed table at $dir"))
-    val seed = cur.fragments.head
+      .fragments.head
     (0 until n).foreach { i =>
-      val base = cur
-      cur = cur.copy(version = cur.version + 1,
-        fragments = cur.fragments :+ seed.copy(
-          id = cur.maxFragmentId + 1,
-          path = s"data/agent-cdc-$i.parquet",
-          deletionPath = None, deletedCount = 0L),
-        maxFragmentId = cur.maxFragmentId + 1,
-        createdAtMs = System.currentTimeMillis(), operation = "Append")
-      GraftFormat.commit(fs, dir, cur, base = Some(base))
+      // the normal CAS-retry loop, like any real committer: if another
+      // process does touch the table, this agent re-reads and retries
+      // instead of dying mid-certification
+      GraftFormat.commitWithRetry(fs, dir) { base =>
+        val b = base.getOrElse(sys.error(s"table vanished at $dir"))
+        b.copy(version = b.version + 1,
+          fragments = b.fragments :+ seed.copy(
+            id = b.maxFragmentId + 1,
+            path = s"data/agent-cdc-$i.parquet",
+            deletionPath = None, deletedCount = 0L),
+          maxFragmentId = b.maxFragmentId + 1,
+          createdAtMs = System.currentTimeMillis(), operation = "Append")
+      }
       Thread.sleep(sleepMs)
     }
     println(s"CDC_AGENT_DONE commits=$n")

@@ -93,7 +93,8 @@ object MetaBench {
 
       // single-shot sub-2s measurements on a busy JVM invert orderings
       // by GC/JIT noise (graft.PackProbe, r15 VERDICT #2): every load_*
-      // metric below reports the median of 3 runs
+      // and plan_* metric below reports the median of 3 runs; bodies
+      // stash their result in an outer var when one is wanted
       def medianNs(n: Int)(body: => Unit): Long = {
         val runs = (1 to n).map { _ =>
           val t = System.nanoTime(); body; System.nanoTime() - t
@@ -301,35 +302,33 @@ object MetaBench {
       def tableDF = org.apache.spark.sql.GraftShim.tableDF(spark,
         new graft.connector.GraftTable(s"metabench:$dir", dir, loaded,
           fs.getConf))
-      // plan_* metrics are the MEDIAN of repeats (r15
-      // VERDICT #2 adjudication, graft.PackProbe): the r15 artifact's
-      // plan_packed > plan_full inversion at 10⁵ was single-shot
-      // measurement order — packed ran last, cold JIT, accumulated GC —
-      // not an algorithmic cost; interleaved repeats on the same box
-      // show packed at or below full at every fragment count.
-      def medianOf(n: Int)(body: => Int): (Long, Int) = {
-        val runs = (1 to n).map { _ =>
-          val t = System.nanoTime()
-          val parts = body
-          (System.nanoTime() - t, parts)
-        }
-        (runs.map(_._1).sorted.apply(n / 2), runs.head._2)
-      }
+      // plan_* medians adjudicate r15 VERDICT #2 (graft.PackProbe): the
+      // r15 artifact's plan_packed > plan_full inversion at 10⁵ was
+      // single-shot measurement order — packed ran last, cold JIT,
+      // accumulated GC — not an algorithmic cost; repeats on the same
+      // box show packed at or below full at every fragment count.
       // filter -> planned partitions: Catalyst + pushdown + zone prune +
       // split generation, no task execution
-      val (planPrunedNs, prunedParts) = medianOf(3)(
-        tableDF.where(col("l_orderkey") <= keyMax).rdd.getNumPartitions)
+      var prunedParts = 0
+      val planPrunedNs = medianNs(3) {
+        prunedParts =
+          tableDF.where(col("l_orderkey") <= keyMax).rdd.getNumPartitions
+      }
       // unfiltered full-scan planning: every fragment splits into
       // maxPartitionBytes ranges (the 100 TB task-fleet shape)
-      val (planFullNs, fullParts) = medianOf(3)(tableDF.rdd.getNumPartitions)
+      var fullParts = 0
+      val planFullNs = medianNs(3) {
+        fullParts = tableDF.rdd.getNumPartitions
+      }
       // tightly-capped full-scan planning (r14 VERDICT #4): with
       // spark.graft.scan.maxPartitions=8192 the effective split widens
       // to ceil(total/8192) and the planned task count tracks the cap —
       // the scheduler-cost bound for a 100 TB scan (fragment-aligned:
       // whole fragments pack, large ones range-split at the wider size)
-      val (planPackedNs, packedParts) = medianOf(3) {
+      var packedParts = 0
+      val planPackedNs = medianNs(3) {
         spark.conf.set(graft.connector.GraftScan.MaxPartitionsConf, "8192")
-        try tableDF.rdd.getNumPartitions
+        try packedParts = tableDF.rdd.getNumPartitions
         finally spark.conf.unset(graft.connector.GraftScan.MaxPartitionsConf)
       }
       // end-to-end: the pruned query actually runs (reads only the one

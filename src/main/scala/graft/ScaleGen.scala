@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <factor>
   * [tables]"` — the optional comma-separated table subset lets probes
   * that need one table at an extreme factor (the 64× ANN recall leg
-  * reads only `embeddings`) skip the rest. The output is a bench INPUT
-  * ONLY — correctness gates stay on the driver-generated data.
+  * reads only `embeddings`) skip the rest. CAVEAT: key-shift offset
+  * bases are computed over the GENERATED subset only, so tables that
+  * share a key domain (customer/orders share `custkey`, …) must be
+  * generated in ONE invocation — two single-table invocations can
+  * shift a shared domain by different bases and silently mis-join
+  * across replicas. The output is a bench INPUT ONLY — correctness
+  * gates stay on the driver-generated data.
   */
 object ScaleGen {
 

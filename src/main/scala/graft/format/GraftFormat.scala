@@ -113,6 +113,28 @@ object GraftFormat {
   val CheckpointEveryKey = "graft.manifest.checkpointEvery"
   val DefaultCheckpointEvery = 16
 
+  /** The session's checkpoint cadence — ONE definition for the four
+    * read/write sites that reason about rollovers (commit, the two
+    * sidecar fast paths, the chain walk). */
+  private def checkpointEvery(fs: FileSystem): Int = Option(fs.getConf)
+    .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
+    .getOrElse(DefaultCheckpointEvery)
+
+  /** Read + decode version `v`'s checkpoint-delta sidecar when it is a
+    * well-formed transition from v-1; None when absent, torn, or the
+    * wrong kind. Callers apply their OWN generation policy on the
+    * returned record's properties (the walk throws typed, the fast
+    * paths compare-and-skip) — sharing the guard here would silently
+    * change one caller's semantics when the other's is edited. */
+  private def readSidecarDelta(fs: FileSystem, table: Path,
+      v: Long): Option[ManifestDelta] =
+    try {
+      decodeAny(readBytes(fs, checkpointDeltaPath(table, v))) match {
+        case Left(d) if d.baseVersion == v - 1 => Some(d)
+        case _ => None
+      }
+    } catch { case NonFatal(_) => None }
+
   /** Stable per-history identity ("generation"): stamped into version
     * 1's properties at creation and inherited by every later commit
     * (all write paths carry properties forward; REPLACE inherits it —
@@ -310,24 +332,16 @@ object GraftFormat {
       // (r15 VERDICT #6 — at 10⁵ fragments each avoided checkpoint is
       // MBs of parse). A wrong prediction costs one 404 and falls back.
       var lastDepth = -1
-      val every = Option(fs.getConf)
-        .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
-        .getOrElse(DefaultCheckpointEvery)
+      val every = checkpointEvery(fs)
+      // absent/torn sidecar (non-representable rollover, pre-sidecar
+      // history): None — the full record is the fallback; a PRESENT
+      // sidecar from the wrong generation surfaces typed like any hop
       def sidecarTransition(v: Long): Option[(String, Set[Int], Set[Int], Set[Int])] =
-        try {
-          decodeAny(readBytes(fs, checkpointDeltaPath(table, v))) match {
-            case Left(d) if d.baseVersion == v - 1 =>
-              guardGen(d.properties, v)
-              val removed = d.removed.toSet
-              val intro = d.upserts.iterator.map(_.id).filterNot(prev).toSet
-              Some((d.operation, intro, removed, prev -- removed ++ intro))
-            case _ => None
-          }
-        } catch {
-          case e: ManifestCache.WrongGeneration => throw e
-          // absent (non-representable rollover, pre-sidecar history) or
-          // torn best-effort write: the full record is the fallback
-          case NonFatal(_) => None
+        readSidecarDelta(fs, table, v).map { d =>
+          guardGen(d.properties, v)
+          val removed = d.removed.toSet
+          val intro = d.upserts.iterator.map(_.id).filterNot(prev).toSet
+          (d.operation, intro, removed, prev -- removed ++ intro)
         }
       ((from + 1L) to endManifest.version).foreach { v =>
         // the walk only needs each version's OPERATION and fragment-id
@@ -789,34 +803,39 @@ object GraftFormat {
         }
     }
 
-  /** True when version `v`'s stored file is a FULL manifest. Vacuum uses
-    * it to keep the oldest retained version resolvable (a retained delta
-    * whose base was dropped would be unreadable). Sniffs the record KIND
-    * from its first bytes — delta records serialize with the fixed
-    * prefix `{"delta":true` (deltaJson) — instead of parsing the whole
-    * record: at 10⁵ fragments a checkpoint is MBs of gunzip + JSON walk
-    * just to answer one bit. */
+  /** True when version `v`'s stored file is a FULL manifest (benches
+    * and specs classify records with it; vacuum's boundary logic goes
+    * through [[materializeCheckpoint]], which re-reads for itself).
+    * Sniffs the record KIND from its first bytes — delta records
+    * serialize with the fixed prefix `{"delta":true` (deltaJson) —
+    * instead of parsing the whole record: at 10⁵ fragments a checkpoint
+    * is MBs of gunzip + JSON walk just to answer one bit. */
   private[graft] def isCheckpoint(fs: FileSystem, table: Path, v: Long): Boolean = {
     val prefix = "{\"delta\":true".getBytes(UTF_8)
+    // short reads are legal for any InputStream: every read below loops
+    // to its requested length (a 1-byte first read of a gzip record
+    // must not dodge the magic check and misclassify the kind)
+    def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
+      var read = 0
+      while (read < buf.length) {
+        val r = in.read(buf, read, buf.length - read)
+        if (r < 0) return read
+        read += r
+      }
+      read
+    }
     val in = fs.open(manifestPath(table, v))
     try {
       val head = new Array[Byte](2)
-      val n = in.read(head, 0, 2)
+      val n = readFully(in, head)
+      in.seek(0L)
       val stream: java.io.InputStream =
-        if (n == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte) {
-          in.seek(0L)
+        if (n == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
           new java.util.zip.GZIPInputStream(in, 1024)
-        } else {
-          in.seek(0L)
-          in
-        }
+        else in
       val buf = new Array[Byte](prefix.length)
-      var read = 0
-      while (read < buf.length) {
-        val r = stream.read(buf, read, buf.length - read)
-        if (r < 0) return true // shorter than any delta prefix: full
-        read += r
-      }
+      if (readFully(stream, buf) < buf.length)
+        return true // shorter than any delta prefix: full
       !java.util.Arrays.equals(buf, prefix)
     } finally in.close()
   }
@@ -1142,9 +1161,7 @@ object GraftFormat {
   private def sidecarFastPath(fs: FileSystem, table: Path,
       version: Long): Option[Manifest] = {
     if (version <= 1L) return None
-    val every = Option(fs.getConf)
-      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
-      .getOrElse(DefaultCheckpointEvery)
+    val every = checkpointEvery(fs)
     if (every <= 1) return None
     val rollover = chainDepths.get(depthKey(fs, table)) match {
       // a continuous reader knows the PREVIOUS head's chain position:
@@ -1160,22 +1177,16 @@ object GraftFormat {
     val prev = ManifestCache.peekPinnedRaw(fs, table, version - 1)
       .getOrElse(return None)
     val prevId = prev.properties.get(TableIdProp).getOrElse(return None)
-    try {
-      decodeAny(readBytes(fs, checkpointDeltaPath(table, version))) match {
-        case Left(d) if d.baseVersion == version - 1 &&
-            d.properties.get(TableIdProp).contains(prevId) =>
-          val m = applyDelta(prev, d)
-          recordDepth(fs, table, version, 0)
-          ManifestCache.pinPeeked(fs, table, version, m)
-          Some(m)
-        case _ => None
+    // absent/torn sidecar or one from another generation: the full
+    // record is the always-correct fallback
+    readSidecarDelta(fs, table, version)
+      .filter(_.properties.get(TableIdProp).contains(prevId))
+      .map { d =>
+        val m = applyDelta(prev, d)
+        recordDepth(fs, table, version, 0)
+        ManifestCache.pinPeeked(fs, table, version, m)
+        m
       }
-    } catch {
-      // absent (non-representable checkpoint, pre-sidecar table) or
-      // unreadable (torn best-effort write): the full record is the
-      // always-correct fallback
-      case NonFatal(_) => None
-    }
   }
 
   /** Fold version `version`'s delta chain back to its checkpoint.
@@ -1240,9 +1251,7 @@ object GraftFormat {
       d0: ManifestDelta, expectId: Option[String],
       allowCross: Boolean = true): Manifest = {
     var deltas: List[ManifestDelta] = List(d0) // kept ascending
-    val every = Option(fs.getConf)
-      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
-      .getOrElse(DefaultCheckpointEvery)
+    val every = checkpointEvery(fs)
     // newest pinned gen-matching version in [ckpt - cadence, ckpt - 1]:
     // when one exists, the walk CROSSES the checkpoint at `ckpt` via its
     // O(delta) sidecar and keeps descending small delta records to the
@@ -1257,35 +1266,45 @@ object GraftFormat {
           .exists(_.properties.get(TableIdProp) == expectId)
       }
     val lo0 = math.max(1L, version - d0.depth) // the chain's checkpoint
-    val crossAt = if (d0.depth >= 1) crossPinnedBelow(lo0) else None
+    // the NEWEST pinned gen-matching version below the head, searched
+    // down to one cadence below the checkpoint (crossings never reach
+    // further): the walk terminates there, so nothing at or below it
+    // must be prefetched — an unbounded range here would read (and at
+    // the checkpoint, fully parse) records the walk never consumes
+    val newestPinned: Option[Long] =
+      if (expectId.isEmpty) None
+      else ((version - 1) to math.max(1L, lo0 - every) by -1L)
+        .find(v => ManifestCache.peekPinned(fs, table, v, expectId).isDefined)
+    val crossAt = newestPinned.filter(p =>
+      allowCross && every > 1 && d0.depth >= 1 && p < lo0)
     // concurrent chain prefetch: the chain hops' file names are
     // computable (every delta's base is version-1; the head's stamped
     // depth locates the checkpoint), so the walk issues them
-    // concurrently and consumes decoded records in order. With a
-    // crossing planned, the checkpoint's O(table) record is NOT
-    // prefetched (the sidecar replaces it) and the below-boundary
-    // deltas down to the pin are prefetched instead. Hops already
-    // pinned are skipped; failures are NOT surfaced here — the walk
+    // concurrently and consumes decoded records in order — only the
+    // hops ABOVE the walk's stopping point (the newest pin, or the
+    // checkpoint when nothing is pinned). With a crossing planned, the
+    // checkpoint's O(table) record is NOT prefetched (the sidecar
+    // replaces it) and the below-boundary deltas down to the pin are
+    // prefetched instead. Failures are NOT surfaced here — the walk
     // falls back to its own raw read so the existing vacuum-race retry
     // logic stays the single error path.
-    val prefetchVersions: Seq[Long] = {
-      val above = if (d0.depth < 2) Seq.empty[Long] else (lo0 until version)
-      crossAt match {
-        case Some(p) => ((p + 1) until lo0) ++ above.filterNot(_ == lo0)
-        case None => above
-      }
+    val prefetchVersions: Seq[Long] = newestPinned match {
+      case Some(p) if p >= lo0 => (p + 1) until version
+      case Some(p) if crossAt.isDefined =>
+        ((p + 1) until version).filterNot(_ == lo0)
+      // pinned only below the boundary but crossing disallowed: the
+      // walk stops at the checkpoint — same plan as the unpinned case
+      case _ => if (d0.depth < 2) Seq.empty[Long] else lo0 until version
     }
     val prefetched: Map[Long, java.util.concurrent.Future[
         Either[ManifestDelta, Manifest]]] =
-      prefetchVersions
-        .filter(v => ManifestCache.peekPinned(fs, table, v, expectId).isEmpty)
-        .map { v =>
-          v -> prefetchPool.submit(
-            new java.util.concurrent.Callable[Either[ManifestDelta, Manifest]] {
-              override def call(): Either[ManifestDelta, Manifest] =
-                decodeAny(readBytes(fs, manifestPath(table, v)))
-            })
-        }.toMap
+      prefetchVersions.map { v =>
+        v -> prefetchPool.submit(
+          new java.util.concurrent.Callable[Either[ManifestDelta, Manifest]] {
+            override def call(): Either[ManifestDelta, Manifest] =
+              decodeAny(readBytes(fs, manifestPath(table, v)))
+          })
+      }.toMap
     // a prefetched record, unwrapped to the walk's own error surface
     // (FileNotFoundException must reach resolveDelta's retry loop raw)
     def fetch(v: Long): Either[ManifestDelta, Manifest] =
@@ -1314,15 +1333,11 @@ object GraftFormat {
         throw ManifestCache.WrongGeneration(table, v, want, Some(got))
     // the sidecar at a predicted checkpoint hop, as a chain link: its
     // baseVersion is ckpt-1, so pushing it keeps the fold exact while
-    // the walk descends PAST the boundary to the pinned version below
+    // the walk descends PAST the boundary to the pinned version below.
+    // Absent/torn/wrong-generation: None — read the record instead.
     def crossingSidecar(ckpt: Long): Option[ManifestDelta] =
-      try {
-        decodeAny(readBytes(fs, checkpointDeltaPath(table, ckpt))) match {
-          case Left(d) if d.baseVersion == ckpt - 1 &&
-              d.properties.get(TableIdProp) == expectId => Some(d)
-          case _ => None
-        }
-      } catch { case NonFatal(_) => None } // absent/torn: read the record
+      readSidecarDelta(fs, table, ckpt)
+        .filter(_.properties.get(TableIdProp) == expectId)
     var base: Manifest = null
     while (base == null) {
       val v = deltas.head.baseVersion
@@ -1400,9 +1415,7 @@ object GraftFormat {
       // order (the dual of the read-side strip above)
       else if (m.formatVersion == 2) stripStringStats(m)
       else m.copy(fragments = m.fragments.map(_.copy(sizeBytes = 0L, stats = Map.empty)))
-    val every = Option(fs.getConf)
-      .map(_.getInt(CheckpointEveryKey, DefaultCheckpointEvery))
-      .getOrElse(DefaultCheckpointEvery)
+    val every = checkpointEvery(fs)
     // sizeable = small enough that readers win by reading it over the
     // full record (a delta touching most of the table is no smaller
     // than a checkpoint, and readers would pay the chain walk on top)

@@ -436,10 +436,13 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // latch wait (it did wait, and the retry-wave accounting
             // the spec asserts counts waiters, not successes) — the
             // post-join placement undercounted exactly under the
-            // store-error retries the latch exists for
-            if (f.isDone)
+            // store-error retries the latch exists for. A latch that
+            // COMPLETED exceptionally (isDone is true for those too)
+            // counts as neither: it served nothing and the loop
+            // re-races for a fresh one.
+            if (f.isDone && !f.isCompletedExceptionally)
               AnnTopKIndexRewrite.metrics.countJobCacheHits.incrementAndGet()
-            else
+            else if (!f.isDone)
               AnnTopKIndexRewrite.metrics.countJobLatchWaits.incrementAndGet()
             try result = f.join()
             catch {
