@@ -263,9 +263,13 @@ object MetaBench {
       var reads2p = 0L
       var syncs2p = 0L
       val child = try {
-        val deadline = System.nanoTime() + 900L * 1000 * 1000 * 1000
+        // nanoTime is only meaningful as an elapsed DIFFERENCE (the
+        // absolute value may be negative or wrap) — compare elapsed
+        // against the timeout, never absolute time against a deadline
+        val stallStart = System.nanoTime()
+        val timeoutNs = 900L * 1000 * 1000 * 1000
         while (lastSynced < target) {
-          require(System.nanoTime() < deadline,
+          require(System.nanoTime() - stallStart < timeoutNs,
             s"two-process CDC stalled at $lastSynced of $target")
           GraftFormat.latestVersion(fs, dir) match {
             case Some(head) if head > lastSynced =>

@@ -1149,12 +1149,27 @@ object GraftFormat {
     }
   }
 
+  // Per-table newest version whose sidecar lookup came back ABSENT:
+  // the fast path's hint case (v == version, d == 0) fires on every
+  // re-resolve of a known checkpoint head, so a checkpoint with no
+  // sidecar (non-representable transition, pre-sidecar history) would
+  // otherwise pay the 404 round trip on every readManifest of that
+  // head. One (version) per table — absence at OLDER versions doesn't
+  // recur (the hint tracks the head). A drop + re-create at the same
+  // path could later have a sidecar at the cached version; the stale
+  // negative entry then only skips an optimization (full-record
+  // fallback, always correct).
+  private val noSidecarAt =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Resolve `version` by applying its checkpoint-delta sidecar to the
     * PINNED resolved manifest of version-1, when both exist and belong
     * to the same generation. Only attempted when the head-depth hint
     * predicts a cadence rollover — a wrong prediction costs one 404 and
     * falls through; a right one replaces an O(table) checkpoint read
-    * with an O(delta) one. Generation safety: the sidecar is read FRESH
+    * with an O(delta) one. Negative lookups are cached per (table,
+    * version) so a sidecar-less head is probed once, not per resolve.
+    * Generation safety: the sidecar is read FRESH
     * from disk (it is the current history's file at that path — drops
     * delete the directory wholesale) and must carry the same table id
     * as the pinned base; id-less histories never take this path. */
@@ -1174,12 +1189,15 @@ object GraftFormat {
       case _ => false
     }
     if (!rollover) return None
+    if (noSidecarAt.get(depthKey(fs, table)).contains(version)) return None
     val prev = ManifestCache.peekPinnedRaw(fs, table, version - 1)
       .getOrElse(return None)
     val prevId = prev.properties.get(TableIdProp).getOrElse(return None)
     // absent/torn sidecar or one from another generation: the full
     // record is the always-correct fallback
-    readSidecarDelta(fs, table, version)
+    val side = readSidecarDelta(fs, table, version)
+    if (side.isEmpty) noSidecarAt.put(depthKey(fs, table), version)
+    side
       .filter(_.properties.get(TableIdProp).contains(prevId))
       .map { d =>
         val m = applyDelta(prev, d)

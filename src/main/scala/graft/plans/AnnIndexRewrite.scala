@@ -301,8 +301,11 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // occupancy (r15 VERDICT #5): nLists is fixed at build time, so
     // corpus growth packs each k-means cell denser and boundary losses
     // grow — unfiltered recall at the fixed default drifted 0.91 (base)
-    // -> 0.85 (16x) in BENCH_RECALL.json. Each 4x of average occupancy
-    // above a 256-rows/list reference widens the probe by one list.
+    // -> 0.85 (16x) in BENCH_RECALL.json. One extra list per 4x of
+    // average occupancy above a 256-rows/list reference: ceil banding,
+    // so the k-th extra list arrives just ABOVE 256*4^(k-1) (the first
+    // at occupancy 257, the second just above 1024) and exact-power
+    // occupancies sit at the top of their band, not the next one.
     // Occupancy = liveRows / nLists — the same total the persisted
     // `list_sizes` sum to, already on hand at plan time with zero I/O.
     // spark.graft.ann.nprobeScale=false pins the fixed default.
@@ -314,7 +317,7 @@ case class AnnTopKIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val extra =
           if (spark.conf.get("spark.graft.ann.nprobeScale", "true") == "false"
               || occupancy <= 256.0) 0
-          else (math.log(occupancy / 256.0) / math.log(4.0)).toInt + 1
+          else math.ceil(math.log(occupancy / 256.0) / math.log(4.0)).toInt
         if (extra > 0)
           logInfo(s"graft ANN default nprobe scaled 4 -> ${4 + extra} " +
             f"(avg list occupancy $occupancy%.0f rows)")

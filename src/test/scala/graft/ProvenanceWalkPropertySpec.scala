@@ -38,6 +38,10 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
   private val fs: FileSystem = {
     val conf = new Configuration()
     conf.setInt(GraftFormat.CheckpointEveryKey, 3)
+    // bypass Hadoop's FS cache (keyed on scheme+authority, NOT conf):
+    // a cached instance would silently ignore the cadence-3 conf above
+    // — or worse, leak cadence 3 into every other suite's getLocal
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     FileSystem.getLocal(conf)
   }
   private val schemaJson = org.apache.spark.sql.types.StructType(Seq(
