@@ -445,22 +445,57 @@ object GraftFormat {
     }
   }
 
+  // (tableKey, version) -> (createdAtMs, generation id): commit times
+  // are IMMUTABLE once committed, so timestamp travel only ever reads a
+  // version's record once per process (r16 VERDICT #3 — the linear
+  // listVersions walk stays, but its reads don't recur). Only
+  // id-stamped records are cached: the generation id is the one
+  // evidence that distinguishes a drop + re-create reusing the same
+  // version numbers from the history the entry was read under. Crude
+  // size valve, not LRU — timestamp travel is rare and entries are
+  // two boxed longs + a string.
+  private val createdAtCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, String)]
+  private val CreatedAtCacheCap = 262144
+
   /** Latest version whose commit time is <= tsMs (reference semantics:
     * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388).
     * Reads each version's stored RECORD only — both full manifests and
-    * delta records carry createdAtMs — never resolving delta chains: a
-    * 10³-version history costs 10³ small reads, not 10³ chain folds.
-    * No binary search: createdAtMs is stamped from each committer's
-    * wall clock, so cross-process skew can make it non-monotone in
-    * version — the linear filter is the only order-safe read. */
+    * delta records carry createdAtMs — never resolving delta chains,
+    * and each version's record AT MOST ONCE per process: createdAtMs is
+    * immutable once committed, so repeat calls on a 10³-version table
+    * read only the versions committed since the last call (plus the
+    * newest record, re-read fresh as the generation witness every
+    * cached entry is validated against). No binary search: createdAtMs
+    * is stamped from each committer's wall clock, so cross-process skew
+    * can make it non-monotone in version — the linear filter is the
+    * only order-safe read. */
   def versionAtTimestamp(fs: FileSystem, table: Path, tsMs: Long): Option[Long] = {
-    val at = listVersions(fs, table)
-      .map { v =>
-        val createdAt = decodeAny(readBytes(fs, manifestPath(table, v)))
-          .fold(_.createdAtMs, _.createdAtMs)
-        v -> createdAt
-      }
-      .filter(_._2 <= tsMs)
+    val versions = listVersions(fs, table)
+    if (versions.isEmpty) return None
+    val tk = depthKey(fs, table)
+    if (createdAtCache.size > CreatedAtCacheCap) createdAtCache.clear()
+    def readRecord(v: Long): (Long, Option[String]) = {
+      val r = decodeAny(readBytes(fs, manifestPath(table, v)))
+      (r.fold(_.createdAtMs, _.createdAtMs),
+        r.fold(_.properties, _.properties).get(TableIdProp))
+    }
+    // the newest record is read FRESH: it is the one version whose
+    // record a new commit always changes, and its generation id guards
+    // every cache hit below against a same-path drop + re-create
+    val (newestAt, genId) = readRecord(versions.last)
+    val at = versions.map { v =>
+      val createdAt =
+        if (v == versions.last) newestAt
+        else createdAtCache.get((tk, v)) match {
+          case Some((ms, g)) if genId.contains(g) => ms
+          case _ =>
+            val (ms, id) = readRecord(v)
+            for (g <- id) createdAtCache.put((tk, v), (ms, g))
+            ms
+        }
+      v -> createdAt
+    }.filter(_._2 <= tsMs)
     at.lastOption.map(_._1)
   }
 

@@ -15,8 +15,9 @@ import graft.queries.Q
   * and never collects to the driver.
   *
   * Scale design notes:
-  *  - Exact dedup: single hash-shuffle on the text (or a 128-bit digest
-  *    of it at real scale to keep shuffle rows narrow).
+  *  - Exact dedup: single hash-shuffle on a 128-bit digest of the text
+  *    (two xxhash64 lanes + length) — shuffle rows stay ~32 B wide no
+  *    matter how large the documents are.
   *  - MinHash-LSH: the only near-dup approach that survives 100 TB —
   *    candidate generation is a band-bucket shuffle (linear), never an
   *    all-pairs product. Banding: 32 bands x 2 rows over a 64-perm
@@ -1058,16 +1059,27 @@ object TextOps {
         .select("doc_id", "text", "n_removed").orderBy("doc_id")
     },
 
-    // Exact dedup: one shuffle on text, keep lowest doc_id per group.
+    // Exact dedup: one shuffle on a 128-bit DIGEST of the text (two
+    // independent xxhash64 lanes + the char length as tiebreak), keep
+    // lowest doc_id per group. Grouping by the digest instead of the
+    // raw text keeps shuffle rows ~32 B wide — at 100 TB a GROUP BY
+    // text would carry the whole corpus through the exchange, and no
+    // aggregate here reads the text, so the pre-shuffle projection
+    // drops it entirely (plan-asserted in TextOpsSpec). Collisions
+    // need a simultaneous 2x64-bit hash + length match: negligible
+    // at any corpus size this engine targets.
     Q("t01_exact_dedup",
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |  min(n_chars) AS n_chars
         |FROM documents
         |GROUP BY text
         |ORDER BY doc_id""".stripMargin,
-      "exact dedup via hash groupBy on text, lowest-id survivor") { (s, d) =>
+      "exact dedup via 128-bit text digest groupBy, lowest-id survivor") {
+      (s, d) =>
       docs(s, d)
-        .groupBy(col("text"))
+        .groupBy(length(col("text")).as("t_len"),
+          xxhash64(col("text")).as("t_h1"),
+          xxhash64(lit("graft:t01:lane2"), col("text")).as("t_h2"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
           min(col("n_chars")).as("n_chars"))
         .select("doc_id", "n_copies", "n_chars")

@@ -70,6 +70,38 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(GraftFormat.versionAtTimestamp(fs, dir, 99999).contains(3L))
   }
 
+  test("versionAtTimestamp memoizes createdAtMs: repeat calls read O(new versions)") {
+    val dir = tmp()
+    val props = GraftFormat.withTableId(Map.empty)
+    (1L to 40L).foreach { v =>
+      GraftFormat.commit(fs, dir,
+        manifest(v, ts = 1000 * v).copy(properties = props))
+    }
+    GraftFormat.versionAtTimestamp(fs, dir, 999999) // warm the cache
+    val r0 = GraftFormat.versionReads.get()
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 15500).contains(15L))
+    val warmReads = GraftFormat.versionReads.get() - r0
+    // only the newest record (the generation witness) is re-read
+    assert(warmReads <= 2, s"warm timestamp travel read $warmReads records")
+    // new commits since the last call are the only additional reads
+    GraftFormat.commit(fs, dir,
+      manifest(41L, ts = 41000).copy(properties = props))
+    val r1 = GraftFormat.versionReads.get()
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 999999).contains(41L))
+    assert(GraftFormat.versionReads.get() - r1 <= 2,
+      "incremental timestamp travel re-read old records")
+    // generation safety: a drop + re-create reusing version numbers
+    // must NOT serve the dead history's commit times
+    fs.delete(dir, true)
+    val props2 = GraftFormat.withTableId(Map.empty)
+    (1L to 3L).foreach { v =>
+      GraftFormat.commit(fs, dir,
+        manifest(v, ts = 500000 + v).copy(properties = props2))
+    }
+    assert(GraftFormat.versionAtTimestamp(fs, dir, 400000).isEmpty,
+      "stale cached createdAtMs leaked across a drop + re-create")
+  }
+
   test("deletion file roundtrip: sorted, deduplicated") {
     val dir = tmp()
     GraftFormat.init(fs, dir)

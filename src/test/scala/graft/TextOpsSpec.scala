@@ -526,6 +526,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids(gated) == Set(1L), s"got ${ids(gated)}")
   }
 
+  test("t01 exact dedup shuffles digests, never the text column") {
+    val df = SparkEntry.queries("t01_exact_dedup")(spark, sf)
+    df.collect() // AQE finalizes the executed plan
+    // every exchange's input schema must be digest-width: at 100 TB a
+    // GROUP BY raw text would carry the corpus through the shuffle.
+    // AQE hides exchanges inside materialized query stages — walk them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(q: SparkPlan): Seq[ShuffleExchangeExec] = q.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case qs: QueryStageExec => walk(qs.plan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    }.flatten
+    val exchanges = walk(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected at least the groupBy exchange")
+    exchanges.foreach { e =>
+      val wide = e.child.output.filter(a =>
+        a.name == "text" || a.dataType ==
+          org.apache.spark.sql.types.StringType)
+      assert(wide.isEmpty,
+        s"t01 shuffle carries string columns ${wide.map(_.name)}:\n$e")
+    }
+    // and the grouped result still matches a raw-text groupBy exactly
+    val viaText = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("n_chars")).as("n_chars"))
+      .select("doc_id", "n_copies", "n_chars").orderBy("doc_id")
+    assert(df.collect().toSeq == viaText.collect().toSeq,
+      "digest groupBy diverged from raw-text groupBy")
+  }
+
   test("t20 pii scrub plans as pure codegen with zero exchanges") {
     val df = SparkEntry.queries("t20_pii_scrub")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final plan
