@@ -320,11 +320,18 @@ object Bench {
     // uniform inflation sits under the 1.5x total trigger but 6+
     // retries say the box was busy — writing it to BENCH_FULL.json
     // would poison next round's guard baseline exactly like r10's did
+    // artifact hygiene (r16 VERDICT #7): only a PUBLISH run may write
+    // the canonical BENCH_FULL.json (the committed sweep other runs
+    // baseline against). Unpublished clean runs — e.g. the driver's
+    // gate re-run, whose numbers live in its own BENCH_rNN.json — land
+    // in a scratch file so one filename never holds two runs' numbers.
+    val publish = sys.env.get("SPARK_GRAFT_BENCH_PUBLISH").contains("1")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.nonEmpty) "BENCH_PARTIAL.json"
         else if (contended || contendedSuspect) "BENCH_CONTENDED.json"
-        else "BENCH_FULL.json"),
+        else if (publish) "BENCH_FULL.json"
+        else "BENCH_FULL_run.json"),
       line + "\n")
     println(line)
     spark.stop()

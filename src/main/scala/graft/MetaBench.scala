@@ -150,11 +150,9 @@ object MetaBench {
       // (checkpoint + up to cadence-1 small delta reads).
       val churnN = 33
       var cur = resolved
-      var churnBytes = 0L
-      var churnCheckpoints = 0
       val perCommitNs = new Array[Long](churnN)
-      val wasCheckpoint = new Array[Boolean](churnN)
       var ci = 0
+      val churnStartV = cur.version
       while (ci < churnN) {
         val base = cur
         cur = cur.copy(version = cur.version + 1,
@@ -167,18 +165,38 @@ object MetaBench {
         val c0 = System.nanoTime()
         GraftFormat.commit(fs, dir, cur, base = Some(base))
         perCommitNs(ci) = System.nanoTime() - c0
-        churnBytes += fs.getFileStatus(
-          GraftFormat.manifestPath(dir, cur.version)).getLen
-        // classify THIS sample by what the commit actually stored (r15
-        // ADVICE: the old sorted.take(churnN - checkpoints) slice
-        // assumed the slowest samples were exactly the checkpoints,
-        // so one jittery delta outrunning a checkpoint write skewed
-        // the reported delta median)
-        wasCheckpoint(ci) = GraftFormat.isCheckpoint(fs, dir, cur.version)
-        if (wasCheckpoint(ci)) churnCheckpoints += 1
         ci += 1
       }
+      // rollover checkpoints materialize OUT-OF-BAND (r16 VERDICT #1):
+      // the committer-visible worst case is now a delta-cost commit.
+      // Quiesce the background swaps, then classify/size the stored
+      // records — the quiesce time itself is reported (the real,
+      // off-critical-path O(table) encode cost), and the boundary
+      // records must have actually become checkpoints (a silently dead
+      // materializer would otherwise grow cold-walk depth unbounded).
+      val mw0 = System.nanoTime()
+      require(GraftFormat.awaitMaterializations(),
+        "churn checkpoint materialization stalled")
+      val materializeWaitNs = System.nanoTime() - mw0
+      var churnBytes = 0L
+      var churnCheckpoints = 0
+      val wasCheckpoint = new Array[Boolean](churnN)
+      (0 until churnN).foreach { i =>
+        val v = churnStartV + 1 + i
+        churnBytes += fs.getFileStatus(
+          GraftFormat.manifestPath(dir, v)).getLen
+        // classify by what is NOW stored (r15 ADVICE: never assume the
+        // slowest samples were the checkpoints)
+        wasCheckpoint(i) = GraftFormat.isCheckpoint(fs, dir, v)
+        if (wasCheckpoint(i)) churnCheckpoints += 1
+      }
+      require(churnCheckpoints >= 1,
+        "a 33-commit churn must cross at least one cadence rollover")
       val amortizedNs = perCommitNs.sum / churnN
+      // the committer-visible WORST case across the cadence: with
+      // deferred materialization this must sit near the delta median,
+      // not at the old 1.8 s inline checkpoint write
+      val worstNs = perCommitNs.max
       // guard the degenerate case (every commit a checkpoint = delta
       // path lost): the bench must REPORT that regression via the
       // amortized budget, not crash on an empty median slice
@@ -313,6 +331,49 @@ object MetaBench {
       } finally { agent.proc.destroyForcibly(); () }
       require(child._1 == 0, s"CdcChurnAgent exited ${child._1}")
 
+      // LAGGED two-process variant (r16 VERDICT #5): the reader syncs
+      // only every ~3 checkpoint cadences (48 versions at cadence 16),
+      // so each head resolve sits several boundaries above its last
+      // pin — the chained sidecar crossings must keep bytes/version
+      // O(delta) where r16 paid a full checkpoint at each intermediate
+      // boundary. Same child-JVM committer; catch-up walks normalized
+      // per synced version as above.
+      val lagN = 192 // 4 sync windows of ~3 cadences each
+      val lagEvery = 48L
+      val lagAgent = StormHarness.launchJvm("graft.CdcChurnAgent", Map(
+        "GRAFT_CDC_DIR" -> dir.toUri.toString,
+        "GRAFT_CDC_COMMITS" -> lagN.toString,
+        "GRAFT_CDC_SLEEP_MS" -> "15"))
+      var lagSynced = lastSynced
+      val lagTarget = lastSynced + lagN
+      var lagBytes = 0L
+      var lagSyncs = 0L
+      val lagChild = try {
+        val lagStart = System.nanoTime()
+        val timeoutNs = 900L * 1000 * 1000 * 1000
+        while (lagSynced < lagTarget) {
+          require(System.nanoTime() - lagStart < timeoutNs,
+            s"lagged two-process CDC stalled at $lagSynced of $lagTarget")
+          GraftFormat.latestVersion(fs, dir) match {
+            case Some(head) if head - lagSynced >= lagEvery ||
+                (head == lagTarget && head > lagSynced) =>
+              val b0 = GraftFormat.versionBytesRead.get()
+              val hm = GraftFormat.readManifest(fs, dir, head)
+              val excluded = GraftFormat.excludedAsOf(fs, dir, lagSynced,
+                hm, knownVersions = Seq(lagSynced))
+              lagBytes += GraftFormat.versionBytesRead.get() - b0
+              lagSyncs += 1
+              require((hm.fragments.map(_.id).toSet -- excluded).size ==
+                (head - lagSynced),
+                "lagged two-process sync delivered the wrong fragment count")
+              lagSynced = head
+            case _ => Thread.sleep(10)
+          }
+        }
+        StormHarness.await(lagAgent, 120)
+      } finally { lagAgent.proc.destroyForcibly(); () }
+      require(lagChild._1 == 0, s"lagged CdcChurnAgent exited ${lagChild._1}")
+
       // zone-map prune over the whole fragment list (the inner loop of
       // planInputPartitions), predicate selecting only fragment 0
       val keyMax = seed.stats("l_orderkey").max.get.toLong
@@ -385,6 +446,8 @@ object MetaBench {
         "churn_total_mb" -> math.round(churnBytes / 1e4) / 100.0,
         "commit_amortized_ms" -> ms(amortizedNs),
         "commit_delta_median_ms" -> ms(medianDeltaNs),
+        "commit_worst_ms" -> ms(worstNs),
+        "churn_materialize_wait_ms" -> ms(materializeWaitNs),
         "load_head_depth_ms" -> ms(loadHeadNs),
         "cdc_versions" -> cdcN,
         "cdc_bytes_per_sync" -> (readerBytes / cdcN).toDouble,
@@ -400,7 +463,11 @@ object MetaBench {
         "cdc2p_syncs" -> syncs2p,
         "cdc2p_bytes_per_version" -> (bytes2p.toDouble / cdc2pN).round.toDouble,
         "cdc2p_reads_per_version" ->
-          math.round(reads2p * 10.0 / cdc2pN) / 10.0)
+          math.round(reads2p * 10.0 / cdc2pN) / 10.0,
+        "cdc2p_lag_versions" -> lagN,
+        "cdc2p_lag_syncs" -> lagSyncs,
+        "cdc2p_lag_bytes_per_version" ->
+          (lagBytes.toDouble / lagN).round.toDouble)
     }
 
     val results = Seq(1000, 10000, 100000).map(f => f.toString -> probe(f))
@@ -434,10 +501,21 @@ object MetaBench {
       // and a poll landing mid-rollover may occasionally pay one full
       // checkpoint — still ~80x under the O(table)-per-sync signal
       "cdc2p_bytes_per_version" -> 32768.0,
+      // ...and even when the reader syncs only every ~3 cadences: the
+      // chained sidecar crossings (r16 VERDICT #5) must keep each
+      // intermediate boundary O(delta) — one 10⁵-fragment checkpoint
+      // per 48-version window alone would be ~54 KB/version
+      "cdc2p_lag_bytes_per_version" -> 32768.0,
       // warm timestamp travel is O(new versions): only the newest
       // record (the generation witness) may be re-read on a repeat
       // call over an unchanged ~10³-version history
-      "ts_travel_warm_reads" -> 4.0)
+      "ts_travel_warm_reads" -> 4.0,
+      // the committer-visible WORST commit across a full cadence must
+      // sit near the delta median (r16 VERDICT #1) — the O(table)
+      // checkpoint encode (1817 ms inline at 10⁵ in r16) now runs
+      // out-of-band. 400 ms tolerates a GC pause landing on any
+      // sample while still refusing an inline checkpoint write.
+      "commit_worst_ms" -> 400.0)
     val pass = budget.forall { case (k, lim) =>
       at1e5(k).asInstanceOf[Double] <= lim }
 

@@ -113,6 +113,31 @@ object GraftFormat {
   val CheckpointEveryKey = "graft.manifest.checkpointEvery"
   val DefaultCheckpointEvery = 16
 
+  /** How cadence-rollover checkpoints get written (r16 VERDICT #1).
+    * The O(table) checkpoint encode+write (1.8 s at 10⁵ fragments) must
+    * not sit on the commit critical path — every 16th writer would
+    * stall ~100x the delta median. When a rollover's transition is
+    * delta-representable, the commit stores the O(delta) record stamped
+    * depth 0 (a LOGICAL checkpoint: all cadence arithmetic — depth
+    * hints, sidecar prediction, crossings — is untouched) and the full
+    * manifest is materialized OUT-OF-BAND as a content-equivalent swap
+    * (the vacuum-proven [[materializeCheckpoint]] mechanism). Until the
+    * swap lands, chain walks simply descend PAST the boundary into the
+    * previous cadence — always correct, just deeper; a walk that finds
+    * an unmaterialized boundary below the head schedules its repair.
+    *  - "async"  (default): committer materializes on a background
+    *    daemon, readers repair orphans (crashed committers)
+    *  - "inline": the r16 behavior — full manifest written in commit
+    *  - "manual": defer, but only vacuum / an explicit
+    *    [[materializeCheckpoint]] materializes (tests; maintenance-only
+    *    deployments)
+    * Non-representable rollovers and id-less histories always write the
+    * full manifest inline — deferral is an optimization, never needed
+    * for correctness. */
+  val CheckpointMaterializeKey = "graft.manifest.checkpointMaterialize"
+  private def materializeMode(fs: FileSystem): String = Option(fs.getConf)
+    .map(_.get(CheckpointMaterializeKey, "async")).getOrElse("async")
+
   /** The session's checkpoint cadence — ONE definition for the four
     * read/write sites that reason about rollovers (commit, the two
     * sidecar fast paths, the chain walk). */
@@ -475,11 +500,13 @@ object GraftFormat {
     if (versions.isEmpty) return None
     val tk = depthKey(fs, table)
     if (createdAtCache.size > CreatedAtCacheCap) createdAtCache.clear()
-    def readRecord(v: Long): (Long, Option[String]) = {
-      val r = decodeAny(readBytes(fs, manifestPath(table, v)))
-      (r.fold(_.createdAtMs, _.createdAtMs),
-        r.fold(_.properties, _.properties).get(TableIdProp))
-    }
+    def readRecord(v: Long): (Long, Option[String]) =
+      readCreatedAtPrefix(fs, manifestPath(table, v)).getOrElse {
+        // malformed/unexpected layout: the full parse is always correct
+        val r = decodeAny(readBytes(fs, manifestPath(table, v)))
+        (r.fold(_.createdAtMs, _.createdAtMs),
+          r.fold(_.properties, _.properties).get(TableIdProp))
+      }
     // the newest record is read FRESH: it is the one version whose
     // record a new commit always changes, and its generation id guards
     // every cache hit below against a same-path drop + re-create
@@ -499,22 +526,109 @@ object GraftFormat {
     at.lastOption.map(_._1)
   }
 
+  // (createdAtMs, table id) from a record's DECOMPRESSED PREFIX: both
+  // wire encodings (toJson / deltaJson) place createdAtMs and the
+  // properties object before the O(table) fragment arrays, so timestamp
+  // travel reads a few KB per version instead of gunzip+parsing a 10⁵-
+  // fragment checkpoint (~2.6 MB / ~80 ms each — the cold pass over a
+  // 10³-version history cost 82 s when it full-parsed every record).
+  // A raw `"key":` byte sequence cannot occur INSIDE a JSON string
+  // value (embedded quotes are \"-escaped by esc), so the top-level
+  // scan cannot false-match a hostile schemaJson. None = layout not
+  // recognized; the caller falls back to the full parse.
+  private val createdAtRe = """[,{]"createdAtMs":(-?\d+)""".r
+  private val tableIdRe =
+    ("\"" + java.util.regex.Pattern.quote(TableIdProp) + "\":\"([^\"]*)\"").r
+  private def readCreatedAtPrefix(fs: FileSystem,
+      p: Path): Option[(Long, Option[String])] =
+    try {
+      val in = fs.open(p)
+      try {
+        val head = new Array[Byte](2)
+        val h0 = in.read(); val h1 = in.read()
+        head(0) = h0.toByte; head(1) = h1.toByte
+        in.seek(0L)
+        val stream: java.io.InputStream =
+          if (h0 == 0x1f && h1 == 0x8b)
+            new java.util.zip.GZIPInputStream(in, 8192)
+          else in
+        val sb = new java.lang.StringBuilder(8192)
+        val buf = new Array[Byte](8192)
+        var stop = false
+        var result: Option[(Long, Option[String])] = None
+        while (!stop && sb.length < (1 << 20)) {
+          val r = stream.read(buf)
+          if (r < 0) stop = true
+          else sb.append(new String(buf, 0, r, UTF_8))
+          val s = sb.toString
+          // the fragment arrays mark the end of the header fields —
+          // past either, the table-id verdict (present or not) is final
+          val boundary = {
+            val i = s.indexOf("\"fragments\":[")
+            val j = s.indexOf("\"removed\":[")
+            if (i >= 0 && j >= 0) math.min(i, j) else math.max(i, j)
+          }
+          if (boundary >= 0 || stop) {
+            val hdr = if (boundary >= 0) s.substring(0, boundary) else s
+            result = createdAtRe.findFirstMatchIn(hdr).map { m =>
+              (m.group(1).toLong,
+                tableIdRe.findFirstMatchIn(hdr).map(_.group(1)))
+            }
+            stop = true
+          }
+        }
+        // accounting parity with readBytes: one version-record read of
+        // prefix-length bytes
+        if (result.isDefined && p.getParent != null &&
+            p.getParent.getName == "_versions" &&
+            !accountingSuppressed.get()) {
+          versionBytesRead.addAndGet(math.min(sb.length, 1 << 20).toLong)
+          versionReads.incrementAndGet()
+        }
+        result
+      } finally in.close()
+    } catch { case NonFatal(_) => None }
+
   // ------------------------------------------------------------- file I/O
 
   def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
+    // the stat'd length is a BUFFER HINT, never the read bound: a
+    // checkpoint materialization can atomically REPLACE the file
+    // between stat and open (delta record -> longer full manifest), and
+    // trusting the stale length would hand gunzip a truncated prefix of
+    // the new object (EOFException mid-swap). Reading to stream EOF is
+    // correct on every store class — the opened stream is one
+    // consistent object (POSIX holds the old inode; object stores
+    // return one complete object).
+    val hint = math.max(64, fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
+    val buf = try {
+      var arr = new Array[Byte](hint)
+      var n = 0
+      var eof = false
+      while (!eof) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        val r = in.read(arr, n, arr.length - n)
+        if (r < 0) eof = true else n += r
+      }
+      if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
+    } finally in.close()
     // version-record accounting (metadata path only — the parent-name
-    // check is two string compares per manifest/delta read)
+    // check is two string compares per manifest/delta read). Background
+    // materializer threads don't count: their reads are off every
+    // caller's critical path, and benches attribute the counters to the
+    // foreground reader they instrument.
     val parent = p.getParent
-    if (parent != null && parent.getName == "_versions") {
-      versionBytesRead.addAndGet(len.toLong)
+    if (parent != null && parent.getName == "_versions" &&
+        !accountingSuppressed.get()) {
+      versionBytesRead.addAndGet(buf.length.toLong)
       versionReads.incrementAndGet()
     }
     buf
   }
+
+  private val accountingSuppressed: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   /** Create-exclusive write: fails (returns false) if the file already
     * exists. On `file://` uses java.nio CREATE_NEW (atomic on POSIX);
@@ -892,13 +1006,30 @@ object GraftFormat {
     * or drop already removed reads as done — that pass owns the
     * boundary; nothing here can help it. */
   private[graft] def materializeCheckpoint(fs: FileSystem, table: Path,
-      v: Long): Unit = {
+      v: Long): Unit = materializeCheckpoint(fs, table, v, None)
+
+  /** As above; `known` short-circuits the resolve when the caller (the
+    * deferring committer, which just built the manifest) already holds
+    * version `v`'s resolved content. The pre-write record read stays:
+    * it is the already-a-checkpoint fast path AND the existence check —
+    * a version vacuum removed must not be re-created here (the residual
+    * read-then-write race is benign: a resurrected full manifest is
+    * valid extra history that dense-range walks surface typed and the
+    * next vacuum pass re-deletes). */
+  private[graft] def materializeCheckpoint(fs: FileSystem, table: Path,
+      v: Long, known: Option[Manifest]): Unit = {
     val p = manifestPath(table, v)
     val resolved =
       try {
         decodeAny(readBytes(fs, p)) match {
           case Right(_) => return // already a checkpoint: one read, done
-          case Left(d0) => resolveDelta(fs, table, v, d0)
+          case Left(d0) =>
+            // a drop + re-create can reuse version numbers: `known`
+            // content may only replace a record of its OWN generation
+            known.filter(k => k.version == v &&
+                k.properties.get(TableIdProp).exists(
+                  d0.properties.get(TableIdProp).contains))
+              .getOrElse(resolveDelta(fs, table, v, d0))
         }
       } catch {
         case _: java.io.FileNotFoundException => return
@@ -946,6 +1077,92 @@ object GraftFormat {
       case Some((ver, _)) if ver == v => chainDepths.put(k, (v, 0))
       case _ => ()
     }
+    // RESURRECTION GUARD: the swap's pre-read existence check can go
+    // stale while a fault-throttled store retries the write — a vacuum
+    // that deleted `v` in between would leave this write as a
+    // below-prefix ORPHAN (a gap above it), breaking the
+    // contiguous-suffix listing invariant. Commits are sequential CAS
+    // integers, so "some version above v exists but v+1 does not" can
+    // ONLY mean vacuum cut the prefix at or above v+1: self-delete.
+    // (Vacuum sweeps the same condition as defense in depth.)
+    sweepIfOrphan(fs, table, v)
+  }
+
+  /** Delete version `v`'s record (+ sidecar) iff it sits BELOW a
+    * listing gap — i.e. a racing vacuum already dropped it and the
+    * write above resurrected it. Sound because histories are dense:
+    * within one generation v+1 is committed before any w > v+1, so
+    * max > v with v+1 absent proves a vacuum cut. Best-effort. */
+  private def sweepIfOrphan(fs: FileSystem, table: Path, v: Long): Unit =
+    try {
+      val vs = listVersions(fs, table)
+      if (vs.nonEmpty && vs.max > v && vs.contains(v) && !vs.contains(v + 1)) {
+        fs.delete(manifestPath(table, v), false)
+        val sc = checkpointDeltaPath(table, v)
+        if (fs.exists(sc)) fs.delete(sc, false)
+        ManifestCache.purge(fs, table)
+      }
+    } catch { case NonFatal(_) => () }
+
+  // Out-of-band checkpoint materialization (r16 VERDICT #1): the
+  // deferring committer and the walk's orphan repair both funnel here.
+  // Two daemon threads bound the concurrent O(table) encodes; the
+  // pending set dedups (a burst of walks over one orphaned boundary
+  // must schedule ONE repair). Failures are swallowed — materialization
+  // is derived data; the next walk/vacuum repairs.
+  private lazy val materializePool = java.util.concurrent.Executors
+    .newFixedThreadPool(2, (r: Runnable) => {
+      val t = new Thread(r, "graft-checkpoint-materialize")
+      t.setDaemon(true)
+      t
+    })
+  private val materializePending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val sweepPool = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor((r: Runnable) => {
+      val t = new Thread(r, "graft-orphan-sweep")
+      t.setDaemon(true)
+      t
+    })
+  private[graft] def scheduleMaterialize(fs: FileSystem, table: Path,
+      v: Long, known: Option[Manifest]): Unit = {
+    val key = depthKey(fs, table) + "#" + v
+    if (!materializePending.add(key)) return
+    materializePool.submit(new Runnable {
+      override def run(): Unit = {
+        accountingSuppressed.set(java.lang.Boolean.TRUE)
+        try {
+          materializeCheckpoint(fs, table, v, known)
+          // second resurrection sweep after a beat (off this pool, so
+          // awaitMaterializations and the next swap don't wait on
+          // hygiene): an in-progress vacuum pass may delete v's
+          // NEIGHBOR just after the swap's own immediate sweep looked
+          // (its deletes ride the same fault-retry stretches ours do)
+          sweepPool.schedule(new Runnable {
+            override def run(): Unit = {
+              accountingSuppressed.set(java.lang.Boolean.TRUE)
+              sweepIfOrphan(fs, table, v)
+            }
+          }, 1L, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        catch { case NonFatal(_) => () }
+        finally materializePending.remove(key)
+      }
+    })
+    ()
+  }
+
+  /** Block until every scheduled background materialization has drained
+    * (or `timeoutMs` passes — returns whether the queue drained).
+    * Benches and specs quiesce on this before classifying record kinds;
+    * production code never needs it. */
+  private[graft] def awaitMaterializations(timeoutMs: Long = 60000L): Boolean = {
+    val start = System.nanoTime()
+    while (!materializePending.isEmpty) {
+      if (System.nanoTime() - start > timeoutMs * 1000000L) return false
+      Thread.sleep(5L)
+    }
+    true
   }
 
   // ---------------------------------------------------------------- JSON
@@ -1197,6 +1414,14 @@ object GraftFormat {
   private val noSidecarAt =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** How many checkpoint boundaries one chain walk may CROSS via
+    * sidecars (r16 VERDICT #5): a reader lagged k <= this many cadences
+    * descends k * cadence O(delta) records instead of paying one
+    * O(table) checkpoint read — at 10⁵ fragments that is ~8 x 16 x
+    * 600 B vs 2.6 MB. Beyond the cap the checkpoint read wins on round
+    * trips, so the walk stops crossing and reads it. */
+  private val MaxCrossCadences = 8
+
   /** Resolve `version` by applying its checkpoint-delta sidecar to the
     * PINNED resolved manifest of version-1, when both exist and belong
     * to the same generation. Only attempted when the head-depth hint
@@ -1305,28 +1530,45 @@ object GraftFormat {
       allowCross: Boolean = true): Manifest = {
     var deltas: List[ManifestDelta] = List(d0) // kept ascending
     val every = checkpointEvery(fs)
-    // newest pinned gen-matching version in [ckpt - cadence, ckpt - 1]:
-    // when one exists, the walk CROSSES the checkpoint at `ckpt` via its
-    // O(delta) sidecar and keeps descending small delta records to the
-    // pin, instead of paying the O(table) checkpoint read — the lagged
-    // long-lived reader's case (a reader synced to just below a rollover
-    // resolving a head just above it). Only id-carrying histories cross
-    // (the raw pinned probe has no other generation guard).
+    // a STALE unmaterialized boundary at the head (depth-0 record well
+    // past its commit time) means the deferring committer died before
+    // its swap: repair it here, since no later commit will ever walk
+    // it as a below-head hop. The age gate keeps the common case — a
+    // reader racing the committer's in-flight swap by milliseconds —
+    // from scheduling a duplicate O(table) encode; a skewed clock at
+    // worst schedules a redundant content-equivalent swap.
+    if (d0.depth == 0 && materializeMode(fs) == "async" &&
+        System.currentTimeMillis() - d0.createdAtMs > 60000L)
+      scheduleMaterialize(fs, table, version, None)
+    // newest pinned gen-matching version within MaxCrossCadences below
+    // `ckpt`: when one exists, the walk CROSSES the checkpoint at
+    // `ckpt` via its O(delta) sidecar and keeps descending small delta
+    // records toward the pin, instead of paying the O(table) checkpoint
+    // read — the lagged long-lived reader's case. Crossings CHAIN (r16
+    // VERDICT #5): a reader lagged several cadences crosses each
+    // intermediate boundary via its own sidecar (the trigger re-fires
+    // when the descent reaches depth 1 above the next boundary), capped
+    // at MaxCrossCadences total so a pathologically lagged reader pays
+    // one checkpoint instead of an unbounded delta descent. Only
+    // id-carrying histories cross (the raw pinned probe has no other
+    // generation guard).
     def crossPinnedBelow(ckpt: Long): Option[Long] =
       if (!allowCross || expectId.isEmpty || every <= 1) None
-      else ((ckpt - 1) to math.max(1L, ckpt - every) by -1L).find { p =>
+      else ((ckpt - 1) to math.max(1L, ckpt - every.toLong * MaxCrossCadences)
+          by -1L).find { p =>
         ManifestCache.peekPinnedRaw(fs, table, p)
           .exists(_.properties.get(TableIdProp) == expectId)
       }
     val lo0 = math.max(1L, version - d0.depth) // the chain's checkpoint
     // the NEWEST pinned gen-matching version below the head, searched
-    // down to one cadence below the checkpoint (crossings never reach
-    // further): the walk terminates there, so nothing at or below it
-    // must be prefetched — an unbounded range here would read (and at
-    // the checkpoint, fully parse) records the walk never consumes
+    // down to MaxCrossCadences below the checkpoint (crossings never
+    // reach further): the walk terminates there, so nothing at or below
+    // it must be prefetched — an unbounded range here would read (and
+    // at the checkpoint, fully parse) records the walk never consumes
     val newestPinned: Option[Long] =
       if (expectId.isEmpty) None
-      else ((version - 1) to math.max(1L, lo0 - every) by -1L)
+      else ((version - 1) to
+          math.max(1L, lo0 - every.toLong * MaxCrossCadences) by -1L)
         .find(v => ManifestCache.peekPinned(fs, table, v, expectId).isDefined)
     val crossAt = newestPinned.filter(p =>
       allowCross && every > 1 && d0.depth >= 1 && p < lo0)
@@ -1344,7 +1586,13 @@ object GraftFormat {
     val prefetchVersions: Seq[Long] = newestPinned match {
       case Some(p) if p >= lo0 => (p + 1) until version
       case Some(p) if crossAt.isDefined =>
-        ((p + 1) until version).filterNot(_ == lo0)
+        // every boundary the chained crossing will hop over sits a
+        // whole cadence apart below lo0 — none of their O(table)
+        // records should be prefetched (each sidecar replaces one); a
+        // wrong prediction (early checkpoint mid-cadence) just reads
+        // that record raw when the walk gets there
+        ((p + 1) until version).filterNot(v =>
+          v <= lo0 && (lo0 - v) % every == 0)
       // pinned only below the boundary but crossing disallowed: the
       // walk stops at the checkpoint — same plan as the unpinned case
       case _ => if (d0.depth < 2) Seq.empty[Long] else lo0 until version
@@ -1392,6 +1640,7 @@ object GraftFormat {
       readSidecarDelta(fs, table, ckpt)
         .filter(_.properties.get(TableIdProp) == expectId)
     var base: Manifest = null
+    var crossings = 0
     while (base == null) {
       val v = deltas.head.baseVersion
       ManifestCache.peekPinned(fs, table, v, expectId) match {
@@ -1399,11 +1648,15 @@ object GraftFormat {
         case None =>
           // hop v is the current chain's checkpoint exactly when the
           // last-pushed delta sits at depth 1; cross it via sidecar
-          // when a pin waits within one cadence below
+          // when a pin waits within reach below. Crossings CHAIN —
+          // after descending the crossed cadence the trigger re-fires
+          // at the next boundary — bounded by MaxCrossCadences total.
           val crossed =
-            if (deltas.head.depth == 1 && crossPinnedBelow(v).isDefined)
+            if (deltas.head.depth == 1 && crossings < MaxCrossCadences &&
+                crossPinnedBelow(v).isDefined)
               crossingSidecar(v)
             else None
+          if (crossed.isDefined) crossings += 1
           crossed match {
             case Some(d) => deltas ::= d
             case None => fetch(v) match {
@@ -1420,6 +1673,15 @@ object GraftFormat {
                 // a corrupt/cyclic chain must fail typed, never spin
                 require(d.baseVersion < v,
                   s"delta chain at $table does not descend: $v -> ${d.baseVersion}")
+                // a depth-0 delta BELOW the head is an unmaterialized
+                // deferred checkpoint whose committer died (or is
+                // slow) — at least one commit landed after it, so the
+                // committer's own swap is overdue: repair out-of-band
+                // (r16 VERDICT #1, "next reader materializes"). The
+                // head itself is never repaired from here — its
+                // committer owns the in-flight swap.
+                if (d.depth == 0 && materializeMode(fs) == "async")
+                  scheduleMaterialize(fs, table, v, None)
                 deltas ::= d
             }
           }
@@ -1474,14 +1736,23 @@ object GraftFormat {
     // than a checkpoint, and readers would pay the chain walk on top)
     def sizeable(b: Manifest)(d: ManifestDelta): Boolean =
       d.upserts.size + d.removed.size <= math.max(8, b.fragments.size / 2)
-    // (stored-record delta, checkpoint-delta sidecar): at most one is
-    // Some. The sidecar is the cadence-rollover case — the commit MUST
-    // store a full manifest, but its transition was representable, so
-    // the O(delta) record is stored BESIDE the checkpoint for
-    // incremental readers (r15 VERDICT #6).
-    val (asDelta, sidecar): (Option[ManifestDelta], Option[ManifestDelta]) =
+    // (stored-record delta, checkpoint-delta sidecar, deferred?): the
+    // sidecar is the cadence-rollover case — the commit's version is a
+    // logical CHECKPOINT, but when its transition is representable the
+    // O(delta) record is stored beside it for incremental readers (r15
+    // VERDICT #6), and (r16 VERDICT #1) the checkpoint itself is
+    // DEFERRED: the stored record is that same depth-0 delta and the
+    // O(table) full manifest is materialized out-of-band, so the
+    // rollover committer pays delta cost like every other committer.
+    // Depth 0 marks the logical checkpoint either way: as a sidecar it
+    // is the v-1 -> v transition, never a chain link; as a deferred
+    // record it keeps every cadence-arithmetic site unchanged (the
+    // next commit stamps depth 1) while the plain chain walk simply
+    // descends past it until the swap lands.
+    val (asDelta, sidecar, deferred): (Option[ManifestDelta],
+        Option[ManifestDelta], Boolean) =
       if (toWrite.formatVersion < 4 || every <= 1 || toWrite.version <= 1L ||
-          !base.exists(_.version == toWrite.version - 1)) (None, None)
+          !base.exists(_.version == toWrite.version - 1)) (None, None, false)
       else {
         val b = base.get
         // the depth lookup is an OPTIMIZATION input (full-vs-delta
@@ -1494,12 +1765,18 @@ object GraftFormat {
         val depth =
           try storedDepth(fs, table, b.version) + 1
           catch { case scala.util.control.NonFatal(_) => every }
-        if (depth >= every)
-          // depth 0 in the sidecar: the committed version IS a
-          // checkpoint; the record exists purely as the v-1 -> v
-          // transition, never as a chain link
-          (None, computeDelta(b, toWrite, 0).filter(sizeable(b)))
-        else (computeDelta(b, toWrite, depth).filter(sizeable(b)), None)
+        if (depth >= every) {
+          val d = computeDelta(b, toWrite, 0).filter(sizeable(b))
+          // deferral needs the generation id (the materializer's
+          // content-swap guard) — id-less legacy histories and
+          // non-representable rollovers write the checkpoint inline,
+          // which is always correct
+          if (d.isDefined && materializeMode(fs) != "inline" &&
+              toWrite.properties.contains(TableIdProp))
+            (d, d, true)
+          else (None, d, false)
+        }
+        else (computeDelta(b, toWrite, depth).filter(sizeable(b)), None, false)
       }
     val bytes = asDelta match {
       case Some(d) => gzipBytes(deltaJson(d).getBytes(UTF_8))
@@ -1523,6 +1800,13 @@ object GraftFormat {
         finally out.close()
       } catch { case NonFatal(_) => () }
     }
+    // deferred rollover: materialize the O(table) checkpoint off the
+    // commit critical path, reusing the resolved content this commit
+    // already holds. Ordered AFTER the sidecar write so a reader that
+    // observes the materialized checkpoint also finds its O(delta)
+    // sidecar. "manual" mode leaves it to vacuum / explicit calls.
+    if (deferred && materializeMode(fs) == "async")
+      scheduleMaterialize(fs, table, m.version, Some(toWrite))
     // the committer holds the resolved content it just stored: pin it,
     // so this process's next base read / incremental sync resolves the
     // head without re-reading what it just wrote (on a 10⁵-fragment

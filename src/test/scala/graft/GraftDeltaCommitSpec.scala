@@ -89,6 +89,8 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
       GraftFormat.commit(fsx, dir, m, base = Some(base))
     }
     // cadence 4 from a v1 checkpoint: v5 and v9 are rollover checkpoints
+    // (materialized out-of-band — quiesce before classifying kinds)
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
     (1L to 9L).foreach { v =>
       val isCkpt = GraftFormat.isCheckpoint(fsx, dir, v)
       val hasSidecar = fsx.exists(GraftFormat.checkpointDeltaPath(dir, v))
@@ -140,7 +142,10 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
       manifests(v) = m
     }
     // cadence 4: v5 is the rollover checkpoint; the reader last synced
-    // v4 (below the boundary) and now resolves v7 (above it, depth 2)
+    // v4 (below the boundary) and now resolves v7 (above it, depth 2).
+    // Rollover checkpoints materialize OUT-OF-BAND (r16 VERDICT #1) —
+    // quiesce before classifying the record kind.
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
     assert(GraftFormat.isCheckpoint(fsx, dir, 5L))
     graft.format.ManifestCache.clearAll()
     assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
@@ -174,6 +179,8 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
       GraftFormat.commit(fsx, dir, m, base = Some(base))
     }
     // depth cycles 0,1,2,3 -> checkpoint: v1 full, v2-v4 deltas, v5 full...
+    // (rollover checkpoints land out-of-band — quiesce first)
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
     val kinds = (1L to 12L).map(v => GraftFormat.isCheckpoint(fsx, dir, v))
     assert(kinds == Seq(true, false, false, false, true, false, false,
       false, true, false, false, false))
@@ -339,6 +346,164 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
     assert(GraftFormat.readManifest(fs, dir, 2L) == m,
       "the chain's checkpoint must be served from the pinned cache on " +
         "a warm re-resolve")
+  }
+
+  test("a reader lagged MULTIPLE cadences chains boundary crossings: " +
+      "resolving a head above TWO rollovers from a pin below both reads " +
+      "only O(delta) records (r16 VERDICT #5)") {
+    val fsx = freshFs(every = 4)
+    val dir = tmp()
+    var m = create(fsx, dir, 400) // v1 checkpoint
+    val manifests = scala.collection.mutable.Map(1L -> m)
+    (2L to 11L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+      manifests(v) = m
+    }
+    // cadence 4: v5 and v9 are rollover checkpoints; the reader last
+    // synced v4 — BELOW BOTH — and now resolves v11 (depth 2 above v9)
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
+    assert(GraftFormat.isCheckpoint(fsx, dir, 5L) &&
+      GraftFormat.isCheckpoint(fsx, dir, 9L))
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+    val ckptLen = fsx.getFileStatus(GraftFormat.manifestPath(dir, 9L)).getLen
+    val b0 = GraftFormat.versionBytesRead.get()
+    val v11 = GraftFormat.readManifest(fsx, dir, 11L)
+    val crossedBytes = GraftFormat.versionBytesRead.get() - b0
+    assert(v11 == manifests(11L), "chained crossing resolved wrong content")
+    assert(crossedBytes < ckptLen,
+      s"2-boundary lagged resolve read $crossedBytes B >= the $ckptLen B " +
+        "checkpoint — the crossings did not chain")
+    // fallback: with the INNER sidecar gone the walk crosses v9, then
+    // reads the v5 checkpoint — still exact
+    fsx.delete(GraftFormat.checkpointDeltaPath(dir, 5L), false)
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+    assert(GraftFormat.readManifest(fsx, dir, 11L) == manifests(11L),
+      "fallback resolve with a missing inner sidecar must stay exact")
+  }
+
+  // ---- deferred checkpoint materialization (r16 VERDICT #1) ----
+
+  private def freshFsDefer(every: Int, mode: String): FileSystem = {
+    val conf = new Configuration()
+    conf.setBoolean("fs.file.impl.disable.cache", true)
+    conf.setInt(GraftFormat.CheckpointEveryKey, every)
+    conf.set(GraftFormat.CheckpointMaterializeKey, mode)
+    FileSystem.getLocal(conf)
+  }
+
+  private def appendChain(fsx: FileSystem, dir: Path, from: Manifest,
+      to: Long): scala.collection.mutable.Map[Long, Manifest] = {
+    var m = from
+    val committed = scala.collection.mutable.Map(from.version -> from)
+    ((from.version + 1) to to).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+      committed(v) = m
+    }
+    committed
+  }
+
+  test("deferred rollover (missing-checkpoint window): the boundary " +
+      "stores an O(delta) record + sidecar; cadence arithmetic is " +
+      "unchanged; every version resolves exactly through the window") {
+    val fsx = freshFsDefer(every = 4, mode = "manual") // window frozen open
+    val dir = tmp()
+    val committed = appendChain(fsx, dir, create(fsx, dir, 400), 12L)
+    // v5 and v9 are cadence boundaries — in the window they are DELTAS
+    // (commit paid O(delta), not the O(table) encode) with sidecars
+    assert(!GraftFormat.isCheckpoint(fsx, dir, 5L),
+      "deferred boundary must store a delta record")
+    assert(!GraftFormat.isCheckpoint(fsx, dir, 9L))
+    assert(fsx.exists(GraftFormat.checkpointDeltaPath(dir, 5L)) &&
+      fsx.exists(GraftFormat.checkpointDeltaPath(dir, 9L)),
+      "deferred boundaries still write their CDC sidecars")
+    // the boundary record is O(delta)-sized, like any other delta
+    val b5 = fsx.getFileStatus(GraftFormat.manifestPath(dir, 5L)).getLen
+    val c1 = fsx.getFileStatus(GraftFormat.manifestPath(dir, 1L)).getLen
+    assert(b5 < c1 / 4, s"boundary record $b5 B is not O(delta) vs $c1 B")
+    // cadence arithmetic unchanged: v6 stamps depth 1 against the
+    // logical checkpoint at v5 (not depth 5 against v1), so the NEXT
+    // rollover still lands on cadence at v9 — asserted via the record
+    // bytes (deltaJson stamps `"depth":N` in the envelope)
+    val d6bytes = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 6L))
+    val d6json = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(d6bytes)).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(d6json.contains("\"depth\":1"),
+      "the commit after a deferred boundary must stamp depth 1")
+    // every version — below, at, and above BOTH open windows — resolves
+    // exactly from a cold cache (the walk descends past the boundaries)
+    graft.format.ManifestCache.clearAll()
+    (1L to 12L).foreach { v =>
+      assert(GraftFormat.readManifest(fsx, dir, v) == committed(v),
+        s"version $v did not resolve exactly through the open window")
+    }
+    // manual materialization closes the window with identical content
+    GraftFormat.materializeCheckpoint(fsx, dir, 9L)
+    assert(GraftFormat.isCheckpoint(fsx, dir, 9L))
+    graft.format.ManifestCache.clearAll()
+    (9L to 12L).foreach { v =>
+      assert(GraftFormat.readManifest(fsx, dir, v) == committed(v),
+        s"version $v changed across materialization")
+    }
+  }
+
+  test("async mode: the committer materializes the rollover out-of-band " +
+      "and a reader's walk repairs an orphaned boundary below the head") {
+    val fsManual = freshFsDefer(every = 4, mode = "manual")
+    val dir = tmp()
+    // build the orphan: boundary v5 deferred and never materialized
+    // (its 'committer' uses manual mode = died before the swap)
+    val committed = appendChain(fsManual, dir, create(fsManual, dir, 400), 7L)
+    assert(!GraftFormat.isCheckpoint(fsManual, dir, 5L))
+    // a cold reader in ASYNC mode resolves the head: correct content
+    // now, and the below-head depth-0 hop schedules its repair
+    val fsAsync = freshFsDefer(every = 4, mode = "async")
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsAsync, dir, 7L) == committed(7L))
+    assert(GraftFormat.awaitMaterializations(), "repair stalled")
+    assert(GraftFormat.isCheckpoint(fsAsync, dir, 5L),
+      "the walk must repair an orphaned deferred boundary")
+    assert(GraftFormat.readManifest(fsAsync, dir, 5L) == committed(5L))
+    // and a fresh async committer defers + materializes its own rollover
+    appendChain(fsAsync, dir, committed(7L), 9L)
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
+    assert(GraftFormat.isCheckpoint(fsAsync, dir, 9L),
+      "async committer must materialize its rollover out-of-band")
+  }
+
+  test("vacuum through an open deferral window: the retention boundary " +
+      "materializes even when cadence checkpoints were never written") {
+    import TestSpark._
+    val fsx = freshFsDefer(every = 4, mode = "manual")
+    val dir = tmp()
+    val committed = appendChain(fsx, dir, create(fsx, dir, 5), 11L)
+    // v5 and v9 are unmaterialized; cut retention to [10, 11] — the
+    // boundary v10's chain descends through BOTH open windows to v1
+    assert(!GraftFormat.isCheckpoint(fsx, dir, 5L) &&
+      !GraftFormat.isCheckpoint(fsx, dir, 9L))
+    val (dropped, _) = graft.ops.Maintenance.vacuum(spark, dir,
+      keepVersions = 2, minVersionsRetained = 2,
+      hadoopConf = fsx.getConf)
+    assert(dropped == 9, s"expected 9 dropped, got $dropped")
+    assert(GraftFormat.listVersions(fsx, dir) == Seq(10L, 11L))
+    assert(GraftFormat.isCheckpoint(fsx, dir, 10L),
+      "vacuum must materialize the retention boundary through the window")
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 10L) == committed(10L))
+    assert(GraftFormat.readManifest(fsx, dir, 11L) == committed(11L))
   }
 
   test("computeDelta/applyDelta invariants under random commit shapes") {

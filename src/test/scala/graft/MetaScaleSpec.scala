@@ -147,7 +147,13 @@ class MetaScaleSpec extends AnyFunSuite {
     // roll to a fresh checkpoint, then stack cadence-1 deltas on it —
     // the deepest chain the default cadence (16) can produce
     var guard = 0
-    while (!GraftFormat.isCheckpoint(fs, dir, cur.version) && guard < 20) {
+    def atCheckpoint: Boolean = {
+      // rollover checkpoints materialize OUT-OF-BAND (r16 VERDICT #1):
+      // quiesce before sniffing the record kind
+      assert(GraftFormat.awaitMaterializations(), "materialization stalled")
+      GraftFormat.isCheckpoint(fs, dir, cur.version)
+    }
+    while (!atCheckpoint && guard < 20) {
       append(s"depth-roll-$guard"); guard += 1
     }
     assert(GraftFormat.isCheckpoint(fs, dir, cur.version),
@@ -184,6 +190,10 @@ class MetaScaleSpec extends AnyFunSuite {
         maxFragmentId = cur.maxFragmentId + 1,
         createdAtMs = System.currentTimeMillis(), operation = "Append")
       GraftFormat.commit(fs, dir, cur, base = Some(base))
+      // quiesce the out-of-band checkpoint swap so the rollover counter
+      // (and the sidecar-prediction path the sync then exercises) is
+      // deterministic
+      assert(GraftFormat.awaitMaterializations(), "materialization stalled")
       if (GraftFormat.isCheckpoint(fs, dir, cur.version)) rollovers += 1
       // drop the committer's own pin of the new head: the reader must
       // pay what a SEPARATE process pays (its prior pins + depth hints)
