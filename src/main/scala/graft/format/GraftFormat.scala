@@ -645,7 +645,9 @@ object GraftFormat {
   private val ConditionalPutSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "cos", "wasb", "wasbs")
 
-  private[graft] def createExclusive(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+  private[graft] def createExclusive(fs: FileSystem, p: Path,
+      bytes: Array[Byte],
+      orEquiv: Array[Byte] => Boolean = _ => false): Boolean = {
     val strategy = Option(fs.getConf)
       .map(_.get(ExclusiveStrategyKey, "auto")).getOrElse("auto") match {
       case "auto" =>
@@ -656,7 +658,7 @@ object GraftFormat {
     }
     strategy match {
       case "create-new" => createNewLocal(p, bytes)
-      case "conditional" => conditionalCreate(fs, p, bytes)
+      case "conditional" => conditionalCreate(fs, p, bytes, orEquiv)
       case "rename" => tempRename(fs, p, bytes)
       case other => throw new IllegalArgumentException(
         s"$ExclusiveStrategyKey=$other (expected auto|create-new|conditional|rename)")
@@ -741,7 +743,8 @@ object GraftFormat {
     * The exists() pre-check is a cheap short-circuit, NOT load-bearing —
     * correctness comes from the conditional create/close. An incomplete
     * put never creates a partial object, so readers see all-or-nothing. */
-  private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+  private def conditionalCreate(fs: FileSystem, p: Path, bytes: Array[Byte],
+      orEquiv: Array[Byte] => Boolean = _ => false): Boolean = {
     verifyConditionalCapability(fs, p)
     if (fs.exists(p)) return false
     // shares the store's retry confs (graft.s3.retry.limit/baseMs) so
@@ -794,7 +797,16 @@ object GraftFormat {
           val onDisk: Option[Boolean] =
             try {
               val in = fs.open(p)
-              try Some(java.util.Arrays.equals(in.readAllBytes(), bytes))
+              try {
+                val disk = in.readAllBytes()
+                // byte-identical = our put; else ask the caller's
+                // EQUIVALENCE predicate — a deferred-checkpoint
+                // materializer may have already re-encoded OUR landed
+                // record as the content-equivalent full manifest, and
+                // reading that as "a racer won" would rebuild + commit
+                // the same rows at version+1 (duplication)
+                Some(java.util.Arrays.equals(disk, bytes) || orEquiv(disk))
+              }
               finally in.close()
             } catch { case _: java.io.FileNotFoundException => None }
           onDisk match {
@@ -1093,7 +1105,7 @@ object GraftFormat {
     * write above resurrected it. Sound because histories are dense:
     * within one generation v+1 is committed before any w > v+1, so
     * max > v with v+1 absent proves a vacuum cut. Best-effort. */
-  private def sweepIfOrphan(fs: FileSystem, table: Path, v: Long): Unit =
+  private[graft] def sweepIfOrphan(fs: FileSystem, table: Path, v: Long): Unit =
     try {
       val vs = listVersions(fs, table)
       if (vs.nonEmpty && vs.max > v && vs.contains(v) && !vs.contains(v + 1)) {
@@ -1782,7 +1794,8 @@ object GraftFormat {
       case Some(d) => gzipBytes(deltaJson(d).getBytes(UTF_8))
       case None => encodeManifest(toWrite)
     }
-    if (!createExclusive(fs, manifestPath(table, m.version), bytes))
+    if (!createExclusive(fs, manifestPath(table, m.version), bytes,
+        orEquiv = swapEquivalent(bytes, _)))
       throw new CommitConflictException(
         s"version ${m.version} already committed at $table")
     // depth is recorded only for OUR committed version (a lost race is
@@ -1816,6 +1829,35 @@ object GraftFormat {
     // manifest-cache TTL says
     ManifestCache.invalidateLatest(fs, table)
   }
+
+  /** True when `disk` is OUR commit re-encoded by the deferred-checkpoint
+    * swap: we stored a depth-0 delta record; a materializer (another
+    * reader's repair, or a keep-1 vacuum racing an AMBIGUOUS conditional
+    * put's read-back window) replaced it with the content-equivalent
+    * full manifest. Matching requires the identity header (version,
+    * createdAtMs, operation, maxFragmentId, generation id) AND every one
+    * of our upserted fragments present by (id, path) with none of our
+    * removals surviving — a RACING committer's record at the same
+    * version cannot contain OUR staged fragment paths (every write
+    * stages uniquely-named files), so identity headers alone (which two
+    * same-millisecond committers could collide on) never decide. Only
+    * the delta->full direction exists: swaps never produce deltas, and
+    * byte-equality already covers full=full. */
+  private[graft] def swapEquivalent(mine: Array[Byte], disk: Array[Byte]): Boolean =
+    try {
+      (decodeAny(mine), decodeAny(disk)) match {
+        case (Left(d), Right(m)) =>
+          d.version == m.version && d.createdAtMs == m.createdAtMs &&
+          d.operation == m.operation &&
+          d.maxFragmentId == m.maxFragmentId &&
+          d.properties.get(TableIdProp).isDefined &&
+          d.properties.get(TableIdProp) == m.properties.get(TableIdProp) &&
+          d.upserts.forall(u => m.fragments.exists(f =>
+            f.id == u.id && f.path == u.path)) &&
+          d.removed.forall(r => !m.fragments.exists(_.id == r))
+        case _ => false
+      }
+    } catch { case NonFatal(_) => false }
 
   /** Retry loop for append-style commits: rebuild the manifest from the
     * freshest base on each conflict. The base each attempt read is

@@ -506,6 +506,81 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
     assert(GraftFormat.readManifest(fsx, dir, 11L) == committed(11L))
   }
 
+  test("resurrection sweep: a version below a listing gap is deleted; " +
+      "contiguous-suffix members and the head never are") {
+    val fsx = freshFsDefer(every = 4, mode = "manual")
+    val dir = tmp()
+    appendChain(fsx, dir, create(fsx, dir, 5), 10L)
+    // simulate the swap-vs-vacuum race's END STATE: a vacuum cut
+    // versions 2..5 but a stale materializer write left version 1
+    // behind (below the gap) — exactly what the post-swap sweep and
+    // vacuum's below-floor sweep exist to remove
+    (2L to 5L).foreach { v =>
+      fsx.delete(GraftFormat.manifestPath(dir, v), false)
+      val sc = GraftFormat.checkpointDeltaPath(dir, v)
+      if (fsx.exists(sc)) fsx.delete(sc, false)
+    }
+    assert(GraftFormat.listVersions(fsx, dir) == (Seq(1L) ++ (6L to 10L)))
+    // a member of the contiguous suffix is NOT an orphan (v+1 exists)
+    GraftFormat.sweepIfOrphan(fsx, dir, 7L)
+    assert(fsx.exists(GraftFormat.manifestPath(dir, 7L)),
+      "sweep must never delete a contiguous-suffix member")
+    // the head is NOT an orphan (nothing above it)
+    GraftFormat.sweepIfOrphan(fsx, dir, 10L)
+    assert(fsx.exists(GraftFormat.manifestPath(dir, 10L)),
+      "sweep must never delete the head")
+    // the below-gap orphan IS swept, sidecar and all
+    GraftFormat.sweepIfOrphan(fsx, dir, 1L)
+    assert(!fsx.exists(GraftFormat.manifestPath(dir, 1L)),
+      "below-gap orphan must be swept")
+    assert(GraftFormat.listVersions(fsx, dir) == (6L to 10L),
+      "history must be a contiguous suffix after the sweep")
+  }
+
+  test("ambiguous-commit equivalence: a materialized swap of OUR record " +
+      "reads as ours; a racer's same-version/same-ms record never does") {
+    val fsx = freshFsDefer(every = 4, mode = "manual")
+    def buildTo5(lastPath: String): (Path, Array[Byte]) = {
+      val dir = tmp()
+      // FIXED generation id + deterministic createdAtMs (1000*v): two
+      // racing committers can collide on every identity header field —
+      // only the staged fragment PATHS must decide
+      var m = Manifest(1L, schemaJson, (0 until 5).map(frag(_)), 4, 1000L,
+        "Create", Map(GraftFormat.TableIdProp -> "fixed-gen-id"))
+      GraftFormat.commit(fsx, dir, m)
+      (2L to 5L).foreach { v =>
+        val base = m
+        val path = if (v == 5L) lastPath else s"data/f${v + 100}.parquet"
+        m = m.copy(version = v,
+          fragments = m.fragments :+ frag(m.maxFragmentId + 1)
+            .copy(path = path),
+          maxFragmentId = m.maxFragmentId + 1,
+          createdAtMs = 1000L * v, operation = "Append")
+        GraftFormat.commit(fsx, dir, m, base = Some(base))
+      }
+      val deltaBytes =
+        GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 5L))
+      (dir, deltaBytes)
+    }
+    // OUR commit: boundary v5 deferred (record = delta bytes)
+    val (dir, mine) = buildTo5("data/ours-uuid-1.parquet")
+    // the swap replaces it with the content-equivalent full manifest
+    GraftFormat.materializeCheckpoint(fsx, dir, 5L)
+    val swapped = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 5L))
+    assert(GraftFormat.swapEquivalent(mine, swapped),
+      "the materialized full manifest of OUR delta must read as ours")
+    // a RACER with identical identity headers but its own staged file
+    val (dir2, _) = buildTo5("data/racer-uuid-2.parquet")
+    GraftFormat.materializeCheckpoint(fsx, dir2, 5L)
+    val racer = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir2, 5L))
+    assert(!GraftFormat.swapEquivalent(mine, racer),
+      "a racer's commit must never read as ours — that would report " +
+        "success for rows that were never committed")
+    // direction guard: full vs full / delta vs delta never match here
+    assert(!GraftFormat.swapEquivalent(swapped, swapped.clone()),
+      "byte-equality owns the full=full case; equivalence must not")
+  }
+
   test("computeDelta/applyDelta invariants under random commit shapes") {
     val rnd = new scala.util.Random(7)
     var base = Manifest(1L, schemaJson, (0 until 20).map(frag(_)), 19,
