@@ -482,6 +482,9 @@ object GraftFormat {
   private val createdAtCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, String)]
   private val CreatedAtCacheCap = 262144
+  // TrieMap.size is O(n): amortize the cap probe to one real size() per
+  // 4096 inserts instead of per lookup call
+  private val createdAtInserts = new java.util.concurrent.atomic.AtomicLong()
 
   /** Latest version whose commit time is <= tsMs (reference semantics:
     * getVersionAtTimestamp walks listVersions, LanceRuntime.java:361-388).
@@ -499,7 +502,6 @@ object GraftFormat {
     val versions = listVersions(fs, table)
     if (versions.isEmpty) return None
     val tk = depthKey(fs, table)
-    if (createdAtCache.size > CreatedAtCacheCap) createdAtCache.clear()
     def readRecord(v: Long): (Long, Option[String]) =
       readCreatedAtPrefix(fs, manifestPath(table, v)).getOrElse {
         // malformed/unexpected layout: the full parse is always correct
@@ -518,7 +520,12 @@ object GraftFormat {
           case Some((ms, g)) if genId.contains(g) => ms
           case _ =>
             val (ms, id) = readRecord(v)
-            for (g <- id) createdAtCache.put((tk, v), (ms, g))
+            for (g <- id) {
+              createdAtCache.put((tk, v), (ms, g))
+              if ((createdAtInserts.incrementAndGet() & 4095L) == 0L &&
+                  createdAtCache.size > CreatedAtCacheCap)
+                createdAtCache.clear()
+            }
             ms
         }
       v -> createdAt
