@@ -55,8 +55,13 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
   private case object Overwrite extends Op          // full replace, new rows
   private case object Truncate extends Op           // drop oldest half of history
 
-  test("property: excludedAsOf never loses window appends, is exact on " +
-      "clean histories, and re-delivers the snapshot on lost history") {
+  // the property body, parameterized by FILESYSTEM so the same model
+  // runs against both checkpoint-materialization modes: "async" (the
+  // default — background swaps race the walks, as production readers
+  // see) and "manual" (every cadence boundary stays an OPEN deferral
+  // window for the walk's whole lifetime — the crashed-committer
+  // worst case held open deliberately)
+  private def walkProperty(fs: FileSystem, runs: Int): Unit = {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
 
     val genOp: Gen[Op] = Gen.frequency(
@@ -221,8 +226,23 @@ class ProvenanceWalkPropertySpec extends AnyFunSuite {
     }
 
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(runs), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("property: excludedAsOf never loses window appends, is exact on " +
+      "clean histories, and re-delivers the snapshot on lost history") {
+    walkProperty(fs, 300)
+  }
+
+  test("property: the same walk invariants hold with every deferred " +
+      "checkpoint window held OPEN (manual materialization — the " +
+      "crashed-committer worst case)") {
+    val conf = new Configuration()
+    conf.setInt(GraftFormat.CheckpointEveryKey, 3)
+    conf.set(GraftFormat.CheckpointMaterializeKey, "manual")
+    conf.setBoolean("fs.file.impl.disable.cache", true)
+    walkProperty(FileSystem.getLocal(conf), 150)
   }
 
   test("a vacuum racing the walk (listing passed, manifest then deleted) " +
