@@ -59,6 +59,29 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Fixed-size token-window chunking with overlap over a (doc_id,
+    * text) frame: each document becomes ceil(max(n,1) / stride) chunks
+    * of up to `window` tokens starting every `stride` tokens (window >
+    * stride => the last window - stride tokens of each chunk re-appear
+    * at the head of the next — the context carry-over a training/RAG
+    * pipeline wants). Pure generator explode + slice, no UDF, no
+    * shuffle: a map-only pass at any corpus size. Documents with zero
+    * tokens produce zero chunks. */
+  def chunkWindows(df: DataFrame, window: Int = 128,
+      stride: Int = 96): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) > 0)
+      .withColumn("start", explode(expr(s"sequence(0, size(toks) - 1, $stride)")))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        expr(s"slice(toks, start + 1, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** documents + toks + shingles columns. */
   def withShingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -1700,6 +1723,38 @@ object TextOps {
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("pack_tokens"))
         .orderBy("source", "pack_id")
+    },
+
+    // Context-window CHUNKING — the inverse of t14's packing and the
+    // other half of a training/RAG corpus build: long documents split
+    // into fixed-size token windows with overlap (window 128, stride
+    // 96 -> 32 overlapping tokens carry context across boundaries).
+    // Scale shape: one generator explode per doc (narrow, pure
+    // codegen — sequence/slice/array_join higher-order functions, no
+    // UDF), zero shuffles before the presentation sort; at 100 TB the
+    // chunker is a map-only pass whose output partitioning follows the
+    // input's. The size(toks) > 0 filter is load-bearing: Spark's
+    // sequence(0, -1, stride) throws where DuckDB's generate_series
+    // returns empty.
+    Q("t27_chunk_windows",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT t.doc_id, CAST(s.st // 96 AS BIGINT) AS chunk_id,
+        |    t.toks[s.st + 1 : s.st + 128] AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0, len(t.toks) - 1, 96))
+        |    AS s(st)
+        |  WHERE len(t.toks) > 0)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+      "token-window chunking: 128-token windows, stride 96 (32 overlap)") {
+      (s, d) => chunkWindows(docs(s, d)).orderBy("doc_id", "chunk_id")
     },
 
     // Multimodal/binary plumbing: opaque binary payload + typed metadata.

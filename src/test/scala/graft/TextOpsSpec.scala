@@ -526,6 +526,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids(gated) == Set(1L), s"got ${ids(gated)}")
   }
 
+  test("chunkWindows: window/stride boundaries, overlap carry-over, " +
+      "full coverage, and zero-token docs dropped") {
+    import spark.implicits._
+    val doc = (0 until 300).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, window = 128, stride = 96)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 (300 toks): starts 0/96/192/288 -> sizes 128/128/108/12
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3) == Seq(128L, 128L, 108L, 12L))
+    // overlap: chunk k ends with the 32 tokens chunk k+1 starts with
+    val c0 = d1(0)._4.split(" "); val c1 = d1(1)._4.split(" ")
+    assert(c0.takeRight(32).toSeq == c1.take(32).toSeq,
+      "stride 96 over window 128 must carry 32 tokens of context")
+    // coverage: every token appears in some chunk
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 300).map(i => s"w$i").toSet)
+    // short doc: one short chunk; whitespace-only doc: no chunks
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L), "zero-token docs must produce no chunks")
+  }
+
   test("t01 exact dedup shuffles digests, never the text column") {
     val df = SparkEntry.queries("t01_exact_dedup")(spark, sf)
     df.collect() // AQE finalizes the executed plan
