@@ -38,7 +38,8 @@ object GoldenGen {
     "m05_wav_decode", "m06_png_decode",
     "v02_ann_lsh", "v03_embedding_near_dup", "v05_ann_ivf",
     "v06_ann_rewrite", "v07_ann_ivfpq", "v08_ann_l2_rewrite",
-    "v09_semantic_dedup", "v10_ann_filtered", "v11_ann_adaptive")
+    "v09_semantic_dedup", "v10_ann_filtered", "v11_ann_adaptive",
+    "v12_coreset")
 
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("golden"))

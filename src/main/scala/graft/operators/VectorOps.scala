@@ -252,7 +252,69 @@ object VectorOps {
   private[graft] val AbsCapKey = "spark.graft.semdedup.absCap"
   private[graft] val DefaultAbsCap = 4096
 
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985)
+    * over the embedding corpus: pick `k` vectors such that every
+    * vector lies within the final coverage radius of some pick — the
+    * DIVERSITY curation primitive (coverage of the space), the
+    * complement of v09's density-based near-dup removal. Seeds at
+    * min(vec_id); each later pick maximizes its L2² distance to the
+    * nearest already-picked center.
+    *
+    * Scale shape: the per-row min-distance folds as a least() chain of
+    * fused native L2² expressions (one per picked center), so each
+    * round is ONE map-only corpus pass ending in a single-value
+    * max(struct) reduce — no shuffle, and nothing driver-side but the
+    * k x dim picked centers. k jobs total; a 100 TB curation pipeline
+    * runs the same loop over an IVF-list or cluster sample when k is
+    * large (the k-passes shape is the standard scalable formulation).
+    *
+    * Deterministic and bit-stable across partitionings (golden-
+    * eligible; spec does the two-config compare): the distance fold is
+    * per-row sequential double math, ties break on lowest vec_id via
+    * the struct's negated-id field, and the cross-row argmax is exact
+    * FP comparison with no accumulation. Stops early once every vector
+    * is covered exactly (radius 0). Returns (rank, vec_id, radius) in
+    * selection order; radius is the pick's distance to the previously
+    * selected set (null for the seed) = the coverage radius after
+    * rank+1 picks. */
+  def kCenterCoreset(e: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = e.sparkSession
+    import s.implicits._
+    val base = e.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val first = base.orderBy("vec_id").head()
+    var lastCenter: Seq[Float] = first.getSeq[Float](1)
+    val picked = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, java.lang.Double)]((0L, first.getLong(0), null))
+    var minD: Column = lit(Double.MaxValue)
+    var rank = 1
+    var covered = false
+    while (rank < k && !covered) {
+      minD = least(minD,
+        graft.functions.VectorFunctions.l2_sq(col("embedding"),
+          typedLit(lastCenter)))
+      val far = base.agg(max(struct(minD.as("d"),
+        (-col("vec_id")).as("negId"), col("embedding").as("e"))))
+        .head().getStruct(0)
+      if (far.getDouble(0) == 0.0) covered = true // every vector is a pick
+      else {
+        picked += ((rank.toLong, -far.getLong(1), far.getDouble(0)))
+        lastCenter = far.getSeq[Float](2)
+        rank += 1
+      }
+    }
+    picked.toSeq.toDF("rank", "vec_id", "radius")
+  }
+
   val all: Seq[Q] = Seq(
+
+    // k-center coreset: 24 diverse representatives + coverage radii.
+    Q.golden("v12_coreset", Seq("rank", "vec_id", "radius"), "rank",
+      "greedy k-center coreset (farthest-point, k=24): diverse " +
+        "representatives with coverage radii") { (s, d) =>
+      kCenterCoreset(emb(s, d), 24).orderBy("rank")
+    },
 
     // Brute-force exact top-5 cosine neighbors for the first 20 vectors.
     Q("v01_knn_bruteforce",

@@ -21,6 +21,46 @@ class SemanticDedupSpec extends AnyFunSuite {
     xs.map(x => (x / n).toFloat)
   }
 
+  test("kCenterCoreset: farthest-point geometry, min-id seed + ties, " +
+      "early stop on full coverage, and cross-partitioning bit-stability") {
+    // three tight clusters far apart: picks must visit one point per
+    // cluster before refining within any cluster
+    def v(x: Double, y: Double): Seq[Float] = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val df = vecs(
+      10L -> v(0, 0), 11L -> v(0.1, 0), 12L -> v(0, 0.1),     // cluster A
+      20L -> v(100, 0), 21L -> v(100.1, 0),                   // cluster B
+      30L -> v(0, 100), 31L -> v(0, 100.1))                   // cluster C
+    val got = VectorOps.kCenterCoreset(df, 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got.head == ((0L, 10L, None)), "seed must be min(vec_id), null radius")
+    // next two picks cover the far clusters (order: both ~100 away from
+    // A; B's 20 and C's 30 are equidistant-ish — whichever is farther
+    // first, the OTHER cluster must follow before any within-cluster pick)
+    val pickIds = got.map(_._2)
+    assert(Set(pickIds(1), pickIds(2)).subsetOf(Set(20L, 21L, 30L, 31L)) &&
+      (Set(20L, 21L).exists(pickIds.slice(1, 3).contains) &&
+       Set(30L, 31L).exists(pickIds.slice(1, 3).contains)),
+      s"picks 1-2 must cover both far clusters, got $pickIds")
+    // radii are non-increasing after the seed (farthest-point invariant)
+    val radii = got.drop(1).map(_._3.get.asInstanceOf[Double])
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radii must be non-increasing, got $radii")
+    // early stop: asking for more picks than points returns every point
+    // exactly once, then stops at radius 0
+    val all7 = VectorOps.kCenterCoreset(df, 50).collect()
+    assert(all7.length == 7 && all7.map(_.getLong(1)).distinct.length == 7,
+      "k > n must return each point once and stop")
+    // golden eligibility: identical output under different input
+    // partitionings (the two-config collect-and-compare the golden
+    // oracle contract requires)
+    val a = VectorOps.kCenterCoreset(df.repartition(7), 4).orderBy("rank")
+      .collect().toSeq
+    val b = VectorOps.kCenterCoreset(df.repartition(2), 4).orderBy("rank")
+      .collect().toSeq
+    assert(a == b, "coreset must be bit-stable across partitionings")
+  }
+
   test("identical and chained near-dups resolve to one component, min-id rep") {
     // 0,1 identical; 2 close to 1 (chain); 3 orthogonal; pad dims so
     // k-means has something to split
