@@ -135,8 +135,24 @@ object GraftFormat {
     * full manifest inline — deferral is an optimization, never needed
     * for correctness. */
   val CheckpointMaterializeKey = "graft.manifest.checkpointMaterialize"
-  private def materializeMode(fs: FileSystem): String = Option(fs.getConf)
-    .map(_.get(CheckpointMaterializeKey, "async")).getOrElse("async")
+  private val warnedModes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def materializeMode(fs: FileSystem): String = {
+    val raw = Option(fs.getConf)
+      .map(_.get(CheckpointMaterializeKey, "async")).getOrElse("async")
+    raw match {
+      case "async" | "inline" | "manual" => raw
+      case other =>
+        // a typo'd value must not silently become "manual" (defer
+        // forever, nobody materializes — chains grow until a walk or
+        // vacuum repairs): warn once and use the default
+        if (warnedModes.add(other))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"unknown $CheckpointMaterializeKey='$other' — using 'async' " +
+              "(valid: async | inline | manual)")
+        "async"
+    }
+  }
 
   /** The session's checkpoint cadence — ONE definition for the four
     * read/write sites that reason about rollovers (commit, the two

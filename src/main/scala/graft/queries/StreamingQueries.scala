@@ -35,11 +35,15 @@ object StreamingQueries {
     * checkpoint pins the partition count at first start and both drains
     * share one checkpoint, so the override must span both. This is
     * production guidance, not a bench trick: size streaming state
-    * partitions to state volume, not core count. */
+    * partitions to state volume, not core count —
+    * `spark.graft.streaming.statePartitions` (default 8) is the knob. */
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    val n = s.conf.get("spark.graft.streaming.statePartitions", "8")
+    require(n.toInt >= 1, s"spark.graft.streaming.statePartitions must " +
+      s"be >= 1, got $n")
+    s.conf.set(key, n)
     try body finally s.conf.set(key, prev)
   }
 
