@@ -550,6 +550,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L), "zero-token docs must produce no chunks")
   }
 
+  test("t27 chunking plans map-only: no exchange beyond the output sort") {
+    val df = SparkEntry.queries("t27_chunk_windows")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // generator explode + slice must fuse into the scan's stage; the
+    // only exchange is the presentation ORDER BY's range partitioning
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"chunking must not shuffle beyond the output sort:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"expected a generator explode in the plan:\n$plan")
+  }
+
   test("t01 exact dedup shuffles digests, never the text column") {
     val df = SparkEntry.queries("t01_exact_dedup")(spark, sf)
     df.collect() // AQE finalizes the executed plan
