@@ -112,7 +112,8 @@ object Bench {
       (jvms, unreadable, load)
     }
     val (jvmsStart, unreadableStart, loadStart) = envProbe()
-    case class Run(sec: Double, phases: Map[String, Double], err: Option[String])
+    case class Run(sec: Double, phases: Map[String, Double],
+        nested: Set[String], err: Option[String])
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       BenchPhases.clear()
       val t0 = System.nanoTime()
@@ -122,7 +123,8 @@ object Bench {
         case t: Throwable => Some((t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("")).replaceAll("[\"\\n\\r]", " ").take(160))
       }
-      Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot, err)
+      Run((System.nanoTime() - t0) / 1e9, BenchPhases.snapshot,
+        BenchPhases.nestedSnapshot, err)
     }
     // Phase split: on a full (driver-contract) run, the streaming
     // lifecycles leave the shared JVM entirely — a child JVM runs them
@@ -199,14 +201,13 @@ object Bench {
         // phase split for the index/table-building queries (v02/v05/
         // v06/v07/g12/g15/...), taken from each query's median run:
         // sub-phases (<q>.build, <q>.optimize, ...) are recorded inside
-        // the closure, and <q>.probe = total - sum(recorded sub-phases)
+        // the closure, and <q>.probe = total - sum(TOP-LEVEL sub-phases)
+        // — nested spans (s02's legs inside its build) are reported but
+        // never double-subtracted (BenchGuard.probeFor, r17 VERDICT #1)
         phases = medians.flatMap { case (q, run) =>
-          val subs = run.phases.toSeq.sortBy(_._1)
-          val subSum = subs.collect {
-            case (s, sec) if s.startsWith(s"$q.") => sec
-          }.sum
-          subs ++ (if (subs.exists(_._1 == s"$q.build"))
-            Seq(s"$q.probe" -> (run.sec - subSum)) else Nil)
+          run.phases.toSeq.sortBy(_._1) ++
+            BenchGuard.probeFor(q, run.sec, run.phases, run.nested)
+              .map(p => s"$q.probe" -> p)
         },
         errs = results.flatMap { case (n, rs, _, _) =>
           rs.flatMap(_.err).headOption.map(n -> _) },

@@ -114,6 +114,26 @@ object BenchGuard {
       rerunClean: Boolean): Boolean =
     rerunClean && median(rerunSecs) < median(origSecs) * ContentionWinRatio
 
+  /** Phase residual for query `q`: `probe = total − Σ(top-level
+    * sub-spans)`. Nested spans (recorded inside another span, e.g.
+    * s02's ctas/drain1/insert/drain2 inside its build) are reported as
+    * their own lines but MUST NOT be subtracted — counting them twice
+    * is how BENCH_FULL.json shipped `s02_streaming_window.probe:
+    * -3.11` (r17 VERDICT #1). Returns None when the query recorded no
+    * `.build` span (no phase split to residualize). The result is
+    * clamped at 0: with only top-level spans subtracted the honest
+    * value is non-negative up to ns-rounding, and no emitted artifact
+    * may carry a negative phase. */
+  def probeFor(q: String, total: Double, spans: Map[String, Double],
+      nested: Set[String]): Option[Double] =
+    if (!spans.contains(s"$q.build")) None
+    else {
+      val topSum = spans.collect {
+        case (s, sec) if s.startsWith(s"$q.") && !nested(s) => sec
+      }.sum
+      Some(math.max(0.0, total - topSum))
+    }
+
   /** Gate queries with NO committed baseline median — every baseline/
     * uniform rule is structurally blind to them, and cross-round totals
     * jump with no code change (r12 VERDICT ask #1: v10 landed after the

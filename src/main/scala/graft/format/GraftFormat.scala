@@ -1125,17 +1125,34 @@ object GraftFormat {
 
   /** Delete version `v`'s record (+ sidecar) iff it sits BELOW a
     * listing gap — i.e. a racing vacuum already dropped it and the
-    * write above resurrected it. Sound because histories are dense:
-    * within one generation v+1 is committed before any w > v+1, so
-    * max > v with v+1 absent proves a vacuum cut. Best-effort. */
+    * write above resurrected it. Sound because histories are dense
+    * WITHIN A GENERATION: v+1 is committed before any w > v+1, so
+    * max > v with v+1 absent proves a vacuum cut — but only if v and
+    * the listing max belong to the same generation. A drop + re-create
+    * reuses version numbers, and a resurrected OLD-generation record
+    * can sit above the new table's live head; without the generation
+    * check the live head itself satisfies the gap condition and the
+    * sweep would delete committed data. So: read both records'
+    * table-id prefixes and sweep only when the generations provably
+    * match; an id mismatch (or an unreadable/id-less record) means the
+    * gap proves nothing — leave both, vacuum's generation-aware pass
+    * owns that cleanup. Best-effort. */
   private[graft] def sweepIfOrphan(fs: FileSystem, table: Path, v: Long): Unit =
     try {
       val vs = listVersions(fs, table)
       if (vs.nonEmpty && vs.max > v && vs.contains(v) && !vs.contains(v + 1)) {
-        fs.delete(manifestPath(table, v), false)
-        val sc = checkpointDeltaPath(table, v)
-        if (fs.exists(sc)) fs.delete(sc, false)
-        ManifestCache.purge(fs, table)
+        val sameGeneration = (for {
+          (_, vId) <- readCreatedAtPrefix(fs, manifestPath(table, v))
+          (_, headId) <- readCreatedAtPrefix(fs, manifestPath(table, vs.max))
+          a <- vId
+          b <- headId
+        } yield a == b).getOrElse(false)
+        if (sameGeneration) {
+          fs.delete(manifestPath(table, v), false)
+          val sc = checkpointDeltaPath(table, v)
+          if (fs.exists(sc)) fs.delete(sc, false)
+          ManifestCache.purge(fs, table)
+        }
       }
     } catch { case NonFatal(_) => () }
 
@@ -1441,13 +1458,21 @@ object GraftFormat {
   // re-resolve of a known checkpoint head, so a checkpoint with no
   // sidecar (non-representable transition, pre-sidecar history) would
   // otherwise pay the 404 round trip on every readManifest of that
-  // head. One (version) per table — absence at OLDER versions doesn't
-  // recur (the hint tracks the head). A drop + re-create at the same
-  // path could later have a sidecar at the cached version; the stale
-  // negative entry then only skips an optimization (full-record
-  // fallback, always correct).
+  // head. One (version, cachedAtNanos) per table — absence at OLDER
+  // versions doesn't recur (the hint tracks the head). The entry
+  // carries a TTL: a reader can probe in the window between the
+  // record CAS and the commit's post-CAS sidecar write, and a
+  // permanent negative would disable the O(delta) fast path for that
+  // head in this process even though the sidecar lands milliseconds
+  // later. Expiry re-probes — a genuinely sidecar-less head pays one
+  // 404 per TTL instead of per resolve, still amortized away. A drop
+  // + re-create at the same path could later have a sidecar at the
+  // cached version; the stale negative entry then only skips an
+  // optimization (full-record fallback, always correct).
   private val noSidecarAt =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  // var only so the spec can shrink the window; production default 30s
+  private[graft] var NoSidecarTtlNanos = 30L * 1000000000L
 
   /** How many checkpoint boundaries one chain walk may CROSS via
     * sidecars (r16 VERDICT #5): a reader lagged k <= this many cadences
@@ -1484,14 +1509,20 @@ object GraftFormat {
       case _ => false
     }
     if (!rollover) return None
-    if (noSidecarAt.get(depthKey(fs, table)).contains(version)) return None
+    noSidecarAt.get(depthKey(fs, table)) match {
+      case Some((v, at)) if v == version =>
+        if (System.nanoTime() - at < NoSidecarTtlNanos) return None
+        noSidecarAt.remove(depthKey(fs, table))
+      case _ => ()
+    }
     val prev = ManifestCache.peekPinnedRaw(fs, table, version - 1)
       .getOrElse(return None)
     val prevId = prev.properties.get(TableIdProp).getOrElse(return None)
     // absent/torn sidecar or one from another generation: the full
     // record is the always-correct fallback
     val side = readSidecarDelta(fs, table, version)
-    if (side.isEmpty) noSidecarAt.put(depthKey(fs, table), version)
+    if (side.isEmpty)
+      noSidecarAt.put(depthKey(fs, table), (version, System.nanoTime()))
     side
       .filter(_.properties.get(TableIdProp).contains(prevId))
       .map { d =>
@@ -1863,13 +1894,20 @@ object GraftFormat {
     * removals surviving — a RACING committer's record at the same
     * version cannot contain OUR staged fragment paths (every write
     * stages uniquely-named files), so identity headers alone (which two
-    * same-millisecond committers could collide on) never decide. Only
-    * the delta->full direction exists: swaps never produce deltas, and
-    * byte-equality already covers full=full. */
+    * same-millisecond committers could collide on) never decide. A
+    * metadata/property-only delta (empty upserts AND removed) has no
+    * fragment evidence at all — for it the header check is vacuous, so
+    * a racing committer's already-materialized same-millisecond record
+    * could be misread as ours and our property changes silently
+    * dropped: treat that case as a lost race (false) and let the
+    * caller's conflict path retry. Only the delta->full direction
+    * exists: swaps never produce deltas, and byte-equality already
+    * covers full=full. */
   private[graft] def swapEquivalent(mine: Array[Byte], disk: Array[Byte]): Boolean =
     try {
       (decodeAny(mine), decodeAny(disk)) match {
         case (Left(d), Right(m)) =>
+          (d.upserts.nonEmpty || d.removed.nonEmpty) &&
           d.version == m.version && d.createdAtMs == m.createdAtMs &&
           d.operation == m.operation &&
           d.maxFragmentId == m.maxFragmentId &&

@@ -252,6 +252,19 @@ object VectorOps {
   private[graft] val AbsCapKey = "spark.graft.semdedup.absCap"
   private[graft] val DefaultAbsCap = 4096
 
+  /** kCenterCoreset large-k guard knobs (r17 VERDICT #4): above
+    * `sampleAboveK` picks the greedy traversal runs over a ~32×k-row
+    * deterministic hash sample instead of the full corpus. 64 is the
+    * documented exact-path ceiling — the least() chain stays well
+    * inside whole-stage codegen's split thresholds there. */
+  private[graft] val SampleAboveKKey = "spark.graft.coreset.sampleAboveK"
+  private[graft] val DefaultSampleAboveK = 64
+  private[graft] val SampleFactor = 32
+  /** Observability for specs/benches: whether the most recent
+    * kCenterCoreset call on this JVM took the sampled path. */
+  private[graft] val lastCoresetSampled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985)
     * over the embedding corpus: pick `k` vectors such that every
     * vector lies within the final coverage radius of some pick — the
@@ -276,14 +289,46 @@ object VectorOps {
     * is covered exactly (radius 0). Returns (rank, vec_id, radius) in
     * selection order; radius is the pick's distance to the previously
     * selected set (null for the seed) = the coverage radius after
-    * rank+1 picks. */
+    * rank+1 picks.
+    *
+    * LARGE-k GUARD (r17 VERDICT #4): each round fuses one more L2²
+    * term into the per-row least() chain, so round r evaluates r
+    * distances per row — total O(k²N) flops, and past a few hundred
+    * terms the codegen'd chain hits Catalyst's expression-splitting
+    * thresholds. Above `spark.graft.coreset.sampleAboveK` (default
+    * [[DefaultSampleAboveK]]) the greedy loop therefore runs over a
+    * DETERMINISTIC hash sample of the corpus, sized ~[[SampleFactor]]
+    * × k rows (xxhash64(vec_id) mod keep == 0 — partitioning-
+    * invariant, no shuffle, no RNG). Picks remain real corpus vectors;
+    * radii become coverage radii OVER THE SAMPLE (the standard
+    * scalable k-center formulation — Gonzalez over a uniform sample
+    * gives a 2·OPT + ε guarantee for samples ≫ k). The gate query's
+    * k=24 is below every default threshold, so golden v12 never
+    * samples. */
   def kCenterCoreset(e: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val s = e.sparkSession
     import s.implicits._
-    val base = e.select(col("vec_id").cast("long").as("vec_id"),
+    val full = e.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"))
-    val first = base.orderBy("vec_id").head()
+    val threshold = s.conf.get(SampleAboveKKey, DefaultSampleAboveK.toString)
+      .toInt
+    val base =
+      if (k <= threshold) { lastCoresetSampled.set(false); full }
+      else {
+        val total = full.count()
+        val target = SampleFactor.toLong * k.toLong
+        if (total <= target) { lastCoresetSampled.set(false); full }
+        else {
+          lastCoresetSampled.set(true)
+          val keep = total / target // >= 1 here; keeps ~target rows
+          full.filter(pmod(xxhash64(col("vec_id")), lit(keep)) === 0L)
+        }
+      }
+    val firstRows = base.orderBy("vec_id").take(1)
+    require(firstRows.nonEmpty,
+      "kCenterCoreset: empty embedding corpus — nothing to select from")
+    val first = firstRows(0)
     var lastCenter: Seq[Float] = first.getSeq[Float](1)
     val picked = scala.collection.mutable.ArrayBuffer[
       (Long, Long, java.lang.Double)]((0L, first.getLong(0), null))

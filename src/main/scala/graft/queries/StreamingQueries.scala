@@ -26,25 +26,32 @@ object StreamingQueries {
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
   }
 
-  /** Run `body` with streaming-sized shuffle parallelism (r16 VERDICT
-    * #4). A stateful micro-batch query commits one state-store
-    * directory per shuffle partition per batch (plus its delta file and
-    * the sink's per-partition output), so the session's CPU-sized
-    * default (32 on the bench) pays 4x the state/commit I/O of an
-    * 8-partition stream whose whole state fits in a few MB. The
-    * checkpoint pins the partition count at first start and both drains
-    * share one checkpoint, so the override must span both. This is
-    * production guidance, not a bench trick: size streaming state
-    * partitions to state volume, not core count —
-    * `spark.graft.streaming.statePartitions` (default 8) is the knob. */
-  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+  /** Run `startQuery` with streaming-sized shuffle parallelism (r16
+    * VERDICT #4, scoping tightened r17-close ADVICE). A stateful
+    * micro-batch query commits one state-store directory per shuffle
+    * partition per batch (plus its delta file and the sink's
+    * per-partition output), so the session's CPU-sized default (32 on
+    * the bench) pays 4x the state/commit I/O of an 8-partition stream
+    * whose whole state fits in a few MB. Structured Streaming CLONES
+    * the session at `start()` and the checkpoint pins the partition
+    * count from that clone's conf, so the override only needs to hold
+    * across `start()` itself — the batch CTAS/INSERT phases and any
+    * concurrent query on the session keep full parallelism, and the
+    * narrow window makes the set/restore effectively race-free for
+    * this session's own batch work. This is production guidance, not
+    * a bench trick: size streaming state partitions to state volume,
+    * not core count — `spark.graft.streaming.statePartitions`
+    * (default 8) is the knob. */
+  private def startWithStreamShuffle(s: SparkSession)(
+      startQuery: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val n = s.conf.get("spark.graft.streaming.statePartitions", "8")
     require(n.toInt >= 1, s"spark.graft.streaming.statePartitions must " +
       s"be >= 1, got $n")
     s.conf.set(key, n)
-    try body finally s.conf.set(key, prev)
+    try startQuery finally s.conf.set(key, prev)
   }
 
   val all: Seq[Q] = Seq(
@@ -88,29 +95,29 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s01-ckpt").toString
       val out = Files.createTempDirectory("graft-s01-out").toString
       graft.BenchPhases.timed("s01_streaming_dedup.build") {
-        withStreamShuffle(s) {
-          s.sql("DROP TABLE IF EXISTS graft.db.s01_crawl")
-          docs.filter(col("doc_id") <= mid)
-            .createOrReplaceTempView("s01_b1")
-          s.sql("CREATE TABLE graft.db.s01_crawl AS SELECT * FROM s01_b1")
-          def drain(): Unit = {
-            val q = graft.streaming.StreamingDedup.firstSeen(
+        s.sql("DROP TABLE IF EXISTS graft.db.s01_crawl")
+        docs.filter(col("doc_id") <= mid)
+          .createOrReplaceTempView("s01_b1")
+        s.sql("CREATE TABLE graft.db.s01_crawl AS SELECT * FROM s01_b1")
+        def drain(): Unit = {
+          val q = startWithStreamShuffle(s) {
+            graft.streaming.StreamingDedup.firstSeen(
               s.readStream.table("graft.db.s01_crawl"), "doc_id", "text")
               .writeStream.format("parquet")
               .option("path", out).option("checkpointLocation", ckpt)
               .trigger(Trigger.AvailableNow()).start()
-            if (!q.awaitTermination(300000)) {
-              q.stop() // never start a second query on a live checkpoint
-              throw new IllegalStateException(
-                "s01 micro-batch drain did not finish within 300s")
-            }
           }
-          drain()
-          docs.filter(col("doc_id") > mid).unionByName(copies)
-            .createOrReplaceTempView("s01_b2")
-          s.sql("INSERT INTO graft.db.s01_crawl SELECT * FROM s01_b2")
-          drain()
+          if (!q.awaitTermination(300000)) {
+            q.stop() // never start a second query on a live checkpoint
+            throw new IllegalStateException(
+              "s01 micro-batch drain did not finish within 300s")
+          }
         }
+        drain()
+        docs.filter(col("doc_id") > mid).unionByName(copies)
+          .createOrReplaceTempView("s01_b2")
+        s.sql("INSERT INTO graft.db.s01_crawl SELECT * FROM s01_b2")
+        drain()
       }
       s.read.parquet(out)
         .select(col("doc_id"), col("content_hash"))
@@ -148,7 +155,6 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s02-ckpt").toString
       val out = Files.createTempDirectory("graft-s02-out").toString
       graft.BenchPhases.timed("s02_streaming_window.build") {
-        withStreamShuffle(s) {
         graft.BenchPhases.timed("s02_streaming_window.ctas") {
           s.sql("DROP TABLE IF EXISTS graft.db.s02_events")
           ev.filter(col("event_id") <= mid)
@@ -156,13 +162,15 @@ object StreamingQueries {
           s.sql("CREATE TABLE graft.db.s02_events AS SELECT * FROM s02_b1")
         }
         def drain(): Unit = {
-          val q = s.readStream.table("graft.db.s02_events")
-            .withWatermark("ts", "1 minute")
-            .groupBy(window(col("ts"), "1 day"), col("event_type"))
-            .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
-            .writeStream.format("parquet")
-            .option("path", out).option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+          val q = startWithStreamShuffle(s) {
+            s.readStream.table("graft.db.s02_events")
+              .withWatermark("ts", "1 minute")
+              .groupBy(window(col("ts"), "1 day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+              .writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+          }
           if (!q.awaitTermination(300000)) {
             q.stop() // never start a second query on a live checkpoint
             throw new IllegalStateException(
@@ -179,7 +187,6 @@ object StreamingQueries {
           s.sql("INSERT INTO graft.db.s02_events SELECT * FROM s02_b2")
         }
         graft.BenchPhases.timed("s02_streaming_window.drain2") { drain() }
-        }
       }
       s.read.parquet(out)
         .filter(col("event_type") =!= "sentinel")

@@ -132,6 +132,48 @@ class BenchGuardSpec extends AnyFunSuite {
       Seq("b", "a"), Map.empty) === Seq("a", "b"))
   }
 
+  test("probeFor subtracts only top-level spans: nested legs never go " +
+      "negative (the s02 -3.11s shape), and BenchPhases tracks nesting") {
+    // the exact r17 artifact bug: s02's four legs recorded INSIDE its
+    // build span; summing all five double-counts and the residual goes
+    // negative. probeFor must subtract the build alone.
+    val q = "s02_streaming_window"
+    val spans = Map(
+      s"$q.build" -> 10.0, s"$q.ctas" -> 2.0, s"$q.drain1" -> 3.0,
+      s"$q.insert" -> 1.0, s"$q.drain2" -> 3.5)
+    val nested = Set(s"$q.ctas", s"$q.drain1", s"$q.insert", s"$q.drain2")
+    assert(BenchGuard.probeFor(q, 11.0, spans, nested) === Some(1.0))
+    // the pre-fix behavior for contrast: flat subtraction is negative
+    assert(11.0 - spans.values.sum < 0)
+    // sibling top-level spans still all subtract (g15-shaped)
+    val flat = Map("g15.build" -> 2.0, "g15.optimize" -> 1.5)
+    assert(BenchGuard.probeFor("g15", 4.0, flat, Set.empty) === Some(0.5))
+    // no .build span -> no residual line
+    assert(BenchGuard.probeFor("q01", 1.0, Map("q01.x" -> 0.4), Set.empty)
+      .isEmpty)
+    // ns-rounding can push the honest residual epsilon-negative: clamp
+    assert(BenchGuard.probeFor("g12", 1.0,
+      Map("g12.build" -> 1.0000001), Set.empty) === Some(0.0))
+    // other queries' spans never leak into q's residual
+    assert(BenchGuard.probeFor("g15", 4.0,
+      flat ++ Map("g16.build" -> 99.0), Set.empty) === Some(0.5))
+    // and the recorder itself marks nesting: a timed span started while
+    // another is active on the thread lands in nestedSnapshot
+    BenchPhases.clear()
+    BenchPhases.timed("outer.build") {
+      BenchPhases.timed("outer.leg1") { () }
+      BenchPhases.timed("outer.leg2") { () }
+    }
+    BenchPhases.timed("outer.sibling") { () }
+    assert(BenchPhases.nestedSnapshot === Set("outer.leg1", "outer.leg2"))
+    assert(BenchPhases.snapshot.keySet ===
+      Set("outer.build", "outer.leg1", "outer.leg2", "outer.sibling"))
+    val probe = BenchGuard.probeFor("outer", 1.0, BenchPhases.snapshot,
+      BenchPhases.nestedSnapshot)
+    assert(probe.exists(_ >= 0.0), s"probe must be non-negative, got $probe")
+    BenchPhases.clear()
+  }
+
   test("parseCommitted reads the writer's artifact shape, including reordering") {
     val artifact =
       """{"metric":"total","value":70.77,"unit":"sec",""" +

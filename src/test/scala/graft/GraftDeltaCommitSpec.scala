@@ -537,6 +537,132 @@ class GraftDeltaCommitSpec extends AnyFunSuite {
       "history must be a contiguous suffix after the sweep")
   }
 
+  test("generation-guarded sweep (r17-close ADVICE): a resurrected " +
+      "OLD-generation record above a re-created table's head never gets " +
+      "the live head swept; a same-generation below-gap orphan still is") {
+    val fsx = freshFsDefer(every = 4, mode = "manual")
+    val dir = tmp()
+    // generation A: versions 1..6; save v6's raw record bytes
+    appendChain(fsx, dir, create(fsx, dir, 5), 6L)
+    val oldGenV6 = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 6L))
+    // drop + re-create at the same path: generation B, versions 1..2
+    (1L to 6L).foreach { v =>
+      fsx.delete(GraftFormat.manifestPath(dir, v), false)
+      val sc = GraftFormat.checkpointDeltaPath(dir, v)
+      if (fsx.exists(sc)) fsx.delete(sc, false)
+    }
+    graft.format.ManifestCache.clearAll()
+    appendChain(fsx, dir, create(fsx, dir, 3), 2L)
+    // the documented materializer-vs-drop race's end state: gen A's v6
+    // record resurrected ABOVE gen B's live head (v2)
+    val out = fsx.create(GraftFormat.manifestPath(dir, 6L), true)
+    try out.write(oldGenV6) finally out.close()
+    assert(GraftFormat.listVersions(fsx, dir) == Seq(1L, 2L, 6L))
+    // v2 satisfies the RAW gap condition (max 6 > 2, no v3) but is the
+    // LIVE head of generation B — the generation check must refuse
+    GraftFormat.sweepIfOrphan(fsx, dir, 2L)
+    assert(fsx.exists(GraftFormat.manifestPath(dir, 2L)),
+      "generation-blind sweep deleted a live committed version")
+    // v1 is gen B's contiguous prefix under the same stale max — also kept
+    GraftFormat.sweepIfOrphan(fsx, dir, 1L)
+    assert(fsx.exists(GraftFormat.manifestPath(dir, 1L)))
+    // the same shape WITHIN one generation still sweeps: resurrect gen
+    // B's v1 below a genuine vacuum cut. Rebuild: gen B history 1..6,
+    // vacuum-style delete of 2..5 leaves [1, 6] — same-gen gap at v1.
+    val dir2 = tmp()
+    appendChain(fsx, dir2, create(fsx, dir2, 3), 6L)
+    (2L to 5L).foreach { v =>
+      fsx.delete(GraftFormat.manifestPath(dir2, v), false)
+      val sc = GraftFormat.checkpointDeltaPath(dir2, v)
+      if (fsx.exists(sc)) fsx.delete(sc, false)
+    }
+    GraftFormat.sweepIfOrphan(fsx, dir2, 1L)
+    assert(!fsx.exists(GraftFormat.manifestPath(dir2, 1L)),
+      "same-generation below-gap orphan must still be swept")
+  }
+
+  test("property-only delta never swap-matches (r17-close ADVICE): an " +
+      "ambiguous read-back with no fragment evidence is a lost race") {
+    val fsx = freshFsDefer(every = 4, mode = "manual")
+    val dir = tmp()
+    // commits 2..4 append; commit 5 (the cadence boundary) changes ONLY
+    // a property — its delta has empty upserts/removed, so the swap
+    // equivalence check has no fragment paths to decide with
+    var m = create(fsx, dir, 5)
+    (2L to 4L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+    }
+    val base = m
+    m = m.copy(version = 5L, createdAtMs = 5000L, operation = "Append",
+      properties = m.properties + ("owner" -> "us"))
+    GraftFormat.commit(fsx, dir, m, base = Some(base))
+    assert(!GraftFormat.isCheckpoint(fsx, dir, 5L),
+      "setup: the property-only commit must have stored a DELTA record")
+    val mine = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 5L))
+    // sanity: the stored record is a property-only delta, and the swap
+    // to OUR OWN materialized full manifest must now read as NOT ours —
+    // conservatively losing a race we might have won beats silently
+    // dropping a racer's property change
+    GraftFormat.materializeCheckpoint(fsx, dir, 5L)
+    val disk = GraftFormat.readBytes(fsx, GraftFormat.manifestPath(dir, 5L))
+    assert(!GraftFormat.swapEquivalent(mine, disk),
+      "a property-only delta must never swap-match: no fragment evidence")
+  }
+
+  test("noSidecarAt negative cache expires (r17-close ADVICE): a probe " +
+      "in the CAS-to-sidecar window must not disable the O(delta) fast " +
+      "path forever") {
+    val fsx = freshFs(every = 4)
+    val dir = tmp()
+    var m = create(fsx, dir, 400)
+    val manifests = scala.collection.mutable.Map(1L -> m)
+    (2L to 5L).foreach { v =>
+      val base = m
+      m = m.copy(version = v,
+        fragments = m.fragments :+ frag(m.maxFragmentId + 1),
+        maxFragmentId = m.maxFragmentId + 1,
+        createdAtMs = 1000L * v, operation = "Append")
+      GraftFormat.commit(fsx, dir, m, base = Some(base))
+      manifests(v) = m
+    }
+    assert(GraftFormat.awaitMaterializations(), "materialization stalled")
+    val sidecar = GraftFormat.checkpointDeltaPath(dir, 5L)
+    assert(fsx.exists(sidecar), "v5 rollover must carry a sidecar")
+    // simulate the race: hide the sidecar, resolve the rollover from a
+    // pin below it — the fast path 404s and caches the negative
+    val hidden = new Path(sidecar.getParent, sidecar.getName + ".hidden")
+    fsx.rename(sidecar, hidden)
+    graft.format.ManifestCache.clearAll()
+    assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+    assert(GraftFormat.readManifest(fsx, dir, 5L) == manifests(5L))
+    // the sidecar "lands milliseconds later"
+    fsx.rename(hidden, sidecar)
+    val ckptLen = fsx.getFileStatus(GraftFormat.manifestPath(dir, 5L)).getLen
+    def rolloverBytes(): Long = {
+      graft.format.ManifestCache.clearAll()
+      assert(GraftFormat.readManifest(fsx, dir, 4L) == manifests(4L))
+      val b0 = GraftFormat.versionBytesRead.get()
+      assert(GraftFormat.readManifest(fsx, dir, 5L) == manifests(5L))
+      GraftFormat.versionBytesRead.get() - b0
+    }
+    // within the TTL the cached negative still routes to the full
+    // record (correct, just not O(delta))
+    assert(rolloverBytes() >= ckptLen,
+      "negative cache should still hold inside the TTL")
+    // after expiry the fast path re-probes and finds the sidecar
+    val saved = GraftFormat.NoSidecarTtlNanos
+    try {
+      GraftFormat.NoSidecarTtlNanos = 0L
+      assert(rolloverBytes() < ckptLen,
+        "expired negative must re-probe and take the O(delta) sidecar path")
+    } finally GraftFormat.NoSidecarTtlNanos = saved
+  }
+
   test("ambiguous-commit equivalence: a materialized swap of OUR record " +
       "reads as ours; a racer's same-version/same-ms record never does") {
     val fsx = freshFsDefer(every = 4, mode = "manual")

@@ -61,6 +61,50 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(a == b, "coreset must be bit-stable across partitionings")
   }
 
+  test("kCenterCoreset: empty corpus fails typed, not NoSuchElement") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.kCenterCoreset(empty, 3)
+    }
+    assert(ex.getMessage.contains("empty embedding corpus"))
+  }
+
+  test("kCenterCoreset large-k guard: k=128 over an 8k corpus engages the " +
+      "deterministic sample; k<=threshold stays exact") {
+    import spark.implicits._
+    // 8192 rows drawn from 300 distinct 2-D+pad grid points: total
+    // (8192) > SampleFactor*k (4096), so the guard must sample; 300
+    // distinct points > k, so no early stop — all 128 ranks emitted.
+    val df = (0L until 8192L).map { i =>
+      val p = (i % 300L).toInt
+      (i, Seq((p % 20).toFloat, (p / 20).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val got = VectorOps.kCenterCoreset(df, 128).orderBy("rank").collect()
+    assert(VectorOps.lastCoresetSampled.get(), "k=128 must take the sampled path")
+    assert(got.length == 128, s"expected 128 picks, got ${got.length}")
+    assert(got.map(_.getLong(0)).toSeq == (0L until 128L),
+      "ranks must be dense 0..127")
+    val ids = got.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "picks must be distinct vectors")
+    assert(ids.forall(id => id >= 0 && id < 8192), "picks must be corpus rows")
+    // farthest-point invariant survives sampling
+    val radii = got.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radii must be non-increasing")
+    // determinism: the hash sample has no RNG — a re-run bit-matches
+    // (the seed's radius is null, so compare via Option)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)))
+    val again = VectorOps.kCenterCoreset(df.repartition(5), 128)
+      .orderBy("rank").collect()
+    assert(got.map(key).toSeq == again.map(key).toSeq,
+      "sampled path must be deterministic across partitionings")
+    // the gate query's k=24 must NOT sample (golden v12 unchanged)
+    VectorOps.kCenterCoreset(df.limit(100), 24)
+    assert(!VectorOps.lastCoresetSampled.get(), "k=24 must stay exact")
+  }
+
   test("identical and chained near-dups resolve to one component, min-id rep") {
     // 0,1 identical; 2 close to 1 (chain); 3 orthogonal; pad dims so
     // k-means has something to split
