@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-import graft.ops.{ScalarIndex, TextIndex, VectorIndex}
+import graft.ops.{MinhashStore, ScalarIndex, TextIndex, VectorIndex}
 
 /** Refresh-cost probe -> one JSON line consumed by
   * tools/refresh_probe.py (BENCH_REFRESH.json).
@@ -139,6 +139,53 @@ object RefreshProbe {
     probe("vector_ivf_pq", "vp", embBase, embAppend,
       d => VectorIndex.Pq.build(spark, d, "vec_id", "embedding"),
       d => VectorIndex.Pq.refresh(spark, d, "vec_id", "embedding"))
+
+    // ---- minhash near-dup store (r17 VERDICT #2). The measured claim
+    // is the DAILY PROBE itself, not index refresh: a mostly-novel
+    // delta probed against the bloom+bucket MinhashStore must read a
+    // fraction of what the full-signature-scan probe reads on the SAME
+    // delta and the SAME stored signatures. Row semantics match the
+    // other kinds: "build" = the O(index) op (the r17 full-scan
+    // probe), "refresh" = the O(delta) op (the indexed probe). Docs
+    // replicate 4x (shifted ids) for the same reason rp_embs does 8x:
+    // at raw sf0.1 the delta-side fixed costs (shingling + within-
+    // delta LSH) would drown the index-side signal being measured.
+    {
+      import org.apache.spark.sql.functions._
+      val mhDocs = spark.range(4).crossJoin(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text")))
+        .select((col("doc_id") + col("id") * nDocs * 2).as("doc_id"),
+          col("text"))
+      val root = s"$wh/mh_idx"
+      MinhashStore.build(graft.operators.TextOps.minhashIndex(mhDocs), root)
+      // NOVEL delta, MATERIALIZED so its own scan is delta-sized. The
+      // text is synthetic md5 tokens — guaranteed zero shingle overlap
+      // with the corpus: this measures the steady-state new-content
+      // path the store exists for. The dup-heavy tail is covered by
+      // MinhashStoreSpec (cost-based fallback = the pre-store probe's
+      // cost, row-identical output).
+      val novelPath = s"$wh/mh_novel"
+      spark.range(dDelta * 4)
+        .select((col("id") + nDocs * 100).as("doc_id"),
+          expr("array_join(transform(sequence(1, 40), i -> " +
+            "md5(concat(cast(id as string), '-', cast(i as string)))), ' ')")
+            .as("text"))
+        .write.mode("overwrite").parquet(novelPath)
+      val delta = spark.read.parquet(novelPath)
+      val (fSec, fRec) = measure {
+        graft.operators.TextOps.incrementalNearDups(delta,
+          MinhashStore.sigsAll(spark, root)).count()
+      }
+      val (iSec, iRec) = measure {
+        graft.operators.TextOps.incrementalNearDupsIndexed(delta, root)
+          .count()
+      }
+      results += Probe("minhash_probe", fSec, iSec, fRec, iRec)
+      System.err.println(s"[refresh-probe] minhash_probe full-scan=" +
+        s"${fSec}s/${fRec}rec indexed=${iSec}s/${iRec}rec " +
+        s"stats=${MinhashStore.lastProbeStats.get()}")
+    }
 
     val rs = results.result()
     val allOk = rs.forall(_.ok)

@@ -258,12 +258,119 @@ object TextOps {
     val within = lshCandidatePairs(deltaSigs, bands, r)
       .select(col("b_id").as("new_id"), col("a_id").as("old_id"),
         agreeFrac("sig_a", "sig_b", perms).as("est_jaccard"))
-    crossScored.unionByName(within)
-      .filter(col("est_jaccard") >= threshold)
+    bestDupPerDoc(crossScored.unionByName(within), threshold)
+  }
+
+  /** Shared tail of the incremental probes: keep scored pairs at or
+    * above `threshold`, one row per delta doc with its smallest
+    * matching partner. */
+  private def bestDupPerDoc(scored: DataFrame,
+      threshold: Double): DataFrame =
+    scored.filter(col("est_jaccard") >= threshold)
       .groupBy(col("new_id"))
       .agg(min(struct(col("old_id"), col("est_jaccard"))).as("m"))
       .select(col("new_id").as("doc_id"), col("m.old_id").as("dup_of"),
         round(col("m.est_jaccard"), 4).as("est_jaccard"))
+
+  /** [[incrementalNearDups]] against a [[graft.ops.MinhashStore]] —
+    * the O(delta) daily probe (r17 VERDICT #2). Candidate pairs,
+    * scores and the returned rows are IDENTICAL to the parquet-scan
+    * path (the bloom has no false negatives and the per-bucket cap
+    * runs over the same matched stream); what changes is I/O: the
+    * store's per-segment bloom kills the probe keys a mostly-novel
+    * delta never matches BEFORE any data read, survivors prune the
+    * bucket partitions they hash to, and the few surviving
+    * candidates' signatures come from only their hash partitions —
+    * the index is no longer scanned per batch. */
+  def incrementalNearDupsIndexed(delta: DataFrame, root: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = delta.sparkSession
+    val m = graft.ops.MinhashStore.meta(spark, root)
+    val deltaSigs = minhashIndex(delta, m.bands * m.r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = incrementalNearDupsIndexedFromSigs(deltaSigs, root, threshold)
+    // registered AFTER the probe's internal collect-jobs (which read
+    // deltaSigs and must not count as the releasing consumer) — and
+    // after the listener bus drains, or those jobs' late-delivered
+    // events still consume the hook's quota
+    org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs)
+    res
+  }
+
+  /** [[incrementalNearDupsIndexed]] with pre-computed (and
+    * caller-persisted) delta signatures. */
+  def incrementalNearDupsIndexedFromSigs(deltaSigs: DataFrame,
+      root: String, threshold: Double = 0.5): DataFrame = {
+    val spark = deltaSigs.sparkSession
+    val m = graft.ops.MinhashStore.meta(spark, root)
+    val perms = m.bands * m.r
+    // capped delta buckets — the same probe stream the parquet path
+    // broadcasts, so the matched postings (and thus candidates) are
+    // identical row for row
+    val probes = bandBuckets(deltaSigs, m.bands, m.r)
+      .withColumnRenamed("doc_id", "new_id")
+    val matched =
+      graft.ops.MinhashStore.matchedPostings(spark, root, probes)
+    val stats = graft.ops.MinhashStore.lastProbeStats.get()
+    val cross0 = capBuckets(matched, Seq("band", "band_hash", "new_id"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .distinct()
+    // when EVERY segment already fell back to its sig scan (dup-heavy
+    // delta), candidate-side pruning is pointless: fetch signatures
+    // lazily from the full store — no cross materialization job, no
+    // extra pass; the whole probe collapses to the pre-store plan
+    val allFellBack = stats != null && stats.segments > 0 &&
+      stats.fullScanSegments == stats.segments
+    val (cross, sigOld) =
+      if (allFellBack)
+        (cross0, graft.ops.MinhashStore.sigsAll(spark, root)
+          .select(col("doc_id").as("old_id"), col("minhash").as("sig_old")))
+      else {
+        val c = cross0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // sigsFor's internal collect materializes `c` here; the final
+        // consumer action releases it (bus drained first — see
+        // incrementalNearDupsIndexed)
+        val so = graft.ops.MinhashStore
+          .sigsFor(spark, root, c.select(col("old_id")))
+          .select(col("doc_id").as("old_id"), col("minhash").as("sig_old"))
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        graft.CacheHygiene.unpersistAfterNextAction(c)
+        (c, so)
+      }
+    val crossScored = sigOld
+      .join(broadcast(cross), Seq("old_id"))
+      .join(broadcast(deltaSigs.select(col("doc_id").as("new_id"),
+        col("minhash").as("sig_new"))), Seq("new_id"))
+      .select(col("new_id"), col("old_id"),
+        agreeFrac("sig_new", "sig_old", perms).as("est_jaccard"))
+    val within = lshCandidatePairs(deltaSigs, m.bands, m.r)
+      .select(col("b_id").as("new_id"), col("a_id").as("old_id"),
+        agreeFrac("sig_a", "sig_b", perms).as("est_jaccard"))
+    bestDupPerDoc(crossScored.unionByName(within), threshold)
+  }
+
+  /** [[incrementalDedupRound]] against a [[graft.ops.MinhashStore]]:
+    * same three frames, O(delta) index I/O. Fold survivors forward
+    * with `MinhashStore.append(minhashIndex(survivors), root)` — a new
+    * merge-on-read segment, never a rewrite. */
+  def incrementalDedupRoundIndexed(delta: DataFrame, root: String,
+      threshold: Double = 0.5): IncrementalDedupRound = {
+    val spark = delta.sparkSession
+    val m = graft.ops.MinhashStore.meta(spark, root)
+    val deltaSigs = minhashIndex(delta, m.bands * m.r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = incrementalNearDupsIndexedFromSigs(deltaSigs, root, threshold)
+    val survivors = delta.join(dups.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val updatedIndex = graft.ops.MinhashStore.sigsAll(spark, root)
+      .unionByName(
+        deltaSigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti"))
+    org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    graft.CacheHygiene.unpersistAfterNextAction(deltaSigs,
+      releaseAfterConsumers = 2)
+    IncrementalDedupRound(dups, survivors, updatedIndex)
   }
 
   /** One full round of the DAILY incremental-dedup loop — the
@@ -1192,9 +1299,12 @@ object TextOps {
       // repeated bench/verify JVMs would accumulate them in tmp
       removeOnExit(idxPath)
       graft.BenchPhases.timed("t26_incremental_dedup.build") {
-        minhashIndex(base).write.mode("overwrite").parquet(idxPath)
+        graft.ops.MinhashStore.build(minhashIndex(base), idxPath)
       }
-      incrementalNearDups(delta, s.read.parquet(idxPath))
+      // O(delta) probe against the bloom+bucket store (r17 VERDICT
+      // #2); candidates and scores — and therefore the golden — are
+      // identical to the former full-signature-scan path
+      incrementalNearDupsIndexed(delta, idxPath)
         .orderBy("doc_id")
     },
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.functions._
@@ -129,6 +130,81 @@ object VectorIndex {
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(dest, "list_sizes").toString)
     }
+  }
+
+  /** Embedding-drift guard for refresh-on-append (r17 VERDICT #3).
+    * The IVF/PQ trained structures are frozen by the refresh contract,
+    * so an append stream whose embedding distribution shifts (new
+    * model, new modality, new domain) decays recall invisibly — the
+    * new vectors coarse-assign to far-away centroids and probes miss
+    * them. The detector is one cheap statistic that rides INSIDE the
+    * refresh's existing delta pass (zero extra jobs): the delta's mean
+    * L2 distance to its nearest frozen centroid, compared to the same
+    * statistic the BUILD stored over its full corpus (`_drift.json`).
+    * A delta whose mean exceeds build-mean × maxRatio escalates to a
+    * full retraining [[Ivf.build]]/[[Pq.build]]; the anchor is always
+    * the last TRAIN's value (copied across refreshes), so slow drift
+    * accumulates against a fixed reference instead of creeping past a
+    * per-day comparison. maxRatio <= 0 disables. */
+  val DriftMaxRatioKey = "spark.graft.index.drift.maxRatio"
+  val DefaultDriftMaxRatio = 1.5
+
+  /** Last refresh's drift decision on this JVM (specs + RecallBench). */
+  final case class DriftDecision(deltaMean: Double,
+      anchorMean: Option[Double], escalated: Boolean)
+  val lastDriftDecision =
+    new java.util.concurrent.atomic.AtomicReference[DriftDecision](null)
+
+  private[ops] def writeDriftStat(fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path, sumDist: Double, n: Long): Unit = {
+    val out = fs.create(new Path(dest, "_drift.json"), true)
+    try out.write(s"""{"sum_dist":$sumDist,"n":$n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The build-time anchor mean, if this index version recorded one
+    * (pre-drift-guard indexes have no file → detection skips). */
+  private[ops] def readDriftMean(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[Double] =
+    try {
+      val p = new Path(dir, "_drift.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+        val node = new ObjectMapper().readTree(bytes)
+        val n = node.get("n").asLong()
+        if (n <= 0) None else Some(node.get("sum_dist").asDouble() / n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[ops] def copyDriftStat(fs: org.apache.hadoop.fs.FileSystem,
+      priorDir: Path, dest: Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val src = new Path(priorDir, "_drift.json")
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src,
+        fs, new Path(dest, "_drift.json"), false, true, conf)
+  }
+
+  /** Escalate iff an anchor exists, the guard is enabled, and the
+    * delta's mean distance exceeds anchor × maxRatio. Records the
+    * decision for observability either way. */
+  private[ops] def driftEscalates(spark: SparkSession, deltaMean: Double,
+      anchorMean: Option[Double]): Boolean = {
+    val ratio = spark.conf.get(DriftMaxRatioKey,
+      DefaultDriftMaxRatio.toString).toDouble
+    val esc = ratio > 0 && anchorMean.exists(a => a > 0 &&
+      deltaMean > a * ratio)
+    lastDriftDecision.set(DriftDecision(deltaMean, anchorMean, esc))
+    esc
   }
 
   /** Remove a stale `_build_id` BEFORE a (re)build writes any artifact:
@@ -540,6 +616,24 @@ object VectorIndex {
         c += 1
       }
       best
+    }
+
+    /** [[nearest]] plus the winning L2² — the drift guard accumulates
+      * sqrt of this inside the same assignment loop, zero extra math
+      * beyond what the argmin already computed. */
+    private[graft] def nearestWithD(cents: Array[Array[Double]],
+        e: Seq[Float]): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cent = cents(c); var d = 0.0; var i = 0
+        val n = math.min(cent.length, e.length)
+        while (i < n) {
+          val diff = e(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
     }
   }
 
