@@ -91,6 +91,97 @@ object RecallBench {
     }
   }
 
+  /** Drift leg (r17 VERDICT #3): build over the base embeddings, append
+    * a deliberately SHIFTED 4× volume (each replica offset +10 along a
+    * different dimension — four new clusters the frozen centroids never
+    * saw), refresh, and measure the production rewrite path's recall
+    * over queries drawn from BOTH regions. With the drift guard live
+    * the refresh escalates to a retrain and the row must hold the
+    * floor; `frozen = true` re-runs with the guard disabled
+    * (maxRatio=0) as the informational control. Returns (result,
+    * retrained). */
+  def measureDrift(spark: SparkSession, sfDir: String, kind: String,
+      frozen: Boolean, k: Int = 10, nLists: Int = 16): (Result, Boolean) = {
+    require(Set("ivf", "ivfpq").contains(kind), kind)
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory(s"graft-drift-$kind").resolve("e.graft").toUri)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.connector.GraftWriter.write(fs, dir, emb, overwrite = true)
+    def buildOrRefresh(refresh: Boolean): Unit =
+      (kind, refresh) match {
+        case ("ivf", false) => graft.ops.VectorIndex.Ivf
+          .build(spark, dir, "vec_id", "embedding", nLists = nLists)
+        case ("ivf", true) => graft.ops.VectorIndex.Ivf
+          .refresh(spark, dir, "vec_id", "embedding", nLists = nLists)
+        case (_, false) => graft.ops.VectorIndex.Pq
+          .build(spark, dir, "vec_id", "embedding", nLists = nLists)
+        case (_, true) => graft.ops.VectorIndex.Pq
+          .refresh(spark, dir, "vec_id", "embedding", nLists = nLists)
+      }
+    buildOrRefresh(refresh = false)
+    // 4× shifted append: replica r moves +10 along dimension r
+    val shifted = (0 until 4).map { r =>
+      emb.select((col("vec_id") + (r + 1) * 10000000L).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> x + IF(i = $r, 10.0F, 0.0F))")
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    graft.connector.GraftWriter.write(fs, dir, shifted, overwrite = false)
+    if (frozen)
+      spark.conf.set(graft.ops.VectorIndex.DriftMaxRatioKey, "0")
+    try buildOrRefresh(refresh = true)
+    finally if (frozen)
+      spark.conf.unset(graft.ops.VectorIndex.DriftMaxRatioKey)
+    val retrained = Option(graft.ops.VectorIndex.lastDriftDecision.get())
+      .exists(_.escalated)
+
+    def tableDF: DataFrame = {
+      val m = graft.format.GraftFormat.readLatest(fs, dir).get
+      org.apache.spark.sql.GraftShim.tableDF(spark,
+        new graft.connector.GraftTable(s"drift:$dir", dir, m, fs.getConf))
+    }
+    // queries from both regions: 10 base + 10 shifted (replica 1)
+    val queries =
+      emb.orderBy("vec_id").limit(10).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)) ++
+      shifted.filter(col("vec_id") >= 10000000L)
+        .orderBy("vec_id").limit(10).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def topK(qv: Seq[Float]): DataFrame =
+      tableDF.orderBy(graft.functions.VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(qv)).desc)
+        .limit(k).select("vec_id")
+    def semiJoins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.size
+    val rule = graft.plans.AnnTopKIndexRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      var recallSum = 0.0
+      var probed = 0
+      var fellBack = 0
+      queries.foreach { case (_, qv) =>
+        spark.conf.set("spark.graft.ann.indexRewrite", "false")
+        val exact = topK(qv).collect().map(_.getLong(0)).toSet
+        spark.conf.set("spark.graft.ann.indexRewrite", "true")
+        val q = topK(qv)
+        if (semiJoins(q) == 1) probed += 1 else fellBack += 1
+        val ann = q.collect().map(_.getLong(0)).toSet
+        recallSum += (exact intersect ann).size.toDouble / exact.size
+      }
+      (Result(recallSum / queries.length, probed, fellBack, 0L, 0L),
+        retrained)
+    } finally {
+      spark.conf.unset("spark.graft.ann.indexRewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+      fs.delete(dir.getParent, true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir4 = sys.env.getOrElse("GRAFT_RECALL_4X_DIR",
@@ -155,13 +246,34 @@ object RecallBench {
         s"(probed ${r.probed}, fellBack ${r.fellBack})")
       (scale, kind, path, r)
     }
-    val pass = rows.forall(_._4.recall >= floor)
-    val rowsJson = rows.map { case (scale, kind, path, r) =>
+    // drift rows (r17 VERDICT #3): a shifted 4× append must keep
+    // recall at the floor VIA the escalation (retrained=true, gated);
+    // the frozen-guard control runs beside it, informational only
+    val driftRows = for {
+      kind <- Seq("ivf", "ivfpq")
+      frozen <- Seq(false, true)
+    } yield {
+      val (r, retrained) = measureDrift(spark, src, kind, frozen)
+      val path = if (frozen) "drift_shifted_4x_frozen_control"
+        else "drift_shifted_4x"
+      println(f"recall drift/$kind/$path = ${r.recall}%.3f " +
+        s"(retrained $retrained, probed ${r.probed}, fellBack ${r.fellBack})")
+      (kind, path, r, retrained, !frozen)
+    }
+    val driftPass = driftRows.filter(_._5)
+      .forall(d => d._3.recall >= floor && d._4)
+    val pass = rows.forall(_._4.recall >= floor) && driftPass
+    val rowsJson = (rows.map { case (scale, kind, path, r) =>
       s"""{"scale":"$scale","kind":"$kind","path":"$path",""" +
         s""""recall":${math.round(r.recall * 1000) / 1000.0},""" +
         s""""probed":${r.probed},"fell_back":${r.fellBack},""" +
         s""""escalations":${r.escalated},"count_jobs":${r.countJobs}}"""
-    }.mkString("[", ",", "]")
+    } ++ driftRows.map { case (kind, path, r, retrained, _) =>
+      s"""{"scale":"drift","kind":"$kind","path":"$path",""" +
+        s""""recall":${math.round(r.recall * 1000) / 1000.0},""" +
+        s""""probed":${r.probed},"fell_back":${r.fellBack},""" +
+        s""""retrained":$retrained}"""
+    }).mkString("[", ",", "]")
     val line = s"""{"metric":"ann_recall","k":10,"queries":20,""" +
       s""""floor":$floor,"pass":$pass,"rows":$rowsJson}"""
     java.nio.file.Files.writeString(

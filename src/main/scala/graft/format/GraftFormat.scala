@@ -1158,16 +1158,69 @@ object GraftFormat {
 
   // Out-of-band checkpoint materialization (r16 VERDICT #1): the
   // deferring committer and the walk's orphan repair both funnel here.
-  // Two daemon threads bound the concurrent O(table) encodes; the
+  // A small daemon pool bounds the concurrent O(table) encodes; the
   // pending set dedups (a burst of walks over one orphaned boundary
   // must schedule ONE repair). Failures are swallowed — materialization
   // is derived data; the next walk/vacuum repairs.
-  private lazy val materializePool = java.util.concurrent.Executors
-    .newFixedThreadPool(2, (r: Runnable) => {
-      val t = new Thread(r, "graft-checkpoint-materialize")
-      t.setDaemon(true)
-      t
-    })
+  //
+  // BACKLOG GUARD (r17 VERDICT #5): a driver serving many tables whose
+  // cadences roll over together would queue O(tables) O(table)-sized
+  // encodes behind the pool while every reader walks over-deep chains.
+  // Pool size is conf'd (graft.manifest.materializeThreads, default 2),
+  // and once the pending backlog exceeds graft.manifest.
+  // materializeMaxBacklog (default 32) the committer materializes
+  // INLINE — paying its own O(table) write, the pre-deferral behavior,
+  // which self-throttles the herd instead of letting the queue (and
+  // reader chain depth) grow without bound. Queue depth and
+  // enqueue→start wait are metered (MaterializeMetrics) so the backlog
+  // is observable, not inferred (MetaBench records them under a
+  // 16-table concurrent rollover churn).
+  val MaterializeThreadsKey = "graft.manifest.materializeThreads"
+  val MaterializeMaxBacklogKey = "graft.manifest.materializeMaxBacklog"
+  val DefaultMaterializeMaxBacklog = 32
+
+  object MaterializeMetrics {
+    val scheduled = new java.util.concurrent.atomic.AtomicLong()
+    val completed = new java.util.concurrent.atomic.AtomicLong()
+    val inlineFallbacks = new java.util.concurrent.atomic.AtomicLong()
+    val maxQueueDepth = new java.util.concurrent.atomic.AtomicLong()
+    val totalWaitNanos = new java.util.concurrent.atomic.AtomicLong()
+    val maxWaitNanos = new java.util.concurrent.atomic.AtomicLong()
+    def reset(): Unit = {
+      scheduled.set(0); completed.set(0); inlineFallbacks.set(0)
+      maxQueueDepth.set(0); totalWaitNanos.set(0); maxWaitNanos.set(0)
+    }
+    private[GraftFormat] def observeWait(nanos: Long): Unit = {
+      totalWaitNanos.addAndGet(nanos)
+      var cur = maxWaitNanos.get()
+      while (nanos > cur && !maxWaitNanos.compareAndSet(cur, nanos))
+        cur = maxWaitNanos.get()
+    }
+    private[GraftFormat] def observeDepth(depth: Long): Unit = {
+      var cur = maxQueueDepth.get()
+      while (depth > cur && !maxQueueDepth.compareAndSet(cur, depth))
+        cur = maxQueueDepth.get()
+    }
+  }
+
+  // pool size is fixed at first use from the scheduling caller's conf
+  private val materializePoolRef = new java.util.concurrent.atomic
+    .AtomicReference[java.util.concurrent.ExecutorService]()
+  private def materializePool(
+      fs: FileSystem): java.util.concurrent.ExecutorService = {
+    val existing = materializePoolRef.get()
+    if (existing != null) return existing
+    val threads = math.max(1, Option(fs.getConf)
+      .map(_.getInt(MaterializeThreadsKey, 2)).getOrElse(2))
+    val fresh = java.util.concurrent.Executors
+      .newFixedThreadPool(threads, (r: Runnable) => {
+        val t = new Thread(r, "graft-checkpoint-materialize")
+        t.setDaemon(true)
+        t
+      })
+    if (materializePoolRef.compareAndSet(null, fresh)) fresh
+    else { fresh.shutdown(); materializePoolRef.get() }
+  }
   private val materializePending =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val sweepPool = java.util.concurrent.Executors
@@ -1180,9 +1233,30 @@ object GraftFormat {
       v: Long, known: Option[Manifest]): Unit = {
     val key = depthKey(fs, table) + "#" + v
     if (!materializePending.add(key)) return
-    materializePool.submit(new Runnable {
+    MaterializeMetrics.scheduled.incrementAndGet()
+    val depth = materializePending.size().toLong
+    MaterializeMetrics.observeDepth(depth)
+    val maxBacklog = math.max(1, Option(fs.getConf)
+      .map(_.getInt(MaterializeMaxBacklogKey, DefaultMaterializeMaxBacklog))
+      .getOrElse(DefaultMaterializeMaxBacklog))
+    if (depth > maxBacklog) {
+      // herd rollover: the queue is already deeper than the bound —
+      // this committer pays its own O(table) write inline (pre-deferral
+      // behavior), throttling the herd instead of growing the queue
+      MaterializeMetrics.inlineFallbacks.incrementAndGet()
+      try materializeCheckpoint(fs, table, v, known)
+      catch { case NonFatal(_) => () }
+      finally {
+        materializePending.remove(key)
+        MaterializeMetrics.completed.incrementAndGet()
+      }
+      return
+    }
+    val enqueuedAt = System.nanoTime()
+    materializePool(fs).submit(new Runnable {
       override def run(): Unit = {
         accountingSuppressed.set(java.lang.Boolean.TRUE)
+        MaterializeMetrics.observeWait(System.nanoTime() - enqueuedAt)
         try {
           materializeCheckpoint(fs, table, v, known)
           // second resurrection sweep after a beat (off this pool, so
@@ -1198,7 +1272,10 @@ object GraftFormat {
           }, 1L, java.util.concurrent.TimeUnit.SECONDS)
         }
         catch { case NonFatal(_) => () }
-        finally materializePending.remove(key)
+        finally {
+          materializePending.remove(key)
+          MaterializeMetrics.completed.incrementAndGet()
+        }
       }
     })
     ()

@@ -147,13 +147,43 @@ object TextFunctions {
   /** The canonical name→builder list — the ONE place these functions
     * are enumerated; both [[register]] and
     * `graft.plans.GraftExtensions` (extension-injected SQL functions)
-    * iterate it, so the two registration paths cannot drift. */
+    * iterate it, so the two registration paths cannot drift.
+    *
+    * Beyond the native codegen'd expressions, the per-row corpus-build
+    * primitives (r17 VERDICT #6) register here too: they build the
+    * SAME Column compositions the gate queries run
+    * (graft.operators.TextOps.*Col), so SQL-only users — `SELECT
+    * lang_id(text), quality_stats(text).stop_ratio ...` — get exactly
+    * the gate-certified logic. */
+  private def colFn(f: Column => Column): Seq[Expression] => Expression =
+    es => {
+      require(es.length == 1, s"expected 1 argument, got ${es.length}")
+      GraftShim.catalystExpression(f(GraftShim.column(es.head)))
+    }
+  private def litInt(e: Expression, what: String): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+        v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   private[graft] val builders
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash64" -> (es => PolyHash64(es.head)),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es.head,
       es(1).eval(null).asInstanceOf[Number].intValue())),
-    "simhash64" -> (es => SimHash64(es.head)))
+    "simhash64" -> (es => SimHash64(es.head)),
+    "lang_id" -> colFn(graft.operators.TextOps.langIdCol),
+    "quality_stats" -> colFn(graft.operators.TextOps.qualityStatsCol),
+    "token_counts" -> colFn(graft.operators.TextOps.tokenCountsCol),
+    "pii_scrub" -> colFn(graft.operators.TextOps.piiScrubCol),
+    "chunk_windows" -> (es => {
+      require(es.length == 3,
+        s"chunk_windows(text, window, stride): got ${es.length} args")
+      GraftShim.catalystExpression(graft.operators.TextOps.chunkWindowsCol(
+        GraftShim.column(es.head),
+        litInt(es(1), "window"), litInt(es(2), "stride")))
+    }))
 
   /** SQL registration (idempotent): poly_hash64(s),
     * winnow_fingerprint(s, k), simhash64(toks). */

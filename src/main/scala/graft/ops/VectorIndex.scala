@@ -165,7 +165,7 @@ object VectorIndex {
 
   /** The build-time anchor mean, if this index version recorded one
     * (pre-drift-guard indexes have no file → detection skips). */
-  private[ops] def readDriftMean(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readDriftMean(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Option[Double] =
     try {
       val p = new Path(dir, "_drift.json")
@@ -385,15 +385,20 @@ object VectorIndex {
       // deterministic seeding: the nLists lowest-id vectors
       val centroids = Ivf.lloyd(sample.map(_.map(_.toDouble)), nLists, iters)
 
-      // per-list sizes accumulate inside the same O(N) assignment job
+      // per-list sizes AND the drift anchor (sum of L2 distances to
+      // the winning centroid) accumulate inside the same O(N)
+      // assignment job — zero extra passes
       val sizes = new VectorIndex.ListSizeAccumulator(centroids.length)
       spark.sparkContext.register(sizes, s"graft.ivf.listSizes:$embCol")
+      val distSum = spark.sparkContext.doubleAccumulator(
+        s"graft.ivf.driftDist:$embCol")
       def assign(ds: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
           cents: Array[Array[Double]]) = {
         val bc = spark.sparkContext.broadcast(cents)
         ds.map { case (id, e) =>
-          val cid = Ivf.nearest(bc.value, e)
+          val (cid, d2) = Ivf.nearestWithD(bc.value, e)
           sizes.add(cid)
+          distSum.add(math.sqrt(d2))
           (id, cid, e)
         }.toDF("__id", "cid", "__e")
       }
@@ -412,6 +417,10 @@ object VectorIndex {
         .select(col("__id").as(idCol), col("cid"))
         .write.mode("overwrite").parquet(new Path(dest, "assign").toString)
       VectorIndex.writeListSizes(spark, sizes.value, dest)
+      // drift anchor: the TRAIN-time mean distance to nearest centroid
+      // over the full corpus, the fixed reference every later refresh's
+      // delta is compared against
+      VectorIndex.writeDriftStat(fs, dest, distSum.value, sizes.value.sum)
       VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
@@ -486,6 +495,8 @@ object VectorIndex {
           VectorIndex.clearBuildId(fs, dest) // before ANY new artifact lands
           val centDF = spark.read
             .parquet(new Path(priorDir, "centroids").toString)
+          var escalate = false
+          var segDir: Option[Path] = None
           val (segs, deltaCounts) =
             if (delta.isEmpty) (priorSegs, Option.empty[Array[Long]])
             else {
@@ -500,27 +511,50 @@ object VectorIndex {
                 .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
               import spark.implicits._
               val bc = spark.sparkContext.broadcast(cents)
-              // delta-list sizes accumulate inside the segment write job
+              // delta-list sizes + drift distances accumulate inside
+              // the segment write job (zero extra passes)
               val sizes = new VectorIndex.ListSizeAccumulator(cents.length)
               spark.sparkContext.register(sizes,
                 s"graft.ivf.deltaListSizes:$embCol")
+              val distSum = spark.sparkContext.doubleAccumulator(
+                s"graft.ivf.deltaDriftDist:$embCol")
               val segName = IndexSegments.newSegmentName()
               val segAssign = new Path(new Path(r, segName), "assign")
               df.as[(Long, Seq[Float])]
                 .map { case (id, e) =>
-                  val cid = Ivf.nearest(bc.value, e)
+                  val (cid, d2) = Ivf.nearestWithD(bc.value, e)
                   sizes.add(cid)
+                  distSum.add(math.sqrt(d2))
                   (id, cid)
                 }
                 .toDF("__id", "cid")
                 .select(col("__id").as(idCol), col("cid"))
                 .write.mode("overwrite").parquet(segAssign.toString)
+              // drift check (r17 VERDICT #3): the delta's mean distance
+              // to its nearest FROZEN centroid vs the build's anchor —
+              // a distribution-shifting append must retrain, not decay
+              // recall invisibly
+              val n = sizes.value.sum
+              val deltaMean = if (n == 0) 0.0 else distSum.value / n
+              escalate = VectorIndex.driftEscalates(spark, deltaMean,
+                VectorIndex.readDriftMean(fs, priorDir))
+              segDir = Some(new Path(r, segName))
               (priorSegs :+ segName, Some(sizes.value))
             }
+          if (escalate) {
+            // the drifted segment is discarded (it was never published
+            // in any manifest) and the index retrains from scratch
+            segDir.foreach(fs.delete(_, true))
+            return build(spark, table, idCol, embCol, nLists, iters,
+              trainCap)
+          }
           copyFrozen(fs, new Path(priorDir, "centroids"),
             new Path(dest, "centroids"), conf)
           VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
             deltaCounts, conf)
+          // the anchor travels: refreshes compare against the last
+          // TRAIN's distribution, never yesterday's delta
+          VectorIndex.copyDriftStat(fs, priorDir, dest, conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)
@@ -711,10 +745,13 @@ object VectorIndex {
       val bcB = spark.sparkContext.broadcast(codebooks)
       val sizes = new VectorIndex.ListSizeAccumulator(cents.length)
       spark.sparkContext.register(sizes, s"graft.ivfpq.listSizes:$embCol")
+      val distSum = spark.sparkContext.doubleAccumulator(
+        s"graft.ivfpq.driftDist:$embCol")
       val codes = df.as[(Long, Seq[Float])].map { case (id, e) =>
         val cs = bcC.value; val bks = bcB.value
-        val cid = Ivf.nearest(cs, e)
+        val (cid, d2) = Ivf.nearestWithD(cs, e)
         sizes.add(cid)
+        distSum.add(math.sqrt(d2))
         val cent = cs(cid)
         val code = new Array[Byte](m)
         var j = 0
@@ -747,6 +784,7 @@ object VectorIndex {
       codes.select(col("__id").as(idCol), col("cid"), col("code"))
         .write.mode("overwrite").parquet(new Path(dest, "codes").toString)
       VectorIndex.writeListSizes(spark, sizes.value, dest)
+      VectorIndex.writeDriftStat(fs, dest, distSum.value, sizes.value.sum)
       VectorIndex.stampBuildId(fs, dest)
       manifest.version
     }
@@ -820,6 +858,8 @@ object VectorIndex {
             .parquet(new Path(priorDir, "centroids").toString)
           val bookDF = spark.read
             .parquet(new Path(priorDir, "codebooks").toString)
+          var escalate = false
+          var segDir: Option[Path] = None
           val (segs, deltaCodes) =
             if (delta.isEmpty) (priorSegs, Option.empty[Array[Long]])
             else {
@@ -842,16 +882,20 @@ object VectorIndex {
               import spark.implicits._
               val bcC = spark.sparkContext.broadcast(cents)
               val bcB = spark.sparkContext.broadcast(books)
-              // delta-list sizes accumulate inside the segment write job
+              // delta-list sizes + drift distances accumulate inside
+              // the segment write job
               val sizes = new VectorIndex.ListSizeAccumulator(cents.length)
               spark.sparkContext.register(sizes,
                 s"graft.ivfpq.deltaListSizes:$embCol")
+              val distSum = spark.sparkContext.doubleAccumulator(
+                s"graft.ivfpq.deltaDriftDist:$embCol")
               val segName = IndexSegments.newSegmentName()
               val segCodes = new Path(new Path(r, segName), "codes")
               df.as[(Long, Seq[Float])].map { case (id, e) =>
                 val cs = bcC.value; val bks = bcB.value
-                val cid = Ivf.nearest(cs, e)
+                val (cid, d2) = Ivf.nearestWithD(cs, e)
                 sizes.add(cid)
+                distSum.add(math.sqrt(d2))
                 val cent = cs(cid)
                 val code = new Array[Byte](mm)
                 var j = 0
@@ -866,14 +910,26 @@ object VectorIndex {
               }.toDF("__id", "cid", "code")
                 .select(col("__id").as(idCol), col("cid"), col("code"))
                 .write.mode("overwrite").parquet(segCodes.toString)
+              // drift check (r17 VERDICT #3) — see Ivf.refresh
+              val n = sizes.value.sum
+              val deltaMean = if (n == 0) 0.0 else distSum.value / n
+              escalate = VectorIndex.driftEscalates(spark, deltaMean,
+                VectorIndex.readDriftMean(fs, priorDir))
+              segDir = Some(new Path(r, segName))
               (priorSegs :+ segName, Some(sizes.value))
             }
+          if (escalate) {
+            segDir.foreach(fs.delete(_, true))
+            return build(spark, table, idCol, embCol, nLists, m, iters,
+              trainCap)
+          }
           copyFrozen(fs, new Path(priorDir, "centroids"),
             new Path(dest, "centroids"), conf)
           copyFrozen(fs, new Path(priorDir, "codebooks"),
             new Path(dest, "codebooks"), conf)
           VectorIndex.refreshListSizes(spark, fs, priorDir, dest,
             deltaCodes, conf)
+          VectorIndex.copyDriftStat(fs, priorDir, dest, conf)
           IndexSegments.write(fs, dest,
             IndexSegments.SegManifest(segs, Map.empty))
           VectorIndex.stampBuildId(fs, dest)

@@ -22,6 +22,16 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A Column FULLY converted to a catalyst Expression tree.
+    * [[expression]] returns a lazy ColumnNodeExpression wrapper — fine
+    * inside Dataset plans (the analyzer converts it), but a
+    * FunctionRegistry builder's output goes straight into a SQL plan
+    * where the wrapper reaches codegen unconverted (Unevaluable). This
+    * runs the classic converter eagerly, so composed Column logic
+    * (functions._ chains) can be registered as SQL functions. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Name of the temporary column the vectorized parquet reader fills
     * with the physical row index of each row (deletion-vector support). */
   def rowIndexColumnName: String =

@@ -166,4 +166,107 @@ class ConformanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cf.db.types VERSION AS OF 1")
       .head().getLong(0) == 3)
   }
+
+  // ------------------------------------------ per-row SQL surface
+  // r17 VERDICT #6: the corpus-build primitives must be reachable from
+  // pure SQL. One case per exposed function, each asserting the SQL
+  // invocation returns exactly what the gate-tested Column API returns
+  // on the same rows.
+
+  private def corpusView(): Unit = {
+    graft.functions.TextFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").createOrReplaceTempView("cf_docs")
+  }
+
+  test("SQL lang_id(text) equals TextOps.langIdCol") {
+    corpusView()
+    val viaSql = spark.sql(
+      "SELECT doc_id, lang_id(text) AS l FROM cf_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaCol = spark.table("cf_docs")
+      .select(col("doc_id"),
+        graft.operators.TextOps.langIdCol(col("text")).as("l"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    assert(viaSql.map(_._2).toSet.subsetOf(Set("en", "fr", "de", "es", "und")))
+  }
+
+  test("SQL quality_stats(text) struct fields equal the Column API") {
+    corpusView()
+    val viaSql = spark.sql(
+      """SELECT doc_id, quality_stats(text).n_tokens AS n,
+        |  quality_stats(text).stop_ratio AS sr
+        |FROM cf_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val viaCol = spark.table("cf_docs")
+      .select(col("doc_id"),
+        graft.operators.TextOps.qualityStatsCol(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.stop_ratio"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("SQL token_counts(text) equals the Column API") {
+    corpusView()
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_counts(text).ws_tokens AS w,
+        |  token_counts(text).re_tokens AS r
+        |FROM cf_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCol = spark.table("cf_docs")
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokenCountsCol(col("text")).as("t"))
+      .select(col("doc_id"), col("t.ws_tokens"), col("t.re_tokens"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("SQL pii_scrub(text) redacts and counts like the Column API") {
+    corpusView()
+    val row = spark.sql(
+      """SELECT p.n_emails, p.n_urls, p.clean FROM (SELECT
+        |  pii_scrub('mail a.b@x.org or https://h.example/z now') AS p)"""
+        .stripMargin).head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
+    assert(row.getString(2) == "mail <EMAIL> or <URL> now")
+    val viaSql = spark.sql(
+      "SELECT doc_id, pii_scrub(text).clean AS c FROM cf_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaCol = spark.table("cf_docs")
+      .select(col("doc_id"),
+        graft.operators.TextOps.piiScrubCol(col("text"))
+          .getField("clean").as("c"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("SQL chunk_windows(text, w, s) explodes to exactly " +
+      "TextOps.chunkWindows; literal-arg misuse fails typed") {
+    corpusView()
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.chunk_id, c.n_chunk_toks, c.chunk_text
+        |FROM cf_docs
+        |LATERAL VIEW explode(chunk_windows(text, 16, 12)) AS c
+        |ORDER BY doc_id, c.chunk_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val viaOp = graft.operators.TextOps
+      .chunkWindows(spark.table("cf_docs"), window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+    // window/stride must be integer literals — a column there is a
+    // plan-time error, not a silent misparse
+    val ex = intercept[Exception] {
+      spark.sql("SELECT chunk_windows(text, doc_id, 12) FROM cf_docs")
+        .collect()
+    }
+    assert(rootMsgs(ex).contains("integer literal"))
+  }
 }

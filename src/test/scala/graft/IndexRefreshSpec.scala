@@ -529,4 +529,105 @@ class IndexRefreshSpec extends AnyFunSuite {
       "post-delete per-table purge missing: a resolution racing the " +
         "delete could re-cache the dying generation")
   }
+
+  // --------------------------------------------------------------- drift
+
+  test("embedding drift on refresh (r17 VERDICT #3): a distribution-" +
+      "shifted append escalates to a full retrain; a same-distribution " +
+      "append keeps the frozen structure; maxRatio<=0 disables") {
+    import graft.ops.VectorIndex
+    import graft.ops.VectorIndex.{Ivf, Pq}
+    def freshTable(name: String): Path = {
+      val dir = new Path(java.nio.file.Files
+        .createTempDirectory(s"graft-drift-$name").resolve("e.graft").toUri)
+      val lfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.connector.GraftWriter.write(lfs, dir,
+        Tables.load(spark, sf, "embeddings"), overwrite = true)
+      dir
+    }
+    val e = Tables.load(spark, sf, "embeddings")
+    def shifted(n: Int, off: Long) = e.limit(n)
+      .select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, x -> x + 10.0F)").as("embedding"),
+        col("label"))
+    val lfs = tablePath("x").getFileSystem(spark.sessionState.newHadoopConf())
+
+    // ---- IVF: shifted append retrains
+    val d1 = freshTable("ivf")
+    val v1 = Ivf.build(spark, d1, "vec_id", "embedding", nLists = 8)
+    val anchor = VectorIndex.readDriftMean(lfs,
+      new Path(Ivf.root(d1, "embedding"), s"v=$v1"))
+    assert(anchor.exists(_ > 0), "build must persist a drift anchor")
+    val pinned = Ivf.readCurrent(spark, d1, "embedding").get._1.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    graft.connector.GraftWriter.write(lfs, d1, shifted(50, 500000L),
+      overwrite = false)
+    val v2 = Ivf.refresh(spark, d1, "vec_id", "embedding", nLists = 8)
+    val dec = VectorIndex.lastDriftDecision.get()
+    assert(dec != null && dec.escalated,
+      s"a +10/dim shifted delta must escalate, got $dec")
+    assert(dec.anchorMean.exists(a => dec.deltaMean > a * 1.5))
+    // escalation = full retrain: monolithic version (no segment
+    // manifest), centroids re-trained over the combined corpus
+    val dest1 = new Path(Ivf.root(d1, "embedding"), s"v=$v2")
+    assert(!lfs.exists(IndexSegments.manifestPath(dest1)),
+      "escalated refresh must publish a monolithic rebuild")
+    val cents2 = Ivf.readCurrent(spark, d1, "embedding").get._1.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(!cents2.sameElements(pinned),
+      "retrain must move the centroids toward the shifted mass")
+    assert(Ivf.readCurrent(spark, d1, "embedding").get._2.count() ==
+      e.count() + 50)
+    // the retrain re-anchors: next same-distribution refresh is calm
+    assert(VectorIndex.readDriftMean(lfs, dest1).exists(_ > anchor.get),
+      "rebuild must write a fresh anchor over the combined corpus")
+
+    // ---- IVF: same-distribution append does NOT retrain (cost stays
+    // O(delta)) — frozen centroids + segment manifest + tiny read set
+    val d2 = freshTable("ivf2")
+    Ivf.build(spark, d2, "vec_id", "embedding", nLists = 8)
+    graft.connector.GraftWriter.write(lfs, d2,
+      e.limit(50).select((col("vec_id") + 900000L).as("vec_id"),
+        col("embedding"), col("label")), overwrite = false)
+    val n = e.count()
+    val reads = recordsRead {
+      Ivf.refresh(spark, d2, "vec_id", "embedding", nLists = 8)
+    }
+    val dec2 = VectorIndex.lastDriftDecision.get()
+    assert(dec2 != null && !dec2.escalated,
+      s"same-distribution delta must not retrain, got $dec2")
+    assert(reads < n, s"no-drift refresh read $reads of $n — not O(delta)")
+    assert(lfs.exists(IndexSegments.manifestPath(
+      new Path(Ivf.root(d2, "embedding"),
+        s"v=${Ivf.indexedVersions(spark, d2, "embedding").max}"))),
+      "no-drift refresh must stay on the segment path")
+
+    // ---- disabled guard: shifted append stays frozen at maxRatio<=0
+    val d3 = freshTable("ivf3")
+    Ivf.build(spark, d3, "vec_id", "embedding", nLists = 8)
+    graft.connector.GraftWriter.write(lfs, d3, shifted(50, 700000L),
+      overwrite = false)
+    spark.conf.set(VectorIndex.DriftMaxRatioKey, "0")
+    try {
+      Ivf.refresh(spark, d3, "vec_id", "embedding", nLists = 8)
+      assert(!VectorIndex.lastDriftDecision.get().escalated,
+        "maxRatio=0 must disable escalation")
+    } finally spark.conf.unset(VectorIndex.DriftMaxRatioKey)
+
+    // ---- PQ: shifted append retrains codebooks too
+    val d4 = freshTable("pq")
+    val pv1 = Pq.build(spark, d4, "vec_id", "embedding", nLists = 8, m = 8)
+    assert(VectorIndex.readDriftMean(lfs,
+      new Path(Pq.root(d4, "embedding"), s"v=$pv1")).exists(_ > 0))
+    graft.connector.GraftWriter.write(lfs, d4, shifted(50, 800000L),
+      overwrite = false)
+    val pv2 = Pq.refresh(spark, d4, "vec_id", "embedding", nLists = 8, m = 8)
+    assert(VectorIndex.lastDriftDecision.get().escalated,
+      "PQ refresh over a shifted delta must escalate")
+    assert(!lfs.exists(IndexSegments.manifestPath(
+      new Path(Pq.root(d4, "embedding"), s"v=$pv2"))),
+      "escalated PQ refresh must publish a monolithic rebuild")
+    assert(Pq.readCurrent(spark, d4, "embedding").get._3.count() ==
+      e.count() + 50)
+  }
 }
