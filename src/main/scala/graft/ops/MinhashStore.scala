@@ -140,8 +140,8 @@ object MinhashStore {
   private[graft] def khCol: org.apache.spark.sql.Column =
     xxhash64(col("band"), col("band_hash"))
 
-  /** One segment's payload from a signature frame. Returns (segment
-    * name, key count). */
+  /** One segment's payload from a signature frame. Returns the
+    * segment name. */
   private def writeSegment(sigs: DataFrame, root: Path, bands: Int,
       r: Int): String = {
     val spark = sigs.sparkSession
