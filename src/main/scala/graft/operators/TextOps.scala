@@ -72,6 +72,16 @@ object TextOps {
   private def toksOf(text: Column): Column =
     filter(split(lower(text), "\\s+"), x => x =!= "")
 
+  /** Evaluate `v` ONCE per row and bind it as a lambda variable inside
+    * `body` — `element_at(transform(array(v), x -> body(x)), 1)`.
+    * Catalyst's subexpression elimination does not reach into
+    * higher-order-function bodies, so a struct/array expression whose
+    * fields each reference the same derived array would otherwise
+    * recompute it per field (measured: t07 1.45×, t27 1.9× when the
+    * per-row ops first inlined toksOf everywhere). */
+  private def bind1(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Marker-word language ID: 'en' | 'fr' | 'de' | 'es' | 'und'. */
   def langIdCol(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
@@ -84,19 +94,21 @@ object TextOps {
   }
 
   /** Quality features as a struct: (n_chars, n_tokens, avg_tok_len,
-    * stop_ratio) — ratios null for token-less docs. */
-  def qualityStatsCol(text: Column): Column = {
-    val toks = toksOf(text)
-    val n = size(toks).cast("long")
-    struct(
-      length(text).cast("long").as("n_chars"),
-      n.as("n_tokens"),
-      when(n > 0, round(aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / n, 4)).as("avg_tok_len"),
-      when(n > 0, round(size(filter(toks,
-        t => t.isin("the", "a", "of", "and"))).cast("double") / n, 4))
-        .as("stop_ratio"))
-  }
+    * stop_ratio) — ratios null for token-less docs. The token array is
+    * computed once per row ([[bind1]]) and shared by every field. */
+  def qualityStatsCol(text: Column): Column =
+    bind1(toksOf(text)) { toks =>
+      val n = size(toks).cast("long")
+      struct(
+        length(text).cast("long").as("n_chars"),
+        n.as("n_tokens"),
+        when(n > 0, round(aggregate(transform(toks, t => length(t)),
+          lit(0), (acc, v) => acc + v).cast("double") / n, 4))
+          .as("avg_tok_len"),
+        when(n > 0, round(size(filter(toks,
+          t => t.isin("the", "a", "of", "and"))).cast("double") / n, 4))
+          .as("stop_ratio"))
+    }
 
   /** Token accounting as a struct: (ws_tokens, re_tokens) —
     * whitespace tokens and BPE-ish regex tokens. */
@@ -123,17 +135,19 @@ object TextOps {
       stride: Int = 96): Column = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = toksOf(text)
-    when(size(toks) > 0,
-      transform(sequence(lit(0), size(toks) - 1, lit(stride)), start =>
-        struct(
-          floor(start.cast("long") / stride).cast("long").as("chunk_id"),
-          size(slice(toks, start + 1, lit(window))).cast("long")
-            .as("n_chunk_toks"),
-          array_join(slice(toks, start + 1, lit(window)), " ")
-            .as("chunk_text"))))
-      .otherwise(array().cast(
-        "array<struct<chunk_id:bigint,n_chunk_toks:bigint,chunk_text:string>>"))
+    // toks bound once per row, each chunk's slice bound once per chunk
+    bind1(toksOf(text)) { toks =>
+      when(size(toks) > 0,
+        transform(sequence(lit(0), size(toks) - 1, lit(stride)), start =>
+          bind1(slice(toks, start + 1, lit(window))) { chunk =>
+            struct(
+              floor(start.cast("long") / stride).cast("long").as("chunk_id"),
+              size(chunk).cast("long").as("n_chunk_toks"),
+              array_join(chunk, " ").as("chunk_text"))
+          }))
+        .otherwise(array().cast(
+          "array<struct<chunk_id:bigint,n_chunk_toks:bigint,chunk_text:string>>"))
+    }
   }
 
   /** Fixed-size token-window chunking with overlap over a (doc_id,
