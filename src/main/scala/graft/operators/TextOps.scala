@@ -1581,8 +1581,14 @@ object TextOps {
       "per-doc quality features: token counts, length, stopword ratio " +
         "(the SQL-registered quality_stats struct)") { (s, d) =>
       docs(s, d)
+        // n_tokens > 0 ⟺ the text has any non-whitespace char (\S is
+        // exactly the \s+ tokenizer's complement — trim() would differ
+        // on tab/newline-only docs). The cheap predicate keeps the
+        // struct out of the Filter node: a filter on q.n_tokens
+        // evaluates the whole struct twice — once in Filter, once in
+        // Project; Catalyst CSE doesn't span the two.
+        .filter(col("text").rlike("\\S"))
         .withColumn("q", qualityStatsCol(col("text")))
-        .filter(col("q.n_tokens") > 0)
         .select(
           col("doc_id"),
           col("q.n_chars").as("n_chars_m"),
