@@ -954,8 +954,26 @@ object TextOps {
     * the filter-verification join, shared by the top-k ranking and the
     * threshold-based cluster resolution below. */
   def jaccardPairs(w: DataFrame, dfCap: Int = 10000): DataFrame = {
+    // ONE tokenize + df-window pass, cached (r18 optimization): the
+    // annotated token stream feeds FOUR downstream subtrees (both
+    // self-join sides, the over-cap arrays, the per-doc sizes), and
+    // uncached each re-ran the scan → regex-tokenize → explode →
+    // window-shuffle pipeline — the t02 plan carried 4 copies of that
+    // pipeline plus 2 more tokenize passes for sizes (guide §1.2 #1:
+    // fix the pass structure first). The cache rows are narrow
+    // (source, doc_id, word-hash, df); release is deterministic via
+    // [[graft.CacheHygiene.unpersistAfterNextAction]], the same
+    // pattern lshCandidatePairs uses for its signature cache.
     val tok = withDf(tokenStream(w))
-    val sizes = w.select(col("doc_id"), size(col("words")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(tok)
+    // |words| per doc == the doc's token-stream row count (words are
+    // pre-deduplicated and explode emits one row per element), so
+    // sizes ride the cache as a narrow count-aggregate instead of
+    // re-tokenizing the corpus; zero-word docs (no tok rows) cannot
+    // appear in any candidate pair, so the inner joins below never
+    // miss them.
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // per-doc over-cap token arrays: EMPTY whenever the cap is never hit
     // (the gate corpus: max df ~214 vs the 10k default), in which case
     // the correction joins below are no-op passes over an empty
@@ -1003,8 +1021,16 @@ object TextOps {
       maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = vertices.sparkSession
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // symmetrize via ONE generator pass (r18 optimization): the former
+    // union(pairs, pairs.reversed) planned the ENTIRE upstream pair
+    // pipeline twice — for t15/t17 that doubled the inverted-index
+    // self-join and every tokenize pass under it. Same rows, same
+    // component structure (union-find and min-label propagation are
+    // edge-order-independent), half the work before the cache fills.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // One count materializes the (reused) edge cache AND sizes the
     // plan choice: a graph whose edge list fits the driver resolves

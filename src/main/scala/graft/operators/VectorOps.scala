@@ -325,31 +325,46 @@ object VectorOps {
           full.filter(pmod(xxhash64(col("vec_id")), lit(keep)) === 0L)
         }
       }
-    val firstRows = base.orderBy("vec_id").take(1)
-    require(firstRows.nonEmpty,
-      "kCenterCoreset: empty embedding corpus — nothing to select from")
-    val first = firstRows(0)
-    var lastCenter: Seq[Float] = first.getSeq[Float](1)
-    val picked = scala.collection.mutable.ArrayBuffer[
-      (Long, Long, java.lang.Double)]((0L, first.getLong(0), null))
-    var minD: Column = lit(Double.MaxValue)
-    var rank = 1
-    var covered = false
-    while (rank < k && !covered) {
-      minD = least(minD,
-        graft.functions.VectorFunctions.l2_sq(col("embedding"),
-          typedLit(lastCenter)))
-      val far = base.agg(max(struct(minD.as("d"),
-        (-col("vec_id")).as("negId"), col("embedding").as("e"))))
-        .head().getStruct(0)
-      if (far.getDouble(0) == 0.0) covered = true // every vector is a pick
-      else {
-        picked += ((rank.toLong, -far.getLong(1), far.getDouble(0)))
-        lastCenter = far.getSeq[Float](2)
-        rank += 1
+    // the k-pass greedy loop re-reads `base` every round — cache it for
+    // the loop's lifetime (released before returning; at scale this is
+    // the working set a curation pipeline would keep resident anyway)
+    val cached = base
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val firstRows = cached.orderBy("vec_id").take(1)
+      require(firstRows.nonEmpty,
+        "kCenterCoreset: empty embedding corpus — nothing to select from")
+      val first = firstRows(0)
+      // centers accumulate as data in ONE array literal and the min-
+      // distance fold is array_min over a transform of it (r18
+      // optimization): the former incremental least(least(...)) chain
+      // grew the PLAN by one fused L2² node per round, so every round
+      // recompiled fresh generated code (k-1 codegen compilations) —
+      // with the literal-array fold the plan SHAPE is identical across
+      // rounds (only the referenced literal changes), so the codegen
+      // cache hits from round 2 on. Same distances, same min (exact FP
+      // min over the same set — order-insensitive, no accumulation),
+      // so picks, radii and the golden are bit-identical.
+      var centers: Seq[Seq[Float]] = Seq(first.getSeq[Float](1))
+      val picked = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, java.lang.Double)]((0L, first.getLong(0), null))
+      var rank = 1
+      var covered = false
+      while (rank < k && !covered) {
+        val minD = array_min(transform(typedLit(centers), c =>
+          graft.functions.VectorFunctions.l2_sq(col("embedding"), c)))
+        val far = cached.agg(max(struct(minD.as("d"),
+          (-col("vec_id")).as("negId"), col("embedding").as("e"))))
+          .head().getStruct(0)
+        if (far.getDouble(0) == 0.0) covered = true // every vector is a pick
+        else {
+          picked += ((rank.toLong, -far.getLong(1), far.getDouble(0)))
+          centers = centers :+ far.getSeq[Float](2)
+          rank += 1
+        }
       }
-    }
-    picked.toSeq.toDF("rank", "vec_id", "radius")
+      picked.toSeq.toDF("rank", "vec_id", "radius")
+    } finally { cached.unpersist(false); () }
   }
 
   val all: Seq[Q] = Seq(
