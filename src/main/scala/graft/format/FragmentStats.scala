@@ -186,23 +186,54 @@ object FragmentStats {
   /** Move staged parquet files into `data/` with UUID fragment names,
     * harvesting (relPath, rowCount, sizeBytes, stats) for each in the
     * same footer open. Files are invisible until a manifest references
-    * them, so a lost commit race never re-moves data. */
+    * them, so a lost commit race never re-moves data.
+    *
+    * Footer reads + renames run on a small bounded pool (r18
+    * optimization): they were sequential driver-side I/O — a 32-task
+    * write paid 32 serial footer opens before its commit, and every
+    * CTAS / INSERT / compact sits behind this. Per-file work is
+    * independent; results are collected in the ORIGINAL sorted-name
+    * order (bucketize relies on it), so callers see byte-identical
+    * output. */
   def adoptStaged(fs: FileSystem, conf: Configuration, tableDir: Path,
       staging: Path): Seq[(String, Long, Long, Map[String, ColStats])] = {
     if (!fs.exists(staging)) return Seq.empty
     val files = fs.listStatus(staging).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val out = files.map { f =>
+    def adoptOne(f: org.apache.hadoop.fs.FileStatus)
+        : (String, Long, Long, Map[String, ColStats]) = {
       val (rows, size, stats) = readFooter(fs, conf, f.getPath)
       val name = s"${UUID.randomUUID()}.parquet"
       val dest = new Path(GraftFormat.dataDir(tableDir), name)
       if (!fs.rename(f.getPath, dest))
         throw new java.io.IOException(s"failed to move ${f.getPath} -> $dest")
       (s"data/$name", rows, size, stats)
-    }.filter(_._2 > 0)
+    }
+    val out =
+      if (files.size <= 1) files.map(adoptOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, files.size))
+        try {
+          val futures = files.map(f => pool.submit(
+            new java.util.concurrent.Callable[
+              (String, Long, Long, Map[String, ColStats])] {
+              override def call() = adoptOne(f)
+            }))
+          // get() in submission (= sorted-name) order; the first failure
+          // propagates exactly as the sequential loop's did
+          futures.map { fu =>
+            try fu.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally { pool.shutdown(); () }
+      }
     fs.delete(staging, true)
-    out
+    out.filter(_._2 > 0)
   }
 }
 

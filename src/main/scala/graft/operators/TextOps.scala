@@ -206,8 +206,17 @@ object TextOps {
     * job, +1.6 s on t03 at sf0.1) while the |V|-sized signature cache
     * still cannot outlive its one consuming query (VERDICT r7 #3). */
   def lshCandidatePairs(sigs0: DataFrame, bands: Int = 32, r: Int = 2): DataFrame = {
-    val sigs = sigs0.select("doc_id", "minhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an input the CALLER already persisted (the incremental-dedup
+    // probes pass their cached delta signatures) must not be cached a
+    // second time: the projection would populate a duplicate
+    // InMemoryRelation of the same rows (r18 optimization — one less
+    // cache build + one less block set under memory pressure)
+    val callerCached =
+      sigs0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val sigs =
+      if (callerCached) sigs0.select("doc_id", "minhash")
+      else sigs0.select("doc_id", "minhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = bandBuckets(sigs, bands, r)
     val a = capped.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val b = capped.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
@@ -215,7 +224,9 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    graft.CacheHygiene.unpersistAfterNextAction(sigs)
+    // release only a cache WE created; a caller-persisted input has a
+    // caller-owned lifecycle
+    if (!callerCached) graft.CacheHygiene.unpersistAfterNextAction(sigs)
     pairs
       .join(sigs.select(col("doc_id").as("a_id"), col("minhash").as("sig_a")),
         Seq("a_id"))
