@@ -136,17 +136,24 @@ object VectorOps {
     // (see lloydSeeded scaladoc for the measured 10x difference)
     val centroids = graft.ops.VectorIndex.Ivf.lloydSeeded(
       sample, kEff, iters, farthestSeed = true)
-    // assignment: one narrow broadcast map computing argmin in-row
-    // (Ivf.nearest, strict-< = lowest-cid tie-break). The previous
-    // crossJoin(centroids) + row_number window materialized AND
-    // shuffled N×k rows — quadratic once k scales with N; this keeps
-    // the same N×k flops but zero extra rows and zero shuffle.
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = e.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) =>
-        (id, graft.ops.VectorIndex.Ivf.nearest(bc.value, emb), emb)
-      }.toDF("vec_id", "cid", "embedding")
+    // assignment: per-row argmin as a pure EXPRESSION over a centroid
+    // array literal (r18 optimization). The previous typed
+    // .as[(Long, Seq[Float])].map deserialized every row to Scala
+    // objects (boxing each float) and re-serialized — a
+    // Deserialize/SerializeFromObject barrier that also blocked
+    // whole-stage codegen through the assignment. The expression is
+    // bit-identical to Ivf.nearest: l2_sq folds (e(i) - cent(i))² in
+    // the same index order, and array_min over struct(d, cid) is
+    // lexicographic — exactly strict-< with lowest-cid tie-break.
+    // (Earlier rounds' crossJoin(centroids) + window shuffled N×k
+    // rows; like the map it replaced, this keeps N×k flops with zero
+    // extra rows and zero shuffle.)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val assigned = e.select(col("vec_id"),
+      array_min(transform(centLit, (c, i) => struct(
+        graft.functions.VectorFunctions.l2_sq(col("embedding"), c).as("d"),
+        i.as("cid")))).getField("cid").as("cid"),
+      col("embedding"))
     // skew guard: sub-split only clusters whose self-join would blow up.
     // The threshold derives from N/k and the absolute cap — pure
     // functions of the corpus like kEff, so deterministic and
