@@ -44,6 +44,48 @@ object TextHashing {
     best
   }
 
+  /** Per-permutation seeds for [[minHash64]]: Spark's
+    * `xxhash64(k, h)` folds the INT literal k into the default seed
+    * first (hashInt(k, 42)), then folds h into that — so precomputing
+    * seedK = hashInt(k, 42) and evaluating hashLong(h, seedK) per
+    * element reproduces the SQL formulation bit for bit. */
+  def minhashSeeds(perms: Int): Array[Long] =
+    Array.tabulate(perms)(k => XXH64.hashInt(k, 42L))
+
+  /** MinHash signature over a shingle array in ONE pass (r18
+    * optimization): each shingle is string-hashed once (xxhash64 seed
+    * 42 — Spark's `xxhash64(s)` exactly), then every permutation's
+    * running minimum folds hashLong(h, seedK) in place. Bit-identical
+    * to the `transform(shingles, xxhash64)` + perms ×
+    * `array_min(transform(hashes, h -> xxhash64(k, h)))` pipeline it
+    * replaces, which allocated perms+1 intermediate arrays per row in
+    * interpreted higher-order functions. A null shingle contributes
+    * h = 42 (the seed, exactly what xxhash64(NULL) yields); an empty
+    * array yields all-null elements (array_min of empty is NULL). */
+  def minHash64(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val perms = seeds.length
+    val n = arr.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(new Array[Any](perms))
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var k = 0
+      while (k < perms) {
+        val v = XXH64.hashLong(h, seeds(k))
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
   /** SimHash-64 over a token array in ONE pass: per-bit ±1 majority of
     * each token's xxhash64 (seed 42 — Spark's `xxhash64()` exactly, so
     * this is bit-identical to the explode + 64-conditional-sums SQL
@@ -133,6 +175,34 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused single-pass MinHash signature of a shingle array (see
+  * [[TextHashing.minHash64]]). */
+case class MinHash64(child: Expression, perms: Int) extends UnaryExpression {
+  require(perms >= 1, s"minhash64 needs perms >= 1, got $perms")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash64 requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  @transient private lazy val seeds = TextHashing.minhashSeeds(perms)
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashing.minHash64(v.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds,
+      "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.minHash64($c, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHash64 =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** Column-level API. */
   def poly_hash64(c: Column): Column =
@@ -140,6 +210,9 @@ object TextFunctions {
 
   def simhash64(c: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(c)))
+
+  def minhash64(c: Column, perms: Int): Column =
+    GraftShim.column(MinHash64(GraftShim.expression(c), perms))
 
   def winnow_fingerprint(c: Column, k: Int): Column =
     GraftShim.column(WinnowFingerprint(GraftShim.expression(c), k))

@@ -171,22 +171,19 @@ object TextOps {
       .withColumn("toks", expr(toksExpr))
       .withColumn("shingles", expr(shinglesExpr))
 
-  /** 64-permutation MinHash signature as array<bigint>. Each shingle is
-    * string-hashed ONCE (xxhash64); the k-th permutation re-hashes only
-    * the 8-byte base hash (xxhash64(k, h)), so the expensive
-    * variable-length string hashing is not repeated per permutation —
-    * 64 passes over a long array instead of 64 string-hash passes
-    * (1.5x faster end-to-end at sf0.1). Pure codegen'd expressions, no
-    * UDF, no shuffle. (A multiply-based universal-hash family would be
-    * cheaper still, but Spark's ANSI mode rejects wraparound multiply.) */
+  /** 64-permutation MinHash signature as array<bigint>, computed by
+    * the fused codegen'd [[graft.functions.MinHash64]] expression: one
+    * pass over the shingles, each string hashed once, all 64
+    * permutation minima folded in place with zero intermediate arrays
+    * (bit-identical to — and measurably cheaper than — the former
+    * transform + 64 × array_min(transform(...)) formulation, whose
+    * interpreted higher-order functions allocated 65 arrays per row).
+    * No UDF, no shuffle. (A multiply-based universal-hash family would
+    * be cheaper still, but Spark's ANSI mode rejects wraparound
+    * multiply.) */
   def withMinhash(df: DataFrame, perms: Int = 64): DataFrame =
-    df.withColumn("shingle_hashes",
-        expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("minhash", array(
-        (0 until perms).map(k =>
-          expr(s"array_min(transform(shingle_hashes, " +
-            s"h -> xxhash64($k, h)))")): _*))
-      .drop("shingle_hashes")
+    df.withColumn("minhash",
+      graft.functions.TextFunctions.minhash64(col("shingles"), perms))
 
   /** LSH candidate pairs from banding the minhash signature:
     * bands of `r` rows hashed together; docs sharing any band bucket

@@ -160,6 +160,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("fused minhash64 expression is bit-identical to the transform + " +
+      "per-permutation array_min SQL formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 150L).map(i =>
+      (i, Seq.fill(rnd.nextInt(40))("s" + rnd.nextInt(500)))) :+
+      (997L, Seq.empty[String]) :+          // empty -> all-null signature
+      (998L, Seq("only-one-shingle")) :+
+      (999L, Seq("dup", "dup", "other"))
+    val df = rows.toDF("doc_id", "shingles")
+    val perms = 64
+    // the pre-r18 formulation, verbatim
+    val expected = df
+      .withColumn("shingle_hashes", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("minhash", array((0 until perms).map(k =>
+        expr(s"array_min(transform(shingle_hashes, h -> xxhash64($k, h)))")): _*))
+      .select("doc_id", "minhash")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val actual = TextOps.withMinhash(df, perms)
+      .select("doc_id", "minhash")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(actual == expected)
+    assert(actual(997L).forall(_ == null),
+      "empty shingle array must yield an all-null signature")
+  }
+
   test("lsh finds the planted near-duplicate pair") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
