@@ -564,10 +564,24 @@ object TextOps {
   def perplexityScore(corpus: DataFrame, model: DataFrame,
       vocabSize: Int = 1 << 16, maxBigrams: Int = 1 << 20): DataFrame = {
     // ---- train: exact counts, bounded model
+    // Both training frames are cached (r18 optimization): the model
+    // corpus is small by design (the clean REFERENCE corpus), yet the
+    // uncached plan re-tokenized it for every consumer — the unigram
+    // counts, the two driver scalars, the bigram explode, and each of
+    // the four vocab broadcasts (differing projections defeat
+    // exchange reuse) each re-ran the tokenize. Three actions read
+    // them during construction (nRow, keptRow, the caller's final
+    // action), hence releaseAfterConsumers = 3.
     val mtoks = model.select(expr(toksExpr).as("toks"))
       .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(mtoks,
+      releaseAfterConsumers = 3)
     val uniAll = mtoks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(uniAll,
+      releaseAfterConsumers = 3)
     val vocab = uniAll.orderBy(col("cw").desc, col("w")).limit(vocabSize)
     // two scalars on the driver; everything else stays distributed
     val nRow = uniAll.agg(sum(col("cw"))).head()
@@ -711,12 +725,20 @@ object TextOps {
     * absorbs them in the count, and AQE skew-split handles the join. */
   def duplicatedSpans(df: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one tokenize + gram-explode pass, cached (r18 optimization): the
+    // gram stream feeds both the duplicate-count aggregate and the
+    // semi-join's probe side, and uncached each branch re-ran the
+    // tokenize + k-gram string construction over the corpus. Released
+    // deterministically after the consuming action (jaccardPairs
+    // pattern).
     val grams = df.withColumn("toks", expr(toksExpr))
       .filter(expr(s"size(toks) >= $k"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $k),
            |  i -> array_join(slice(toks, i + 1, $k), ' '))""".stripMargin))
         .as(Seq("pos", "gram")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(grams)
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
     val marked = grams.join(dup.select("gram"), Seq("gram"), "left_semi")

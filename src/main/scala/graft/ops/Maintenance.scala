@@ -126,11 +126,20 @@ object Maintenance {
     val nOut = math.max(1, (total / math.max(1L, minRows)).toInt)
     val opts = confOptions(spark, conf)
     if (zorderBy.nonEmpty) {
-      live.withColumn("__z", zValue(live, zorderBy))
-        .repartitionByRange(nOut, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.options(opts).parquet(staging.toUri.toString)
+      // phase spans are observability only (land as compact.* in bench
+      // artifacts when a timed query runs this): the rewrite is three
+      // passes — quantile cuts (narrow), the range-exchange sample of
+      // __z (narrow), and the full data write
+      val z = graft.BenchPhases.timed("compact.zorder_quantiles") {
+        zValue(live, zorderBy)
+      }
+      graft.BenchPhases.timed("compact.zorder_write") {
+        live.withColumn("__z", z)
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.options(opts).parquet(staging.toUri.toString)
+      }
     } else if (sortBy.isEmpty)
       live.coalesce(nOut).write.options(opts).parquet(staging.toUri.toString)
     else {
@@ -146,7 +155,9 @@ object Maintenance {
           .write.options(opts).parquet(staging.toUri.toString)
       finally prev.fold(spark.conf.unset(sampleKey))(spark.conf.set(sampleKey, _))
     }
-    val moved = FragmentStats.adoptStaged(fs, conf, qualDir, staging)
+    val moved = graft.BenchPhases.timed("compact.adopt") {
+      FragmentStats.adoptStaged(fs, conf, qualDir, staging)
+    }
 
     val smallIds = small.map(_.id).toSet
     GraftFormat.commitWithRetry(fs, qualDir) { latestOpt =>
