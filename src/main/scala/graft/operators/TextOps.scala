@@ -1863,6 +1863,10 @@ object TextOps {
         |ORDER BY round(score, 4) DESC, doc_id
         |LIMIT 50""".stripMargin,
       "BM25 top-50 docs for a fixed query-term set") { (s, d) =>
+      // deliberately NOT cached (r18: measured 1.1-1.2x SLOWER with a
+      // token-stream cache here — the columnar cache build of the full
+      // exploded string stream costs more than the tokenize passes it
+      // saves; unlike jaccardPairs there is no window shuffle to skip)
       val tok = docs(s, d).select(col("doc_id"),
         explode(expr(toksExpr)).as("tok"))
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))

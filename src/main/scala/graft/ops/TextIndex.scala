@@ -94,9 +94,17 @@ object TextIndex {
     // deletion-aware snapshot scan through the normal connector reader
     val df = GraftShim.tableDF(spark,
       new GraftTable(s"index:$qual", qual, manifest, conf))
+    // one tokenize + explode pass, cached (r18 optimization): the token
+    // stream feeds the doc-length aggregate, both sides of the postings
+    // aggregate + join, the range-exchange sample AND the meta
+    // aggregate — uncached, each re-ran the corpus tokenize. Two
+    // consuming actions (postings write, meta write) then release it.
     val tok = df
       .select(col(idCol).cast("long").as("doc_id"),
         explode(expr(toksOf.format(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterNextAction(tok,
+      releaseAfterConsumers = 2)
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val postings = tok.groupBy("tok", "doc_id")
       .agg(count(lit(1)).as("tf"))
