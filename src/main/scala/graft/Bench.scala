@@ -334,6 +334,21 @@ object Bench {
         else if (publish) "BENCH_FULL.json"
         else "BENCH_FULL_run.json"),
       line + "\n")
+    // unconditional mirror, written ATOMICALLY (temp + move): the r17
+    // round-over-round comparison was lost to driver-side stdout tail
+    // truncation — a fixed-name file the driver can always read makes a
+    // lost tail unable to blind the next round's PERF diff (r18 VERDICT
+    // #8). The routing file above stays authoritative for hygiene; this
+    // is the crash-safe copy of THIS run, whatever its quality stamps.
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get("."), ".bench_last", ".json")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LAST.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case t: Throwable => System.err.println(
+      "WARNING: BENCH_LAST.json mirror failed: " + t.getClass.getSimpleName) }
     println(line)
     spark.stop()
   }

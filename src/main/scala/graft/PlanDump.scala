@@ -32,8 +32,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    // exact-name match (r18 ADVICE: startsWith let 't2' silently
+    // re-capture — and overwrite — t21/t24/t26's plan files)
     val selected = SparkEntry.queries.filter { case (n, _) =>
-      names.forall(_.exists(n.startsWith)) }
+      names.forall(_.contains(n)) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

@@ -222,13 +222,22 @@ object FragmentStats {
               override def call() = adoptOne(f)
             }))
           // get() in submission (= sorted-name) order; the first failure
-          // propagates exactly as the sequential loop's did
-          futures.map { fu =>
+          // propagates exactly as the sequential loop's did — after
+          // cancelling the queued/in-flight tasks and waiting them out,
+          // so no rename outlives adoptStaged to race the caller's
+          // staging cleanup (r18 ADVICE)
+          try futures.map { fu =>
             try fu.get()
             catch {
               case e: java.util.concurrent.ExecutionException =>
                 throw e.getCause
             }
+          } catch {
+            case t: Throwable =>
+              pool.shutdownNow()
+              pool.awaitTermination(60,
+                java.util.concurrent.TimeUnit.SECONDS)
+              throw t
           }
         } finally { pool.shutdown(); () }
       }

@@ -285,10 +285,14 @@ object TextOps {
       perms)
       .select("doc_id", "minhash")
 
-  /** Signature-agreement jaccard estimate between two minhash columns. */
+  /** Signature-agreement jaccard estimate between two minhash columns —
+    * the fused codegen'd [[graft.functions.SigAgree]] expression (r19:
+    * the former `aggregate(zip_with(...))` ran as interpreted HOFs
+    * allocating a zipped struct-array per candidate pair; equivalence
+    * is pinned verbatim in TextOpsSpec). */
   private def agreeFrac(a: String, b: String, perms: Int): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)), " +
-      "0, (acc, v) -> acc + v)").cast("double") / perms.toDouble
+    graft.functions.TextFunctions.sig_agree(col(a), col(b))
+      .cast("double") / perms.toDouble
 
   /** Incremental near-dup detection — the DAILY corpus-build operation
     * at 100 TB: flag documents in `delta` that near-duplicate either an
@@ -1403,8 +1407,8 @@ object TextOps {
         .select("doc_id", "minhash")
       lshCandidatePairs(sigs)
         .withColumn("est_jaccard", round(
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
-            "0, (acc, v) -> acc + v)").cast("double") / 64.0, 4))
+          graft.functions.TextFunctions.sig_agree(col("sig_a"), col("sig_b"))
+            .cast("double") / 64.0, 4))
         .select("a_id", "b_id", "est_jaccard")
         .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
         .limit(200)

@@ -70,13 +70,19 @@ object MinhashStore {
     * partitions entirely, and with fp≈0 a novel probe touches ~true
     * matches only. */
   val TargetRowsPerPart = 2048L
-  val MinParts = 8
+  /** No minimum floor beyond 1 (r19 — VERDICT r18 #1): partition count
+    * is purely row-scaled, so an sf0.1-sized segment no longer pays 8
+    * dir commits for 6 partitions' worth of rows; production segments
+    * land the same counts as before (they sit far above any floor). */
+  val MinParts = 1
   val MaxParts = 4096
-  /** Sig partitions are FIXED (not row-scaled): the sigs write is the
-    * first job of a build and row-scaling would need a count job
-    * before it. n/32 granularity + sigsFor's cost-based fallback
-    * cover the candidate-fetch pruning fine. */
-  val SigParts = 32
+  /** Sig partitions row-scaled like the buckets (r19): the build now
+    * materializes the signature cache with one count job BEFORE any
+    * write (that job carries the corpus shingling the sigs write used
+    * to), so n is known when the sigs layout is chosen. 32 remains the
+    * cap — production segments get exactly the pre-r19 layout — while
+    * small segments stop paying 32 dir commits for a handful of rows. */
+  val MaxSigParts = 32
   /** sigsFor: a candidate set touching more than this fraction of a
     * segment's sig partitions reads the segment outright (pruning
     * would read most of it anyway, plus per-partition overhead). */
@@ -133,6 +139,10 @@ object MinhashStore {
     math.max(MinParts,
       math.min(MaxParts, rows / TargetRowsPerPart + 1)).toInt
 
+  private def sigParts(rows: Long): Int =
+    math.max(1,
+      math.min(MaxSigParts, rows / TargetRowsPerPart + 1)).toInt
+
   /** kh — the single probe key a (band, band_hash) pair buckets and
     * blooms under. Folding the band in keeps one bloom/bucket space
     * across all bands; the data rows still carry (band, band_hash) so
@@ -152,43 +162,73 @@ object MinhashStore {
       col("minhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // three jobs total: the sigs write carries the row count as an
-      // observation (a count job before it would re-shingle the corpus
-      // or force the cache one job early), the buckets write shuffles
-      // narrow longs, the bloom is one treeAggregate over the cache
-      val sp = SigParts
-      val nObs = org.apache.spark.sql.Observation()
-      graft.BenchPhases.timed("mhstore.sigs_write") {
-        cached
-          .observe(nObs, count(lit(1)).as("n"))
-          .withColumn("sp", pmod(xxhash64(col("doc_id")), lit(sp.toLong))
-            .cast("int"))
-          .repartition(col("sp"))
-          .write.partitionBy("sp").mode("overwrite")
-          .parquet(new Path(segDir, "sigs").toString)
+      // r19 build shape (VERDICT r18 #1): ONE materialization job up
+      // front (the count carries the corpus shingling that the sigs
+      // write used to pay, and makes n available to size BOTH layouts),
+      // then the three payload jobs — sigs write, buckets write, bloom
+      // — all read the populated cache and run CONCURRENTLY from a
+      // small driver pool (guide §2.6, overlap independent jobs): at
+      // gate segment sizes each is fixed-overhead-dominated, so wall
+      // clock is their max, not their sum; at production sizes the
+      // scheduler back-fills each job's straggler tail with the others'
+      // tasks. Writes go to disjoint paths; the bloom is a treeAggregate
+      // — no shared mutable state crosses the threads.
+      val n = graft.BenchPhases.timed("mhstore.materialize") {
+        cached.count()
       }
-      // load-bearing (sizes the bucket partitions): if the observed
-      // metric is missing (listener race), pay one count job on the
-      // now-populated cache instead of failing the build
-      val n = scala.util.Try(nObs.get("n").asInstanceOf[Long])
-        .getOrElse(cached.count())
+      val sp = sigParts(n)
+      val p = parts(n * bands)
       val banded = cached.select(col("doc_id"),
         posexplode(graft.operators.TextOps.bandHashArray(bands, r))
           .as(Seq("band", "band_hash")))
-      val p = parts(n * bands)
-      graft.BenchPhases.timed("mhstore.buckets_write") {
-        banded
-          .withColumn("p", pmod(khCol, lit(p.toLong)).cast("int"))
-          .repartition(col("p"))
-          .write.partitionBy("p").mode("overwrite")
-          .parquet(new Path(segDir, "buckets").toString)
-      }
-      // bloom over the segment's kh set — one distributed agg, result
-      // ~19 bits/key on the driver then persisted beside the payload
-      val bloom = graft.BenchPhases.timed("mhstore.bloom") {
-        banded.select(khCol.as("kh"))
-          .stat.bloomFilter("kh", math.max(1L, n * bands), BloomFpp)
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val bloom = try {
+        def task[T](body: => T): java.util.concurrent.Future[T] =
+          pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = body
+          })
+        // explicit shuffle partition counts (= dir counts) keep the
+        // exchanges scale-adaptive instead of riding the session's
+        // spark.sql.shuffle.partitions (guide §2: no constant tuned to
+        // either local mode or one cluster size)
+        val sigsF = task {
+          graft.BenchPhases.timed("mhstore.sigs_write") {
+            cached
+              .withColumn("sp", pmod(xxhash64(col("doc_id")), lit(sp.toLong))
+                .cast("int"))
+              .repartition(sp, col("sp"))
+              .write.partitionBy("sp").mode("overwrite")
+              .parquet(new Path(segDir, "sigs").toString)
+          }
+        }
+        val bucketsF = task {
+          graft.BenchPhases.timed("mhstore.buckets_write") {
+            banded
+              .withColumn("p", pmod(khCol, lit(p.toLong)).cast("int"))
+              .repartition(p, col("p"))
+              .write.partitionBy("p").mode("overwrite")
+              .parquet(new Path(segDir, "buckets").toString)
+          }
+        }
+        // bloom over the segment's kh set — one distributed agg, result
+        // ~24 bits/key on the driver then persisted beside the payload
+        val bloomF = task {
+          graft.BenchPhases.timed("mhstore.bloom") {
+            banded.select(khCol.as("kh"))
+              .stat.bloomFilter("kh", math.max(1L, n * bands), BloomFpp)
+          }
+        }
+        // first failure cancels the siblings and waits them out, so no
+        // write outlives the build call
+        try {
+          sigsF.get(); bucketsF.get(); bloomF.get()
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw e.getCause
+        }
+      } finally { pool.shutdown(); () }
       val out = fs.create(new Path(segDir, "bloom.bin"), true)
       try bloom.writeTo(out) finally out.close()
       val mo = fs.create(new Path(segDir, "_seg.json"), true)
@@ -270,31 +310,41 @@ object MinhashStore {
       var touched = 0
       var totalParts = 0
       var fullScans = 0
-      var probeKeys = -1L
-      val perSeg = m.segments.map { seg =>
-        val (segRows, _, p) = segParts(fs, rp, seg)
+      val segInfos = m.segments.map { seg =>
+        (seg, segParts(fs, rp, seg), loadBloom(fs, rp, seg))
+      }
+      // ONE decision job across every segment (r19 — VERDICT r18 #3):
+      // each segment's bloom-filter + partition-group branch unions
+      // into a single collected frame tagged by segment ordinal, so a
+      // multi-segment store (the daily append chain) pays one driver
+      // round-trip for all its partition decisions instead of one per
+      // segment. Branch 0 additionally carries the probe-key count as
+      // an observation — the observed frame stays out of the returned
+      // lazy plans (an Observation is one-shot; re-executing its node
+      // is undefined).
+      val kObs = org.apache.spark.sql.Observation()
+      val decided = segInfos.zipWithIndex.map {
+        case ((_, (_, _, p), bloom), i) =>
+          val might = udf((kh: Long) => bloom.mightContainLong(kh))
+          val src =
+            if (i == 0) keyed.observe(kObs, count(lit(1)).as("k"))
+            else keyed
+          src.filter(might(col("kh")))
+            .groupBy(pmod(col("kh"), lit(p.toLong)).cast("int").as("p"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(i).as("si"), col("p"), col("cnt"))
+      }.reduce(_ unionByName _).collect()
+      // observability-only: a missed metric degrades to -1, never
+      // fails the probe or buys a dedicated count job
+      val probeKeys =
+        scala.util.Try(kObs.get("k").asInstanceOf[Long]).getOrElse(-1L)
+      val bySeg = decided.groupBy(_.getInt(0))
+      val perSeg = segInfos.zipWithIndex.map {
+        case ((seg, (segRows, _, p), bloom), i) =>
         totalParts += p
-        val bloom = loadBloom(fs, rp, seg)
-        val might = udf((kh: Long) => bloom.mightContainLong(kh))
-        val survivors = keyed.filter(might(col("kh")))
-        // one job yields the partition id set, the survivor counts AND
-        // (first segment only) the probe-key count as an observation —
-        // the observed frame stays out of the returned lazy plans (an
-        // Observation is one-shot; re-executing its node is undefined)
-        val kObs = org.apache.spark.sql.Observation()
-        val byPartSrc =
-          if (probeKeys >= 0) survivors
-          else keyed.observe(kObs, count(lit(1)).as("k"))
-            .filter(might(col("kh")))
-        val byPart = byPartSrc
-          .groupBy(pmod(col("kh"), lit(p.toLong)).cast("int").as("p"))
-          .count().collect()
-        // observability-only: a missed metric degrades to -1, never
-        // fails the probe or buys a dedicated count job
-        if (probeKeys < 0) probeKeys =
-          scala.util.Try(kObs.get("k").asInstanceOf[Long]).getOrElse(-1L)
-        val partIds = byPart.map(_.getInt(0)).sorted
-        survivorsTotal += byPart.map(_.getLong(1)).sum
+        val byPart = bySeg.getOrElse(i, Array.empty)
+        val partIds = byPart.map(_.getInt(1)).sorted
+        survivorsTotal += byPart.map(_.getLong(2)).sum
         touched += partIds.length
         if (partIds.isEmpty) None
         else if (partIds.length.toLong * TargetRowsPerPart > segRows) {
@@ -313,11 +363,18 @@ object MinhashStore {
               .as(Seq("band", "band_hash")))
             .join(broadcast(keyed.select("new_id", "band", "band_hash")),
               Seq("band", "band_hash")))
-        } else Some(
-          spark.read.parquet(s"$root/$seg/buckets")
-            .filter(col("p").isin(partIds.toIndexedSeq.map(Integer.valueOf): _*))
-            .join(broadcast(survivors.select("new_id", "band", "band_hash")),
-              Seq("band", "band_hash")))
+        } else {
+          // this segment's bloom survivors, re-derived lazily from the
+          // cached probe frame for the returned plan (same rows the
+          // decision job grouped)
+          val might = udf((kh: Long) => bloom.mightContainLong(kh))
+          Some(
+            spark.read.parquet(s"$root/$seg/buckets")
+              .filter(col("p").isin(partIds.toIndexedSeq.map(Integer.valueOf): _*))
+              .join(broadcast(keyed.filter(might(col("kh")))
+                .select("new_id", "band", "band_hash")),
+                Seq("band", "band_hash")))
+        }
       }
       lastProbeStats.set(ProbeStats(m.segments.size, probeKeys,
         survivorsTotal, touched, totalParts, fullScans))
@@ -342,12 +399,19 @@ object MinhashStore {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      m.segments.map { seg =>
-        val (_, sp, _) = segParts(fs, rp, seg)
-        val partIds = wanted
-          .select(pmod(xxhash64(col("doc_id")), lit(sp.toLong))
+      val segInfos = m.segments.map(seg => (seg, segParts(fs, rp, seg)._2))
+      // ONE partition-decision job across every segment (r19 — VERDICT
+      // r18 #3): union the per-segment distinct-sp branches, tagged by
+      // segment ordinal, instead of one collect per segment
+      val decided = segInfos.zipWithIndex.map { case ((_, sp), i) =>
+        wanted.select(lit(i).as("si"),
+          pmod(xxhash64(col("doc_id")), lit(sp.toLong))
             .cast("int").as("sp"))
-          .distinct().collect().map(_.getInt(0)).sorted
+          .distinct()
+      }.reduce(_ unionByName _).collect()
+      val bySeg = decided.groupBy(_.getInt(0))
+      segInfos.zipWithIndex.map { case ((seg, sp), i) =>
+        val partIds = bySeg.getOrElse(i, Array.empty).map(_.getInt(1)).sorted
         val path = s"$root/$seg/sigs"
         val base =
           if (partIds.isEmpty) spark.read.parquet(path).limit(0)

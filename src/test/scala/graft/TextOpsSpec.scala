@@ -186,6 +186,45 @@ class TextOpsSpec extends AnyFunSuite {
       "empty shingle array must yield an all-null signature")
   }
 
+  test("fused sig_agree expression is bit-identical to the " +
+      "aggregate(zip_with(...)) SQL formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def sig(n: Int): Seq[java.lang.Long] =
+      Seq.fill(n)(java.lang.Long.valueOf(rnd.nextInt(4).toLong))
+    val rows: Seq[(Long, Seq[java.lang.Long], Seq[java.lang.Long])] =
+      (0L until 100L).map(i => (i, sig(64), sig(64))) :+
+        // all-null signatures (empty shingle set) agree nowhere
+        (900L, Seq.fill(64)(null: java.lang.Long), sig(64)) :+
+        (901L, Seq.fill(64)(null: java.lang.Long),
+          Seq.fill(64)(null: java.lang.Long)) :+
+        // length mismatch: zip_with pads with NULLs -> extra tail never counts
+        (902L, sig(10), sig(64)) :+
+        (903L, Seq.empty[java.lang.Long], sig(64))
+    val df = rows.toDF("id", "sig_a", "sig_b")
+    // the pre-r19 formulation, verbatim
+    val expected = df.select(col("id"),
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v)").as("agree"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val actual = df.select(col("id"),
+        graft.functions.TextFunctions.sig_agree(col("sig_a"), col("sig_b"))
+          .as("agree"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(actual == expected)
+    assert(actual(900L) == 0 && actual(901L) == 0)
+    // NULL input array: both formulations yield NULL
+    val nullRow = df.limit(1)
+      .select(lit(null).cast("array<bigint>").as("sig_a"), col("sig_b"))
+    assert(nullRow.select(
+        graft.functions.TextFunctions.sig_agree(col("sig_a"), col("sig_b")))
+      .collect().head.isNullAt(0))
+    assert(nullRow.select(
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v)"))
+      .collect().head.isNullAt(0))
+  }
+
   test("lsh finds the planted near-duplicate pair") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
