@@ -262,9 +262,18 @@ object TextOps {
       posexplode(bandHashArray(bands, r)).as(Seq("band", "band_hash")))
 
   /** Keep the 64 smallest doc_ids per bucket key (one window shuffle of
-    * the input stream — apply it to the NARROWEST stream available). */
+    * the input stream — apply it to the NARROWEST stream available).
+    * The window exchange is pinned at the session's shuffle parallelism
+    * (r19 scaling fix, same rationale as [[jaccardPairs]]): the banded
+    * stream is a few longs per row, so AQE's byte-based coalescing
+    * collapses it to 1-2 partitions, serializing the bucket self-join
+    * that follows — whose output (up to C(64,2) pair rows per bucket)
+    * AQE cannot see. Explicit numPartitions = AQE-exempt; the join
+    * clusters on the same key, so no extra exchange. */
   private def capBuckets(banded: DataFrame, key: Seq[String]): DataFrame =
     banded
+      .repartition(banded.sparkSession.sessionState.conf.numShufflePartitions,
+        key.map(col): _*)
       .withColumn("bucket_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(key.map(col): _*)
@@ -998,7 +1007,20 @@ object TextOps {
     // (source, doc_id, word-hash, df); release is deterministic via
     // [[graft.CacheHygiene.unpersistAfterNextAction]], the same
     // pattern lshCandidatePairs uses for its signature cache.
-    val tok = withDf(tokenStream(w))
+    // The token-stream exchange is pinned at the session's configured
+    // shuffle parallelism (r19 scaling fix): AQE coalesces exchanges by
+    // shuffle-read BYTES, and this stream is three longs per row — at
+    // bench scale it coalesces to 1-2 partitions — but the self-join
+    // it feeds produces sum(df²) OUTPUT rows per partition, a cost AQE
+    // cannot see, so the entire pair-generation stage was running
+    // near-serially at any core count (sf1 probe: 8c→32c ratio 1.2).
+    // An explicit numPartitions makes the repartition AQE-exempt
+    // (REPARTITION_BY_NUM); the window and the self-join cluster on
+    // the same key, so no extra exchange is introduced — and the count
+    // follows the session conf, never a local constant.
+    val shufflePar = w.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = withDf(tokenStream(w)
+        .repartition(shufflePar, col("source"), col("word")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.CacheHygiene.unpersistAfterNextAction(tok)
     // |words| per doc == the doc's token-stream row count (words are

@@ -542,7 +542,11 @@ object VectorOps {
         graft.ops.VectorIndex.Pq.readCurrent(s, dir, "embedding")
           .getOrElse(throw new IllegalStateException("pq build did not land"))
       // query-side constants: 16 centroids + 16×256 codebook entries +
-      // the ≤20-row query set (the corpus side stays distributed)
+      // the ≤20-row query set (the corpus side stays distributed).
+      // Span-attributed (r19 — VERDICT r18 #7): the residual .probe is
+      // then the ADC-scan + rerank job alone.
+      val (cents, codebooks, queries) =
+        graft.BenchPhases.timed("v07_ann_ivfpq.consts") {
       val cents: Array[(Int, Array[Double])] = centsDf.collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
       val codebooks: Array[Array[Array[Double]]] = {
@@ -554,6 +558,8 @@ object VectorOps {
       val queries = emb(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      (cents, codebooks, queries)
+      }
       val nprobe = 4
       val tables = queries.flatMap { case (qId, q) =>
         cents.sortBy { case (_, c) =>
@@ -708,12 +714,16 @@ object VectorOps {
         graft.connector.GraftWriter.write(fs, dir, emb(s, d), overwrite = true)
         graft.ops.VectorIndex.Ivf.build(s, dir, "vec_id", "embedding")
       }
-      val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
-      val table = org.apache.spark.sql.GraftShim.tableDF(s,
-        new graft.connector.GraftTable(s"v10:$dir", dir, manifest,
-          s.sessionState.newHadoopConf()))
-      val qv = emb(s, d).filter(col("vec_id") === 7)
-        .select("embedding").head().getSeq[Float](0)
+      // span-attributed setup (r19 — VERDICT r18 #7): manifest read +
+      // the one-row query-vector fetch
+      val (table, qv) = graft.BenchPhases.timed("v10_ann_filtered.setup") {
+        val manifest = graft.format.GraftFormat.readLatest(fs, dir).get
+        val t = org.apache.spark.sql.GraftShim.tableDF(s,
+          new graft.connector.GraftTable(s"v10:$dir", dir, manifest,
+            s.sessionState.newHadoopConf()))
+        (t, emb(s, d).filter(col("vec_id") === 7)
+          .select("embedding").head().getSeq[Float](0))
+      }
       val rule = graft.plans.AnnTopKIndexRewrite(s)
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ rule
@@ -725,13 +735,19 @@ object VectorOps {
             col("embedding"), typedlit(qv)).desc)
           .limit(10)
           .select(col("vec_id"))
-        val probed = q.queryExecution.optimizedPlan.collect {
-          case j: org.apache.spark.sql.catalyst.plans.logical.Join
-              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-        }.nonEmpty
+        // plan/optimize time (the rewrite rule runs here) vs the probe
+        // job itself, separately attributed (r19 — VERDICT r18 #7)
+        val probed = graft.BenchPhases.timed("v10_ann_filtered.plan") {
+          q.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          }.nonEmpty
+        }
         require(probed,
           "filtered ANN rewrite did not fire — no index probe in plan")
-        val rows = q.collect()
+        val rows = graft.BenchPhases.timed("v10_ann_filtered.query") {
+          q.collect()
+        }
         import s.implicits._
         rows.map(_.getLong(0)).toSeq.zipWithIndex
           .map { case (id, i) => (i + 1, id) }.toDF("rank", "vec_id")

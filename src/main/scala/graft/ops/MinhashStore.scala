@@ -333,12 +333,15 @@ object MinhashStore {
             .groupBy(pmod(col("kh"), lit(p.toLong)).cast("int").as("p"))
             .agg(count(lit(1)).as("cnt"))
             .select(lit(i).as("si"), col("p"), col("cnt"))
-      }.reduce(_ unionByName _).collect()
+      }.reduce(_ unionByName _)
+      val decidedRows = graft.BenchPhases.timed("mhstore.probe_decision") {
+        decided.collect()
+      }
       // observability-only: a missed metric degrades to -1, never
       // fails the probe or buys a dedicated count job
       val probeKeys =
         scala.util.Try(kObs.get("k").asInstanceOf[Long]).getOrElse(-1L)
-      val bySeg = decided.groupBy(_.getInt(0))
+      val bySeg = decidedRows.groupBy(_.getInt(0))
       val perSeg = segInfos.zipWithIndex.map {
         case ((seg, (segRows, _, p), bloom), i) =>
         totalParts += p
@@ -403,12 +406,14 @@ object MinhashStore {
       // ONE partition-decision job across every segment (r19 — VERDICT
       // r18 #3): union the per-segment distinct-sp branches, tagged by
       // segment ordinal, instead of one collect per segment
-      val decided = segInfos.zipWithIndex.map { case ((_, sp), i) =>
-        wanted.select(lit(i).as("si"),
-          pmod(xxhash64(col("doc_id")), lit(sp.toLong))
-            .cast("int").as("sp"))
-          .distinct()
-      }.reduce(_ unionByName _).collect()
+      val decided = graft.BenchPhases.timed("mhstore.sig_decision") {
+        segInfos.zipWithIndex.map { case ((_, sp), i) =>
+          wanted.select(lit(i).as("si"),
+            pmod(xxhash64(col("doc_id")), lit(sp.toLong))
+              .cast("int").as("sp"))
+            .distinct()
+        }.reduce(_ unionByName _).collect()
+      }
       val bySeg = decided.groupBy(_.getInt(0))
       segInfos.zipWithIndex.map { case ((seg, sp), i) =>
         val partIds = bySeg.getOrElse(i, Array.empty).map(_.getInt(1)).sorted
