@@ -113,7 +113,16 @@ object Maintenance {
     val (small, _) = manifest.fragments.partition(f =>
       sortBy.nonEmpty || zorderBy.nonEmpty || f.liveRows < minRows ||
         (foldDeletes && f.deletedCount > 0))
-    if (small.size <= 1 && !small.exists(_.deletedCount > 0)) return 0
+    // a requested RE-CLUSTERING must run even over a single clean
+    // fragment (r19): the product is the sorted/z-ordered layout and
+    // its zone-map selectivity, not fragment-count reduction — the old
+    // early-exit silently skipped the rewrite (and never recorded
+    // sort_by/zorder_by) on 1-fragment tables, which the write path's
+    // rebalance now produces routinely
+    val recluster = sortBy.nonEmpty || zorderBy.nonEmpty
+    if (small.isEmpty ||
+        (!recluster && small.size <= 1 && !small.exists(_.deletedCount > 0)))
+      return 0
 
     // distributed rewrite of the small fragments' LIVE rows
     val live = liveRowsOf(spark, conf, qualDir, manifest, small)

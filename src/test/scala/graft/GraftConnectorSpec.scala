@@ -377,7 +377,13 @@ class GraftConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS g.db.lim")
     li.limit(3000).repartition(6).write.format("noop") // force multi-fragment
     li.limit(3000).repartition(6).createOrReplaceTempView("lim_src")
-    spark.sql("CREATE TABLE g.db.lim AS SELECT * FROM lim_src")
+    // preserve the deliberate 6-fragment layout: the write path's
+    // default rebalance (r19) would coalesce this KB-scale CTAS to one
+    // fragment and the limit-pushdown coalescing under test would be
+    // vacuous
+    spark.conf.set("spark.graft.write.rebalance", "false")
+    try spark.sql("CREATE TABLE g.db.lim AS SELECT * FROM lim_src")
+    finally spark.conf.unset("spark.graft.write.rebalance")
     val m = GraftFormat.readLatest(
       org.apache.hadoop.fs.FileSystem.getLocal(
         new org.apache.hadoop.conf.Configuration()),
@@ -390,6 +396,31 @@ class GraftConnectorSpec extends AnyFunSuite {
       .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
       .inputPartitions.size
     assert(nParts == 1, s"limit should plan 1 fragment, planned $nParts")
+  }
+
+  test("spark.graft.write.rebalance coalesces a many-task CTAS into " +
+      "few right-sized fragments; default preserves task layout") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS g.db.rbl")
+    li.limit(3000).repartition(6).createOrReplaceTempView("rbl_src")
+    def frags(): Int = GraftFormat.readLatest(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(wh, "db", "rbl.graft").toUri)).get
+      .fragments.size
+    // default off: one fragment per incoming task
+    spark.sql("CREATE TABLE g.db.rbl AS SELECT * FROM rbl_src")
+    assert(frags() == 6, s"default layout should be task-per-fragment")
+    val before = spark.table("g.db.rbl").collect().toSet
+    spark.sql("DROP TABLE g.db.rbl")
+    // opt-in: AQE rebalance coalesces the KB-scale write
+    spark.conf.set("spark.graft.write.rebalance", "true")
+    try spark.sql("CREATE TABLE g.db.rbl AS SELECT * FROM rbl_src")
+    finally spark.conf.unset("spark.graft.write.rebalance")
+    assert(frags() < 6, s"rebalance should cut the fragment count, got ${frags()}")
+    assert(spark.table("g.db.rbl").collect().toSet == before,
+      "rebalance must not change table contents")
   }
 
   test("table rename is rejected like the reference; ALTER exceeds it") {

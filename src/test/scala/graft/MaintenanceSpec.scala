@@ -229,8 +229,16 @@ class MaintenanceSpec extends AnyFunSuite {
     val nVersionsBefore = GraftFormat.listVersions(fs, dir).size
     val dataFilesBefore = Files.list(Paths.get(wh, "db", "c.graft", "data"))
       .filter(Files.isRegularFile(_)).count()
-    val (dropped, deleted) = Maintenance.vacuum(spark, dir, keepVersions = 2)
-    assert(dropped == nVersionsBefore - 2)
+    // keep ONLY the compacted head (r19 pin update): the write path's
+    // rebalance now lands each small insert as one fragment, so the
+    // partial DELETE keeps every original fragment referenced via its
+    // deletion-vector version — retaining 2 versions would retain the
+    // delete version and nothing would be unreferenced. Keeping 1
+    // makes the 5 pre-compaction fragments + the DV provably dead,
+    // which is the behavior under test.
+    val (dropped, deleted) = Maintenance.vacuum(spark, dir,
+      keepVersions = 1, minVersionsRetained = 1)
+    assert(dropped == nVersionsBefore - 1)
     assert(deleted > 0, "expected unreferenced pre-compaction files removed")
     val dataFilesAfter = Files.list(Paths.get(wh, "db", "c.graft", "data"))
       .filter(Files.isRegularFile(_)).count()
